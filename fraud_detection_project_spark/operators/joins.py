@@ -1,0 +1,148 @@
+"""Join operators (SURVEY.md §2 J1/J2): interval/range join, geolocation,
+and a shuffle-scalable as-of join.
+
+Reference: ``src/preprocessing/transform_data.py:25-47`` implements IP
+geolocation as sort + ``merge_asof(backward)`` + an upper-bound
+post-filter. Net semantics are a left interval join
+(``ip BETWEEN lower AND upper``, unmatched → 'Unknown'); this engine
+expresses it directly and lets the physical strategy follow the data:
+
+- dimension fits in memory → ``broadcast`` range join (no shuffle of the
+  fact side at all — the correct plan at 100 TB of transactions);
+- dimension too large → :func:`as_of_join`, a single-shuffle sort-merge
+  formulation that never materializes an O(n·m) product.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def range_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    point: str | Column,
+    lower: str,
+    upper: str,
+    payload: Sequence[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+    assume_disjoint: bool = True,
+) -> DataFrame:
+    """Left interval join: fact rows matched to dim rows where
+    ``lower <= point <= upper``.
+
+    With ``broadcast_dim`` the plan is a BroadcastNestedLoopJoin — the
+    fact side streams through unshuffled. If intervals may overlap,
+    ``assume_disjoint=False`` keeps only the match with the greatest
+    lower bound (merge_asof's greatest-lower-bound semantics,
+    ``transform_data.py:30-36``).
+    """
+    point_col = F.col(point) if isinstance(point, str) else point
+    dim_sel = dim.select(lower, upper, *payload)
+    right = F.broadcast(dim_sel) if broadcast_dim else dim_sel
+    cond = (point_col >= F.col(lower)) & (point_col <= F.col(upper))
+    joined = fact.join(right, cond, how)
+    if not assume_disjoint:
+        w = Window.partitionBy(*[fact[c] for c in fact.columns]).orderBy(
+            F.col(lower).desc_nulls_last()
+        )
+        joined = joined.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") == 1
+        ).drop("__rn")
+    return joined.drop(lower, upper)
+
+
+def geolocate(
+    transactions: DataFrame,
+    ip_dim: DataFrame,
+    ip_col: str = "ip_address_int",
+    lower: str = "lower_bound_ip_address_int",
+    upper: str = "upper_bound_ip_address_int",
+    country: str = "country",
+    unknown: str = "Unknown",
+) -> DataFrame:
+    """The reference's ``merge_geolocation_data`` (``transform_data.py:25-47``):
+    interval join against the IP→country dim; unmatched (or null-IP) rows
+    get country='Unknown' (the P5 conditional projection, folded into the
+    join + coalesce instead of a row-wise apply).
+    """
+    out = range_join(
+        transactions,
+        ip_dim,
+        point=ip_col,
+        lower=lower,
+        upper=upper,
+        payload=[country],
+        how="left",
+        broadcast_dim=True,
+    )
+    return out.withColumn(country, F.coalesce(F.col(country), F.lit(unknown)))
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    payload: Sequence[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """Scalable as-of join: for each left row, the payload of the latest
+    right row with ``right_time <= left_time`` (backward; 'forward' takes
+    the earliest ``>=``) within the same ``on`` key.
+
+    Physical shape: union the two sides into one keyed event stream,
+    sort within key once, and carry the last-seen payload forward with
+    ``last(ignorenulls)`` over an unbounded-preceding frame. One shuffle
+    on ``on``, no nested-loop product — this is the big-right-side
+    alternative the reference's in-memory merge_asof cannot scale to
+    (``transform_data.py:30-36``).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    lcols = left.columns
+    # tag: right rows sort before left rows at equal timestamps so exact
+    # matches are visible to the left row (merge_asof allow_exact_matches).
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__row"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payload],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_tagged.schema["__row"].dataType).alias("__row"),
+        *[F.col(p).alias(f"__p_{p}") for p in payload],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = [
+            F.last(f"__p_{p}", ignorenulls=True).over(w).alias(p) for p in payload
+        ]
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t").desc(), F.col("__side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = [
+            F.last(f"__p_{p}", ignorenulls=True).over(w).alias(p) for p in payload
+        ]
+
+    out = unioned.select("__side", "__row", *filled).filter(F.col("__side") == 1)
+    return out.select(*[F.col(f"__row.{c}").alias(c) for c in lcols], *payload)

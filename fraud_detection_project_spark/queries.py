@@ -1,0 +1,624 @@
+"""Query registry: every implemented operator exposed as a (spark, sf_dir)
+→ DataFrame callable, each paired with an ANSI-SQL oracle in ORACLE_SQL
+(run by the driver under DuckDB at sf0.01 — row-count + schema +
+order-insensitive value-hash must match).
+
+Conventions for cross-engine determinism:
+- computed float columns are rounded (4-6 dp) on BOTH sides;
+- timestamps never leave a query raw — they are exported as integer
+  epoch micros (Spark ``ts_ns div 1000`` ≡ DuckDB ``epoch_us(ts)``);
+- every aggregate/computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.ip import ip_to_int, int_to_ip
+from .functions.text import normalized_text, punct_ratio, tokens, word_count
+from .functions.vectors import cosine_similarity
+from .operators.aggregates import histogram, rate_by, value_counts
+from .operators.joins import as_of_join, geolocate
+from .operators.windows import rolling_count_24h, velocity_features
+from .session import ensure_runtime_confs
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLE_SQL[name] = oracle
+        return wrapped
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A-bucket: aggregations (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4)                                   AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)                              AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)           AS sum_disc_price,
+           ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
+           ROUND(AVG(l_discount), 6)                                   AS avg_disc,
+           COUNT(*)                                                    AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: the canonical scan→hash-agg shape
+    (A1/A2 family). Whole-stage codegen end to end; partial aggregation
+    map-side, so the shuffle carries only |groups| rows per task.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "revenue_by_region",
+    oracle="""
+    SELECT r.r_name,
+           ROUND(SUM(o.o_totalprice), 4) AS revenue,
+           COUNT(*)                      AS n_orders
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey  = c.c_custkey
+    GROUP BY r.r_name
+    ORDER BY revenue DESC, r.r_name
+    """,
+)
+def q_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship star join (J2): fact `orders` joined through two broadcast
+    dims. region/nation/customer all broadcast → zero shuffle of the fact
+    side before the final agg; at 100 TB the only wide exchange is the
+    |regions|-row aggregate.
+    """
+    region = F.broadcast(load_table(spark, sf_dir, "region"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "r_name")
+    )
+
+
+@register(
+    "rate_by_dim",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END), 6) AS rate
+    FROM events
+    GROUP BY event_type
+    ORDER BY rate DESC, event_type
+    """,
+)
+def q_rate_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 (fraud-rate-by-dimension, ``processor.py:37-40``): mean of a 0/1
+    flag per category, descending."""
+    ev = load_table(spark, sf_dir, "events")
+    flagged = ev.withColumn("flag", F.when(F.col("value") > 100, 1.0).otherwise(0.0))
+    out = rate_by(flagged, "event_type", "flag", rate_col="rate")
+    return out.withColumn("rate", F.round("rate", 6)).orderBy(
+        F.desc("rate"), "event_type"
+    )
+
+
+@register(
+    "value_counts_event_type",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, event_type
+    """,
+)
+def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 (label/category distribution, ``processor.py:30``)."""
+    return value_counts(load_table(spark, sf_dir, "events"), "event_type", "cnt")
+
+
+@register(
+    "distinct_users_by_type",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*)                AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (count distinct, ``transform_data.py:46``) per group."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "numeric_profile_lineitem",
+    oracle="""
+    SELECT 'l_quantity' AS col_name, COUNT(l_quantity) AS n,
+           ROUND(AVG(l_quantity), 6) AS mean, ROUND(STDDEV_SAMP(l_quantity), 6) AS std,
+           ROUND(MIN(l_quantity), 6) AS min, ROUND(MAX(l_quantity), 6) AS max
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice' AS col_name, COUNT(l_extendedprice) AS n,
+           ROUND(AVG(l_extendedprice), 6) AS mean, ROUND(STDDEV_SAMP(l_extendedprice), 6) AS std,
+           ROUND(MIN(l_extendedprice), 6) AS min, ROUND(MAX(l_extendedprice), 6) AS max
+    FROM lineitem
+    ORDER BY col_name
+    """,
+)
+def q_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 (``df.describe()``, ``processor.py:23``) with a stable schema."""
+    from .operators.aggregates import numeric_profile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = numeric_profile(li, ["l_quantity", "l_extendedprice"])
+    return prof.select(
+        F.col("column").alias("col_name"),
+        "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+    ).orderBy("col_name")
+
+
+@register(
+    "histogram_value",
+    oracle="""
+    SELECT CAST(LEAST(GREATEST(FLOOR((value - 0.0) / 20.0), 0), 49) AS INT) AS bucket,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY bucket, event_type
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (grouped binned histogram, ``processor.py:45-54``): 50 buckets
+    of width 20 over [0, 1000], clamped edges, hue = event_type."""
+    return histogram(
+        load_table(spark, sf_dir, "events"), "value", bins=50, lo=0.0, hi=1000.0,
+        by="event_type",
+    )
+
+
+@register(
+    "dedup_user_event_type",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 (``drop_duplicates``, ``clean_data.py:37-42``) on a projected key."""
+    from .operators.cleaning import remove_duplicates
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    return remove_duplicates(ev)
+
+
+# ---------------------------------------------------------------------------
+# J-bucket: joins (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_join_custkey",
+    oracle="""
+    WITH intervals AS (
+        SELECT CAST(r_regionkey * 400 AS BIGINT)       AS lo,
+               CAST(r_regionkey * 400 + 299 AS BIGINT) AS hi,
+               r_name
+        FROM region
+    )
+    SELECT c.c_custkey,
+           COALESCE(i.r_name, 'Unknown') AS bucket_name
+    FROM customer c
+    LEFT JOIN intervals i ON c.c_custkey >= i.lo AND c.c_custkey <= i.hi
+    ORDER BY c.c_custkey
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 (interval/range join — the geolocation shape,
+    ``transform_data.py:25-47``): point BETWEEN lo AND hi against a small
+    dim, unmatched → 'Unknown'. Physical plan: BroadcastNestedLoopJoin —
+    the fact side never shuffles.
+
+    The interval dim is derived from `region` (lo = key*400, width 300)
+    so gaps and out-of-range points exercise the Unknown path.
+    """
+    region = load_table(spark, sf_dir, "region")
+    intervals = region.select(
+        (F.col("r_regionkey").cast("long") * 400).alias("lo"),
+        (F.col("r_regionkey").cast("long") * 400 + 299).alias("hi"),
+        F.col("r_name"),
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    out = geolocate(
+        customer.select("c_custkey"),
+        intervals,
+        ip_col="c_custkey",
+        lower="lo",
+        upper="hi",
+        country="r_name",
+    )
+    return out.select(
+        "c_custkey", F.col("r_name").alias("bucket_name")
+    ).orderBy("c_custkey")
+
+
+@register(
+    "asof_last_signup",
+    oracle="""
+    SELECT p.event_id,
+           p.user_id,
+           MAX(epoch_us(s.ts)) AS last_signup_us
+    FROM events p
+    LEFT JOIN events s
+      ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+    ORDER BY p.event_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): for each purchase, the most recent signup
+    by the same user at-or-before it. Single shuffle on user_id via the
+    union-sort-carry-forward plan (operators/joins.py:as_of_join) — no
+    O(n·m) product, unlike the oracle's join-aggregate formulation.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", "ts_us")
+        .withColumn("last_signup_us", F.col("ts_us"))
+    )
+    out = as_of_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_time="ts_us",
+        right_time="ts_us",
+        payload=["last_signup_us"],
+        direction="backward",
+    )
+    return out.select("event_id", "user_id", "last_signup_us").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# W-bucket: windows (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rolling_24h_user",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW
+           ) - 1 AS txn_24h
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 (trailing-24h velocity count, ``transform_data.py:59-65``) with
+    pandas closed='right' boundary semantics: frame is (t-24h, t], i.e.
+    86400e6-1 micros preceding, current row excluded from the count.
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    out = rolling_count_24h(
+        ev, "user_id", "ts_us", "txn_24h", window_seconds=86400, tick=1_000_000
+    )
+    return out.select("event_id", "user_id", "txn_24h").orderBy("event_id")
+
+
+@register(
+    "velocity_features_3keys",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, user_id,
+               user_id % 50 AS device_id,
+               user_id % 97 AS ip_key,
+               epoch_us(ts) AS ts_us
+        FROM events
+    )
+    SELECT event_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_us
+               RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW) - 1 AS user_txn_24h,
+           COUNT(*) OVER (PARTITION BY device_id ORDER BY ts_us
+               RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW) - 1 AS device_txn_24h,
+           COUNT(*) OVER (PARTITION BY ip_key ORDER BY ts_us
+               RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW) - 1 AS ip_txn_24h
+    FROM t
+    ORDER BY event_id
+    """,
+)
+def q_velocity_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference velocity block (three entity keys in one pass,
+    ``transform_data.py:59-65``). device/ip keys are synthesized
+    deterministically from user_id since the testdata has no device
+    column; the operator under test is the 3×windowed count."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .withColumn("device_id", F.col("user_id") % 50)
+        .withColumn("ip_key", F.col("user_id") % 97)
+    )
+    out = velocity_features(
+        ev,
+        "ts_us",
+        {
+            "user_txn_24h": "user_id",
+            "device_txn_24h": "device_id",
+            "ip_txn_24h": "ip_key",
+        },
+        window_seconds=86400,
+        tick=1_000_000,
+    )
+    return out.select(
+        "event_id", "user_txn_24h", "device_txn_24h", "ip_txn_24h"
+    ).orderBy("event_id")
+
+
+@register(
+    "window_rank_lag",
+    oracle="""
+    SELECT event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+           LAG(ROUND(value, 2)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 (ranking + lag over an entity window)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag(F.round("value", 2)).over(w).alias("prev_value"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# O-bucket: sorts / limits (SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (O-bucket): Spark plans TakeOrderedAndProject — per-partition
+    heaps, no global sort; the k rows are the only thing that crosses."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "purchasers_never_error",
+    oracle="""
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 120
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 300
+    ORDER BY user_id
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (§2.7): big purchasers who never had a large error."""
+    ev = load_table(spark, sf_dir, "events")
+    purchasers = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 120))
+        .select("user_id")
+        .distinct()
+    )
+    errorers = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 300))
+        .select("user_id")
+        .distinct()
+    )
+    return purchasers.exceptAll(errorers).distinct().orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# F-bucket: scalar functions (SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ip_roundtrip",
+    oracle="""
+    WITH src AS (
+        SELECT event_id,
+               CAST(user_id % 256 AS BIGINT)        AS a,
+               CAST((user_id * 7) % 256 AS BIGINT)  AS b,
+               CAST((user_id * 13) % 256 AS BIGINT) AS c,
+               CAST((user_id * 31) % 256 AS BIGINT) AS d,
+               value
+        FROM events
+    )
+    SELECT event_id,
+           a * 16777216 + b * 65536 + c * 256 + d AS ip_int,
+           CAST(a AS VARCHAR) || '.' || b || '.' || c || '.' || d AS ip_back,
+           CAST(FLOOR(value) AS BIGINT) AS float_ip_int
+    FROM src
+    ORDER BY event_id
+    """,
+)
+def q_ip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/F7 (``clean_data.py:44-61``): dotted-quad → uint32 → dotted-quad
+    roundtrip, plus the float-string fallback that is the hot path for the
+    reference's Fraud_Data IPs. All pure column arithmetic (no UDF)."""
+    ev = load_table(spark, sf_dir, "events")
+    dotted = F.concat_ws(
+        ".",
+        (F.col("user_id") % 256).cast("string"),
+        ((F.col("user_id") * 7) % 256).cast("string"),
+        ((F.col("user_id") * 13) % 256).cast("string"),
+        ((F.col("user_id") * 31) % 256).cast("string"),
+    )
+    withs = ev.select("event_id", dotted.alias("ip_str"), "value")
+    return withs.select(
+        "event_id",
+        ip_to_int(F.col("ip_str")).alias("ip_int"),
+        int_to_ip(ip_to_int(F.col("ip_str"))).alias("ip_back"),
+        ip_to_int(F.col("value").cast("string")).alias("float_ip_int"),
+    ).orderBy("event_id")
+
+
+@register(
+    "time_features",
+    oracle="""
+    WITH t AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, ts
+        FROM events
+    )
+    SELECT event_id,
+           hour(ts)        AS hour_of_day,
+           isodow(ts) - 1  AS day_of_week,
+           ROUND((ts_us - MIN(ts_us) OVER (PARTITION BY user_id)) / 3600000000.0, 6)
+               AS hours_since_first
+    FROM t
+    ORDER BY event_id
+    """,
+)
+def q_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2-F5 (``transform_data.py:51-57``): hour-of-day, day-of-week
+    (Monday=0 pandas convention — F.weekday, NOT F.dayofweek), and
+    hours-since-first-event per user (the time_since_signup shape)."""
+    from .functions.time import day_of_week, hour_of_day
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = Window.partitionBy("user_id")
+    return ev.select(
+        "event_id",
+        hour_of_day("ts").alias("hour_of_day"),
+        day_of_week("ts").alias("day_of_week"),
+        F.round(
+            (F.col("ts_us") - F.min("ts_us").over(w)) / F.lit(3600000000.0), 6
+        ).alias("hours_since_first"),
+    ).orderBy("event_id")
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props payload column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).orderBy("event_id")
+
+
+@register(
+    "conditional_tiers",
+    oracle="""
+    SELECT CASE WHEN value IS NULL THEN 'unknown'
+                WHEN value < 50  THEN 'small'
+                WHEN value < 200 THEN 'medium'
+                ELSE 'large' END AS tier,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1
+    ORDER BY tier
+    """,
+)
+def q_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 (conditional projection, ``transform_data.py:38-43``) as a pure
+    CASE expression instead of a row-wise apply."""
+    ev = load_table(spark, sf_dir, "events")
+    tier = (
+        F.when(F.col("value").isNull(), "unknown")
+        .when(F.col("value") < 50, "small")
+        .when(F.col("value") < 200, "medium")
+        .otherwise("large")
+    )
+    return ev.groupBy(tier.alias("tier")).agg(F.count(F.lit(1)).alias("cnt")).orderBy("tier")

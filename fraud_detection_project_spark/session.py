@@ -1,0 +1,76 @@
+"""SparkSession construction tuned for the engine.
+
+The reference runs one Python process with everything resident in RAM
+(SURVEY.md §3). Here the session is configured for a real cluster: AQE on
+(runtime re-planning, skew-join splitting, partition coalescing), Arrow on
+(vectorized Python boundary), and shuffle partitions sized by the caller.
+
+All confs set here are also applied idempotently by
+:func:`ensure_runtime_confs` so the engine behaves the same when handed a
+foreign SparkSession (e.g. the verification driver's).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are safe (and required) to set at runtime on any session.
+RUNTIME_CONFS: dict[str, str] = {
+    # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no ns
+    # timestamp type, so read it as a raw nanosecond LongType column.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic time semantics; testdata timestamps are naive.
+    "spark.sql.session.timeZone": "UTC",
+    # runtime re-planning: coalesce tiny shuffle partitions, split skewed
+    # ones, demote/promote join strategies from observed sizes.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for every pandas_udf / applyInPandas / toPandas crossing.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # reference semantics rely on to_timestamp → NULL on bad input
+    # (SURVEY.md §2 F1); ANSI mode would raise instead.
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply engine-required runtime confs to an existing session.
+
+    Idempotent; used by every entry point so the engine works on a
+    SparkSession it did not build.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not runtime-settable on this build — keep going
+    return spark
+
+
+def get_spark(
+    app_name: str = "fraud-detection-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions if shuffle_partitions else max(cores, 8)),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return ensure_runtime_confs(builder.getOrCreate())

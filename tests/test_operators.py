@@ -1,0 +1,136 @@
+"""Operator-level tests: joins (J1 geolocation semantics, as-of), windows
+(W1 boundary closedness), cleaning chain, aggregates."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fraud_detection_project_spark.operators.cleaning import (
+    clean_transactions,
+    handle_missing_values,
+    remove_duplicates,
+)
+from fraud_detection_project_spark.operators.joins import as_of_join, geolocate
+from fraud_detection_project_spark.operators.windows import rolling_count_24h
+
+
+def ts(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+class TestGeolocate:
+    def test_match_unmatched_and_null(self, spark):
+        txns = spark.createDataFrame(
+            [Row(id=1, ip_address_int=150), Row(id=2, ip_address_int=9999),
+             Row(id=3, ip_address_int=None)],
+            "id int, ip_address_int long",
+        )
+        dim = spark.createDataFrame(
+            [Row(lower_bound_ip_address_int=100, upper_bound_ip_address_int=200,
+                 country="AA")],
+        )
+        out = {r["id"]: r["country"] for r in geolocate(txns, dim).collect()}
+        # matched; past upper bound → Unknown (transform_data.py:38-43);
+        # null IP → Unknown
+        assert out == {1: "AA", 2: "Unknown", 3: "Unknown"}
+
+    def test_boundary_inclusive(self, spark):
+        txns = spark.createDataFrame([Row(id=1, ip_address_int=100), Row(id=2, ip_address_int=200)])
+        dim = spark.createDataFrame(
+            [Row(lower_bound_ip_address_int=100, upper_bound_ip_address_int=200, country="AA")]
+        )
+        out = {r["id"]: r["country"] for r in geolocate(txns, dim).collect()}
+        assert out == {1: "AA", 2: "AA"}
+
+
+class TestAsOfJoin:
+    def test_backward(self, spark):
+        left = spark.createDataFrame(
+            [Row(id=1, k="u", t=10), Row(id=2, k="u", t=20), Row(id=3, k="u", t=5),
+             Row(id=4, k="v", t=10)],
+        )
+        right = spark.createDataFrame(
+            [Row(k="u", rt=8, payload="a"), Row(k="u", rt=20, payload="b"),
+             Row(k="w", rt=1, payload="z")],
+        )
+        out = as_of_join(left, right, on="k", left_time="t", right_time="rt",
+                         payload=["payload"])
+        got = {r["id"]: r["payload"] for r in out.collect()}
+        # t=10 → rt=8; t=20 → exact match rt=20; t=5 → nothing ≤ 5;
+        # key v has no right rows at all
+        assert got == {1: "a", 2: "b", 3: None, 4: None}
+
+    def test_forward(self, spark):
+        left = spark.createDataFrame([Row(id=1, k="u", t=10)])
+        right = spark.createDataFrame(
+            [Row(k="u", rt=9, payload="early"), Row(k="u", rt=11, payload="next")]
+        )
+        out = as_of_join(left, right, on="k", left_time="t", right_time="rt",
+                         payload=["payload"], direction="forward")
+        assert out.collect()[0]["payload"] == "next"
+
+
+class TestRollingCount:
+    def test_closed_right_excludes_exact_24h(self, spark):
+        # pandas rolling('24h', closed='right') counts (t-24h, t]:
+        # an event exactly 86400s earlier is NOT counted (SURVEY W1).
+        base = 1_000_000
+        df = spark.createDataFrame(
+            [Row(id=1, k="u", t=base), Row(id=2, k="u", t=base + 86_400),
+             Row(id=3, k="u", t=base + 86_399)],
+        )
+        out = rolling_count_24h(df, "k", "t", "c", window_seconds=86400, tick=1)
+        got = {r["id"]: r["c"] for r in out.collect()}
+        assert got[1] == 0
+        assert got[3] == 1        # 86399s later: inside (t-24h, t]
+        assert got[2] == 1        # sees id=3 (1s before) but NOT id=1 (exactly 24h)
+
+    def test_excludes_current_row_and_counts_ties(self, spark):
+        df = spark.createDataFrame(
+            [Row(id=1, k="u", t=100), Row(id=2, k="u", t=100), Row(id=3, k="u", t=150)]
+        )
+        out = rolling_count_24h(df, "k", "t", "c", window_seconds=86400, tick=1)
+        got = {r["id"]: r["c"] for r in out.collect()}
+        # simultaneous events see each other (range frame, not rows frame)
+        assert got[1] == 1 and got[2] == 1 and got[3] == 2
+
+
+class TestCleaning:
+    def test_handle_missing_drop(self, spark):
+        df = spark.createDataFrame([Row(a=1, b="x"), Row(a=None, b="y")], "a int, b string")
+        assert handle_missing_values(df, "a", "drop").count() == 1
+
+    def test_handle_missing_impute(self, spark):
+        df = spark.createDataFrame([Row(a=1.0), Row(a=3.0), Row(a=None)], "a double")
+        vals = sorted(
+            r["a"] for r in handle_missing_values(df, "a", "impute").collect()
+        )
+        assert vals == [1.0, 2.0, 3.0]
+
+    def test_remove_duplicates(self, spark):
+        df = spark.createDataFrame([Row(a=1, b="x"), Row(a=1, b="x"), Row(a=1, b="y")])
+        assert remove_duplicates(df).count() == 2
+
+    def test_clean_transactions_chain(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(ip_address="1.2.3.4", signup_time="2024-01-01 00:00:00",
+                    purchase_time="2024-01-02 00:00:00"),
+                Row(ip_address="1.2.3.4", signup_time="2024-01-01 00:00:00",
+                    purchase_time="2024-01-02 00:00:00"),  # dup
+                Row(ip_address=None, signup_time="2024-01-01 00:00:00",
+                    purchase_time="bad"),  # dropped (null ip)
+            ]
+        )
+        out = clean_transactions(
+            df,
+            required_column="ip_address",
+            time_columns=["signup_time", "purchase_time"],
+            ip_column="ip_address",
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["ip_address_int"] == 16909060
+        assert out[0]["purchase_time"] == ts("2024-01-02 00:00:00")
