@@ -1,0 +1,111 @@
+"""Benchmark harness (driver contract, BASELINE.md).
+
+Runs the headline workloads at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Workloads (BASELINE.md):
+  q1 scan+filter+agg      → pricing_summary
+  q2 interval/range join  → geolocate_events_value
+  q3 24h rolling window   → velocity_features_3keys
+  q4 cleaning chain       → cleaning_chain
+  q5 full ML prep         → split → fit/transform encode+scale → resample
+
+Results are consumed with a noop write (full computation, no driver
+collect cost polluting the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.abspath(__file__))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+
+def consume(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def ml_prep_pipeline(spark, sf_dir: str):
+    """Bench q5 (SURVEY.md §2 M1-M7, ``transform_data.py:113-161``):
+    feature-engineer events, hash-split, fit encode+scale on train only,
+    transform both splits, undersample train."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_project_spark.catalog import load_table
+    from fraud_detection_project_spark.ml.imbalance import undersample_majority
+    from fraud_detection_project_spark.ml.prep import build_feature_pipeline
+    from fraud_detection_project_spark.ml.split import id_hash_split
+    from fraud_detection_project_spark.operators.windows import rolling_count_24h
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    ev = rolling_count_24h(ev, "user_id", "ts_us", "txn_24h", tick=1_000_000)
+    ev = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        "txn_24h",
+        F.hour("ts").cast("double").alias("hour"),
+        (F.col("event_type") == "error").cast("int").alias("label"),
+    )
+    split = id_hash_split(ev, "event_id", 0.8)
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+
+    pipe = build_feature_pipeline(["value", "txn_24h", "hour"], ["event_type"])
+    model = pipe.fit(train)
+    train_proc = model.transform(train)
+    test_proc = model.transform(test)
+    resampled = undersample_majority(train_proc.select("label", "features"), "label")
+    return resampled.unionByName(test_proc.select("label", "features"))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from fraud_detection_project_spark.queries import QUERIES
+    from fraud_detection_project_spark.session import get_spark
+
+    spark = get_spark("bench")
+    workloads = {
+        "q1": lambda: QUERIES["pricing_summary"](spark, sf_dir),
+        "q2": lambda: QUERIES["geolocate_events_value"](spark, sf_dir),
+        "q3": lambda: QUERIES["velocity_features_3keys"](spark, sf_dir),
+        "q4": lambda: QUERIES["cleaning_chain"](spark, sf_dir),
+        "q5": lambda: ml_prep_pipeline(spark, sf_dir),
+    }
+
+    # warm the JVM + file listing once with the cheapest workload
+    consume(QUERIES["cleaning_chain"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name, build in workloads.items():
+        t0 = time.perf_counter()
+        consume(build())
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_workloads_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

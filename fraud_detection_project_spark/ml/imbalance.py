@@ -1,0 +1,196 @@
+"""Class-imbalance operators (SURVEY.md §2 M6/M7).
+
+Reference: ``handle_class_imbalance`` (``transform_data.py:103-111``) —
+SMOTE when strategy=='smote' else RandomUnderSampler. (The reference
+*intends* SMOTE per its config but a positional-arg bug always runs the
+undersampler — SURVEY.md defects; this engine implements both correctly
+and honors the strategy argument.)
+
+SMOTE at scale (SURVEY hard-list #1): sklearn's SMOTE is exact-kNN over
+an in-memory matrix. Distributed design here:
+
+1. bucket minority rows by a seeded random projection (LSH-style —
+   same machinery as similarity search);
+2. ``applyInPandas`` per bucket: exact kNN *within the bucket* (Arrow
+   batch, numpy), then interpolate ``x + u·(neighbor − x)``, u~U(0,1)
+   from an RNG seeded per-row → deterministic across runs and cluster
+   layouts;
+3. union synthetic rows with the original frame.
+
+Neighbor quality degrades only at bucket boundaries — acceptable for
+SMOTE, which is itself a heuristic. Bucket width bounds executor memory;
+no O(n²) pair materialization anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def class_counts(df: DataFrame, label_col: str) -> dict:
+    rows = df.groupBy(label_col).count().collect()
+    return {r[0]: r[1] for r in rows}
+
+
+def undersample_majority(
+    df: DataFrame, label_col: str, seed: int = 42
+) -> DataFrame:
+    """M7 (``RandomUnderSampler``): Bernoulli-downsample every class to
+    ~the minority count. Narrow op — no shuffle; counts are the only jobs.
+
+    (sklearn draws *exactly* n_min rows; Bernoulli keeps the expectation
+    — the scalable contract, same as ``sampleBy``.)
+    """
+    counts = class_counts(df, label_col)
+    n_min = min(counts.values())
+    fractions = {label: n_min / n for label, n in counts.items()}
+    return df.stat.sampleBy(label_col, fractions, seed)
+
+
+def oversample_minority_naive(
+    df: DataFrame, label_col: str, seed: int = 42
+) -> DataFrame:
+    """Tier-1 oversampler: resample minority rows with replacement up to
+    ~the majority count (no synthesis)."""
+    counts = class_counts(df, label_col)
+    n_maj = max(counts.values())
+    out = df
+    for label, n in counts.items():
+        if n < n_maj:
+            extra = (
+                df.filter(F.col(label_col) == F.lit(label))
+                .sample(withReplacement=True, fraction=(n_maj - n) / n, seed=seed)
+            )
+            out = out.unionByName(extra)
+    return out
+
+
+def smote(
+    df: DataFrame,
+    label_col: str,
+    features_col: str,
+    id_col: str,
+    k: int = 5,
+    seed: int = 42,
+    bucket_width: float | None = None,
+    target_count: int | None = None,
+) -> DataFrame:
+    """M6: distributed SMOTE (``SMOTE(random_state=42)``,
+    ``transform_data.py:23,107``). ``features_col`` is array<numeric>.
+
+    Synthesizes ``target_count - n_min`` minority rows (default: up to
+    the majority count) and unions them with the input. Synthetic rows
+    carry ``id_col = -1``. Deterministic for a fixed (seed, id set).
+    """
+    counts = class_counts(df, label_col)
+    minority_label = min(counts, key=counts.get)
+    n_min = counts[minority_label]
+    n_target = target_count if target_count is not None else max(counts.values())
+    needed = n_target - n_min
+    if needed <= 0:
+        return df
+
+    dim = len(
+        df.select(features_col).filter(F.col(features_col).isNotNull()).first()[0]
+    )
+    minority = df.filter(F.col(label_col) == F.lit(minority_label)).select(
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(features_col).cast("array<double>").alias("__feat"),
+    )
+
+    # Size buckets so each holds roughly TARGET_BUCKET rows — bounds the
+    # per-group pandas memory regardless of input scale. The projection
+    # spread is estimated with one cheap agg (≈6σ covers the mass).
+    proj_col = _projection(minority, "__feat", dim, seed)
+    if bucket_width is None:
+        TARGET_BUCKET = 4096
+        stats = minority.select(
+            F.stddev_samp(proj_col).alias("sd"), F.count(F.lit(1)).alias("n")
+        ).first()
+        sd = stats["sd"] or 1.0
+        n_buckets = max(1, int(np.ceil((stats["n"] or 1) / TARGET_BUCKET)))
+        width = max(6.0 * sd / n_buckets, 1e-9)
+    else:
+        width = bucket_width
+
+    # deterministic per-row synthesis quota: distribute `needed` across
+    # minority rows by id rank (base + 1 for the first `needed % n_min`).
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.orderBy("__id")) - 1
+    base, rem = divmod(needed, n_min)
+    tagged = (
+        minority.withColumn("__bucket", F.floor(proj_col / F.lit(float(width))).cast("long"))
+        .withColumn("__rn", rn)
+        .withColumn("__quota", F.lit(base) + (F.col("__rn") < rem).cast("int"))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("__feat", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    k_ = k
+    seed_ = seed
+
+    def synth(pdf: pd.DataFrame) -> pd.DataFrame:
+        feats = np.array(pdf["__feat"].tolist(), dtype=np.float64)
+        ids = pdf["__id"].to_numpy()
+        quotas = pdf["__quota"].to_numpy()
+        n = len(pdf)
+        new_rows: list[np.ndarray] = []
+        if n == 1:
+            # singleton bucket: no neighbor — replicate the row
+            for _ in range(int(quotas[0])):
+                new_rows.append(feats[0])
+        else:
+            kk = min(k_, n - 1)
+            # exact kNN within the bucket
+            d2 = ((feats[:, None, :] - feats[None, :, :]) ** 2).sum(-1)
+            np.fill_diagonal(d2, np.inf)
+            nbrs = np.argpartition(d2, kth=kk - 1, axis=1)[:, :kk]
+            for i in range(n):
+                q = int(quotas[i])
+                if q == 0:
+                    continue
+                rng = np.random.RandomState((seed_ * 1_000_003 + int(ids[i])) % (2**32))
+                for _ in range(q):
+                    j = nbrs[i][rng.randint(kk)]
+                    u = rng.uniform()
+                    new_rows.append(feats[i] + u * (feats[j] - feats[i]))
+        if not new_rows:
+            return pd.DataFrame({"__feat": pd.Series([], dtype=object)})
+        return pd.DataFrame({"__feat": [r.tolist() for r in new_rows]})
+
+    synthetic = tagged.groupBy("__bucket").applyInPandas(synth, out_schema)
+
+    feat_type = df.schema[features_col].dataType
+    synth_rows = synthetic.select(
+        F.col("__feat").cast(feat_type).alias(features_col)
+    )
+    for c in df.columns:
+        if c == features_col:
+            continue
+        elif c == label_col:
+            synth_rows = synth_rows.withColumn(
+                c, F.lit(minority_label).cast(df.schema[label_col].dataType)
+            )
+        elif c == id_col:
+            synth_rows = synth_rows.withColumn(c, F.lit(-1).cast(df.schema[id_col].dataType))
+        else:
+            synth_rows = synth_rows.withColumn(c, F.lit(None).cast(df.schema[c].dataType))
+    return df.unionByName(synth_rows.select(df.columns))
+
+
+def _projection(df: DataFrame, features_col: str, dim: int, seed: int):
+    rng = np.random.RandomState(seed)
+    r = rng.normal(size=dim)
+    r = r / np.linalg.norm(r)
+    return sum(
+        F.col(features_col).getItem(i).cast("double") * float(r[i]) for i in range(dim)
+    )

@@ -1,0 +1,64 @@
+"""Train/test splitting (SURVEY.md §2 M1).
+
+Reference: ``train_test_split(test_size=0.2, random_state=42, stratify=y)``
+(``transform_data.py:121-123``). sklearn's exact row assignment is an RNG
+artifact; the engine preserves the *semantics* — disjoint, exhaustive,
+~80/20 within every stratum — two ways:
+
+- :func:`id_hash_split` — deterministic multiplicative-hash assignment on
+  a key column. Reproducible across runs, engines, and cluster sizes
+  (pure integer arithmetic — the same formula runs in any SQL dialect),
+  and requires no second pass: each row knows its side. This is the
+  scale-correct choice: at 100 TB a random split that must be re-derived
+  (or persisted) to stay stable is a liability.
+- :func:`stratified_split` — per-class Bernoulli sampling via
+  ``sampleBy`` + anti-join, the closest structural analog of sklearn's
+  stratified shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Knuth's multiplicative hash constant (2^32 / φ), public domain folklore.
+_KNUTH = 2654435761
+
+
+def id_hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_fraction: float = 0.8,
+    salt: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic split: ``(id*K + salt) mod 100 < train_pct``.
+
+    Adds ``split_col`` ∈ {'train','test'}. Stratification is implicit:
+    the hash is independent of any feature, so every stratum lands
+    ~train_fraction in expectation.
+    """
+    pct = int(round(train_fraction * 100))
+    bucket = F.pmod(F.col(id_col).cast("long") * F.lit(_KNUTH) + F.lit(salt), F.lit(100))
+    return df.withColumn(
+        split_col, F.when(bucket < pct, F.lit("train")).otherwise(F.lit("test"))
+    )
+
+
+def stratified_split(
+    df: DataFrame,
+    label_col: str,
+    train_fraction: float = 0.8,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-class Bernoulli split (M1): ``sampleBy`` keeps ~train_fraction
+    of every label value; test = the exact complement via exceptAll.
+
+    Note exceptAll is a shuffle of the full frame — prefer
+    :func:`id_hash_split` when an id column exists.
+    """
+    labels = [r[0] for r in df.select(label_col).distinct().collect()]
+    fractions = {v: train_fraction for v in labels}
+    train = df.stat.sampleBy(label_col, fractions, seed)
+    test = df.exceptAll(train)
+    return train, test

@@ -622,3 +622,196 @@ def q_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
     )
     return ev.groupBy(tier.alias("tier")).agg(F.count(F.lit(1)).alias("cnt")).orderBy("tier")
+
+
+# ---------------------------------------------------------------------------
+# M-bucket: ML prep (SURVEY.md §2.9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hash_split_counts",
+    oracle="""
+    SELECT c_mktsegment,
+           CASE WHEN (c_custkey * 2654435761) % 100 < 80 THEN 'train' ELSE 'test' END AS split,
+           COUNT(*) AS cnt
+    FROM customer
+    GROUP BY 1, 2
+    ORDER BY c_mktsegment, split
+    """,
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 (stratified train/test split, ``transform_data.py:121-123``) via
+    the deterministic multiplicative-hash assignment (ml/split.py) — the
+    same integer arithmetic is the oracle, so assignment is verified
+    row-exactly, which a seeded-RNG split can never be cross-engine.
+    """
+    from .ml.split import id_hash_split
+
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        id_hash_split(cust, "c_custkey", 0.8)
+        .groupBy("c_mktsegment", "split")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("c_mktsegment", "split")
+    )
+
+
+@register(
+    "standardize_quantity",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND((l_quantity - AVG(l_quantity) OVER ()) / STDDEV_POP(l_quantity) OVER (), 6)
+               AS q_scaled
+    FROM lineitem
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2 (StandardScaler, ``transform_data.py:85``) with sklearn's
+    ddof=0 population-std convention (SURVEY hard-list #3)."""
+    from .ml.prep import standardize
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = standardize(li, ["l_quantity"], ddof=0)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity_scaled", 6).alias("q_scaled"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "one_hot_event_type",
+    oracle="""
+    SELECT event_id,
+           CAST(event_type = 'click'    AS INT) AS et_click,
+           CAST(event_type = 'error'    AS INT) AS et_error,
+           CAST(event_type = 'purchase' AS INT) AS et_purchase,
+           CAST(event_type = 'signup'   AS INT) AS et_signup,
+           CAST(event_type = 'view'     AS INT) AS et_view
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 (OneHotEncoder, ``transform_data.py:86``) as fixed-category
+    columnar flags (the MLlib vector variant is pytest-covered)."""
+    from .ml.prep import one_hot_columns
+
+    ev = load_table(spark, sf_dir, "events")
+    out = one_hot_columns(
+        ev, "event_type", ["click", "error", "purchase", "signup", "view"], prefix="et"
+    )
+    return out.select(
+        "event_id", "et_click", "et_error", "et_purchase", "et_signup", "et_view"
+    ).orderBy("event_id")
+
+
+@register("undersample_counts")  # rows-only: seeded Bernoulli sampling
+def q_undersample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 (RandomUnderSampler, ``transform_data.py:107``): downsample the
+    majority classes of a synthetic label to ≈minority size. Sampling is
+    engine-seeded → no SQL oracle; driver checks rows/schema stability.
+    """
+    from .ml.imbalance import undersample_majority
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "label", (F.col("event_type") == "error").cast("int")
+    )
+    out = undersample_majority(ev, "label", seed=42)
+    return out.groupBy("label").agg(F.count(F.lit(1)).alias("cnt")).orderBy("label")
+
+
+@register("smote_balanced_counts")  # rows-only: synthetic row generation
+def q_smote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 (SMOTE, ``transform_data.py:103-111``): LSH-bucketed kNN +
+    Arrow-batched interpolation (ml/imbalance.py). Deterministic quota →
+    classes balance exactly; verified here by the output label counts.
+    """
+    from .ml.imbalance import smote
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_type") == "error").cast("int").alias("label"),
+        F.array(
+            F.col("value"),
+            (F.col("user_id") % 10).cast("double"),
+            F.hour("ts").cast("double"),
+        ).alias("feat"),
+    )
+    out = smote(ev, "label", "feat", "event_id", k=5, seed=42)
+    return out.groupBy("label").agg(F.count(F.lit(1)).alias("cnt")).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Composite pipelines (bench workloads q2/q4 — BASELINE.md)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "geolocate_events_value",
+    oracle="""
+    WITH intervals AS (
+        SELECT CAST(p_partkey * 2 AS DOUBLE)     AS lo,
+               CAST(p_partkey * 2 + 1.5 AS DOUBLE) AS hi,
+               p_brand
+        FROM part WHERE p_partkey <= 200
+    )
+    SELECT e.event_id,
+           COALESCE(i.p_brand, 'Unknown') AS bucket_brand
+    FROM events e
+    LEFT JOIN intervals i ON e.value >= i.lo AND e.value <= i.hi
+    ORDER BY e.event_id
+    """,
+)
+def q_geolocate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 at fact scale (bench q2): every event's value located in a
+    200-interval broadcast dim (gaps → 'Unknown'), the IP-geolocation
+    shape of ``transform_data.py:25-47`` with the fact side unshuffled.
+    """
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    intervals = part.select(
+        (F.col("p_partkey") * 2).cast("double").alias("lo"),
+        (F.col("p_partkey") * 2 + 1.5).cast("double").alias("hi"),
+        F.col("p_brand"),
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    out = geolocate(ev, intervals, ip_col="value", lower="lo", upper="hi",
+                    country="p_brand")
+    return out.select("event_id", F.col("p_brand").alias("bucket_brand")).orderBy(
+        "event_id"
+    )
+
+
+@register(
+    "cleaning_chain",
+    oracle="""
+    WITH txns AS (
+        SELECT DISTINCT user_id, event_type, value
+        FROM events
+        WHERE value IS NOT NULL
+    )
+    SELECT COUNT(*) AS n_rows,
+           SUM(CAST(FLOOR(value) AS BIGINT)) AS sum_ip_int
+    FROM txns
+    """,
+)
+def q_cleaning_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench q4: the reference cleaning chain (``clean_data.py:71-105``) —
+    null-drop → dedup → float-string IP conversion — over events-as-
+    transactions, reduced to a checkable row-count + checksum."""
+    from .operators.cleaning import clean_transactions
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    cleaned = clean_transactions(
+        ev,
+        required_column="value",
+        ip_column="value",
+        ip_int_column="ip_int",
+        dedup=True,
+    )
+    return cleaned.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("ip_int").alias("sum_ip_int"),
+    )

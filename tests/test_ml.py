@@ -1,0 +1,158 @@
+"""ML-layer tests (M1-M8): split partition invariants, scaler ddof,
+unknown-category tolerance, imbalance invariants (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fraud_detection_project_spark.ml.imbalance import (
+    class_counts,
+    oversample_minority_naive,
+    smote,
+    undersample_majority,
+)
+from fraud_detection_project_spark.ml.prep import (
+    build_feature_pipeline,
+    feature_names_out,
+    one_hot_columns,
+    standardize,
+    standardize_stats,
+)
+from fraud_detection_project_spark.ml.split import id_hash_split, stratified_split
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    # 1000 rows, 10% minority, 2-dim features
+    rows = [
+        Row(
+            id=i,
+            label=1 if i % 10 == 0 else 0,
+            f=[float(i % 7), float((i * 3) % 11)],
+            cat="a" if i % 3 == 0 else "b",
+            num=float(i % 100),
+        )
+        for i in range(1000)
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestSplit:
+    def test_id_hash_split_partitions(self, labeled):
+        out = id_hash_split(labeled, "id", 0.8)
+        counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+        assert counts["train"] + counts["test"] == 1000
+        assert 700 < counts["train"] < 900  # ~80%
+
+    def test_id_hash_split_deterministic(self, labeled):
+        a = {r["id"]: r["split"] for r in id_hash_split(labeled, "id").collect()}
+        b = {r["id"]: r["split"] for r in id_hash_split(labeled, "id").collect()}
+        assert a == b
+
+    def test_stratified_split_disjoint_exhaustive(self, labeled):
+        train, test = stratified_split(labeled, "label", 0.8, seed=42)
+        nt, ns = train.count(), test.count()
+        assert nt + ns == 1000
+        # per-class ratio ≈ 0.8
+        tc = class_counts(train, "label")
+        ac = class_counts(labeled, "label")
+        for lbl in ac:
+            assert 0.6 < tc.get(lbl, 0) / ac[lbl] < 0.95
+
+
+class TestStandardize:
+    def test_ddof0_matches_population(self, spark):
+        df = spark.createDataFrame([Row(x=1.0), Row(x=2.0), Row(x=3.0)])
+        out = standardize(df, ["x"], ddof=0).collect()
+        vals = sorted(r["x_scaled"] for r in out)
+        sd = math.sqrt(2.0 / 3.0)  # population std of [1,2,3]
+        assert abs(vals[0] + 1.0 / sd) < 1e-9
+        assert abs(vals[1]) < 1e-9
+
+    def test_train_only_fit(self, spark):
+        train = spark.createDataFrame([Row(x=0.0), Row(x=10.0)])
+        test = spark.createDataFrame([Row(x=5.0), Row(x=20.0)])
+        stats = standardize_stats(train, ["x"], ddof=0)
+        out = sorted(
+            r["x_scaled"] for r in standardize(test, ["x"], stats=stats).collect()
+        )
+        assert abs(out[0] - 0.0) < 1e-9  # 5 == train mean
+        assert abs(out[1] - 3.0) < 1e-9  # (20-5)/5
+
+    def test_zero_variance_column(self, spark):
+        df = spark.createDataFrame([Row(x=4.0), Row(x=4.0)])
+        out = [r["x_scaled"] for r in standardize(df, ["x"]).collect()]
+        assert out == [0.0, 0.0]
+
+
+class TestPipeline:
+    def test_fit_transform_and_names(self, labeled):
+        pipe = build_feature_pipeline(["num"], ["cat"])
+        model = pipe.fit(labeled)
+        out = model.transform(labeled)
+        vec = out.select("features").first()[0]
+        # 1 numeric + 4 cat slots: {a, b} + StringIndexer 'keep' slot for
+        # unseen values + OneHotEncoder's own 'keep' slot
+        assert vec.size == 5
+        names = feature_names_out(model, labeled)
+        assert len(names) == 5
+        assert any("num" in n for n in names)
+
+    def test_unknown_category_tolerated(self, labeled, spark):
+        pipe = build_feature_pipeline(["num"], ["cat"])
+        model = pipe.fit(labeled)
+        unseen = spark.createDataFrame([Row(id=1, label=0, f=[0.0], cat="ZZZ", num=1.0)])
+        row = model.transform(unseen).select("features").first()[0]
+        assert row is not None  # no exception — sklearn handle_unknown='ignore'
+
+    def test_one_hot_columns(self, spark):
+        df = spark.createDataFrame([Row(c="x"), Row(c="y"), Row(c="zzz")])
+        out = one_hot_columns(df, "c", ["x", "y"])
+        got = [(r["c_x"], r["c_y"]) for r in out.orderBy("c").collect()]
+        assert got == [(1, 0), (0, 1), (0, 0)]
+
+
+class TestImbalance:
+    def test_undersample_balances(self, labeled):
+        out = undersample_majority(labeled, "label", seed=42)
+        c = class_counts(out, "label")
+        # majority downsampled to ≈ minority (Bernoulli, so approximate)
+        assert c[1] == 100
+        assert 60 <= c[0] <= 140
+
+    def test_oversample_naive(self, labeled):
+        out = oversample_minority_naive(labeled, "label", seed=42)
+        c = class_counts(out, "label")
+        assert c[0] == 900
+        assert 700 <= c[1] <= 1100
+
+    def test_smote_balances_exactly(self, labeled):
+        out = smote(labeled, "label", "f", "id", k=3, seed=42)
+        c = class_counts(out, "label")
+        assert c[0] == 900
+        assert c[1] == 900  # exact: deterministic quotas
+        # synthetic rows flagged with id == -1
+        assert out.filter((F.col("label") == 1) & (F.col("id") == -1)).count() == 800
+
+    def test_smote_deterministic(self, labeled):
+        a = smote(labeled, "label", "f", "id", k=3, seed=42)
+        b = smote(labeled, "label", "f", "id", k=3, seed=42)
+        sa = sorted(tuple(r["f"]) for r in a.filter(F.col("id") == -1).collect())
+        sb = sorted(tuple(r["f"]) for r in b.filter(F.col("id") == -1).collect())
+        assert sa == sb
+
+    def test_smote_interpolates_within_hull(self, labeled):
+        # all synthetic points must lie on a segment between two minority
+        # points → every coordinate within the minority min/max box
+        out = smote(labeled, "label", "f", "id", k=3, seed=42)
+        syn = [r["f"] for r in out.filter(F.col("id") == -1).collect()]
+        minority = [r["f"] for r in labeled.filter(F.col("label") == 1).collect()]
+        lo0, hi0 = min(f[0] for f in minority), max(f[0] for f in minority)
+        lo1, hi1 = min(f[1] for f in minority), max(f[1] for f in minority)
+        for f in syn:
+            assert lo0 - 1e-9 <= f[0] <= hi0 + 1e-9
+            assert lo1 - 1e-9 <= f[1] <= hi1 + 1e-9
