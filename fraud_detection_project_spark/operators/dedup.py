@@ -1,0 +1,318 @@
+"""Document deduplication operators — exact and near-dup — for
+training-data pipelines over the ``documents`` table.
+
+No reference equivalent (the reference's only dedup is full-row
+``drop_duplicates``, ``clean_data.py:37-42`` = operators/cleaning.py);
+these are the north-star text-dedup family, each designed for the
+100 TB regime:
+
+- **exact**: hash-groupBy on normalized text — one shuffle keyed by a
+  64-bit fingerprint, never by the text itself.
+- **MinHash + LSH banding**: signature = k affine permutations of one
+  base shingle hash (one pass over shingles); band keys bucket-join
+  candidates so the cross product only forms *within* buckets.
+- **SimHash**: 64-bit weighted-bit fingerprint; near-dups share chunked
+  band keys (Hamming-distance blocking).
+- **n-gram Jaccard**: exact verification — explode shingles, self-join
+  on shingle, count-intersect. A document-frequency cutoff drops
+  stop-shingles so no hot key explodes the join (skew guard).
+
+Everything is pure DataFrame ops; hashes are ``xxhash64`` (JVM,
+whole-stage codegen). No Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, tokens
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of the normalized text → array<string>.
+    Documents shorter than n words yield their whole text as the single
+    shingle (so they can still exact-match)."""
+    toks = tokens(normalized_text(col))
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by normalized content: one row per distinct text with
+    the smallest id as survivor + the duplicate count.
+
+    The shuffle key is the xxhash64 fingerprint (8 bytes), not the text
+    — at 100 TB this is the difference between shuffling hashes and
+    shuffling the corpus. (Hash collisions at 64 bits: ~n²/2⁶⁵ — for
+    10¹¹ docs ≈ 0.3 expected; acceptable for dedup, and a collision only
+    merges two unrelated docs, never loses both.)
+    """
+    fp = F.xxhash64(normalized_text(text_col))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_signature(
+    col: Column | str, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42
+) -> Column:
+    """MinHash signature as array<long>: h_i = min over shingles of
+    ``x·a_i + b_i`` in wrapping 64-bit arithmetic, x = xxhash64(shingle).
+
+    Odd ``a_i`` makes each map a bijection of Z/2⁶⁴ (the standard cheap
+    permutation family for MinHash). One base string-hash pass +
+    ``num_hashes`` integer multiply-adds — NOT num_hashes string
+    hashings. All inside one column expression, JVM-side.
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(0, 1 << 63) | 1, rng.randrange(0, 1 << 63))  # odd a → bijection
+        for _ in range(num_hashes)
+    ]
+    base = F.transform(word_shingles(col, shingle_n), lambda s: F.xxhash64(s))
+    # Single fold over the shingle array updating all mins at once: the
+    # shingling/hashing subtree appears ONCE in the plan. (The naive
+    # `array_min(transform(base, ...))` per permutation duplicates the
+    # whole shingle expression num_hashes times — Catalyst does not CSE
+    # across array expressions, and measured cost explodes ~100×.)
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.array(*[x * F.lit(a) + F.lit(b) for a, b in coeffs]),
+            lambda m, v: F.least(m, v),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash LSH candidate pairs: ``(id_a, id_b, sig_agreement)`` for
+    documents sharing ≥1 band bucket. ``sig_agreement`` (fraction of
+    matching signature slots) estimates Jaccard similarity.
+
+    Plan shape: signature (narrow) → explode bands (×bands) → shuffle on
+    (band_idx, band_hash) → within-bucket self-join → distinct pairs.
+    The pair product exists only inside buckets, which is the entire
+    point of banding.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, shingle_n, seed).alias("sig"),
+    )
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("id", "sig", "band.band_idx", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agreement = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return pairs.select("id_a", "id_b", agreement.alias("sig_agreement"))
+
+
+def simhash(col: Column | str) -> Column:
+    """64-bit SimHash of the token set: bit j of the output is 1 iff the
+    sum over tokens of ±1 (sign of bit j of xxhash64(token)) is positive.
+    Pure array arithmetic — fold token hash bit-vectors with zip_with.
+    """
+    tok_hashes = F.transform(tokens(normalized_text(col)), lambda t: F.xxhash64(t))
+    zeros = F.array_repeat(F.lit(0), 64)
+    # bit positions are compile-time constants → unroll in Python so the
+    # shift amounts are plain ints (shiftright requires a literal count).
+    counts = F.aggregate(
+        tok_hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                    ).otherwise(F.lit(-1))
+                    for i in range(64)
+                ]
+            ),
+            lambda a_, b_: a_ + b_,
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        out = out.bitwiseOR(
+            F.when(
+                F.element_at(counts, i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: Hamming(a,b) ≤ max_hamming.
+
+    Blocking: split the 64-bit hash into ``max_hamming+1`` 16-bit chunks
+    — by pigeonhole, any pair within the Hamming budget agrees on at
+    least one chunk, so the self-join runs per (chunk_idx, chunk_value)
+    bucket, never globally.
+    """
+    n_chunks = max(max_hamming + 1, 4)
+    chunk_bits = 64 // n_chunks
+    sh = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    mask = (1 << chunk_bits) - 1
+    chunks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("sh"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sh", "c.chunk_idx", "c.chunk_val")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for pairs above ``threshold``.
+
+    Inverted-index plan: explode distinct shingles → drop shingles with
+    document frequency > ``max_shingle_df`` (stop-shingle skew guard:
+    a shingle shared by d docs contributes d² pair candidates) →
+    self-join on shingle → count common shingles per pair → Jaccard =
+    common / (|A| + |B| − common).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    exploded = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") > max_shingle_df)
+        .select("shingle")
+    )
+    pruned = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+
+    a, b = pruned.alias("a"), pruned.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    ).cast("double")
+    return common.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )

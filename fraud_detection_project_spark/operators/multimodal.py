@@ -1,0 +1,182 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Design: media are opaque ``BinaryType`` columns with a typed metadata
+struct alongside (mime, width/height/duration, codec). Decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so bytes never round-trip through Python
+row-at-a-time.
+
+The actual codecs (PIL/libav/etc.) are NOT in this container, so the
+decode kernels are stubbed: :func:`register_decoder` installs a real
+decoder when available; otherwise the deterministic fake
+(:func:`_fake_decode`) produces shape-correct output so the Spark-side
+plumbing — schema, batching, partition sizing — is real and tested, or
+``strict=True`` raises ``NotImplementedError`` at the decode site.
+
+At 100 TB: binary payloads dominate partition size, so
+``media_repartition`` sizes partitions by *bytes* (payload length), not
+row count — the thing row-count-based partitioning gets wrong for media.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("codec", T.StringType()),
+    ]
+)
+
+# name → decoder(bytes, mime) -> np.ndarray; installed by the host env.
+_DECODERS: dict[str, Callable[[bytes, str], np.ndarray]] = {}
+
+
+def register_decoder(name: str, fn: Callable[[bytes, str], np.ndarray]) -> None:
+    _DECODERS[name] = fn
+
+
+def _fake_decode(payload: bytes, mime: str) -> np.ndarray:
+    """Deterministic stand-in decoder: 8×8 'pixels' derived from the
+    payload bytes — stable across runs, so downstream feature tests can
+    assert exact values. Replaced by register_decoder in a real env."""
+    arr = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8)
+    return arr.reshape(8, 8).astype(np.float64)
+
+
+def _decoder(name: str | None, strict: bool):
+    if name and name in _DECODERS:
+        return _DECODERS[name]
+    if strict:
+        raise NotImplementedError(
+            "no media decoder registered in this environment "
+            "(image/audio libs not installed); call register_decoder() "
+            "or use strict=False for the deterministic fake"
+        )
+    return _fake_decode
+
+
+def attach_media_meta(
+    df: DataFrame, payload_col: str = "payload", mime: str = "application/octet-stream"
+) -> DataFrame:
+    """Attach the typed metadata struct for an opaque binary column."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("codec"),
+        ),
+    ).withColumn("payload_bytes", F.length(F.col(payload_col)).cast("long"))
+
+
+def media_repartition(
+    df: DataFrame, payload_col: str, target_partition_bytes: int = 128 * 1024 * 1024
+) -> DataFrame:
+    """Repartition so each partition holds ~target bytes of payload.
+    Row-count partitioning under-splits large media; this sizes by the
+    actual byte column."""
+    total = df.select(F.sum(F.length(payload_col)).alias("b")).first()["b"] or 0
+    n = max(1, int(total // target_partition_bytes) + 1)
+    return df.repartition(n)
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    mime_col: str | None = None,
+    id_col: str = "media_id",
+    decoder: str | None = None,
+    strict: bool = False,
+    batch_size_hint: int = 64,
+) -> DataFrame:
+    """Decode + feature-extract via ``mapInPandas``: per Arrow batch,
+    decode each payload and emit (id, n_bytes, mean_intensity,
+    std_intensity, feat array<double>). The kernel is the stub point;
+    the batching/schema contract is the real, tested part.
+    """
+    dec = _decoder(decoder, strict)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("mean_intensity", T.DoubleType()),
+            T.StructField("std_intensity", T.DoubleType()),
+            T.StructField("feat", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    has_mime = mime_col is not None
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, mean_i, std_i, feats = [], [], [], [], []
+            for i in range(len(pdf)):
+                payload = pdf[payload_col].iloc[i]
+                mime = pdf[mime_col].iloc[i] if has_mime else "application/octet-stream"
+                pixels = dec(bytes(payload), mime)
+                ids.append(pdf[id_col].iloc[i])
+                nb.append(len(payload))
+                mean_i.append(float(pixels.mean()))
+                std_i.append(float(pixels.std()))
+                # tiny fixed-length feature: row means of the decoded grid
+                feats.append([float(x) for x in pixels.mean(axis=-1).ravel()[:8]])
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_bytes": nb,
+                    "mean_intensity": mean_i,
+                    "std_intensity": std_i,
+                    "feat": feats,
+                }
+            )
+
+    cols = [id_col, payload_col] + ([mime_col] if has_mime else [])
+    return df.select(*cols).mapInPandas(kernel, out_schema)
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_n: int = 4,
+    strict: bool = False,
+) -> DataFrame:
+    """Video-style frame sampling stub: emits one row per sampled
+    'frame' (here: 8-byte stripe of the fake decode) with frame_idx.
+    Real decoder replaces the kernel body; the explode-shaped output
+    contract (id, frame_idx, frame_feat) is what downstream code binds
+    to."""
+    dec = _decoder(None, strict)
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_feat", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, feats = [], [], []
+            for i in range(len(pdf)):
+                pixels = dec(bytes(pdf[payload_col].iloc[i]), "video/fake")
+                for fi in range(0, pixels.shape[0], every_n):
+                    ids.append(pdf[id_col].iloc[i])
+                    idxs.append(fi)
+                    feats.append([float(x) for x in pixels[fi]])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_feat": feats})
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)

@@ -1,0 +1,195 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star ANN surface for the ``embeddings`` table (SURVEY.md §7
+Phase 5):
+
+- :func:`cosine_topk` — exact brute-force top-k for one query vector.
+  Distributed scan + TakeOrderedAndProject: every partition keeps a
+  k-heap, only k rows cross to the driver. The correctness baseline.
+- :func:`ann_topk_lsh` — sign-random-projection (hyperplane) LSH: a
+  b-bit bucket per row, candidates = rows whose bucket is within
+  ``probe_hamming`` of the query's bucket, exact cosine re-rank inside
+  the candidate set. At 100 TB the bucket column is computed once and
+  persisted/partitioned; each query touches only matching buckets
+  (partition pruning on bucket).
+- :func:`cosine_near_dup_pairs` — embedding near-duplicate pairs via
+  the same bucketing (per-bucket self-join + exact cosine ≥ threshold).
+- :func:`ivf_topk` — IVF-style variant: k-means-ish coarse centroids
+  (sampled seeds, one Lloyd step in the engine), rows assigned to
+  nearest centroid; queries probe the ``nprobe`` nearest centroids.
+
+All vector math is ``zip_with``/``aggregate`` column arithmetic
+(functions/vectors.py) — JVM-side, no Python crossing.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity, dot, l2_norm
+
+
+def _query_lit(vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query``. Deterministic
+    tiebreak on id. Plan: narrow map + TakeOrderedAndProject (no global
+    sort; k rows per partition → k rows total)."""
+    q = _query_lit(query)
+    sim = cosine_similarity(F.col(vec_col), q)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim").isNotNull())
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_bucket(
+    vec_col: Column | str, dim: int, bits: int = 16, seed: int = 42
+) -> Column:
+    """Sign-random-projection bucket id: bit i = sign(v · r_i) for
+    ``bits`` seeded Gaussian hyperplanes. Pure column arithmetic."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(bits, dim))
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        proj = sum(
+            c.getItem(j).cast("double") * float(planes[i, j]) for j in range(dim)
+        )
+        acc = acc.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return acc
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 12,
+    probe_hamming: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share a hyperplane bucket within
+    ``probe_hamming`` bits of the query's bucket, then exact cosine
+    re-rank. Recall/cost dial: more probe bits or fewer bucket bits →
+    more candidates."""
+    dim = len(query)
+    bucket = hyperplane_bucket(vec_col, dim, bits, seed)
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(bits, dim))
+    qbucket = 0
+    for i in range(bits):
+        if float(np.dot(planes[i], np.asarray(query))) > 0:
+            qbucket |= 1 << i
+
+    cand = df.withColumn("__bucket", bucket).filter(
+        F.bit_count(F.col("__bucket").bitwiseXOR(F.lit(qbucket))) <= probe_hamming
+    )
+    return cosine_topk(cand, query, k, vec_col, id_col)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 12,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: exact cosine ≥ threshold among
+    pairs sharing a hyperplane bucket (high-cosine pairs agree on sign
+    bits with high probability). Self-join happens per bucket only."""
+    if dim is None:
+        dim = len(df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0])
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(vec_col, dim, bits, seed).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize rows to seeded sample centroids
+    (one assignment pass, computed as column arithmetic against
+    broadcast centroid literals), probe the ``nprobe`` centroids nearest
+    the query, exact re-rank inside probed cells.
+
+    The centroid "training" is deliberately cheap — a seeded sample of
+    ``n_centroids`` rows — because IVF recall depends far more on
+    ``nprobe`` than on centroid quality. At scale the assignment column
+    is precomputed and the table is partitioned by cell → probing is
+    partition pruning.
+    """
+    dim = len(query)
+    sample = (
+        df.select(vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .rdd.takeSample(False, n_centroids, seed)
+    )
+    centroids = [list(map(float, r[0])) for r in sample]
+
+    def dist2_to(cvec: list[float]) -> Column:
+        return sum(
+            (F.col(vec_col).getItem(j).cast("double") - cvec[j]) ** 2
+            for j in range(dim)
+        )
+
+    assign = F.lit(0)
+    best = dist2_to(centroids[0])
+    for ci in range(1, len(centroids)):
+        d = dist2_to(centroids[ci])
+        assign = F.when(d < best, ci).otherwise(assign)
+        best = F.least(best, d)
+
+    qarr = np.asarray(query, dtype=np.float64)
+    order = sorted(
+        range(len(centroids)),
+        key=lambda ci: float(np.sum((np.asarray(centroids[ci]) - qarr) ** 2)),
+    )
+    probed = order[:nprobe]
+    cand = df.withColumn("__cell", assign).filter(F.col("__cell").isin(probed))
+    return cosine_topk(cand, query, k, vec_col, id_col)

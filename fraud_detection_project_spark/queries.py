@@ -815,3 +815,274 @@ def q_cleaning_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("ip_int").alias("sum_ip_int"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis + dedup + similarity (north-star ops, SURVEY.md §7 Phase 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_words,
+           length(text) AS n_chars_txt,
+           ROUND((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+                 * 1.0 / length(text), 6) AS punct_ratio
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality statistics (word/char counts, punctuation density)
+    over the documents table — pure columnar, no UDF."""
+    from .functions.text import char_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        word_count("text").alias("n_words"),
+        char_count("text").alias("n_chars_txt"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "token_count_bpeish",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counting (letter runs / digit runs / single
+    punctuation — a deterministic BPE stand-in)."""
+    from .functions.text import bpe_ish_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count("text").alias("n_tokens")
+    ).orderBy("doc_id")
+
+
+@register(
+    "exact_dedup_docs",
+    oracle=r"""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM (SELECT doc_id,
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+          FROM documents)
+    GROUP BY norm
+    ORDER BY keep_id
+    """,
+)
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized content (operators/dedup.py): survivor id
+    + duplicate count per content group. The engine shuffles 8-byte
+    fingerprints; the oracle groups the normalized text directly —
+    matching output proves the fingerprint grouping is faithful."""
+    from .operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs).select("keep_id", "dup_count").orderBy("keep_id")
+
+
+@register(
+    "ngram_jaccard_dups",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))), '\s+') AS toks
+        FROM documents
+    ),
+    s AS (SELECT doc_id, unnest(range(1, len(toks) - 1)) AS i, toks FROM t WHERE len(toks) >= 3),
+    d AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM s),
+    n AS (SELECT doc_id, COUNT(*) AS ns FROM d GROUP BY doc_id),
+    p AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+        FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           ROUND(c * 1.0 / (na.ns + nb.ns - c), 6) AS jaccard
+    FROM p JOIN n na ON na.doc_id = p.ia JOIN n nb ON nb.doc_id = p.ib
+    WHERE c * 1.0 / (na.ns + nb.ns - c) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs ≥ 0.5 via the
+    inverted-index self-join (operators/dedup.py:ngram_jaccard_pairs)."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+@register("minhash_near_dup_docs")  # rows-only: engine-specific hashes
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128)+LSH(32 bands) candidate pairs with signature
+    agreement ≥ 0.5 (operators/dedup.py:minhash_lsh_pairs). Hash values
+    are engine-specific → rows-only driver check; pytest cross-checks
+    recall against exact Jaccard on fixtures."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, num_hashes=128, bands=32)
+    return out.filter(F.col("sig_agreement") >= 0.5).select(
+        "id_a", "id_b", F.round("sig_agreement", 6).alias("sig_agreement")
+    ).orderBy("id_a", "id_b")
+
+
+@register("simhash_near_dup_docs")  # rows-only: engine-specific hashes
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3) with pigeonhole chunk
+    blocking (operators/dedup.py:simhash_near_dup_pairs)."""
+    from .operators.dedup import simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+@register("lang_id_distribution")  # rows-only: heuristic is engine-defined
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID distribution over documents
+    (functions/text.py:lang_id — stopword-profile argmax)."""
+    from .functions.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id("text").alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("pred_lang")
+    )
+
+
+@register("quality_score_deciles")  # rows-only: heuristic is engine-defined
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality-score histogram (functions/text.py:quality_score)."""
+    from .functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(quality_score("text") * 10), F.lit(9)).cast("int")
+    return (
+        docs.select(bucket.alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("decile")
+    )
+
+
+@register(
+    "doc_fingerprint_cardinality",
+    oracle=r"""
+    SELECT COUNT(DISTINCT trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS n_distinct_content,
+           COUNT(*) AS n_docs
+    FROM documents
+    """,
+)
+def q_fingerprint_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-fingerprint cardinality == distinct normalized text
+    (validates xxhash64 fingerprinting without comparing raw hashes)."""
+    from .functions.text import doc_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.countDistinct(doc_fingerprint("text")).alias("n_distinct_content"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "embedding_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine_sim
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 to the vec_id=0 embedding
+    (operators/similarity.py:cosine_topk): narrow map +
+    TakeOrderedAndProject, double-precision zip_with arithmetic."""
+    from .operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = cosine_topk(emb, query, k=10)
+    return out.select(
+        "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    ).orderBy(F.desc("cosine_sim"), "vec_id")
+
+
+@register("embedding_ann_topk")  # rows-only: LSH recall is probabilistic
+def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN top-10 for the vec_id=0 query
+    (operators/similarity.py:ann_topk_lsh); pytest checks top-1 recall."""
+    from .operators.similarity import ann_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = ann_topk_lsh(emb, query, k=10, bits=12, probe_hamming=3)
+    return out.select(
+        "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    ).orderBy(F.desc("cosine_sim"), "vec_id")
+
+
+@register(
+    "embedding_near_dup_exact",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ 0.45) — the brute-force
+    baseline the LSH variant approximates. Broadcast self-join; the LSH
+    path (below) is the 100 TB strategy."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= 0.45)
+        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("embedding_near_dup_pairs")  # rows-only: LSH recall is probabilistic
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicates (cosine ≥ 0.4) among hyperplane-bucket
+    mates (operators/similarity.py:cosine_near_dup_pairs) — the
+    bucketed approximation of embedding_near_dup_exact."""
+    from .operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_near_dup_pairs(emb, threshold=0.4, bits=4, dim=64)
+    return out.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    ).orderBy("id_a", "id_b")

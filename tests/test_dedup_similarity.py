@@ -1,0 +1,184 @@
+"""Dedup + similarity + multimodal operator tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fraud_detection_project_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+from fraud_detection_project_spark.operators.multimodal import (
+    attach_media_meta,
+    extract_features,
+    frame_sample,
+)
+from fraud_detection_project_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_near_dup_pairs,
+    cosine_topk,
+    ivf_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, text=BASE),
+        Row(doc_id=1, text=BASE),  # exact dup
+        Row(doc_id=2, text="The quick brown fox JUMPS over the lazy dog, while the cat watches from the warm windowsill and the birds sing in the garden outside!!"),  # normalizes to dup
+        Row(doc_id=3, text=BASE.replace("garden", "meadow")),  # near dup
+        Row(doc_id=4, text="completely different content about spark query engines and distributed columnar execution with shuffles and partitions everywhere all the time"),
+        Row(doc_id=5, text="tiny"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.RandomState(7)
+    rows = []
+    base = rng.normal(size=16)
+    for i in range(50):
+        v = rng.normal(size=16)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    # 50/51: near-duplicates of each other
+    rows.append(Row(vec_id=50, embedding=[float(x) for x in base]))
+    rows.append(Row(vec_id=51, embedding=[float(x) for x in base + rng.normal(size=16) * 0.01]))
+    return spark.createDataFrame(rows)
+
+
+class TestExactDedup:
+    def test_groups_normalized_dups(self, docs):
+        out = {r["keep_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+        assert out[0] == 3  # docs 0,1,2 normalize identically
+        assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+    def test_idempotent(self, docs, spark):
+        survivors = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+        once = docs.join(survivors, "doc_id")
+        again = exact_dedup(once)
+        assert again.count() == once.count()
+
+
+class TestShingles:
+    def test_counts(self, spark):
+        df = spark.createDataFrame([Row(t="a b c d")])
+        got = df.select(word_shingles("t", 3).alias("s")).first()["s"]
+        assert got == ["a b c", "b c d"]
+
+    def test_short_doc(self, spark):
+        df = spark.createDataFrame([Row(t="a b")])
+        assert df.select(word_shingles("t", 3).alias("s")).first()["s"] == ["a b"]
+
+
+class TestMinHash:
+    def test_finds_near_dups_not_distinct(self, docs):
+        pairs = minhash_lsh_pairs(docs, num_hashes=64, bands=16).collect()
+        got = {(r["id_a"], r["id_b"]): r["sig_agreement"] for r in pairs}
+        # exact dups always collide with agreement 1.0
+        assert got[(0, 1)] == 1.0
+        assert got[(0, 2)] == 1.0
+        # near-dup 3 should be caught with high agreement
+        assert (0, 3) in got and got[(0, 3)] > 0.5
+        # unrelated docs must not pair
+        assert all(4 not in p and 5 not in p for p in got)
+
+    def test_deterministic(self, docs):
+        a = sorted(map(tuple, minhash_lsh_pairs(docs).collect()))
+        b = sorted(map(tuple, minhash_lsh_pairs(docs).collect()))
+        assert a == b
+
+
+class TestSimHash:
+    def test_near_dups_within_hamming(self, docs):
+        pairs = simhash_near_dup_pairs(docs, max_hamming=3).collect()
+        got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+        assert got[(0, 1)] == 0
+        assert got[(0, 2)] == 0
+        assert all(4 not in p and 5 not in p for p in got)
+
+
+class TestNgramJaccard:
+    def test_exact_scores(self, docs):
+        pairs = ngram_jaccard_pairs(docs, threshold=0.3).collect()
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+        assert abs(got[(0, 1)] - 1.0) < 1e-9
+        assert 0.3 < got[(0, 3)] < 1.0
+        assert (0, 4) not in got
+
+
+class TestCosineTopK:
+    def test_exact_matches_numpy(self, vecs):
+        q = [1.0] * 16
+        out = cosine_topk(vecs, q, k=5).collect()
+        pdf = vecs.toPandas()
+        qa = np.asarray(q)
+        sims = {
+            int(r["vec_id"]): float(
+                np.dot(r["embedding"], qa)
+                / (np.linalg.norm(r["embedding"]) * np.linalg.norm(qa))
+            )
+            for _, r in pdf.iterrows()
+        }
+        expect = sorted(sims, key=lambda i: (-sims[i], i))[:5]
+        assert [r["vec_id"] for r in out] == expect
+        for r in out:
+            assert abs(r["cosine_sim"] - sims[r["vec_id"]]) < 1e-9
+
+    def test_ann_recall_on_top1(self, vecs):
+        # query ≈ vec 50 → exact top1 is 50; ANN must find it
+        pdf = vecs.filter(F.col("vec_id") == 50).first()
+        q = list(pdf["embedding"])
+        ann = ann_topk_lsh(vecs, q, k=3, bits=8, probe_hamming=2)
+        assert [r["vec_id"] for r in ann.collect()][0] == 50
+
+    def test_ivf_finds_self(self, vecs):
+        q = list(vecs.filter(F.col("vec_id") == 50).first()["embedding"])
+        out = ivf_topk(vecs, q, k=3, n_centroids=8, nprobe=4)
+        assert [r["vec_id"] for r in out.collect()][0] == 50
+
+    def test_near_dup_pairs(self, vecs):
+        pairs = cosine_near_dup_pairs(vecs, threshold=0.99, bits=8)
+        got = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+        assert (50, 51) in got
+
+
+class TestMultimodal:
+    def test_extract_features_contract(self, spark):
+        rows = [Row(media_id=i, payload=bytes([i] * 100)) for i in range(5)]
+        df = spark.createDataFrame(rows)
+        out = extract_features(df, "payload", id_col="media_id").collect()
+        assert len(out) == 5
+        byid = {r["media_id"]: r for r in out}
+        assert byid[3]["n_bytes"] == 100
+        assert abs(byid[3]["mean_intensity"] - 3.0) < 1e-9  # fake decode = payload bytes
+        assert len(byid[3]["feat"]) == 8
+
+    def test_strict_raises_without_decoder(self, spark):
+        df = spark.createDataFrame([Row(media_id=1, payload=b"xx")])
+        with pytest.raises(NotImplementedError):
+            extract_features(df, "payload", id_col="media_id", strict=True)
+
+    def test_frame_sample_shape(self, spark):
+        df = spark.createDataFrame([Row(media_id=1, payload=bytes(range(64)))])
+        out = frame_sample(df, "payload", id_col="media_id", every_n=4).collect()
+        assert [r["frame_idx"] for r in out] == [0, 4]
+        assert all(len(r["frame_feat"]) == 8 for r in out)
+
+    def test_attach_meta(self, spark):
+        df = spark.createDataFrame([Row(media_id=1, payload=b"abc")])
+        r = attach_media_meta(df, "payload", mime="image/png").first()
+        assert r["media_meta"]["mime"] == "image/png"
+        assert r["payload_bytes"] == 3
