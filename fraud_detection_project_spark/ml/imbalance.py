@@ -119,14 +119,32 @@ def smote(
         width = bucket_width
 
     # deterministic per-row synthesis quota: distribute `needed` across
-    # minority rows by id rank (base + 1 for the first `needed % n_min`).
+    # minority rows by (bucket, id) rank — base + 1 for the first
+    # `needed % n_min` rows in that total order. The rank is computed
+    # scalably: row_number *within* each bucket (partitioned window, no
+    # single-partition shuffle) plus a driver-computed cumulative offset
+    # per bucket (#buckets ≈ n_min/4096, tiny to collect).
     from pyspark.sql import Window
 
-    rn = F.row_number().over(Window.orderBy("__id")) - 1
     base, rem = divmod(needed, n_min)
+    bucketed = minority.withColumn(
+        "__bucket", F.floor(proj_col / F.lit(float(width))).cast("long")
+    )
+    bucket_counts = sorted(
+        (r["__bucket"], r["cnt"])
+        for r in bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for b, cnt in bucket_counts:
+        offsets[b] = acc
+        acc += cnt
+    offset_df = df.sparkSession.createDataFrame(
+        [(b, off) for b, off in offsets.items()], "__bucket long, __off long"
+    )
+    rn = F.row_number().over(Window.partitionBy("__bucket").orderBy("__id")) - 1
     tagged = (
-        minority.withColumn("__bucket", F.floor(proj_col / F.lit(float(width))).cast("long"))
-        .withColumn("__rn", rn)
+        bucketed.join(F.broadcast(offset_df), "__bucket")
+        .withColumn("__rn", rn + F.col("__off"))
         .withColumn("__quota", F.lit(base) + (F.col("__rn") < rem).cast("int"))
     )
 

@@ -1,0 +1,185 @@
+"""Structured Streaming layer tests (SURVEY.md §7 Phase 4).
+
+Strategy: every streaming operator's oracle is its *batch* form on the
+same rows — run the stream with ``trigger(availableNow=True)`` into a
+memory sink, then compare against the batch DataFrame plan.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_src(spark, tmp_path_factory):
+    """The normalized events table (µs TimestampType ``ts``) written to a
+    local parquet dir — the raw testdata file stores TIMESTAMP(NANOS),
+    which Spark reads as a long; streams need a real timestamp column."""
+    from fraud_detection_project_spark.catalog import load_table
+
+    path = str(tmp_path_factory.mktemp("events_src") / "events")
+    load_table(spark, SF_SMOKE, "events").drop("ts_ns").write.parquet(path)
+    return path
+
+
+def _run_stream(spark, stream_df, checkpoint, name=None):
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _read_stream(spark, src_dir, batch_schema):
+    return spark.readStream.schema(batch_schema).parquet(src_dir)
+
+
+def _batch_oracle_velocity(spark, events_src):
+    from fraud_detection_project_spark.operators.windows import rolling_count_24h
+
+    batch = spark.read.parquet(events_src)
+    return rolling_count_24h(
+        batch, "user_id", F.expr("unix_micros(ts)"), "v24h", tick=1_000_000
+    ).select("user_id", "ts", "v24h")
+
+
+def test_streaming_velocity_matches_batch_window(spark, events_src, tmp_path):
+    from fraud_detection_project_spark.streaming.velocity import streaming_velocity
+
+    batch = spark.read.parquet(events_src)
+    out = streaming_velocity(
+        _read_stream(spark, events_src, batch.schema),
+        "user_id",
+        ts_col="ts",
+        out_col="v24h",
+    )
+    got = _run_stream(spark, out, str(tmp_path / "ckpt"))
+
+    want = _batch_oracle_velocity(spark, events_src)
+    assert got.count() == batch.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_velocity_state_carries_across_batches(spark, events_src, tmp_path):
+    """Split the stream in event time; run two availableNow passes over
+    the same checkpoint. Events in pass 2 must count pass-1 events that
+    fall inside their trailing window — i.e. keyed state survived."""
+    from fraud_detection_project_spark.streaming.velocity import streaming_velocity
+
+    batch = spark.read.parquet(events_src)
+    cut = int(batch.selectExpr("percentile(unix_micros(ts), 0.5) p").first()["p"])
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_pass():
+        # memory sink can't recover a checkpoint; the parquet sink can.
+        q = (
+            streaming_velocity(
+                _read_stream(spark, src, batch.schema),
+                "user_id",
+                ts_col="ts",
+                out_col="v24h",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch.filter(F.expr(f"unix_micros(ts) <= {cut}")).write.mode("overwrite").parquet(src)
+    run_pass()
+    batch.filter(F.expr(f"unix_micros(ts) > {cut}")).write.mode("append").parquet(src)
+    run_pass()
+    got = spark.read.parquet(out)
+
+    want = _batch_oracle_velocity(spark, events_src)
+    assert got.count() == batch.count()
+    assert got.exceptAll(want).count() == 0
+    # the carried state matters: at least one pass-2 event has history
+    # older than the cut inside its window
+    hist = want.filter(
+        (F.expr(f"unix_micros(ts) > {cut}")) & (F.col("v24h") > 0)
+    ).count()
+    assert hist > 0
+
+
+def test_tumbling_counts_stream_equals_batch(spark, events_src, tmp_path):
+    from fraud_detection_project_spark.streaming.windows import tumbling_event_counts
+
+    batch = spark.read.parquet(events_src)
+    got = _run_stream(
+        spark,
+        tumbling_event_counts(
+            _read_stream(spark, events_src, batch.schema), ["user_id"], window="6 hours"
+        ),
+        str(tmp_path / "ckpt"),
+    )
+    want = tumbling_event_counts(batch, ["user_id"], window="6 hours")
+    # append mode emits a window only once the watermark passes its end;
+    # windows still open at end-of-input are withheld — compare against
+    # the finalized subset of the batch result.
+    wm = batch.select(F.expr("max(ts) - interval 1 hour").alias("wm")).first()["wm"]
+    finalized = want.filter(F.col("win_end") <= F.lit(wm))
+    assert got.exceptAll(want).count() == 0
+    assert finalized.exceptAll(got).count() == 0
+    assert finalized.count() > 0
+
+
+def test_sliding_counts_stream_equals_batch(spark, events_src, tmp_path):
+    from fraud_detection_project_spark.streaming.windows import sliding_event_counts
+
+    batch = spark.read.parquet(events_src)
+    got = _run_stream(
+        spark,
+        sliding_event_counts(
+            _read_stream(spark, events_src, batch.schema),
+            ["user_id"],
+            window="24 hours",
+            slide="6 hours",
+        ),
+        str(tmp_path / "ckpt"),
+    )
+    want = sliding_event_counts(batch, ["user_id"], window="24 hours", slide="6 hours")
+    wm = batch.select(F.expr("max(ts) - interval 1 hour").alias("wm")).first()["wm"]
+    finalized = want.filter(F.col("win_end") <= F.lit(wm))
+    assert got.exceptAll(want).count() == 0
+    assert finalized.exceptAll(got).count() == 0
+    assert finalized.count() > 0
+
+
+def test_score_stream_matches_batch_transform(spark, events_src, tmp_path):
+    from fraud_detection_project_spark.ml.prep import build_feature_pipeline
+    from fraud_detection_project_spark.streaming.scoring import score_stream
+
+    batch = spark.read.parquet(events_src)
+    model = build_feature_pipeline(["value"], ["event_type"]).fit(batch)
+
+    scored = score_stream(
+        _read_stream(spark, events_src, batch.schema),
+        model,
+        select=["event_id", "features"],
+    )
+    assert scored.isStreaming
+    got = _run_stream(spark, scored, str(tmp_path / "ckpt"))
+
+    want = model.transform(batch).select("event_id", "features")
+    assert got.count() == want.count()
+    pairs = got.alias("g").join(want.alias("w"), "event_id")
+    mismatch = pairs.filter(F.col("g.features") != F.col("w.features")).count()
+    assert mismatch == 0
