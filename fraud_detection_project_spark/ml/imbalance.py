@@ -188,6 +188,11 @@ def smote(
     synthetic = tagged.groupBy("__bucket").applyInPandas(synth, out_schema)
 
     feat_type = df.schema[features_col].dataType
+    if isinstance(feat_type, T.ArrayType):
+        # cast to the element type with relaxed containsNull: a cast to a
+        # non-null-element array is unresolvable, and union widens
+        # nullability anyway.
+        feat_type = T.ArrayType(feat_type.elementType, True)
     synth_rows = synthetic.select(
         F.col("__feat").cast(feat_type).alias(features_col)
     )
