@@ -1086,3 +1086,63 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# Streaming batch forms (SURVEY.md §7 Phase 4): identical plans run on a
+# stream via streaming/windows.py; the batch form is the oracle surface.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_counts_6h",
+    oracle="""
+    SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS win_start_us,
+           user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start_us, user_id
+    """,
+)
+def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window per-user counts (streaming/windows.py
+    tumbling_event_counts, run here in batch form — the exact plan a
+    readStream would execute incrementally). Epoch-aligned 6h buckets.
+    """
+    from .streaming.windows import tumbling_event_counts
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "value")
+    out = tumbling_event_counts(ev, ["user_id"], window="6 hours")
+    return out.select(
+        F.unix_micros("win_start").alias("win_start_us"),
+        "user_id",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("win_start_us", "user_id")
+
+
+@register(
+    "sliding_counts_24h_6h",
+    oracle="""
+    SELECT ((epoch_us(ts) // 21600000000) - k.k) * 21600000000 AS win_start_us,
+           user_id,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN range(0, 4) k(k)
+    GROUP BY 1, 2
+    ORDER BY win_start_us, user_id
+    """,
+)
+def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (24h window / 6h slide) per-user counts
+    (streaming/windows.py sliding_event_counts, batch form). Every event
+    lands in window/slide = 4 epoch-aligned windows.
+    """
+    from .streaming.windows import sliding_event_counts
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    out = sliding_event_counts(ev, ["user_id"], window="24 hours", slide="6 hours")
+    return out.select(
+        F.unix_micros("win_start").alias("win_start_us"), "user_id", "n_events"
+    ).orderBy("win_start_us", "user_id")

@@ -1,0 +1,110 @@
+"""Property-based invariants (SURVEY.md §5.4) via Hypothesis.
+
+Each property runs a bounded number of examples against a live local
+SparkSession — examples are small (Spark job dispatch dominates), the
+generators are broad (nulls, duplicates, extreme timestamps).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),  # id / key
+        st.integers(min_value=0, max_value=10**6),  # epoch seconds
+        st.sampled_from(["a", "b", "c"]),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_dedup_idempotent_and_minimal(spark, data):
+    """A6: dropDuplicates is idempotent and yields exactly the distinct set."""
+    from fraud_detection_project_spark.operators.cleaning import remove_duplicates
+
+    df = spark.createDataFrame(data, "id long, t long, cat string")
+    once = remove_duplicates(df)
+    assert once.count() == len(set(data))
+    assert remove_duplicates(once).count() == once.count()
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_id_hash_split_partitions(spark, data):
+    """M1: train ∪ test == all, train ∩ test == ∅, deterministic."""
+    from fraud_detection_project_spark.ml.split import id_hash_split
+
+    df = spark.createDataFrame(data, "id long, t long, cat string")
+    tagged = id_hash_split(df, "id", 0.8)
+    n = df.count()
+    n_train = tagged.filter(F.col("split") == "train").count()
+    n_test = tagged.filter(F.col("split") == "test").count()
+    assert n_train + n_test == n
+    # deterministic: same id never lands in both splits
+    assert (
+        tagged.select("id", "split").distinct().groupBy("id").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_rolling_count_matches_bruteforce(spark, data):
+    """W1: the rangeBetween window equals the O(n²) definition —
+    #{other events, same key, t' in (t-W, t]}."""
+    from fraud_detection_project_spark.operators.windows import rolling_count_24h
+
+    W = 100
+    df = spark.createDataFrame(data, "key long, t long, cat string")
+    got = {
+        (r["key"], r["t"], r["cat"]): r["cnt"]
+        for r in rolling_count_24h(df, "key", "t", "cnt", window_seconds=W).collect()
+    }
+    for key, t, cat in data:
+        want = sum(1 for k2, t2, _ in data if k2 == key and t - W < t2 <= t) - 1
+        assert got[(key, t, cat)] == want, (key, t)
+
+
+@given(ips=st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=30))
+@settings(**SETTINGS)
+def test_ip_roundtrip_identity(spark, ips):
+    """F6/F7: int → dotted quad → int is the identity on uint32."""
+    from fraud_detection_project_spark.functions.ip import int_to_ip, ip_to_int
+
+    df = spark.createDataFrame([(i,) for i in ips], "ip long")
+    out = df.select("ip", ip_to_int(int_to_ip("ip")).alias("back")).collect()
+    assert all(r["ip"] == r["back"] for r in out)
+
+
+@given(
+    labels=st.lists(st.sampled_from([0, 0, 0, 1]), min_size=4, max_size=60).filter(
+        lambda ls: len(set(ls)) == 2
+    )
+)
+@settings(**SETTINGS)
+def test_undersample_never_exceeds_original(spark, labels):
+    """M7: per-class output count ≤ input count; minority never dropped
+    below what Bernoulli sampling allows (fraction 1.0 → kept whole)."""
+    from fraud_detection_project_spark.ml.imbalance import undersample_majority
+
+    df = spark.createDataFrame([(i, l) for i, l in enumerate(labels)], "id long, label int")
+    out = undersample_majority(df, "label")
+    inc = {r["label"]: r["count"] for r in df.groupBy("label").count().collect()}
+    outc = {r["label"]: r["count"] for r in out.groupBy("label").count().collect()}
+    n_min = min(inc.values())
+    minority = min(inc, key=inc.get)
+    assert outc.get(minority) == n_min  # fraction 1.0 keeps every row
+    for label, n in outc.items():
+        assert n <= inc[label]
