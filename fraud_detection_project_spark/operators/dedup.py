@@ -85,21 +85,43 @@ def minhash_signature(
         for _ in range(num_hashes)
     ]
     base = F.transform(word_shingles(col, shingle_n), lambda s: F.xxhash64(s))
-    # Single fold over the shingle array updating all mins at once: the
-    # shingling/hashing subtree appears ONCE in the plan. (The naive
-    # `array_min(transform(base, ...))` per permutation duplicates the
-    # whole shingle expression num_hashes times — Catalyst does not CSE
-    # across array expressions, and measured cost explodes ~100×.)
-    init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
-    return F.aggregate(
-        base,
-        init,
-        lambda acc, x: F.zip_with(
-            acc,
-            F.array(*[x * F.lit(a) + F.lit(b) for a, b in coeffs]),
-            lambda m, v: F.least(m, v),
-        ),
-    )
+    # String hashing stays JVM-side (one xxhash64 pass over shingles);
+    # the num_hashes×shingles multiply-add/min fold crosses to numpy via
+    # Arrow. A pure column form exists (aggregate + zip_with updating all
+    # mins per shingle) but Spark evaluates HOF lambdas interpreted, and
+    # the measured cost is ~4× this vectorized kernel.
+    return _minhash_fold_udf(coeffs)(base)
+
+
+def _minhash_fold_udf(coeffs: list[tuple[int, int]]):
+    """Arrow-batched fold: sig[i] = min over shingle hashes x of
+    ``x·a_i + b_i`` in wrapping 64-bit arithmetic, signed-min — the same
+    values the JVM's long arithmetic produces. Empty shingle set → the
+    max-long sentinel signature."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    a_arr = np.asarray([a for a, _ in coeffs], dtype=np.uint64)
+    b_arr = np.asarray([b for _, b in coeffs], dtype=np.uint64)
+    sentinel = [(1 << 63) - 1] * len(coeffs)
+
+    def fold(hashes):
+        out = []
+        with np.errstate(over="ignore"):
+            for arr in hashes:
+                if arr is None:
+                    out.append(None)
+                    continue
+                x = np.asarray(arr, dtype=np.int64).view(np.uint64)
+                if x.size == 0:
+                    out.append(list(sentinel))
+                    continue
+                prods = x[:, None] * a_arr[None, :] + b_arr[None, :]
+                out.append(prods.view(np.int64).min(axis=0).tolist())
+        return pd.Series(out, dtype=object)
+
+    return pandas_udf(fold, returnType="array<long>")
 
 
 def minhash_lsh_pairs(
@@ -176,40 +198,49 @@ def minhash_lsh_pairs(
     return pairs.select("id_a", "id_b", agreement.alias("sig_agreement"))
 
 
+def _simhash_fold_udf():
+    """Arrow-batched fold of token-hash arrays into 64-bit SimHash.
+
+    bit j of the output is 1 iff #{tokens with bit j set} · 2 > #tokens —
+    i.e. the ±1 vote over token hash bits is positive. Token hashing
+    stays JVM-side (xxhash64); only the 64-way bit vote crosses to
+    numpy. A pure higher-order-function form exists but Spark evaluates
+    HOF lambdas interpreted (outside codegen), and a per-token 64-wide
+    CASE-WHEN array is ~10× slower than this vectorized kernel.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # no type annotations: `from __future__ import annotations` turns them
+    # into strings pyspark can't resolve here; register as scalar instead.
+    def fold(hashes):
+        shifts = np.arange(64, dtype=np.uint64)
+        out: list[int | None] = []
+        for arr in hashes:
+            if arr is None:
+                out.append(None)
+                continue
+            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if a.size == 0:
+                out.append(0)
+                continue
+            ones = ((a[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            sh = ((ones * 2 > a.size).astype(np.uint64) << shifts).sum(
+                dtype=np.uint64
+            )
+            out.append(int(sh.astype(np.int64)))
+        return pd.Series(out, dtype="Int64")
+
+    return pandas_udf(fold, returnType="long")
+
+
 def simhash(col: Column | str) -> Column:
     """64-bit SimHash of the token set: bit j of the output is 1 iff the
-    sum over tokens of ±1 (sign of bit j of xxhash64(token)) is positive.
-    Pure array arithmetic — fold token hash bit-vectors with zip_with.
+    ±1 vote (sign of bit j of xxhash64(token)) over tokens is positive.
     """
     tok_hashes = F.transform(tokens(normalized_text(col)), lambda t: F.xxhash64(t))
-    zeros = F.array_repeat(F.lit(0), 64)
-    # bit positions are compile-time constants → unroll in Python so the
-    # shift amounts are plain ints (shiftright requires a literal count).
-    counts = F.aggregate(
-        tok_hashes,
-        zeros,
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                    ).otherwise(F.lit(-1))
-                    for i in range(64)
-                ]
-            ),
-            lambda a_, b_: a_ + b_,
-        ),
-    )
-    out = F.lit(0).cast("long")
-    for i in range(64):
-        out = out.bitwiseOR(
-            F.when(
-                F.element_at(counts, i + 1) > 0,
-                F.shiftleft(F.lit(1).cast("long"), i),
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return out
+    return _simhash_fold_udf()(tok_hashes)
 
 
 def simhash_near_dup_pairs(

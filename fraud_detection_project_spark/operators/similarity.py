@@ -58,25 +58,44 @@ def cosine_topk(
     )
 
 
+def _matrix_lit(m: "np.ndarray") -> Column:
+    """Constant array<array<double>> — folds to a single Literal, so the
+    expression tree stays O(1) regardless of (rows × dim)."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in m])
+
+
 def hyperplane_bucket(
     vec_col: Column | str, dim: int, bits: int = 16, seed: int = 42
 ) -> Column:
     """Sign-random-projection bucket id: bit i = sign(v · r_i) for
-    ``bits`` seeded Gaussian hyperplanes. Pure column arithmetic."""
+    ``bits`` seeded Gaussian hyperplanes.
+
+    Expressed with higher-order functions (transform/zip_with/aggregate)
+    over a constant plane matrix rather than per-dimension scalar
+    arithmetic: the naive form is O(bits·dim) expression nodes, which
+    bloats codegen and task binaries; this form is O(1) nodes and the
+    planes fold into one literal."""
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(bits, dim))
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    acc = F.lit(0).cast("long")
-    for i in range(bits):
-        proj = sum(
-            c.getItem(j).cast("double") * float(planes[i, j]) for j in range(dim)
-        )
-        acc = acc.bitwiseOR(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return acc
+    projs = F.transform(
+        _matrix_lit(planes),
+        lambda p: F.aggregate(
+            F.zip_with(c, p, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    return F.aggregate(
+        F.zip_with(
+            projs,
+            weights,
+            lambda pr, w: F.when(pr > 0, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
 
 
 def ann_topk_lsh(
@@ -164,7 +183,6 @@ def ivf_topk(
     is precomputed and the table is partitioned by cell → probing is
     partition pruning.
     """
-    dim = len(query)
     sample = (
         df.select(vec_col)
         .filter(F.col(vec_col).isNotNull())
@@ -172,18 +190,22 @@ def ivf_topk(
     )
     centroids = [list(map(float, r[0])) for r in sample]
 
-    def dist2_to(cvec: list[float]) -> Column:
-        return sum(
-            (F.col(vec_col).getItem(j).cast("double") - cvec[j]) ** 2
-            for j in range(dim)
-        )
-
-    assign = F.lit(0)
-    best = dist2_to(centroids[0])
-    for ci in range(1, len(centroids)):
-        d = dist2_to(centroids[ci])
-        assign = F.when(d < best, ci).otherwise(assign)
-        best = F.least(best, d)
+    # squared distance to every centroid via higher-order functions over
+    # one constant centroid matrix (O(1) expression nodes — see
+    # hyperplane_bucket); cell = argmin.
+    dists = F.transform(
+        _matrix_lit(np.asarray(centroids)),
+        lambda cv: F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                cv,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+    assign = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     qarr = np.asarray(query, dtype=np.float64)
     order = sorted(

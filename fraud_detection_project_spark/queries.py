@@ -1146,3 +1146,17 @@ def q_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.unix_micros("win_start").alias("win_start_us"), "user_id", "n_events"
     ).orderBy("win_start_us", "user_id")
+
+
+@register("embedding_ivf_topk")  # rows-only: IVF recall is probabilistic
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN top-k (operators/similarity.py:ivf_topk): coarse
+    quantization to sampled centroids, nprobe nearest cells, exact
+    re-rank — the partition-pruning scale path next to the LSH variant.
+    """
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = [0.1] * 64
+    out = ivf_topk(emb, q, k=10, n_centroids=16, nprobe=8)
+    return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
