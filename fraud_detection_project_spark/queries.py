@@ -1160,3 +1160,38 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = [0.1] * 64
     out = ivf_topk(emb, q, k=10, n_centroids=16, nprobe=8)
     return out.select("vec_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+
+
+@register(
+    "revenue_rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           ROUND(SUM(c_acctbal), 4) AS sum_acctbal,
+           COUNT(*) AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup aggregate (SURVEY.md §2.4 'absent in reference,
+    built-in if needed'): region → nation → grand total in one pass.
+    Spark plans this as a single Expand + hash aggregate — one shuffle
+    for all grouping levels, not one scan per level.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )

@@ -1,0 +1,104 @@
+"""Plan-health audit: assert the physical plans we designed for.
+
+Run: ``python tools/plan_audit.py [sf_dir]`` (default sf0.01).
+
+For each audited query this checks the *shape* properties that matter
+at 100 TB — pruned scan schemas, pushed filters, broadcast on dimension
+sides, bounded shuffle counts — rather than wall-clock, which bench.py
+owns. Exits non-zero on any violation.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit(spark, sf_dir: str) -> list[str]:
+    from pyspark.sql import functions as F
+
+    from fraud_detection_project_spark.queries import QUERIES
+
+    failures: list[str] = []
+
+    def check(name, cond, detail=""):
+        tag = "ok " if cond else "FAIL"
+        print(f"{tag}  {name}{'  — ' + detail if detail and not cond else ''}")
+        if not cond:
+            failures.append(name)
+
+    # q1: pricing summary — pruned scan, partial agg before shuffle
+    p = plan_of(QUERIES["pricing_summary"](spark, sf_dir))
+    check("pricing_summary: scan pruned to 5 cols",
+          "ReadSchema: struct<l_quantity" in p, p)
+    check("pricing_summary: map-side partial agg", "partial_" in p, p)
+
+    # q2: geolocation range join — dim broadcast, fact side unshuffled
+    p = plan_of(QUERIES["geolocate_events_value"](spark, sf_dir))
+    check("geolocate: dim broadcast", "BroadcastNestedLoopJoin" in p, p)
+    check("geolocate: dim filter pushed",
+          "PushedFilters: [IsNotNull(p_partkey)" in p, p)
+    check("geolocate: no fact-side hash shuffle before join",
+          p.count("Exchange hashpartitioning") == 0, p)
+
+    # q3: window — exactly one shuffle per distinct key
+    p = plan_of(QUERIES["rolling_24h_user"](spark, sf_dir))
+    check("rolling_24h: single window shuffle",
+          p.count("Exchange hashpartitioning") == 1, p)
+
+    # equi-join corpus query — dims broadcast
+    p = plan_of(QUERIES["revenue_by_region"](spark, sf_dir))
+    check("revenue_by_region: broadcast joins", "BroadcastHashJoin" in p, p)
+
+    # rollup — one Expand, one agg shuffle (not one scan per level)
+    p = plan_of(QUERIES["revenue_rollup_region_nation"](spark, sf_dir))
+    check("rollup: single Expand", p.count("Expand") == 1, p)
+
+    # top-k — TakeOrderedAndProject, not a global sort
+    p = plan_of(QUERIES["topk_orders"](spark, sf_dir))
+    check("topk: TakeOrderedAndProject", "TakeOrderedAndProject" in p, p)
+
+    # whole-stage codegen compiles for the scan→agg path ("codegen"
+    # explain mode generates the code without executing). The adaptive
+    # wrapper hides codegen subtrees pre-execution, so plan this one
+    # query with AQE off.
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    # (set AFTER building: the query builder re-asserts runtime confs,
+    # and physical planning reads the conf lazily at explain time)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+        p = df._jdf.queryExecution().explainString(mode)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    check(
+        "pricing_summary: whole-stage codegen",
+        "WholeStageCodegen subtrees" in p and "Found 0" not in p,
+        p[:500],
+    )
+    return failures
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from fraud_detection_project_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    failures = audit(spark, sf_dir)
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} plan violations")
+        sys.exit(1)
+    print("\nall plan checks passed")
+
+
+if __name__ == "__main__":
+    main()
