@@ -1,0 +1,94 @@
+"""Skew mitigation: salted aggregation and salted broadcast-side join.
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime, but two shapes still need explicit salting at 100 TB:
+
+- a groupBy where one key holds a double-digit percentage of all rows
+  (a single reducer gets that key no matter how AQE splits scans), and
+- a shuffle join against a *hot* key set too large to broadcast whole
+  but with a known/estimable hot-key head.
+
+Both helpers keep the two-phase shape: per-(key, salt) partial
+aggregation (parallel across ``salt_buckets`` reducers) → final merge
+per key. For algebraic aggregates the result is exact.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exact two-phase aggregation for skewed keys.
+
+    ``aggs`` maps output column → (input column, fn) with fn in
+    {'sum', 'count', 'min', 'max'} (the algebraic functions that merge
+    exactly; avg = sum/count composed by the caller).
+
+    Phase 1 groups by (keys…, random salt) — the hot key fans out over
+    ``salt_buckets`` reducers; phase 2 merges the tiny per-salt partials
+    by key alone. Cost: one extra (small) shuffle; benefit: no straggler
+    reducer pinned to the hot key.
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    phase1_fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for _, (c, fn) in aggs.items():
+        if fn not in merge_fn:
+            raise ValueError(f"non-algebraic agg {fn!r} cannot be salted exactly")
+
+    salted = df.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[phase1_fn[fn](F.col(c)).alias(out) for out, (c, fn) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge_fn[fn](F.col(out)).alias(out) for out, (_, fn) in aggs.items()]
+    )
+
+
+def salted_join_hot_keys(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    hot_keys: Sequence,
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join where ``hot_keys`` of ``key`` are pathologically
+    frequent on the fact side: hot fact rows get a random salt and the
+    hot dim rows are replicated across every salt value, so the hot
+    keys' rows spread over ``salt_buckets`` reducers instead of one.
+    Cold keys join normally. Result = salted-hot ∪ cold.
+    """
+    hot_lit = F.array(*[F.lit(k) for k in hot_keys])
+    is_hot = F.array_contains(hot_lit, F.col(key))
+
+    fact_hot = fact.filter(is_hot).withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    fact_cold = fact.filter(~is_hot)
+
+    dim_hot = (
+        dim.filter(is_hot)
+        .crossJoin(
+            F.broadcast(
+                fact.sparkSession.range(salt_buckets).select(
+                    F.col("id").cast("int").alias("__salt")
+                )
+            )
+        )
+    )
+    dim_cold = dim.filter(~is_hot)
+
+    joined_hot = fact_hot.join(dim_hot, [key, "__salt"], how).drop("__salt")
+    joined_cold = fact_cold.join(dim_cold, [key], how)
+    return joined_hot.unionByName(joined_cold)

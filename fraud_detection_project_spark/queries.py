@@ -951,10 +951,41 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
 
 
-@register("lang_id_distribution")  # rows-only: heuristic is engine-defined
+@register(
+    "lang_id_distribution",
+    oracle=r"""
+    WITH toks AS (
+        SELECT list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              x -> lower(x)) AS t
+        FROM documents
+    ), s AS (
+        SELECT
+            len(list_filter(t, x -> list_contains(
+                ['the','of','and','to','in','a','is','that','for','it'], x))) AS s_en,
+            len(list_filter(t, x -> list_contains(
+                ['de','la','que','el','en','y','los','del','se','las'], x))) AS s_es,
+            len(list_filter(t, x -> list_contains(
+                ['de','la','le','et','les','des','en','un','du','une'], x))) AS s_fr,
+            len(list_filter(t, x -> list_contains(
+                ['der','die','und','in','den','von','zu','das','mit','sich'], x))) AS s_de
+        FROM toks
+    )
+    SELECT CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                ELSE 'de' END AS pred_lang,
+           COUNT(*) AS cnt
+    FROM s
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID distribution over documents
-    (functions/text.py:lang_id — stopword-profile argmax)."""
+    (functions/text.py:lang_id — stopword-profile argmax; ties go to the
+    lexicographically greatest language code, matching array_max on
+    (score, lang) structs)."""
     from .functions.text import lang_id
 
     docs = load_table(spark, sf_dir, "documents")
@@ -966,7 +997,45 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("quality_score_deciles")  # rows-only: heuristic is engine-defined
+@register(
+    "quality_score_deciles",
+    oracle=r"""
+    WITH base AS (
+        SELECT text,
+               CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+               length(text) AS n
+        FROM documents
+    ), c AS (
+        SELECT len(toks) AS wc,
+               CASE WHEN n > 0 THEN
+                   (n - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))::DOUBLE / n
+               ELSE 0.0 END AS pr,
+               CASE WHEN len(toks) > 0 THEN
+                   len(list_filter(toks, x -> list_contains(
+                       ['the','of','and','to','in','a','is','that','for','it'],
+                       lower(x))))::DOUBLE / len(toks)
+               ELSE 0.0 END AS sr,
+               CASE WHEN len(toks) > 0 THEN
+                   list_sum(list_transform(toks, x -> length(x)::DOUBLE)) / len(toks)
+               ELSE 0.0 END AS mwl
+        FROM base
+    ), q AS (
+        SELECT (CASE WHEN wc BETWEEN 10 AND 100000 THEN 1.0
+                     ELSE least(wc / 10.0, 1.0) END) * 0.3
+             + (1.0 - least(pr * 4.0, 1.0)) * 0.3
+             + least(sr * 5.0, 1.0) * 0.2
+             + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+               AS quality
+        FROM c
+    )
+    SELECT CAST(least(floor(quality * 10), 9) AS INT) AS decile,
+           COUNT(*) AS cnt
+    FROM q
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality-score histogram (functions/text.py:quality_score)."""
     from .functions.text import quality_score
@@ -1195,3 +1264,42 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
     )
+
+
+@register(
+    "salted_agg_event_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(SUM(value), 4) AS total_value,
+           COUNT(*) AS n,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py:salted_agg):
+    per-(key, salt) partials then a merge by key. Exact for algebraic
+    aggregates under ANY salt assignment — which is what this oracle
+    proves against the plain GROUP BY.
+    """
+    from .operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "total_value": ("value", "sum"),
+            "n": ("event_id", "count"),
+            "max_value": ("value", "max"),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type",
+        F.round("total_value", 4).alias("total_value"),
+        "n",
+        F.round("max_value", 4).alias("max_value"),
+    ).orderBy("event_type")
