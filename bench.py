@@ -57,7 +57,13 @@ def ml_prep_pipeline(spark, sf_dir: str):
         (F.col("event_type") == "error").cast("int").alias("label"),
     )
     split = id_hash_split(ev, "event_id", 0.8)
-    train = split.filter(F.col("split") == "train")
+    # fit makes one pass per indexer + the scaler aggregate: persist so
+    # each pass doesn't re-run the 24h-window plan upstream
+    from pyspark import StorageLevel
+
+    train = split.filter(F.col("split") == "train").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     test = split.filter(F.col("split") == "test")
 
     pipe = build_feature_pipeline(["value", "txn_24h", "hour"], ["event_type"])

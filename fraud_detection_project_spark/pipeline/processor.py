@@ -100,6 +100,15 @@ class Processor:
         else:
             train, test = stratified_split(df, label_col, 1.0 - test_size, seed=seed)
 
+        # Pipeline.fit makes one pass per StringIndexer plus the scaler's
+        # tree-aggregate — without this persist every pass re-runs the
+        # upstream clean→join→window plan (SURVEY.md §4 'caching':
+        # explicit cache only at reuse points; MEMORY_AND_DISK spills
+        # rather than OOMs at scale).
+        from pyspark import StorageLevel
+
+        train = train.persist(StorageLevel.MEMORY_AND_DISK)
+
         pipe = build_feature_pipeline(num_cols, cat_cols)
         model = pipe.fit(train)  # fit statistics from train ONLY (M5)
         train_proc = model.transform(train)

@@ -42,13 +42,7 @@ from typing import TYPE_CHECKING, Any, Iterable, Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (
-    ArrayType,
-    LongType,
-    StructField,
-    StructType,
-    TimestampType,
-)
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
@@ -102,13 +96,9 @@ def _velocity_func_factory(
         # key becomes evictable once the watermark passes max_ts + W
         state.setTimeoutTimestamp(max_ts // 1_000_000 + window_seconds * 1000)
 
-        yield pd.DataFrame(
-            {
-                key_col: batch[key_col].values,
-                ts_col: batch[ts_col].values,
-                out_col: counts.astype("int64"),
-            }
-        )
+        out = batch.copy()
+        out[out_col] = counts.astype("int64")
+        yield out
 
     return update
 
@@ -122,17 +112,15 @@ def streaming_velocity(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Per-event trailing-``window_seconds`` same-key event count
-    (excluding the event itself) over a streaming DataFrame.
+    (excluding the event itself) over a streaming DataFrame. All input
+    columns pass through, plus ``out_col`` — so this composes with
+    further enrichment/scoring stages downstream.
 
     Batch oracle: ``rolling_count_24h(df, key, ts, out_col)`` — tests
     assert the streamed output equals the batch window on the same data.
     """
     out_schema = StructType(
-        [
-            StructField(key, stream.schema[key].dataType, True),
-            StructField(ts_col, TimestampType(), True),
-            StructField(out_col, LongType(), True),
-        ]
+        list(stream.schema.fields) + [StructField(out_col, LongType(), True)]
     )
     state_schema = StructType([StructField("ts_ns", ArrayType(LongType()), True)])
     func = _velocity_func_factory(key, ts_col, out_col, window_seconds)

@@ -64,7 +64,9 @@ def test_streaming_velocity_matches_batch_window(spark, events_src, tmp_path):
         ts_col="ts",
         out_col="v24h",
     )
-    got = _run_stream(spark, out, str(tmp_path / "ckpt"))
+    got = _run_stream(spark, out, str(tmp_path / "ckpt")).select(
+        "user_id", "ts", "v24h"
+    )
 
     want = _batch_oracle_velocity(spark, events_src)
     assert got.count() == batch.count()
@@ -106,7 +108,7 @@ def test_streaming_velocity_state_carries_across_batches(spark, events_src, tmp_
     run_pass()
     batch.filter(F.expr(f"unix_micros(ts) > {cut}")).write.mode("append").parquet(src)
     run_pass()
-    got = spark.read.parquet(out)
+    got = spark.read.parquet(out).select("user_id", "ts", "v24h")
 
     want = _batch_oracle_velocity(spark, events_src)
     assert got.count() == batch.count()
@@ -183,3 +185,51 @@ def test_score_stream_matches_batch_transform(spark, events_src, tmp_path):
     pairs = got.alias("g").join(want.alias("w"), "event_id")
     mismatch = pairs.filter(F.col("g.features") != F.col("w.features")).count()
     assert mismatch == 0
+
+
+def test_end_to_end_streaming_scoring(spark, events_src, tmp_path):
+    """The north-star composition (SURVEY.md §7 Phase 4): one streaming
+    plan that geolocation-enriches each event (broadcast range join),
+    computes the stateful trailing-24h velocity, and scores with a
+    batch-fitted feature pipeline. Oracle = the identical batch plan."""
+    from fraud_detection_project_spark.ml.prep import build_feature_pipeline
+    from fraud_detection_project_spark.operators.joins import geolocate
+    from fraud_detection_project_spark.operators.windows import rolling_count_24h
+    from fraud_detection_project_spark.streaming.velocity import streaming_velocity
+
+    batch = spark.read.parquet(events_src)
+    # tiny interval dim over `value` standing in for the IP table
+    dim = spark.createDataFrame(
+        [(float(b * 40), float(b * 40 + 29.5), f"zone_{b}") for b in range(6)],
+        "lo double, hi double, country string",
+    )
+
+    def enrich_and_score(df, vel_fn):
+        enriched = geolocate(df, dim, ip_col="value", lower="lo", upper="hi")
+        return vel_fn(enriched)
+
+    # batch oracle
+    want_feats = enrich_and_score(
+        batch,
+        lambda d: rolling_count_24h(
+            d, "user_id", F.expr("unix_micros(ts)"), "v24h", tick=1_000_000
+        ),
+    )
+    model = build_feature_pipeline(["value", "v24h"], ["country"]).fit(want_feats)
+    want = model.transform(want_feats).select("event_id", "country", "v24h", "features")
+
+    # streaming plan: enrich → stateful velocity → score, one writeStream
+    stream = _read_stream(spark, events_src, batch.schema)
+    s_feats = streaming_velocity(
+        geolocate(stream, dim, ip_col="value", lower="lo", upper="hi"),
+        "user_id",
+        ts_col="ts",
+        out_col="v24h",
+    )
+    scored = model.transform(s_feats).select("event_id", "country", "v24h", "features")
+    assert scored.isStreaming
+    got = _run_stream(spark, scored, str(tmp_path / "ckpt"))
+
+    assert got.count() == batch.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
