@@ -1303,3 +1303,116 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("max_value", 4).alias("max_value"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# More coverage: quantiles, imputation, set algebra, multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantiles_value",
+    oracle="""
+    SELECT ROUND(quantile_cont(value, 0.25), 6) AS q25,
+           ROUND(quantile_cont(value, 0.50), 6) AS q50,
+           ROUND(quantile_cont(value, 0.75), 6) AS q75
+    FROM events
+    """,
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles (A3's describe() quartiles, done
+    exactly): Spark's `percentile` ≡ DuckDB quantile_cont. At 100 TB use
+    percentile_approx (one-pass sketch); the exact form is the oracle
+    anchor for it.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("q50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q75"),
+    )
+
+
+@register(
+    "impute_value_mean",
+    oracle="""
+    WITH src AS (
+        SELECT CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        FROM events
+    ), m AS (SELECT AVG(v) AS mv FROM src)
+    SELECT ROUND(SUM(COALESCE(v, mv)), 4) AS total,
+           COUNT(*) AS n,
+           ROUND(AVG(COALESCE(v, mv)), 6) AS mean_after
+    FROM src, m
+    """,
+)
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 'impute' strategy (the reference left it as a warning stub,
+    clean_data.py:24-25; we implement the intended mean-impute). Nulls
+    are synthesized deterministically, imputed via
+    operators/cleaning.py:handle_missing_values, then profiled.
+    """
+    from .operators.cleaning import handle_missing_values
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value")).alias("v")
+    )
+    imp = handle_missing_values(ev, "v", "impute")
+    return imp.agg(
+        F.round(F.sum("v"), 4).alias("total"),
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 6).alias("mean_after"),
+    )
+
+
+@register(
+    "user_set_algebra",
+    oracle="""
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         viewers  AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+    SELECT (SELECT COUNT(*) FROM (SELECT * FROM clickers INTERSECT SELECT * FROM viewers)) AS both_types,
+           (SELECT COUNT(*) FROM (SELECT * FROM clickers EXCEPT SELECT * FROM viewers))    AS click_only,
+           (SELECT COUNT(*) FROM (SELECT * FROM clickers UNION SELECT * FROM viewers))     AS either_type
+    """,
+)
+def q_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set operations (absent in the reference, exposed by the
+    engine): intersect / except / union over user sets."""
+    ev = load_table(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    return spark.range(1).select(
+        F.lit(clickers.intersect(viewers).count()).alias("both_types"),
+        F.lit(clickers.exceptAll(viewers).count()).alias("click_only"),
+        F.lit(clickers.union(viewers).distinct().count()).alias("either_type"),
+    )
+
+
+@register(
+    "media_feature_profile",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ROUND(list_avg(list_transform(range(1, 65),
+                 i -> CASE WHEN i <= length(text) THEN ascii(text[i]) ELSE 0 END)), 6)
+               AS mean_intensity
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (operators/multimodal.py): documents' text
+    encoded to an opaque binary payload column, decoded by the
+    deterministic stand-in decoder (8×8 grid from the first 64 bytes,
+    zero-padded) via mapInPandas. mean_intensity is byte-exact, so the
+    whole binary→Arrow→kernel→schema path is value-checked against SQL.
+    """
+    from .operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    feats = extract_features(docs, payload_col="payload", id_col="doc_id")
+    return feats.select(
+        "doc_id", "n_bytes", F.round("mean_intensity", 6).alias("mean_intensity")
+    ).orderBy("doc_id")
