@@ -554,8 +554,10 @@ def q_ip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            hour(ts)        AS hour_of_day,
            isodow(ts) - 1  AS day_of_week,
-           ROUND((ts_us - MIN(ts_us) OVER (PARTITION BY user_id)) / 3600000000.0, 6)
-               AS hours_since_first
+           (ts_us - MIN(ts_us) OVER (PARTITION BY user_id)) // 1000000
+               AS seconds_since_first,
+           ROUND(((ts_us - MIN(ts_us) OVER (PARTITION BY user_id)) // 1000000)
+                 / 3600.0, 6) AS hours_since_first
     FROM t
     ORDER BY event_id
     """,
@@ -563,20 +565,25 @@ def q_ip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2-F5 (``transform_data.py:51-57``): hour-of-day, day-of-week
     (Monday=0 pandas convention — F.weekday, NOT F.dayofweek), and
-    hours-since-first-event per user (the time_since_signup shape)."""
+    time-since-first-event per user (the time_since_signup shape).
+
+    Cross-engine float discipline: hours derive from the integer-exact
+    seconds delta (µs ``div`` 10⁶), so both engines round the identical
+    double — dividing raw µs produced a 6th-decimal rounding tie at
+    sf0.1."""
     from .functions.time import day_of_week, hour_of_day
 
     ev = load_table(spark, sf_dir, "events").withColumn(
         "ts_us", F.expr("ts_ns div 1000")
     )
     w = Window.partitionBy("user_id")
+    secs = ((F.col("ts_us") - F.min("ts_us").over(w)) / F.lit(1_000_000)).cast("long")
     return ev.select(
         "event_id",
         hour_of_day("ts").alias("hour_of_day"),
         day_of_week("ts").alias("day_of_week"),
-        F.round(
-            (F.col("ts_us") - F.min("ts_us").over(w)) / F.lit(3600000000.0), 6
-        ).alias("hours_since_first"),
+        secs.alias("seconds_since_first"),
+        F.round(secs / F.lit(3600.0), 6).alias("hours_since_first"),
     ).orderBy("event_id")
 
 
