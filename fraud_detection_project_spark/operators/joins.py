@@ -146,3 +146,72 @@ def as_of_join(
 
     out = unioned.select("__side", "__row", *filled).filter(F.col("__side") == 1)
     return out.select(*[F.col(f"__row.{c}").alias(c) for c in lcols], *payload)
+
+
+def binned_range_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    point: str,
+    lower: str,
+    upper: str,
+    payload: Sequence[str],
+    how: str = "left",
+    bin_width: float | None = None,
+) -> DataFrame:
+    """Interval join for dims too large to broadcast (SURVEY.md §4).
+
+    The broadcast form (:func:`range_join`) is right while the dim fits
+    the broadcast threshold; past that, a nested loop against a shuffled
+    dim is quadratic. This form makes the interval join an EQUI-join:
+
+    1. pick a bin width (default: the P95 interval length, one cheap agg
+       on the dim — wide enough that most intervals explode into ≤2 bins);
+    2. explode each dim interval into every bin it overlaps;
+    3. tag each fact point with its bin; hash-join on the bin key;
+    4. keep matches passing the exact ``lower <= point <= upper``
+       residual; left semantics restored via a final anti-join add-back.
+
+    Cost: one ordinary shuffle join on an integer key, dim inflated by
+    ~ avg(interval_len / bin_width + 1) ≈ 2×. Assumes disjoint intervals
+    (at most one true match per point), the reference's IP-table shape.
+    """
+    if bin_width is None:
+        stats = dim.select(
+            F.expr(f"percentile(({upper}) - ({lower}), 0.95)").alias("p95")
+        ).first()
+        bin_width = max(float(stats["p95"] or 1.0), 1e-9)
+
+    w = float(bin_width)
+    dim_binned = (
+        dim.select(lower, upper, *payload)
+        .withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lower) / F.lit(w)).cast("long"),
+                    F.floor(F.col(upper) / F.lit(w)).cast("long"),
+                )
+            ),
+        )
+    )
+    fact_binned = fact.withColumn(
+        "__bin", F.floor(F.col(point) / F.lit(w)).cast("long")
+    )
+
+    residual = (F.col(point) >= F.col(lower)) & (F.col(point) <= F.col(upper))
+    matched = (
+        fact_binned.join(dim_binned, "__bin", "inner")
+        .filter(residual)
+        .drop("__bin", lower, upper)
+    )
+    if how == "inner":
+        return matched
+    if how != "left":
+        raise ValueError("binned_range_join supports how='left' or 'inner'")
+
+    # disjoint intervals ⇒ each matched fact row appears exactly once, so
+    # the multiplicity-preserving complement is a plain exceptAll
+    unmatched = fact.exceptAll(matched.select(*fact.columns))
+    for p in payload:
+        unmatched = unmatched.withColumn(p, F.lit(None).cast(dim.schema[p].dataType))
+    return matched.unionByName(unmatched)

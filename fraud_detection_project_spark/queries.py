@@ -1423,3 +1423,44 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "n_bytes", F.round("mean_intensity", 6).alias("mean_intensity")
     ).orderBy("doc_id")
+
+
+@register(
+    "interval_join_binned",
+    oracle="""
+    WITH intervals AS (
+        SELECT CAST(p_partkey * 2 AS DOUBLE)       AS lo,
+               CAST(p_partkey * 2 + 1.5 AS DOUBLE) AS hi,
+               p_brand
+        FROM part WHERE p_partkey <= 200
+    )
+    SELECT e.event_id,
+           COALESCE(i.p_brand, 'Unknown') AS bucket_brand
+    FROM events e
+    LEFT JOIN intervals i ON e.value >= i.lo AND e.value <= i.hi
+    ORDER BY e.event_id
+    """,
+)
+def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-dim interval-join path (operators/joins.py:
+    binned_range_join): bin-explode the dim, hash-join on the bin key,
+    exact-bound residual — an ordinary shuffle join instead of a
+    broadcast nested loop, for when the dim outgrows the broadcast
+    threshold. Same oracle as the broadcast form: identical semantics.
+    """
+    from .operators.joins import binned_range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    dim = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 200)
+        .select(
+            (F.col("p_partkey") * F.lit(2.0)).alias("lo"),
+            (F.col("p_partkey") * F.lit(2.0) + F.lit(1.5)).alias("hi"),
+            "p_brand",
+        )
+    )
+    out = binned_range_join(ev, dim, "value", "lo", "hi", ["p_brand"], how="left")
+    return out.select(
+        "event_id", F.coalesce("p_brand", F.lit("Unknown")).alias("bucket_brand")
+    ).orderBy("event_id")

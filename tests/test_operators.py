@@ -134,3 +134,69 @@ class TestCleaning:
         assert len(out) == 1
         assert out[0]["ip_address_int"] == 16909060
         assert out[0]["purchase_time"] == ts("2024-01-02 00:00:00")
+
+
+class TestBinnedRangeJoin:
+    def test_matches_broadcast_range_join(self, spark):
+        from fraud_detection_project_spark.catalog import load_table
+        from fraud_detection_project_spark.operators.joins import (
+            binned_range_join,
+            range_join,
+        )
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "value"
+        )
+        dim = (
+            load_table(spark, "/root/testdata/sf0.001", "part")
+            .filter(F.col("p_partkey") <= 150)
+            .select(
+                (F.col("p_partkey") * 2.0).alias("lo"),
+                (F.col("p_partkey") * 2.0 + 1.5).alias("hi"),
+                "p_brand",
+            )
+        )
+        want = range_join(ev, dim, "value", "lo", "hi", ["p_brand"], how="left")
+        for bw in (None, 1.0, 7.3, 1000.0):
+            got = binned_range_join(
+                ev, dim, "value", "lo", "hi", ["p_brand"], how="left", bin_width=bw
+            )
+            assert got.count() == want.count(), bw
+            assert got.exceptAll(want).count() == 0, bw
+            assert want.exceptAll(got).count() == 0, bw
+
+    def test_inner_semantics(self, spark):
+        from fraud_detection_project_spark.operators.joins import binned_range_join
+
+        fact = spark.createDataFrame(
+            [(1, 5.0), (2, 55.0), (3, 200.0)], "id long, p double"
+        )
+        dim = spark.createDataFrame(
+            [(0.0, 10.0, "a"), (50.0, 60.0, "b")], "lo double, hi double, tag string"
+        )
+        got = binned_range_join(fact, dim, "p", "lo", "hi", ["tag"], how="inner")
+        rows = {(r["id"], r["tag"]) for r in got.collect()}
+        assert rows == {(1, "a"), (2, "b")}
+
+    def test_equi_join_shape_not_nested_loop(self, spark):
+        """The whole point: the physical plan is a hash/sort-merge join on
+        the bin key, never a BroadcastNestedLoopJoin."""
+        from fraud_detection_project_spark.catalog import load_table
+        from fraud_detection_project_spark.operators.joins import binned_range_join
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+            "event_id", "value"
+        )
+        dim = (
+            load_table(spark, "/root/testdata/sf0.001", "part")
+            .select(
+                (F.col("p_partkey") * 2.0).alias("lo"),
+                (F.col("p_partkey") * 2.0 + 1.5).alias("hi"),
+                "p_brand",
+            )
+        )
+        got = binned_range_join(ev, dim, "value", "lo", "hi", ["p_brand"], how="inner")
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan, plan
