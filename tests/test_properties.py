@@ -108,3 +108,75 @@ def test_undersample_never_exceeds_original(spark, labels):
     assert outc.get(minority) == n_min  # fraction 1.0 keeps every row
     for label, n in outc.items():
         assert n <= inc[label]
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)), min_size=1, max_size=25
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_as_of_join_matches_bruteforce(spark, left, right):
+    """Backward as-of: payload of the latest right row with t' <= t in
+    the same key (exact matches allowed; ties on t' resolved identically
+    by both the operator's ordering and the brute force below)."""
+    from fraud_detection_project_spark.operators.joins import as_of_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, t long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "k long, t long, payload long")
+    got = {
+        r["lid"]: r["payload"]
+        for r in as_of_join(
+            ldf, rdf, on="k", left_time="t", right_time="t", payload=["payload"]
+        ).collect()
+    }
+    # brute force mirrors the operator's deterministic tie-break: among
+    # right rows with max t' <= t, the one latest in the sort order
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, p) for (rk, rt, p) in right if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, cands)
+
+
+@given(
+    points=st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=25),
+    starts=st.lists(st.floats(0, 100, allow_nan=False), min_size=1, max_size=8),
+    width=st.floats(0.5, 10),
+)
+@settings(**SETTINGS)
+def test_binned_range_join_matches_bruteforce(spark, points, starts, width):
+    """Disjoint intervals built from sorted distinct starts; every point
+    must land in the covering interval or carry a NULL payload."""
+    from fraud_detection_project_spark.operators.joins import binned_range_join
+
+    ss = sorted(set(starts))
+    ivals = []
+    for i, s in enumerate(ss):
+        hi = s + width
+        if i + 1 < len(ss):
+            hi = min(hi, ss[i + 1] - 1e-6)  # keep disjoint
+        if hi > s:
+            ivals.append((s, hi, f"tag{i}"))
+    if not ivals:
+        return
+    fact = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "id long, p double"
+    )
+    dim = spark.createDataFrame(ivals, "lo double, hi double, tag string")
+    got = {
+        r["id"]: r["tag"]
+        for r in binned_range_join(
+            fact, dim, "p", "lo", "hi", ["tag"], how="left", bin_width=3.7
+        ).collect()
+    }
+    assert len(got) == len(points)
+    for i, p in enumerate(points):
+        want = next((t for lo, hi, t in ivals if lo <= p <= hi), None)
+        assert got[i] == want, (i, p, want)
