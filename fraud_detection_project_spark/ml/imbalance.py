@@ -168,8 +168,11 @@ def smote(
                 new_rows.append(feats[0])
         else:
             kk = min(k_, n - 1)
-            # exact kNN within the bucket
-            d2 = ((feats[:, None, :] - feats[None, :, :]) ** 2).sum(-1)
+            # exact kNN within the bucket via the gemm identity
+            # |a-b|² = |a|² + |b|² − 2a·b — one BLAS product and an
+            # n×n matrix, instead of the n×n×dim broadcast temp
+            sq = (feats * feats).sum(axis=1)
+            d2 = sq[:, None] + sq[None, :] - 2.0 * (feats @ feats.T)
             np.fill_diagonal(d2, np.inf)
             nbrs = np.argpartition(d2, kth=kk - 1, axis=1)[:, :kk]
             for i in range(n):

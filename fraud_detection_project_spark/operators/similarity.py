@@ -30,6 +30,7 @@ import numpy as np
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.vectors import cosine_similarity, dot, l2_norm
 
@@ -215,3 +216,71 @@ def ivf_topk(
     probed = order[:nprobe]
     cand = df.withColumn("__cell", assign).filter(F.col("__cell").isin(probed))
     return cosine_topk(cand, query, k, vec_col, id_col)
+
+
+def cosine_all_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine similarity ≥ threshold, blocked matmul.
+
+    The expression-level form (self-join + per-pair HOF dot product) is
+    interpreted per pair — measured 200s at 5k×5k on local[4]. This form
+    broadcasts the (normalized) embedding matrix — dim-bounded, e.g.
+    5k×64 doubles ≈ 2.5 MB; 1M×256 ≈ 2 GB is the practical ceiling —
+    and each partition multiplies its row block against it with BLAS,
+    emitting only pairs (id_a < id_b) above threshold. Work stays
+    distributed over row blocks; per-pair cost is a fused multiply-add.
+
+    Past the broadcast ceiling use :func:`cosine_near_dup_pairs` (LSH
+    bucketing) — this operator is the exact oracle anchor for it.
+    """
+    import pandas as pd
+
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .collect()
+    )
+    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    mat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    keep = norms > 0
+    ids, mat = ids[keep], mat[keep] / norms[keep][:, None]
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((ids, mat))
+    thr = float(threshold)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        all_ids, all_mat = bc.value
+        pos = {int(v): i for i, v in enumerate(all_ids)}
+        for pdf in batches:
+            idx = np.asarray([pos[int(v)] for v in pdf[id_col] if int(v) in pos])
+            if idx.size == 0:
+                continue
+            block = all_mat[idx]                       # (b, d), normalized
+            sims = block @ all_mat.T                   # (b, n) BLAS
+            bi, bj = np.nonzero(sims >= thr)
+            ga, gb = all_ids[idx[bi]], all_ids[bj]
+            m = ga < gb                                # each pair once
+            if not m.any():
+                continue
+            yield pd.DataFrame(
+                {"id_a": ga[m], "id_b": gb[m], "cosine_sim": sims[bi[m], bj[m]]}
+            )
+
+    src = df.select(F.col(id_col)).filter(F.col(vec_col).isNotNull())
+    return src.mapInPandas(kernel, out_schema)

@@ -1129,25 +1129,17 @@ def q_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding near-dup pairs (cosine ≥ 0.45) — the brute-force
-    baseline the LSH variant approximates. Broadcast self-join; the LSH
-    path (below) is the 100 TB strategy."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("vec_id"), F.col("embedding")
-    )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    sim = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
-    return (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            sim.alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= 0.45)
-        .select("id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim"))
-        .orderBy("id_a", "id_b")
-    )
+    baseline the LSH variant approximates, via the blocked-BLAS
+    all-pairs operator (operators/similarity.py:cosine_all_pairs_exact;
+    the expression-level broadcast self-join was interpreted per pair
+    and ~50× slower). The LSH path (below) is the 100 TB strategy."""
+    from .operators.similarity import cosine_all_pairs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cosine_all_pairs_exact(emb, 0.45)
+    return out.select(
+        "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
+    ).orderBy("id_a", "id_b")
 
 
 @register("embedding_near_dup_pairs")  # rows-only: LSH recall is probabilistic
