@@ -233,3 +233,26 @@ def test_end_to_end_streaming_scoring(spark, events_src, tmp_path):
     assert got.count() == batch.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_streaming_dedup_within_watermark(spark, events_src, tmp_path):
+    """Duplicated source rows collapse to one per key on the stream,
+    matching batch dropDuplicates (all dups here are inside the
+    watermark horizon)."""
+    from fraud_detection_project_spark.streaming.dedup import dedup_stream
+
+    batch = spark.read.parquet(events_src)
+    dup_src = str(tmp_path / "dup")
+    doubled = batch.union(batch)
+    doubled.write.parquet(dup_src)
+
+    got = _run_stream(
+        spark,
+        dedup_stream(
+            _read_stream(spark, dup_src, batch.schema), ["event_id"], ts_col="ts"
+        ),
+        str(tmp_path / "ckpt"),
+    )
+    want = dedup_stream(doubled, ["event_id"])
+    assert got.count() == batch.count()
+    assert got.select("event_id").exceptAll(want.select("event_id")).count() == 0
