@@ -1456,3 +1456,35 @@ def q_interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.coalesce("p_brand", F.lit("Unknown")).alias("bucket_brand")
     ).orderBy("event_id")
+
+
+@register(
+    "frame_sample_profile",
+    oracle="""
+    SELECT doc_id, f.f AS frame_idx,
+           ROUND(list_avg(list_transform(range(1, 9),
+                 j -> CASE WHEN f.f * 8 + j <= length(text)
+                           THEN ascii(text[f.f * 8 + j]) ELSE 0 END)), 6)
+               AS frame_mean
+    FROM documents CROSS JOIN (SELECT unnest([0, 4]) AS f) f
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling (operators/multimodal.py:frame_sample):
+    every-4th 'frame' (8-byte stripe of the stand-in decode) per doc —
+    the explode-shaped (id, frame_idx, feat) contract, byte-exact
+    against SQL on the frame means.
+    """
+    from .operators.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    frames = frame_sample(docs, payload_col="payload", id_col="doc_id", every_n=4)
+    mean = F.aggregate(
+        "frame_feat", F.lit(0.0), lambda a, v: a + v, lambda a: a / F.lit(8.0)
+    )
+    return frames.select(
+        "doc_id", "frame_idx", F.round(mean, 6).alias("frame_mean")
+    ).orderBy("doc_id", "frame_idx")

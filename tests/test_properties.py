@@ -180,3 +180,41 @@ def test_binned_range_join_matches_bruteforce(spark, points, starts, width):
     for i, p in enumerate(points):
         want = next((t for lo, hi, t in ivals if lo <= p <= hi), None)
         assert got[i] == want, (i, p, want)
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)), min_size=1, max_size=20
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@settings(**SETTINGS)
+def test_as_of_join_forward_matches_bruteforce(spark, left, right):
+    """Forward as-of: payload of the earliest right row with t' >= t
+    (ties resolved toward the operator's deterministic order)."""
+    from fraud_detection_project_spark.operators.joins import as_of_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, t long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "k long, t long, payload long")
+    got = {
+        r["lid"]: r["payload"]
+        for r in as_of_join(
+            ldf,
+            rdf,
+            on="k",
+            left_time="t",
+            right_time="t",
+            payload=["payload"],
+            direction="forward",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, p) for (rk, rt, p) in right if rk == k and rt >= t]
+        want = min(cands)[1] if cands else None
+        assert got[i] == want, (i, k, t, cands)
