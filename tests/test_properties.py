@@ -218,3 +218,41 @@ def test_as_of_join_forward_matches_bruteforce(spark, left, right):
         cands = [(rt, p) for (rk, rt, p) in right if rk == k and rt >= t]
         want = min(cands)[1] if cands else None
         assert got[i] == want, (i, k, t, cands)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abcdefghijklmnopqrstuvwxyz .,!?'\"0123456789\t\n")
+            ),
+            max_size=200,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**SETTINGS)
+def test_text_function_invariants(spark, texts):
+    """quality ∈ [0,1]; lang_id ∈ known codes; normalization idempotent;
+    token counts non-negative and consistent."""
+    from fraud_detection_project_spark.functions.text import (
+        lang_id,
+        normalized_text,
+        quality_score,
+        word_count,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        quality_score("text").alias("q"),
+        lang_id("text").alias("lang"),
+        word_count("text").alias("wc"),
+        normalized_text("text").alias("norm1"),
+        normalized_text(normalized_text("text")).alias("norm2"),
+    ).collect()
+    for r in rows:
+        assert 0.0 <= r["q"] <= 1.0
+        assert r["lang"] in {"en", "es", "fr", "de", "und"}
+        assert r["wc"] >= 0
+        assert r["norm1"] == r["norm2"]
