@@ -72,3 +72,33 @@ def velocity_features(
             df, key, time_col, out_col, window_seconds=window_seconds, tick=tick
         )
     return df
+
+
+def sessionize(
+    df: DataFrame,
+    key: str | Sequence[str],
+    time_col: str | Column,
+    gap_seconds: int,
+    session_col: str = "session_id",
+    tick: int = 1,
+) -> DataFrame:
+    """Gaps-and-islands sessionization: consecutive same-key events
+    closer than ``gap_seconds`` share a session; a longer gap starts a
+    new one. ``session_col`` is the 0-based per-key session ordinal.
+
+    One window shuffle on the key (lag + running sum over the same
+    ordering — a single Sort+Window stage). The streaming equivalent is
+    ``F.session_window`` (see streaming/windows.py:session_event_counts);
+    this batch form is its oracle.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    t = (F.col(time_col) if isinstance(time_col, str) else time_col).cast("long")
+    w = Window.partitionBy(*keys).orderBy(t)
+    gap = F.lit(gap_seconds * tick)
+    new_session = (t - F.lag(t).over(w) > gap).cast("int")
+    return df.withColumn(
+        session_col,
+        F.sum(F.coalesce(new_session, F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )

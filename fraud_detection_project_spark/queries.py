@@ -1488,3 +1488,49 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", F.round(mean, 6).alias("frame_mean")
     ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "user_sessions_30m",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, epoch_us(ts) AS ts_us
+        FROM events
+    ), flagged AS (
+        SELECT user_id, ts_us,
+               CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                         > 1800000000 THEN 1 ELSE 0 END AS new_s
+        FROM t
+    ), sessions AS (
+        SELECT user_id,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           COUNT(DISTINCT session_id) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (operators/windows.py:sessionize): 30-minute-gap
+    gaps-and-islands per user — one window shuffle; the batch oracle of
+    the streaming session_window form (streaming/windows.py).
+    """
+    from .operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    s = sessionize(ev, "user_id", "ts_us", gap_seconds=1800, tick=1_000_000)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

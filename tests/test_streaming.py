@@ -256,3 +256,43 @@ def test_streaming_dedup_within_watermark(spark, events_src, tmp_path):
     want = dedup_stream(doubled, ["event_id"])
     assert got.count() == batch.count()
     assert got.select("event_id").exceptAll(want.select("event_id")).count() == 0
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, events_src, tmp_path):
+    """Streaming session_window totals == batch gaps-and-islands
+    sessionization (finalized sessions only: a session is emitted once
+    the watermark passes its close)."""
+    from fraud_detection_project_spark.operators.windows import sessionize
+    from fraud_detection_project_spark.streaming.windows import session_event_counts
+
+    batch = spark.read.parquet(events_src)
+    got = _run_stream(
+        spark,
+        session_event_counts(
+            _read_stream(spark, events_src, batch.schema),
+            ["user_id"],
+            gap="30 minutes",
+        ),
+        str(tmp_path / "ckpt"),
+    )
+
+    want = (
+        sessionize(
+            batch.withColumn("ts_us", F.unix_micros("ts")),
+            "user_id",
+            "ts_us",
+            gap_seconds=1800,
+            tick=1_000_000,
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+    )
+    wm = batch.select(F.expr("max(ts) - interval 1 hour").alias("wm")).first()["wm"]
+    finalized = want.filter(F.expr("last_ts + interval 30 minutes") <= F.lit(wm))
+
+    # compare the multiset of (user_id, n_events) session sizes
+    g = got.select("user_id", "n_events")
+    w = finalized.select("user_id", "n_events")
+    assert g.exceptAll(w).count() == 0
+    assert w.exceptAll(g).count() == 0
+    assert w.count() > 0
