@@ -1534,3 +1534,31 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "pivot_user_event_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / crosstab: per-user event-type matrix. Pinned pivot values
+    keep it one pass (no extra distinct-values job) — the form that
+    scales; unpinned pivot first runs a distinct scan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .count()
+        .na.fill(0, ["click", "view", "purchase", "error"])
+        .orderBy("user_id")
+    )

@@ -200,3 +200,31 @@ class TestBinnedRangeJoin:
         got = binned_range_join(ev, dim, "value", "lo", "hi", ["p_brand"], how="inner")
         plan = got._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan, plan
+
+
+class TestApproxSketches:
+    """The at-scale variants next to their exact anchors: HLL distinct
+    counts and the percentile sketch stay within documented error."""
+
+    def test_approx_count_distinct_within_5pct(self, spark):
+        from fraud_detection_project_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, "/root/testdata/sf0.01", "events")
+        row = ev.agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+        ).first()
+        assert abs(row["approx"] - row["exact"]) <= max(1, 0.05 * row["exact"])
+
+    def test_percentile_approx_close_to_exact(self, spark):
+        from fraud_detection_project_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, "/root/testdata/sf0.01", "events")
+        row = ev.agg(
+            F.expr("percentile(value, 0.5)").alias("exact"),
+            F.expr("percentile_approx(value, 0.5, 10000)").alias("approx"),
+        ).first()
+        spread = ev.agg(F.max("value") - F.min("value")).first()[0]
+        assert abs(row["approx"] - row["exact"]) <= 0.01 * spread
