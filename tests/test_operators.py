@@ -228,3 +228,26 @@ class TestApproxSketches:
         ).first()
         spread = ev.agg(F.max("value") - F.min("value")).first()[0]
         assert abs(row["approx"] - row["exact"]) <= 0.01 * spread
+
+
+def test_geolocate_strategies_equivalent(spark):
+    from fraud_detection_project_spark.catalog import load_table
+    from fraud_detection_project_spark.operators.joins import geolocate
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", F.col("value").alias("ip_address_int")
+    )
+    dim = (
+        load_table(spark, "/root/testdata/sf0.001", "part")
+        .filter(F.col("p_partkey") <= 100)
+        .select(
+            (F.col("p_partkey") * 3.0).alias("lower_bound_ip_address_int"),
+            (F.col("p_partkey") * 3.0 + 2.0).alias("upper_bound_ip_address_int"),
+            F.col("p_brand").alias("country"),
+        )
+    )
+    a = geolocate(ev, dim, strategy="broadcast").select("event_id", "country")
+    b = geolocate(ev, dim, strategy="binned").select("event_id", "country")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
