@@ -1562,3 +1562,66 @@ def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, ["click", "view", "purchase", "error"])
         .orderBy("user_id")
     )
+
+
+@register(
+    "cube_type_hourband",
+    oracle="""
+    WITH t AS (
+        SELECT event_type,
+               CASE WHEN hour(ts) < 12 THEN 'am' ELSE 'pm' END AS hour_band,
+               value
+        FROM events
+    )
+    SELECT event_type, hour_band,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total
+    FROM t
+    GROUP BY CUBE (event_type, hour_band)
+    ORDER BY event_type NULLS FIRST, hour_band NULLS FIRST
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, am/pm): all 4 grouping levels in one
+    Expand + single agg shuffle (same machinery as rollup; the full
+    grouping-sets lattice)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.hour("ts") < 12, "am").otherwise("pm").alias("hour_band"),
+        "value",
+    )
+    return (
+        ev.cube("event_type", "hour_band")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .orderBy(F.asc_nulls_first("event_type"), F.asc_nulls_first("hour_band"))
+    )
+
+
+@register(
+    "sql_surface_top_nations",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_cust, ROUND(SUM(c.c_acctbal), 4) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY total_bal DESC, n.n_name
+    LIMIT 10
+    """,
+)
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw spark.sql surface end-to-end: Catalog registers the
+    testdata star schema as temp views (catalog.py:Catalog), then the
+    query is plain SQL — same Catalyst plan as the DataFrame form.
+    """
+    from .catalog import Catalog
+
+    Catalog(spark, sf_dir)  # registers temp views
+    return spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_cust,
+               ROUND(SUM(c.c_acctbal), 4) AS total_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY total_bal DESC, n.n_name
+        LIMIT 10
+        """
+    )
