@@ -256,3 +256,30 @@ def test_text_function_invariants(spark, texts):
         assert r["lang"] in {"en", "es", "fr", "de", "und"}
         assert r["wc"] >= 0
         assert r["norm1"] == r["norm2"]
+
+
+@given(data=rows)
+@settings(**SETTINGS)
+def test_sessionize_matches_bruteforce(spark, data):
+    """Sessionization: session ordinal == #{gaps > G among prior
+    same-key events in time order} (ties keep one session)."""
+    from fraud_detection_project_spark.operators.windows import sessionize
+
+    G = 50
+    df = spark.createDataFrame(data, "key long, t long, cat string")
+    got = {
+        (r["key"], r["t"]): r["session_id"]
+        for r in sessionize(df, "key", "t", gap_seconds=G).collect()
+    }
+    by_key: dict[int, list[int]] = {}
+    for k, t, _ in data:
+        by_key.setdefault(k, []).append(t)
+    for k, ts in by_key.items():
+        ts = sorted(set(ts))
+        sid = 0
+        prev = None
+        for t in ts:
+            if prev is not None and t - prev > G:
+                sid += 1
+            assert got[(k, t)] == sid, (k, t)
+            prev = t
