@@ -193,6 +193,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse-quantize rows to seeded sample centroids
     (one assignment pass, computed as column arithmetic against
@@ -203,14 +204,17 @@ def ivf_topk(
     ``n_centroids`` rows — because IVF recall depends far more on
     ``nprobe`` than on centroid quality. At scale the assignment column
     is precomputed and the table is partitioned by cell → probing is
-    partition pruning.
+    partition pruning. Pass ``centroids`` (e.g. from
+    ``ml.clustering.kmeans_centroids``) to reuse trained cells instead
+    of the seeded sample.
     """
-    sample = (
-        df.select(vec_col)
-        .filter(F.col(vec_col).isNotNull())
-        .rdd.takeSample(False, n_centroids, seed)
-    )
-    centroids = [list(map(float, r[0])) for r in sample]
+    if centroids is None:
+        sample = (
+            df.select(vec_col)
+            .filter(F.col(vec_col).isNotNull())
+            .rdd.takeSample(False, n_centroids, seed)
+        )
+        centroids = [list(map(float, r[0])) for r in sample]
 
     # squared distance to every centroid via higher-order functions over
     # one constant centroid matrix (O(1) expression nodes — see

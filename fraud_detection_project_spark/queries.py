@@ -1625,3 +1625,277 @@ def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface depth: subqueries, grouping sets, string/date functions,
+# distribution windows, text repetition, clustering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exists_big_spenders",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_cust
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q_exists_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL surface: Catalyst's
+    RewritePredicateSubquery decorrelates both into a left-semi and a
+    left-anti hash join against orders — no per-row subquery execution
+    (contrast the reference's row-wise apply escapes,
+    src/preprocessing/transform_data.py:38-43).
+    """
+    from .catalog import Catalog
+
+    Catalog(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_cust
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT r.r_name, o.o_orderpriority,
+           GROUPING(r.r_name) AS g_region,
+           GROUPING(o.o_orderpriority) AS g_priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 4) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name, o.o_orderpriority), (r.r_name), ())
+    ORDER BY g_region, g_priority, r.r_name NULLS FIRST,
+             o.o_orderpriority NULLS FIRST
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general lattice underlying
+    rollup/cube) + GROUPING() null-vs-total disambiguation flags. One
+    Expand node feeding a single partial+final hash agg — 3 grouping
+    levels in one shuffle instead of 3 unioned scans.
+    """
+    from .catalog import Catalog
+
+    Catalog(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT r.r_name, o.o_orderpriority,
+               GROUPING(r.r_name) AS g_region,
+               GROUPING(o.o_orderpriority) AS g_priority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 4) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY GROUPING SETS ((r.r_name, o.o_orderpriority), (r.r_name), ())
+        ORDER BY g_region, g_priority, r.r_name NULLS FIRST,
+                 o.o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@register(
+    "string_funcs_docs",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT REGEXP_EXTRACT(text, '^(\\w+)', 1)) AS n_first_words,
+           ROUND(AVG(LENGTH(text)), 6) AS avg_len,
+           MAX(UPPER(SUBSTRING(source, 1, 4))) AS max_src4,
+           MIN(CONCAT(lang, ':', SUBSTRING(text, 1, 3))) AS min_prefix
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (F-bucket beyond the reference's F6-F8):
+    regexp_extract / substring / upper / concat — all JVM codegen
+    expressions, column-pruned to (text, lang, source) at the scan.
+    AVG(LENGTH) divides an exact integer sum, so the 6-dp round is
+    cross-engine stable (no float summation-order ties).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.regexp_extract("text", r"^(\w+)", 1)).alias("n_first_words"),
+            F.round(F.avg(F.length("text")), 6).alias("avg_len"),
+            F.max(F.upper(F.substring("source", 1, 4))).alias("max_src4"),
+            F.min(F.concat(F.col("lang"), F.lit(":"), F.substring("text", 1, 3))).alias(
+                "min_prefix"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "monthly_revenue",
+    oracle="""
+    SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation via date_trunc — the batch twin of the
+    streaming tumbling window (streaming/windows.py). Month buckets are
+    exported as integer epoch-micros per the cross-engine convention.
+    At scale this grouping matches a `PARTITIONED BY (month)` layout, so
+    the agg becomes partition-local.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.unix_micros(F.date_trunc("month", F.col("o_orderdate"))).alias("month_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+        .orderBy("month_us")
+    )
+
+
+@register(
+    "ntile_quartiles_priority",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderpriority,
+               o_totalprice,
+               NTILE(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    )
+    SELECT o_orderpriority, quartile,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 4) AS lo,
+           ROUND(MAX(o_totalprice), 4) AS hi
+    FROM t
+    GROUP BY o_orderpriority, quartile
+    ORDER BY o_orderpriority, quartile
+    """,
+)
+def q_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE distribution window (W2 family): quartile assignment inside
+    each priority partition, tie-broken by o_orderkey for cross-engine
+    determinism. Partitioned window → parallel per priority; a GLOBAL
+    ntile would serialize into one partition — at scale use
+    approx-quantile bucketing instead (aggregates.py:quantiles).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    t = orders.select(
+        "o_orderpriority", "o_totalprice", F.ntile(4).over(w).alias("quartile")
+    )
+    return (
+        t.groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+@register(
+    "word_repetition_by_lang",
+    oracle="""
+    WITH t AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct
+        FROM documents
+    )
+    SELECT lang,
+           ROUND(1.0 - CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_words), 6)
+               AS repetition,
+           ROUND(MIN(CAST(n_distinct AS DOUBLE) / n_words), 6) AS min_distinct_ratio,
+           ROUND(MAX(CAST(n_distinct AS DOUBLE) / n_words), 6) AS max_distinct_ratio
+    FROM t
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q_word_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate signal for corpus quality filtering
+    (north-star text analysis, next to quality_score_deciles): fraction
+    of duplicated words per language. Pure array expressions
+    (split/array_distinct/size) — no explode shuffle, no UDF. The
+    aggregate divides two exact integer sums (not an AVG of per-doc
+    floats), so the 6-dp round has no summation-order tie.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    t = docs.select(
+        "lang",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.round(
+                1.0 - F.sum("n_distinct").cast("double") / F.sum("n_words"), 6
+            ).alias("repetition"),
+            F.round(
+                F.min(F.col("n_distinct").cast("double") / F.col("n_words")), 6
+            ).alias("min_distinct_ratio"),
+            F.round(
+                F.max(F.col("n_distinct").cast("double") / F.col("n_words")), 6
+            ).alias("max_distinct_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register("kmeans_cluster_profile")
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embeddings corpus (ml/clustering.py,
+    MLlib k-means|| — iterative, so rows-only oracle per SURVEY.md §5.1):
+    cluster sizes + within-cluster mean norm. The fitted centroids are
+    the trained-cell path for ivf_topk (embedding_ivf_topk query uses
+    the seeded-sample path; test_ml covers the trained path).
+    """
+    from .ml.clustering import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, k=8, vec_col="embedding", seed=42)
+    assigned = kmeans_assign(emb, model, vec_col="embedding")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda a, x: a + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        assigned.select("cluster", norm.alias("norm"))
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm"))
+        .orderBy("cluster")
+    )

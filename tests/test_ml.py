@@ -156,3 +156,64 @@ class TestImbalance:
         for f in syn:
             assert lo0 - 1e-9 <= f[0] <= hi0 + 1e-9
             assert lo1 - 1e-9 <= f[1] <= hi1 + 1e-9
+
+
+class TestClustering:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        # 3 well-separated blobs in 4-d, 60 rows each
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        rows = []
+        for c, center in enumerate([(10, 0, 0, 0), (0, 10, 0, 0), (0, 0, 10, 0)]):
+            for i in range(60):
+                v = rng.normal(0, 0.3, 4) + np.asarray(center, dtype=float)
+                rows.append(Row(vec_id=c * 60 + i, embedding=[float(x) for x in v]))
+        return spark.createDataFrame(rows).repartition(4).cache()
+
+    def test_kmeans_recovers_blobs(self, emb):
+        from fraud_detection_project_spark.ml.clustering import (
+            kmeans_assign,
+            kmeans_centroids,
+            kmeans_fit,
+        )
+
+        model = kmeans_fit(emb, k=3, vec_col="embedding", seed=42)
+        assigned = kmeans_assign(emb, model)
+        # every ground-truth blob maps to exactly one learned cluster
+        purity = (
+            assigned.withColumn("truth", (F.col("vec_id") / 60).cast("int"))
+            .groupBy("truth")
+            .agg(F.count_distinct("cluster").alias("k"))
+            .agg(F.max("k"))
+            .first()[0]
+        )
+        assert purity == 1
+        sizes = sorted(r["n"] for r in assigned.groupBy("cluster").count().withColumnRenamed("count", "n").collect())
+        assert sizes == [60, 60, 60]
+        cents = kmeans_centroids(model)
+        assert len(cents) == 3 and len(cents[0]) == 4
+
+    def test_kmeans_deterministic(self, emb):
+        from fraud_detection_project_spark.ml.clustering import kmeans_centroids, kmeans_fit
+
+        a = kmeans_centroids(kmeans_fit(emb, k=3, seed=42))
+        b = kmeans_centroids(kmeans_fit(emb, k=3, seed=42))
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_ivf_with_trained_centroids(self, emb):
+        from fraud_detection_project_spark.ml.clustering import kmeans_centroids, kmeans_fit
+        from fraud_detection_project_spark.operators.similarity import cosine_topk, ivf_topk
+
+        model = kmeans_fit(emb, k=3, seed=42)
+        query = [10.0, 0.0, 0.0, 0.0]
+        exact = [r["vec_id"] for r in cosine_topk(emb, query, 10).collect()]
+        approx = [
+            r["vec_id"]
+            for r in ivf_topk(
+                emb, query, 10, nprobe=1, centroids=kmeans_centroids(model)
+            ).collect()
+        ]
+        # probing the single trained cell containing the blob → full recall
+        assert set(approx) == set(exact)
