@@ -1899,3 +1899,113 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm"))
         .orderBy("cluster")
     )
+
+
+@register(
+    "top_words",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def q_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency (the explode/unnest surface + heavy-hitter
+    shape). explode multiplies rows by ~|tokens|, but partial hash agg
+    runs map-side BEFORE the shuffle, so the exchange carries only the
+    per-task vocabulary — at 100 TB the shuffle is |vocab|-bounded, not
+    |tokens|-bounded. Deterministic tie-break (count desc, word asc)
+    → TakeOrderedAndProject, no global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+@register(
+    "monthly_revenue_gapfill",
+    oracle="""
+    WITH b AS (SELECT date_trunc('month', MIN(o_orderdate)) AS lo,
+                      date_trunc('month', MAX(o_orderdate)) AS hi
+               FROM orders),
+    m AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month FROM b),
+    r AS (SELECT date_trunc('month', o_orderdate) AS month,
+                 COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS rev
+          FROM orders GROUP BY 1)
+    SELECT epoch_us(m.month) AS month_us,
+           COALESCE(r.n, 0) AS n_orders,
+           COALESCE(r.rev, 0.0) AS revenue
+    FROM m LEFT JOIN r USING (month)
+    ORDER BY month_us
+    """,
+)
+def q_monthly_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (gap-filled) time series: generate the full month calendar
+    with sequence()+explode from the data's own bounds, left-join the
+    sparse aggregate onto it, zero-fill. The calendar side is tiny (one
+    row per bucket) so the join broadcasts; the expensive side is the
+    same single-shuffle agg as monthly_revenue. This is the batch answer
+    to "windows with no events must still emit" (streaming cousin:
+    watermarked windows emit only observed keys — gap-fill is a join).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    months = (
+        orders.agg(
+            F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+            F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+        )
+        .select(
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 month"))).alias("month")
+        )
+    )
+    rev = orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    return (
+        months.join(rev, "month", "left")
+        .select(
+            F.unix_micros("month").alias("month_us"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+            F.coalesce("rev", F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("month_us")
+    )
+
+
+@register(
+    "redact_ids_cardinality",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(DISTINCT REGEXP_REPLACE(c_name, '#\\d+', '#[ID]')) AS n_masked,
+           COUNT(DISTINCT c_name) AS n_raw
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def q_redact_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction / PII-masking shape for corpus pipelines:
+    regexp_replace collapses identifier tokens, and the query proves the
+    cardinality collapse (n_masked << n_raw) per group. Pure codegen
+    expression — the pattern avoids lookarounds so Java regex and RE2
+    (DuckDB) agree.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    masked = F.regexp_replace(F.col("c_name"), r"#\d+", "#[ID]")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.count_distinct(masked).alias("n_masked"),
+            F.count_distinct("c_name").alias("n_raw"),
+        )
+        .orderBy("c_nationkey")
+    )
