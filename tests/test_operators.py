@@ -229,6 +229,24 @@ class TestApproxSketches:
         spread = ev.agg(F.max("value") - F.min("value")).first()[0]
         assert abs(row["approx"] - row["exact"]) <= 0.01 * spread
 
+    def test_freq_items_covers_true_heavy_hitters(self, spark):
+        """freqItems (one-pass Karp/Misra-Gries style, no sort) must
+        contain every exact top-3 token from the top_words anchor —
+        the sketch may over-report, never miss, above its support."""
+        from fraud_detection_project_spark.catalog import load_table
+        from pyspark.sql import functions as F
+
+        docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+        words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+            F.col("word") != ""
+        )
+        exact_top = [
+            r["word"]
+            for r in words.groupBy("word").count().orderBy(F.desc("count")).limit(3).collect()
+        ]
+        sketched = set(words.freqItems(["word"], support=0.02).first()[0])
+        assert set(exact_top) <= sketched
+
 
 def test_geolocate_strategies_equivalent(spark):
     from fraud_detection_project_spark.catalog import load_table
