@@ -2009,3 +2009,37 @@ def q_redact_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "stats_corr_by_type",
+    oracle="""
+    SELECT event_type,
+           ROUND(corr(value, hour(ts)), 5) AS corr_value_hour,
+           ROUND(covar_samp(value, hour(ts)), 5) AS covar_value_hour,
+           ROUND(stddev_samp(value), 5) AS sd_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface (corr / covar_samp / stddev_samp —
+    the df.stat family as declarative aggregates): single-pass
+    partial+final hash agg, one shuffle of |groups| rows; nothing is
+    collected to the driver (contrast pandas .corr() which needs the
+    whole column in RAM).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = F.hour("ts").cast("double")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.corr("value", h), 5).alias("corr_value_hour"),
+            F.round(F.covar_samp("value", h), 5).alias("covar_value_hour"),
+            F.round(F.stddev_samp("value"), 5).alias("sd_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
