@@ -800,7 +800,7 @@ def q_geolocate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE value IS NOT NULL
     )
     SELECT COUNT(*) AS n_rows,
-           SUM(CAST(FLOOR(value) AS BIGINT)) AS sum_ip_int
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_ip_int
     FROM txns
     """,
 )
@@ -1376,14 +1376,36 @@ def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 set operations (absent in the reference, exposed by the
-    engine): intersect / except / union over user sets."""
+    engine): intersect / except / union over user sets.
+
+    Single-job form: one conditional aggregation over a full-outer join
+    of the two distinct user sets — no driver-side ``.count()`` actions
+    folded into literals (each of those was a separate Spark job plus a
+    driver round-trip). Both sides share the user_id shuffle key, so the
+    distinct + join pipeline into one exchange per side.
+    """
     ev = load_table(spark, sf_dir, "events")
-    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
-    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
-    return spark.range(1).select(
-        F.lit(clickers.intersect(viewers).count()).alias("both_types"),
-        F.lit(clickers.exceptAll(viewers).count()).alias("click_only"),
-        F.lit(clickers.union(viewers).distinct().count()).alias("either_type"),
+    clickers = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .withColumn("__c", F.lit(1))
+    )
+    viewers = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id")
+        .distinct()
+        .withColumn("__v", F.lit(1))
+    )
+    joined = clickers.join(viewers, "user_id", "full_outer")
+    return joined.agg(
+        F.count(F.when(F.col("__c").isNotNull() & F.col("__v").isNotNull(), 1)).alias(
+            "both_types"
+        ),
+        F.count(F.when(F.col("__c").isNotNull() & F.col("__v").isNull(), 1)).alias(
+            "click_only"
+        ),
+        F.count(F.lit(1)).alias("either_type"),
     )
 
 
