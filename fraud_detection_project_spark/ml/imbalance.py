@@ -52,6 +52,78 @@ def undersample_majority(
     return df.stat.sampleBy(label_col, fractions, seed)
 
 
+def undersample_exact(
+    df: DataFrame,
+    label_col: str,
+    order_cols: list[str],
+    seed: int = 42,
+    n_target: int | None = None,
+    n_salt: int = 32,
+) -> DataFrame:
+    """M7 exact variant mirroring ``RandomUnderSampler``
+    (``transform_data.py:107``): every class keeps EXACTLY
+    ``min(class_count, n_target)`` rows (default ``n_target`` = the
+    minority count), not just the Bernoulli expectation.
+
+    Selection order is a seeded ``xxhash64`` over ``order_cols`` —
+    uniform and deterministic for a fixed (seed, key set), independent
+    of partitioning. ``order_cols`` must uniquely identify rows (they
+    break hash ties).
+
+    Scale design — no single-partition-per-class sort, no driver action:
+
+    1. salt = pmod(hash, n_salt): rank windows partition by
+       (label, salt), so a 100-TB majority class spreads over
+       ``n_salt`` tasks instead of one;
+    2. per-(label, salt) row counts are a tiny aggregate; a running sum
+       over salt order turns local ranks into a global rank within the
+       deterministic (salt, hash) total order;
+    3. ``n_target`` (when defaulted) is a one-row broadcast aggregate
+       joined in — never ``.collect()``-ed.
+    """
+    from pyspark.sql import Window
+
+    h = F.xxhash64(*[F.col(c) for c in order_cols], F.lit(seed))
+    salted = df.withColumn("__h", h).withColumn(
+        "__salt", F.pmod(F.col("__h"), F.lit(n_salt)).cast("int")
+    )
+
+    local_rank = (
+        F.row_number().over(
+            Window.partitionBy(label_col, "__salt").orderBy(
+                "__h", *[F.col(c) for c in order_cols]
+            )
+        )
+        - 1
+    )
+    ranked = salted.withColumn("__rn", local_rank)
+
+    cnts = salted.groupBy(label_col, "__salt").agg(F.count(F.lit(1)).alias("__cnt"))
+    off_w = (
+        Window.partitionBy(label_col)
+        .orderBy("__salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = cnts.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(off_w), F.lit(0))
+    ).select(label_col, "__salt", "__off")
+
+    if n_target is None:
+        per_class = salted.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
+        n_min = per_class.agg(F.min("__n").alias("__n_keep"))
+        keep_df = F.broadcast(n_min)
+        cond_join = ranked.join(F.broadcast(offsets), [label_col, "__salt"]).crossJoin(
+            keep_df
+        )
+    else:
+        cond_join = ranked.join(F.broadcast(offsets), [label_col, "__salt"]).withColumn(
+            "__n_keep", F.lit(int(n_target))
+        )
+
+    kept = cond_join.filter(F.col("__rn") + F.col("__off") < F.col("__n_keep"))
+    return kept.drop("__h", "__salt", "__rn", "__off", "__n_keep")
+
+
 def oversample_minority_naive(
     df: DataFrame, label_col: str, seed: int = 42
 ) -> DataFrame:

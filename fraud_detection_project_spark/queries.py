@@ -730,6 +730,35 @@ def q_undersample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("label").agg(F.count(F.lit(1)).alias("cnt")).orderBy("label")
 
 
+@register(
+    "undersample_exact_counts",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(LEAST(n, (SELECT MIN(n) FROM c)) AS BIGINT) AS n_kept
+    FROM c
+    ORDER BY event_type
+    """,
+)
+def q_undersample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 exact variant (``RandomUnderSampler`` draws exactly n_min rows,
+    ``transform_data.py:107``): per-class global rank over a seeded-hash
+    order via salted two-phase ranking (ml/imbalance.py
+    ``undersample_exact``) — every class lands on EXACTLY the minority
+    count, which the SQL oracle checks class by class."""
+    from .ml.imbalance import undersample_exact
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    out = undersample_exact(ev, "event_type", order_cols=["event_id"], seed=42)
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("event_type")
+    )
+
+
 @register("smote_balanced_counts")  # rows-only: synthetic row generation
 def q_smote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 (SMOTE, ``transform_data.py:103-111``): LSH-bucketed kNN +

@@ -124,6 +124,40 @@ class TestImbalance:
         assert c[1] == 100
         assert 60 <= c[0] <= 140
 
+    def test_undersample_exact_counts(self, labeled):
+        from fraud_detection_project_spark.ml.imbalance import undersample_exact
+
+        out = undersample_exact(labeled, "label", order_cols=["id"], seed=42)
+        c = class_counts(out, "label")
+        # exactly the minority count for every class — not Bernoulli
+        assert c == {0: 100, 1: 100}
+
+    def test_undersample_exact_deterministic_subset(self, labeled):
+        from fraud_detection_project_spark.ml.imbalance import undersample_exact
+
+        a = undersample_exact(labeled, "label", order_cols=["id"], seed=42)
+        b = undersample_exact(
+            labeled.repartition(7), "label", order_cols=["id"], seed=42
+        )
+        ids_a = sorted(r["id"] for r in a.select("id").collect())
+        ids_b = sorted(r["id"] for r in b.select("id").collect())
+        assert ids_a == ids_b  # partition-layout independent
+        assert len(ids_a) == len(set(ids_a))  # no duplicates
+        all_ids = {r["id"] for r in labeled.select("id").collect()}
+        assert set(ids_a) <= all_ids  # strict subset of the input
+        # a different seed picks a different subset
+        c = undersample_exact(labeled, "label", order_cols=["id"], seed=7)
+        ids_c = sorted(r["id"] for r in c.select("id").collect())
+        assert ids_c != ids_a
+
+    def test_undersample_exact_n_target(self, labeled):
+        from fraud_detection_project_spark.ml.imbalance import undersample_exact
+
+        out = undersample_exact(
+            labeled, "label", order_cols=["id"], seed=42, n_target=50
+        )
+        assert class_counts(out, "label") == {0: 50, 1: 50}
+
     def test_oversample_naive(self, labeled):
         out = oversample_minority_naive(labeled, "label", seed=42)
         c = class_counts(out, "label")
