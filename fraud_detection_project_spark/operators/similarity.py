@@ -248,39 +248,65 @@ def cosine_all_pairs_exact(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    block_rows: int = 4096,
 ) -> DataFrame:
-    """Exact all-pairs cosine similarity ≥ threshold, blocked matmul.
+    """Exact all-pairs cosine similarity ≥ threshold — distributed
+    blocked matmul, no driver-side data collect.
 
-    The expression-level form (self-join + per-pair HOF dot product) is
-    interpreted per pair — measured 200s at 5k×5k on local[4]. This form
-    broadcasts the (normalized) embedding matrix — dim-bounded, e.g.
-    5k×64 doubles ≈ 2.5 MB; 1M×256 ≈ 2 GB is the practical ceiling —
-    and each partition multiplies its row block against it with BLAS,
-    emitting only pairs (id_a < id_b) above threshold. Work stays
-    distributed over row blocks; per-pair cost is a fused multiply-add.
+    Plan (the classic block self-join):
 
-    Past the broadcast ceiling use :func:`cosine_near_dup_pairs` (LSH
-    bucketing) — this operator is the exact oracle anchor for it.
+    1. each row hashes to one of B blocks (``B = ceil(n / block_rows)``,
+       sized by one cheap ``count()`` aggregate — the only driver
+       round-trip, a scalar);
+    2. one JVM-side ``collect_list`` aggregation packs each block into a
+       single row (ids + vectors);
+    3. the B-row packed frame self-joins on ``block_a <= block_b`` —
+       B(B+1)/2 tiny metadata rows, each carrying two blocks;
+    4. an Arrow ``mapInPandas`` kernel normalizes both blocks and runs
+       one BLAS gemm per block pair, emitting only pairs above the
+       threshold with ``id_a < id_b``.
+
+    Work and memory are O((n/B)²·d) per task and spread over B(B+1)/2
+    independent tasks — every scale knob is ``block_rows``. The
+    expression-level form (self-join + per-pair HOF dot product) was
+    measured 200s at 5k×5k on local[4]; a prior form collected the full
+    matrix to the driver (scale ceiling ~1M×256) — this one never moves
+    the data through the driver. O(n²) pair *work* is inherent to exact
+    all-pairs; past that use :func:`cosine_near_dup_pairs` (LSH) — this
+    operator is its exact oracle anchor.
     """
     import pandas as pd
 
-    rows = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .filter(F.col(vec_col).isNotNull())
-        .collect()
+    src = df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v")
+    ).filter(F.col("__v").isNotNull())
+
+    n = src.count()
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine_sim double"
+        )
+    n_blocks = max(1, math.ceil(n / block_rows))
+
+    packed = (
+        src.withColumn(
+            "__block", F.pmod(F.xxhash64("__id"), F.lit(n_blocks)).cast("int")
+        )
+        .groupBy("__block")
+        .agg(
+            F.collect_list(F.struct("__id", "__v")).alias("__rows"),
+        )
     )
-    ids = np.asarray([r[0] for r in rows], dtype=np.int64)
-    mat = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    keep = norms > 0
-    ids, mat = ids[keep], mat[keep] / norms[keep][:, None]
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
 
-    sc = df.sparkSession.sparkContext
-    bc = sc.broadcast((ids, mat))
+    a = packed.select(
+        F.col("__block").alias("__ba"), F.col("__rows").alias("__rows_a")
+    )
+    b = packed.select(
+        F.col("__block").alias("__bb"), F.col("__rows").alias("__rows_b")
+    )
+    pairs = a.join(b, F.col("__ba") <= F.col("__bb"))
+
     thr = float(threshold)
-
     out_schema = T.StructType(
         [
             T.StructField("id_a", T.LongType()),
@@ -289,23 +315,50 @@ def cosine_all_pairs_exact(
         ]
     )
 
-    def kernel(batches):
-        all_ids, all_mat = bc.value
-        pos = {int(v): i for i, v in enumerate(all_ids)}
-        for pdf in batches:
-            idx = np.asarray([pos[int(v)] for v in pdf[id_col] if int(v) in pos])
-            if idx.size == 0:
-                continue
-            block = all_mat[idx]                       # (b, d), normalized
-            sims = block @ all_mat.T                   # (b, n) BLAS
-            bi, bj = np.nonzero(sims >= thr)
-            ga, gb = all_ids[idx[bi]], all_ids[bj]
-            m = ga < gb                                # each pair once
-            if not m.any():
-                continue
-            yield pd.DataFrame(
-                {"id_a": ga[m], "id_b": gb[m], "cosine_sim": sims[bi[m], bj[m]]}
-            )
+    def unpack(rows):
+        ids = np.asarray([r["__id"] for r in rows], dtype=np.int64)
+        mat = np.asarray([list(r["__v"]) for r in rows], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        keep = norms > 0
+        return ids[keep], mat[keep] / norms[keep][:, None]
 
-    src = df.select(F.col(id_col)).filter(F.col(vec_col).isNotNull())
-    return src.mapInPandas(kernel, out_schema)
+    def kernel(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a, mat_a = unpack(row["__rows_a"])
+                same = row["__ba"] == row["__bb"]
+                if same:
+                    ids_b, mat_b = ids_a, mat_a
+                else:
+                    ids_b, mat_b = unpack(row["__rows_b"])
+                if ids_a.size == 0 or ids_b.size == 0:
+                    continue
+                sims = mat_a @ mat_b.T
+                bi, bj = np.nonzero(sims >= thr)
+                if bi.size == 0:
+                    continue
+                ga, gb = ids_a[bi], ids_b[bj]
+                if same:
+                    # the gemm is symmetric: keep each pair once (and
+                    # drop the diagonal) via the id order
+                    m = ga < gb
+                    lo, hi = ga, gb
+                else:
+                    # cross-block: each pair appears exactly once
+                    # (block_a < block_b); normalize the id order
+                    m = np.ones(ga.shape, dtype=bool)
+                    lo, hi = np.minimum(ga, gb), np.maximum(ga, gb)
+                if not m.any():
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id_a": lo[m],
+                        "id_b": hi[m],
+                        "cosine_sim": sims[bi[m], bj[m]],
+                    }
+                )
+
+    # one block pair per task: the unit of work is the gemm, so spread
+    # the B(B+1)/2 pairs across the cluster instead of batching them
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    return pairs.repartition(min(n_pairs, 2048)).mapInPandas(kernel, out_schema)

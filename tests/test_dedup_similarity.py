@@ -155,6 +155,56 @@ class TestCosineTopK:
         assert (50, 51) in got
 
 
+class TestCosineAllPairsExact:
+    def _numpy_pairs(self, rows, thr):
+        ids = np.asarray([r.vec_id for r in rows])
+        mat = np.asarray([r.embedding for r in rows], dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1)[:, None]
+        sims = mat @ mat.T
+        out = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= thr:
+                    out.add((int(ids[i]), int(ids[j]), round(float(sims[i, j]), 9)))
+        return out
+
+    def test_matches_numpy_multiblock(self, vecs):
+        from fraud_detection_project_spark.operators.similarity import (
+            cosine_all_pairs_exact,
+        )
+
+        expected = self._numpy_pairs(vecs.collect(), 0.3)
+        # block_rows=16 → 4 blocks → 10 block pairs: exercises both the
+        # same-block (triangular) and cross-block (min/max id) branches
+        out = cosine_all_pairs_exact(vecs, 0.3, block_rows=16)
+        got = {
+            (r.id_a, r.id_b, round(r.cosine_sim, 9)) for r in out.collect()
+        }
+        assert got == expected
+
+    def test_block_count_invariant(self, vecs):
+        from fraud_detection_project_spark.operators.similarity import (
+            cosine_all_pairs_exact,
+        )
+
+        one = cosine_all_pairs_exact(vecs, 0.3, block_rows=10_000)
+        many = cosine_all_pairs_exact(vecs, 0.3, block_rows=7)
+        key = lambda df: sorted(
+            (r.id_a, r.id_b, round(r.cosine_sim, 9)) for r in df.collect()
+        )
+        assert key(one) == key(many)
+
+    def test_no_driver_collect_of_vectors(self):
+        # regression guard for the round-1 scale flag: the operator
+        # source must not call DataFrame.collect()
+        import inspect
+
+        from fraud_detection_project_spark.operators import similarity
+
+        src = inspect.getsource(similarity.cosine_all_pairs_exact)
+        assert ".collect()" not in src
+
+
 class TestMultimodal:
     def test_extract_features_contract(self, spark):
         rows = [Row(media_id=i, payload=bytes([i] * 100)) for i in range(5)]
