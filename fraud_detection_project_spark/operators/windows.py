@@ -57,6 +57,7 @@ def velocity_features(
     keys: dict[str, str],
     window_seconds: int = 86400,
     tick: int = 1,
+    skew_safe: bool = False,
 ) -> DataFrame:
     """The reference's three velocity features in one pass
     (``transform_data.py:59-65``): ``{out_col: key_col}`` e.g.
@@ -66,12 +67,76 @@ def velocity_features(
     Each key is its own shuffle; they are independent, so AQE pipelines
     them. (The global pre-sort the reference does is unnecessary — each
     window spec carries its own ordering.)
+
+    ``skew_safe=True`` routes every key through
+    :func:`rolling_count_sliced` — same results, partitions bounded by
+    (key, time-slice) instead of a key's whole history. Use it when an
+    entity key can be hot (one device/IP with a large share of events).
     """
+    fn = rolling_count_sliced if skew_safe else rolling_count_24h
     for out_col, key in keys.items():
-        df = rolling_count_24h(
+        df = fn(
             df, key, time_col, out_col, window_seconds=window_seconds, tick=tick
         )
     return df
+
+
+def rolling_count_sliced(
+    df: DataFrame,
+    key: str | Sequence[str],
+    time_col: str | Column,
+    out_col: str,
+    window_seconds: int = 86400,
+    tick: int = 1,
+    closed: str = "right",
+    slice_seconds: int | None = None,
+) -> DataFrame:
+    """Skew-hardened twin of :func:`rolling_count_24h` — identical
+    semantics, bounded partitions.
+
+    The plain form partitions the window by key alone, so one hot entity
+    (a device with millions of events — the reference workload of
+    ``transform_data.py:59-65`` at 100×) pins its entire history to a
+    single task. This form partitions by ``(key, time_slice)`` with
+    ``slice >= window``, replicating each event once into the next slice
+    so every probe still sees its full trailing window:
+
+    - slice s's partition holds slice s's events (probes) plus slice
+      s-1's events (context); the trailing window of width W <= S can
+      only reach into the previous slice, so the count is exact;
+    - context rows are dropped after the window pass;
+    - a hot key's work now spreads over its time slices — the per-task
+      bound is 2 slices of one key's events, regardless of history
+      length. Cost: 2x shuffle volume on the replicated input.
+
+    Equivalent result to :func:`rolling_count_24h` for every input (the
+    equality is pytest-property-tested); use this form when a key can be
+    hot, the plain form when keys are well-distributed.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    t = (F.col(time_col) if isinstance(time_col, str) else time_col).cast("long")
+    width = window_seconds * tick
+    slice_width = (slice_seconds or window_seconds) * tick
+    if slice_width < width:
+        raise ValueError("slice_seconds must be >= window_seconds")
+    low = -(width - 1) if closed == "right" else -width
+
+    slice_id = F.floor(t / F.lit(slice_width))
+    probes = df.withColumn("__slice", slice_id).withColumn(
+        "__probe", F.lit(True)
+    )
+    context = df.withColumn("__slice", slice_id + 1).withColumn(
+        "__probe", F.lit(False)
+    )
+    both = probes.unionByName(context)
+
+    w = Window.partitionBy(*keys, "__slice").orderBy(t).rangeBetween(low, 0)
+    cnt = F.count(F.lit(1)).over(w) - F.lit(1)
+    return (
+        both.withColumn(out_col, F.coalesce(cnt, F.lit(0)).cast("long"))
+        .filter(F.col("__probe"))
+        .drop("__slice", "__probe")
+    )
 
 
 def sessionize(

@@ -373,6 +373,36 @@ def q_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_24h_user_sliced",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW
+           ) - 1 AS txn_24h
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_rolling_24h_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 skew-hardened twin: same trailing-24h semantics (and the same
+    SQL oracle as ``rolling_24h_user``) via (key, time-slice) window
+    partitions with overlap replication (operators/windows.py
+    ``rolling_count_sliced``) — a hot entity's history spreads over its
+    slices instead of pinning one task. Ref workload:
+    ``transform_data.py:59-65`` at 100x."""
+    from .operators.windows import rolling_count_sliced
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    out = rolling_count_sliced(
+        ev, "user_id", "ts_us", "txn_24h", window_seconds=86400, tick=1_000_000
+    )
+    return out.select("event_id", "user_id", "txn_24h").orderBy("event_id")
+
+
+@register(
     "velocity_features_3keys",
     oracle="""
     WITH t AS (

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -96,6 +97,104 @@ class TestRollingCount:
         got = {r["id"]: r["c"] for r in out.collect()}
         # simultaneous events see each other (range frame, not rows frame)
         assert got[1] == 1 and got[2] == 1 and got[3] == 2
+
+
+class TestRollingCountSliced:
+    def _mk_skewed(self, spark):
+        # one hot key: 200 events spread over 10 days; one cold key
+        rows = [
+            Row(id=i, k="hot", t=i * 4_320)  # every 72 min for 10 days
+            for i in range(200)
+        ] + [Row(id=1000 + i, k="cold", t=i * 50_000) for i in range(5)]
+        return spark.createDataFrame(rows)
+
+    def test_matches_plain_form(self, spark):
+        from fraud_detection_project_spark.operators.windows import (
+            rolling_count_sliced,
+        )
+
+        df = self._mk_skewed(spark)
+        plain = {
+            r["id"]: r["c"]
+            for r in rolling_count_24h(
+                df, "k", "t", "c", window_seconds=86400, tick=1
+            ).collect()
+        }
+        sliced = {
+            r["id"]: r["c"]
+            for r in rolling_count_sliced(
+                df, "k", "t", "c", window_seconds=86400, tick=1
+            ).collect()
+        }
+        assert sliced == plain
+
+    def test_closed_right_boundary(self, spark):
+        from fraud_detection_project_spark.operators.windows import (
+            rolling_count_sliced,
+        )
+
+        base = 1_000_000
+        df = spark.createDataFrame(
+            [Row(id=1, k="u", t=base), Row(id=2, k="u", t=base + 86_400),
+             Row(id=3, k="u", t=base + 86_399)],
+        )
+        out = rolling_count_sliced(df, "k", "t", "c", window_seconds=86400, tick=1)
+        got = {r["id"]: r["c"] for r in out.collect()}
+        assert got == {1: 0, 3: 1, 2: 1}  # exactly-24h event excluded
+
+    def test_hot_key_work_is_partition_bounded(self, spark):
+        from fraud_detection_project_spark.operators.windows import (
+            rolling_count_sliced,
+        )
+
+        df = self._mk_skewed(spark)
+        # reproduce the internal grouping: probes + next-slice context
+        S = 86400
+        probes = df.withColumn("slice", F.floor(F.col("t") / S))
+        context = df.withColumn("slice", F.floor(F.col("t") / S) + 1)
+        groups = (
+            probes.unionByName(context)
+            .groupBy("k", "slice")
+            .count()
+            .collect()
+        )
+        hot = [r for r in groups if r["k"] == "hot"]
+        # the hot key's 400 replicated rows spread over >= 10 slice
+        # groups, and no single group exceeds 2 slices' worth of events
+        assert len(hot) >= 10
+        per_slice = 86400 // 4_320  # events per day for the hot key
+        assert max(r["count"] for r in hot) <= 2 * per_slice + 2
+        # the plain form would put all 200 hot rows in ONE partition
+        # group — that is the straggler this operator removes
+        assert rolling_count_sliced(
+            df, "k", "t", "c", window_seconds=86400, tick=1
+        ).count() == df.count()
+
+    def test_slice_narrower_than_window_rejected(self, spark):
+        from fraud_detection_project_spark.operators.windows import (
+            rolling_count_sliced,
+        )
+
+        df = spark.createDataFrame([Row(id=1, k="u", t=0)])
+        with pytest.raises(ValueError):
+            rolling_count_sliced(
+                df, "k", "t", "c", window_seconds=86400, slice_seconds=3600
+            )
+
+    def test_velocity_features_skew_safe(self, spark):
+        from fraud_detection_project_spark.operators.windows import (
+            velocity_features,
+        )
+
+        df = self._mk_skewed(spark).withColumn("k2", F.col("id") % 3)
+        keys = {"v_k": "k", "v_k2": "k2"}
+        a = velocity_features(df, "t", keys, window_seconds=86400).collect()
+        b = velocity_features(
+            df, "t", keys, window_seconds=86400, skew_safe=True
+        ).collect()
+        ka = sorted((r["id"], r["v_k"], r["v_k2"]) for r in a)
+        kb = sorted((r["id"], r["v_k"], r["v_k2"]) for r in b)
+        assert ka == kb
 
 
 class TestCleaning:

@@ -77,6 +77,32 @@ def test_rolling_count_matches_bruteforce(spark, data):
         assert got[(key, t, cat)] == want, (key, t)
 
 
+@given(data=rows)
+@settings(**SETTINGS)
+def test_rolling_count_sliced_equals_plain(spark, data):
+    """W1 skew-hardened twin: (key, time-slice) partitioning with overlap
+    replication is value-identical to the single-partition-per-key form
+    for every input — including slice-boundary and tied timestamps."""
+    from fraud_detection_project_spark.operators.windows import (
+        rolling_count_24h,
+        rolling_count_sliced,
+    )
+
+    W = 100
+    df = spark.createDataFrame(data, "key long, t long, cat string")
+    plain = sorted(
+        (r["key"], r["t"], r["cat"], r["cnt"])
+        for r in rolling_count_24h(df, "key", "t", "cnt", window_seconds=W).collect()
+    )
+    sliced = sorted(
+        (r["key"], r["t"], r["cat"], r["cnt"])
+        for r in rolling_count_sliced(
+            df, "key", "t", "cnt", window_seconds=W
+        ).collect()
+    )
+    assert plain == sliced
+
+
 @given(ips=st.lists(st.integers(min_value=0, max_value=2**32 - 1), min_size=1, max_size=30))
 @settings(**SETTINGS)
 def test_ip_roundtrip_identity(spark, ips):
