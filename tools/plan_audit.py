@@ -66,6 +66,29 @@ def audit(spark, sf_dir: str) -> list[str]:
     p = plan_of(QUERIES["topk_orders"](spark, sf_dir))
     check("topk: TakeOrderedAndProject", "TakeOrderedAndProject" in p, p)
 
+    # skew-hardened velocity twin — still exactly one window shuffle
+    # (the union of probes+context shuffles once on (key, slice))
+    p = plan_of(QUERIES["rolling_24h_user_sliced"](spark, sf_dir))
+    check("rolling_24h_sliced: single window shuffle",
+          p.count("Exchange hashpartitioning") == 1, p)
+
+    # set algebra — a real join plan, not driver-side counts folded into
+    # literals (round-1 shape); distinct+join share the user_id key
+    p = plan_of(QUERIES["user_set_algebra"](spark, sf_dir))
+    check("user_set_algebra: full-outer join in plan",
+          "FullOuter" in p, p)
+
+    # exact-n undersampler — offsets and n_min broadcast, not collected
+    p = plan_of(QUERIES["undersample_exact_counts"](spark, sf_dir))
+    check("undersample_exact: broadcast offsets join",
+          "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p)
+
+    # blocked all-pairs cosine — Arrow kernel over packed block pairs,
+    # no per-pair expression join
+    p = plan_of(QUERIES["embedding_near_dup_exact"](spark, sf_dir))
+    check("all_pairs_exact: Arrow mapInPandas kernel",
+          "MapInPandas" in p, p)
+
     # whole-stage codegen compiles for the scan→agg path ("codegen"
     # explain mode generates the code without executing). The adaptive
     # wrapper hides codegen subtrees pre-execution, so plan this one
