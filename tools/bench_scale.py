@@ -1,0 +1,149 @@
+"""Scaling-decade bench (VERDICT r1 #8): one measured 10x step.
+
+The driver bench (bench.py) runs at sf0.1; the 100 TB claim deserves at
+least one measured decade. This tool synthesizes a ~sf1 dataset from the
+driver's sf0.1 parquet — fact tables (events, lineitem, orders)
+replicated 10x with shifted keys so key cardinality scales with rows;
+dimension tables reused as-is (dims grow sublinearly in every TPC-H-ish
+schema) — then times the headline workloads at both scales and writes
+SCALING.md with per-query times and the scaling exponent
+log10(t_10x / t_1x).
+
+A workload whose exponent is ~1 scales linearly in data volume (the
+shuffle/window/join plans hold); >>1 means a superlinear bottleneck.
+
+Usage: python tools/bench_scale.py [--rebuild]
+Scaled data lives in .scale_data/sf1/ (gitignored, built once).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(ROOT, ".scale_data", "sf1")
+REPLICAS = 10
+# fact tables: (key columns to shift so cardinality scales with rows)
+FACTS = {
+    "events": ["event_id", "user_id"],
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+}
+DIMS = ["region", "nation", "customer", "supplier", "part",
+        "documents", "embeddings"]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from fraud_detection_project_spark.catalog import load_table
+
+    os.makedirs(DST, exist_ok=True)
+    for t, keys in FACTS.items():
+        df = load_table(spark, SRC, t)
+        if t == "events":
+            # write back in the source layout: ts as raw nanos long
+            # (load_table derives the timestamp col; keeping it would
+            # write INT96 and break the schema-pinned re-read)
+            df = df.drop("ts").withColumnRenamed("ts_ns", "ts")
+        # key shift: replica r adds r * 10^ceil(log10(max_key+1)) — keys
+        # stay unique across replicas and per-key densities are preserved
+        maxes = df.select(
+            *[F.max(F.col(k)).alias(k) for k in keys]
+        ).first()
+        shifts = {
+            k: 10 ** math.ceil(math.log10(int(maxes[k]) + 2)) for k in keys
+        }
+        parts = []
+        for r in range(REPLICAS):
+            p = df
+            for k in keys:
+                p = p.withColumn(
+                    k, (F.col(k) + F.lit(r * shifts[k])).cast(df.schema[k].dataType)
+                )
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(DST, f"{t}.parquet"))
+        print(f"built {t} x{REPLICAS}", flush=True)
+    for t in DIMS:
+        src = os.path.join(SRC, f"{t}.parquet")
+        dst = os.path.join(DST, f"{t}.parquet")
+        if os.path.exists(src) and not os.path.exists(dst):
+            os.symlink(src, dst)
+
+
+def consume(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run(spark, sf_dir: str) -> dict[str, float]:
+    from fraud_detection_project_spark.queries import QUERIES
+
+    workloads = {
+        "q1_pricing": lambda: QUERIES["pricing_summary"](spark, sf_dir),
+        "q2_geolocate": lambda: QUERIES["geolocate_events_value"](spark, sf_dir),
+        "q3_velocity": lambda: QUERIES["velocity_features_3keys"](spark, sf_dir),
+        "q4_cleaning": lambda: QUERIES["cleaning_chain"](spark, sf_dir),
+        "q3s_velocity_sliced": lambda: QUERIES["rolling_24h_user_sliced"](
+            spark, sf_dir
+        ),
+    }
+    consume(QUERIES["cleaning_chain"](spark, sf_dir))  # warm listing/JIT
+    out = {}
+    for name, build_q in workloads.items():
+        t0 = time.perf_counter()
+        consume(build_q())
+        out[name] = round(time.perf_counter() - t0, 3)
+        print(f"{sf_dir.split('/')[-1]} {name}: {out[name]}s", flush=True)
+    return out
+
+
+def main() -> None:
+    from fraud_detection_project_spark.session import get_spark
+
+    spark = get_spark("bench-scale")
+    if "--rebuild" in sys.argv and os.path.isdir(DST):
+        shutil.rmtree(DST)
+    if not os.path.isdir(DST):
+        build(spark)
+
+    t_1x = run(spark, SRC)
+    t_10x = run(spark, DST)
+    spark.stop()
+
+    lines = [
+        "# SCALING — measured 10x decade (sf0.1 → ~sf1)",
+        "",
+        "~sf1 = sf0.1 facts replicated 10x with shifted keys (events,",
+        "lineitem, orders; key cardinality scales with rows), dims reused.",
+        "Exponent = log10(t_10x / t_1x): ~1.0 linear, <1 sublinear (fixed",
+        "overheads amortizing), >>1 a superlinear bottleneck.",
+        "",
+        "| workload | t @ sf0.1 (s) | t @ ~sf1 (s) | ratio | exponent |",
+        "|---|---|---|---|---|",
+    ]
+    for name in t_1x:
+        r = t_10x[name] / t_1x[name] if t_1x[name] else float("nan")
+        lines.append(
+            f"| {name} | {t_1x[name]:.3f} | {t_10x[name]:.3f} "
+            f"| {r:.2f}x | {math.log10(r):.2f} |"
+        )
+    lines += ["", f"(run: `python tools/bench_scale.py`, {time.strftime('%Y-%m-%d')})"]
+    with open(os.path.join(ROOT, "SCALING.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"sf0.1": t_1x, "sf1": t_10x}))
+
+
+if __name__ == "__main__":
+    main()
