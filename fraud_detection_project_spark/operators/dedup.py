@@ -361,3 +361,87 @@ def ngram_jaccard_pairs(
     return common.select("id_a", "id_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list → one row per
+    node ``(id, cluster_id)`` where ``cluster_id`` is the smallest node
+    id in the component. Nodes appear only if they touch ≥1 edge.
+
+    This is the canonical *last* step of a near-dup pipeline: pair
+    emitters (MinHash/SimHash/Jaccard/embedding) produce edges; this
+    collapses them into duplicate clusters so one canonical doc per
+    cluster survives. No reference equivalent (reference has no graph
+    ops); north-star §2 scale family.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — converges
+    in O(log n) rounds vs O(diameter) for naive label propagation, and
+    every intermediate edge set stays bounded by the input neighborhood
+    sizes, so no round materializes anything bigger than the graph.
+    Per round: two shuffles (groupBy min + join), both keyed on node id.
+    ``localCheckpoint`` truncates lineage each round so the plan does
+    not grow exponentially with iterations.
+
+    Convergence test is a one-pass aggregate (count + xxhash64 sum of
+    the edge set) instead of an exceptAll anti-join — two long scans
+    replaced by one cheap fingerprint compare per round.
+    """
+    e = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(E: DataFrame) -> DataFrame:
+        # neighborhoods both directions; m(u) = min(N(u) ∪ {u});
+        # emit (v, m(u)) for v > u
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(E: DataFrame) -> DataFrame:
+        # input edges all point big→small; m(u) = min(N(u)); emit
+        # (x, m) for x ∈ N(u) ∪ {u}, x ≠ m
+        m = E.groupBy("u").agg(F.min("v").alias("m"))
+        to_nbrs = (
+            E.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        to_self = m.select(F.col("u"), F.col("m").alias("v"))
+        return to_nbrs.union(to_self).distinct()
+
+    def fingerprint(E: DataFrame) -> tuple:
+        row = E.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        cur = fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+    # stars: every edge is (node, root); roots label themselves
+    return (
+        e.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+        .union(e.select(F.col("v").alias("id"), F.col("v").alias("cluster_id")))
+        .distinct()
+    )

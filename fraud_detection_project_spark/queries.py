@@ -2124,3 +2124,50 @@ def q_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "dup_clusters",
+    oracle=r"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))), '\s+') AS toks
+        FROM documents
+    ),
+    s AS (SELECT doc_id, unnest(range(1, len(toks) - 1)) AS i, toks FROM t WHERE len(toks) >= 3),
+    d AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM s),
+    n AS (SELECT doc_id, COUNT(*) AS ns FROM d GROUP BY doc_id),
+    p AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+        FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pq AS (
+        SELECT ia, ib
+        FROM p JOIN n na ON na.doc_id = p.ia JOIN n nb ON nb.doc_id = p.ib
+        WHERE c * 1.0 / (na.ns + nb.ns - c) >= 0.5
+    ),
+    e AS (SELECT ia AS es, ib AS ed FROM pq UNION ALL SELECT ib, ia FROM pq),
+    r AS (
+        SELECT es AS id, es AS lab FROM e
+        UNION
+        SELECT e.ed, r.lab FROM r JOIN e ON e.es = r.id
+    )
+    SELECT id AS doc_id, MIN(lab) AS cluster_id
+    FROM r GROUP BY id ORDER BY doc_id
+    """,
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: exact 3-gram Jaccard pairs (≥0.5) collapsed to
+    connected components (operators/dedup.py:connected_components,
+    alternating large-star/small-star — O(log n) rounds). cluster_id =
+    min doc_id in the component; the canonical-survivor step of a
+    dedup pipeline. Oracle computes the same closure with a recursive
+    CTE — an iterative distributed algorithm exact-checked against SQL.
+    No reference equivalent (reference has no graph ops)."""
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id").orderBy("doc_id")

@@ -232,3 +232,61 @@ class TestMultimodal:
         r = attach_media_meta(df, "payload", mime="image/png").first()
         assert r["media_meta"]["mime"] == "image/png"
         assert r["payload_bytes"] == 3
+
+
+class TestConnectedComponents:
+    @staticmethod
+    def _brute_cc(edges):
+        """Union-find ground truth: node -> min node id in component."""
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        return {n: find(n) for n in parent}
+
+    def _check(self, spark, edges):
+        from fraud_detection_project_spark.operators.dedup import connected_components
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(df).collect()
+        }
+        assert got == set(self._brute_cc(edges).items())
+
+    def test_two_triangles_bridged(self, spark):
+        self._check(spark, [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (3, 10)])
+
+    def test_chain_and_star(self, spark):
+        # long chain stresses the O(log n) contraction; star is the easy case
+        chain = [(i, i + 1) for i in range(20)]
+        star = [(100, x) for x in range(101, 110)]
+        self._check(spark, chain + star)
+
+    def test_random_graphs_match_union_find(self, spark):
+        import random
+
+        rng = random.Random(7)
+        for trial in range(3):
+            n = rng.randint(5, 40)
+            edges = [
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randint(n // 2, 2 * n))
+            ]
+            edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+            self._check(spark, edges)
+
+    def test_self_loops_and_dups_ignored(self, spark):
+        self._check(spark, [(1, 1), (1, 2), (2, 1), (1, 2), (5, 5), (5, 6)])
