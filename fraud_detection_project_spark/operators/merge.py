@@ -1,0 +1,108 @@
+"""MERGE / upsert — apply a CDC changeset to a base snapshot.
+
+No reference equivalent (the reference processes static CSVs,
+``load_data.py``); this is the ingestion-side operator a production
+fraud pipeline needs: nightly snapshot + intraday change stream →
+current table. Semantics mirror ANSI MERGE / Delta-style
+``whenMatchedUpdate / whenNotMatchedInsert / whenMatchedDelete`` with
+latest-change-wins per key.
+
+Scale design (100 TB base, much smaller changeset):
+
+- latest-change-per-key is a ``max_by(struct(payload), seq)`` aggregate
+  — partial (map-side) aggregation, never a full sort, one shuffle keyed
+  on the merge key.
+- the apply joins base against the compacted changeset. Spark cannot
+  broadcast the build side of a FULL OUTER join (HintErrorLogger:
+  "build right for full outer join" — measured, not assumed), so the
+  two modes use different shapes:
+
+  * ``broadcast_changes=False``: one full-outer sort-merge join on the
+    key. If the base is bucketed by the key (sources/bucketing.py) the
+    base-side shuffle disappears.
+  * ``broadcast_changes=True`` (a day's changes fit in memory even when
+    the base is 100 TB): a broadcast LEFT OUTER join carries every base
+    row — the base payload NEVER shuffles — and inserts (change keys
+    absent from base) come from a separate left-anti join of the tiny
+    changeset against the base's key column only, a column-pruned scan
+    that shuffles 8-byte keys, not rows.
+- deletes are rows, not tombstone scans: a change row with
+  ``op = delete_op`` drops the key in the same single pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def latest_changes(
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Compact a changeset to the latest change per key (seq max wins).
+
+    ``max_by(struct(...), seq)`` instead of a row_number window: the
+    aggregate combines map-side, so the shuffle carries one row per key
+    per map task — a window sort would shuffle every change row.
+    """
+    payload = [c for c in changes.columns if c not in keys]
+    packed = F.max_by(F.struct(*payload), F.col(seq_col)).alias("_ch")
+    return (
+        changes.groupBy(*keys)
+        .agg(packed)
+        .select(*keys, *[F.col(f"_ch.{c}").alias(c) for c in payload])
+    )
+
+
+def merge_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    broadcast_changes: bool = False,
+) -> DataFrame:
+    """Upserted snapshot: latest change per key wins; ``delete_op`` rows
+    drop the key; unmatched change keys insert; untouched base rows pass
+    through. Result schema = base schema.
+
+    ``changes`` must carry every base column that is not a key (the
+    replacement payload) plus ``seq_col`` and ``op_col``.
+    """
+    payload_cols = [c for c in base.columns if c not in keys]
+    latest = latest_changes(changes, keys, seq_col, op_col)
+
+    def apply_side(joined: DataFrame) -> DataFrame:
+        changed = F.col(f"c.{op_col}").isNotNull()
+        merged = joined.select(
+            *keys,
+            *[
+                F.when(changed, F.col(f"c.{p}")).otherwise(F.col(f"b.{p}")).alias(p)
+                for p in payload_cols
+            ],
+            F.col(f"c.{op_col}").alias("_op"),
+        )
+        return merged.filter(
+            F.col("_op").isNull() | (F.col("_op") != F.lit(delete_op))
+        ).drop("_op")
+
+    b, c = base.alias("b"), latest.alias("c")
+    if not broadcast_changes:
+        # one full-outer SMJ handles update/delete/insert together
+        return apply_side(b.join(c, on=keys, how="full_outer"))
+
+    # broadcast path: full outer cannot build the broadcast side, so
+    # split into (1) broadcast left-outer — base payload never shuffles
+    upserted = apply_side(b.join(F.broadcast(c), on=keys, how="left_outer"))
+    # (2) inserts — anti-join the compacted changeset against the base's
+    # key column only (column-pruned scan, shuffles keys not rows)
+    inserts = (
+        latest.filter(F.col(op_col) != F.lit(delete_op))
+        .join(base.select(*keys), on=keys, how="left_anti")
+        .select(*keys, *payload_cols)
+    )
+    return upserted.unionByName(inserts)

@@ -2171,3 +2171,56 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, threshold=0.5)
     cc = connected_components(pairs, src="id_a", dst="id_b")
     return cc.select(F.col("id").alias("doc_id"), "cluster_id").orderBy("doc_id")
+
+
+@register(
+    "cdc_merge_apply",
+    oracle=r"""
+    WITH ch AS (
+        SELECT CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1000000
+                    ELSE o_custkey END AS c_custkey,
+               o_totalprice AS c_acctbal,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+               o_orderkey AS seq
+        FROM orders
+    ),
+    latest AS (
+        SELECT c_custkey,
+               arg_max(c_acctbal, seq) AS c_acctbal,
+               arg_max(op, seq) AS op
+        FROM ch GROUP BY c_custkey
+    )
+    SELECT COALESCE(b.c_custkey, l.c_custkey) AS c_custkey,
+           ROUND(CASE WHEN l.op IS NOT NULL THEN l.c_acctbal
+                      ELSE b.c_acctbal END, 2) AS c_acctbal
+    FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    ORDER BY c_custkey
+    """,
+)
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert (operators/merge.py): a synthetic CDC changeset
+    derived from orders (every 7th orderkey a delete, every 11th an
+    insert of a new key, rest updates; latest orderkey wins per key)
+    applied to the customer snapshot in one compaction aggregate + one
+    join. No reference equivalent — ingestion-side north-star operator."""
+    from .operators.merge import merge_apply
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("c_custkey"),
+        F.col("o_totalprice").alias("c_acctbal"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    merged = merge_apply(
+        cust, changes, keys=["c_custkey"], seq_col="seq", broadcast_changes=True
+    )
+    return merged.select(
+        "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
+    ).orderBy("c_custkey")

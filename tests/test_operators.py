@@ -368,3 +368,42 @@ def test_geolocate_strategies_equivalent(spark):
     b = geolocate(ev, dim, strategy="binned").select("event_id", "country")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+class TestMergeApply:
+    def test_upsert_delete_latest_wins(self, spark):
+        from fraud_detection_project_spark.operators.merge import merge_apply
+
+        base = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        changes = spark.createDataFrame(
+            [
+                (2, "b1", "U", 10),   # update, superseded
+                (2, "b2", "U", 20),   # latest update wins
+                (3, None, "D", 5),    # delete
+                (4, "d", "I", 1),     # insert of new key
+                (5, "e", "U", 1),     # upsert-insert then delete — gone
+                (5, None, "D", 2),
+            ],
+            "k long, v string, op string, seq long",
+        )
+        out = {
+            (r["k"], r["v"])
+            for r in merge_apply(base, changes, ["k"], "seq").collect()
+        }
+        assert out == {(1, "a"), (2, "b2"), (4, "d")}
+
+    def test_broadcast_variant_same_result(self, spark):
+        from fraud_detection_project_spark.operators.merge import merge_apply
+
+        base = spark.createDataFrame([(i, i * 10) for i in range(50)], "k long, v long")
+        changes = spark.createDataFrame(
+            [(i, i * 100, "U" if i % 3 else "D", i) for i in range(0, 50, 2)],
+            "k long, v long, op string, seq long",
+        )
+        plain = merge_apply(base, changes, ["k"], "seq").collect()
+        bcast = merge_apply(base, changes, ["k"], "seq", broadcast_changes=True).collect()
+        assert sorted(map(tuple, plain)) == sorted(map(tuple, bcast))
+        plan = merge_apply(base, changes, ["k"], "seq", broadcast_changes=True)._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan
