@@ -1,0 +1,76 @@
+"""Keyword search — BM25 ranking over a document corpus.
+
+No reference equivalent (the reference has no text retrieval); this is
+the retrieval primitive of a training-data / RAG pipeline: score every
+document against a term list, return the top-k.
+
+Scale design (100 TB corpus, |query| ≈ a handful of terms):
+
+- the explode is filtered to the query's terms BEFORE any shuffle —
+  ``array_intersect``-style pruning means the exploded relation carries
+  at most |docs| × |terms| rows, never the full token stream.
+- document-frequency and corpus stats are one-row / |terms|-row
+  aggregates joined back via broadcast; the only per-doc shuffle is the
+  final (doc_id, term) → doc_id score sum, bounded by |docs| × |terms|.
+- top-k is ``ORDER BY … LIMIT k`` → TakeOrderedAndProject: k rows per
+  partition cross the network, k rows reach the driver.
+
+Scores are rounded to 4 dp *before* the final ordering so ranking is
+reproducible bit-for-bit across engines (ln() may differ in the last
+ulp between libm implementations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text, tokens
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k documents by BM25 (Robertson/Sparck-Jones, the Lucene
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf variant) for a bag of
+    query terms. Returns (id_col, bm25) ordered by score desc, id asc.
+    """
+    toked = docs.select(
+        F.col(id_col), tokens(normalized_text(text_col)).alias("toks")
+    )
+    dl = toked.select(id_col, F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+
+    tf = (
+        toked.select(F.col(id_col), F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = idf * (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), score.alias("s"))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("s"), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(top_k)

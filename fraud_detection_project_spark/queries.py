@@ -2224,3 +2224,47 @@ def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")
     ).orderBy("c_custkey")
+
+
+@register(
+    "bm25_search_topk",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+    st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, t AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS t FROM tk)
+        WHERE t IN ('hash', 'join', 'vector')
+        GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    sc AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN st
+    )
+    SELECT doc_id, ROUND(SUM(s), 4) AS bm25
+    FROM sc GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for query terms {hash, join, vector}
+    (operators/search.py:bm25_search). Explode is term-filtered before
+    any shuffle; df/corpus stats broadcast back; top-k is
+    TakeOrderedAndProject. Scores rounded to 4 dp before ordering so
+    the ranking is cross-engine reproducible."""
+    from .operators.search import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_search(docs, ["hash", "join", "vector"], top_k=20)

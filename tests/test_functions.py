@@ -124,3 +124,53 @@ class TestTextFunctions:
         assert vals[0] == "en"
         assert vals[1] == "es"
         assert vals[2] == "und"
+
+
+class TestBM25Search:
+    def test_matches_pure_python(self, spark):
+        import math
+
+        from fraud_detection_project_spark.operators.search import bm25_search
+
+        corpus = [
+            (1, "spark join hash join"),
+            (2, "hash table scan"),
+            (3, "vector vector vector index"),
+            (4, "unrelated words only here"),
+            (5, ""),
+        ]
+        terms = ["join", "hash", "vector"]
+        k1, b = 1.2, 0.75
+
+        toks = {i: t.lower().split() for i, t in corpus}
+        dls = {i: len(t) for i, t in toks.items()}
+        n = len(corpus)
+        avgdl = sum(dls.values()) / n
+        df = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+        expect = {}
+        for i, tk in toks.items():
+            s = 0.0
+            for t in terms:
+                tf = tk.count(t)
+                if tf == 0 or df[t] == 0:
+                    continue
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dls[i] / avgdl))
+            if s > 0:
+                expect[i] = round(s, 4)
+
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {r["doc_id"]: r["bm25"] for r in bm25_search(docs, terms).collect()}
+        assert got == expect
+
+    def test_topk_is_take_ordered(self, spark):
+        from fraud_detection_project_spark.operators.search import bm25_search
+
+        docs = spark.createDataFrame(
+            [(i, "hash join" if i % 2 else "scan") for i in range(100)],
+            "doc_id long, text string",
+        )
+        q = bm25_search(docs, ["hash"], top_k=5)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert len(q.collect()) == 5
