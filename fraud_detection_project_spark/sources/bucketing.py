@@ -52,11 +52,30 @@ def write_partitioned(
     partition_cols: Sequence[str],
     mode: str = "overwrite",
     format: str = "parquet",
+    sort_cols: Sequence[str] | None = None,
+    max_records_per_file: int | None = None,
 ) -> None:
     """Directory-partitioned write → partition pruning on
     ``partition_cols`` for every subsequent scan with a predicate on
-    them (static at plan time, dynamic at runtime via DPP)."""
-    df.write.format(format).mode(mode).partitionBy(*partition_cols).save(path)
+    them (static at plan time, dynamic at runtime via DPP).
+
+    File-layout knobs for the 100 TB regime:
+
+    - ``sort_cols``: ``sortWithinPartitions(partition_cols + sort_cols)``
+      before the write. Sorting by the partition column first means each
+      task writes each partition directory once (not one open file per
+      partition per task — the classic small-files explosion); the
+      trailing sort keys cluster values so parquet min/max row-group
+      stats actually skip data on point/range predicates.
+    - ``max_records_per_file``: caps file size so a skewed partition
+      (one hot day) still splits into parallel-scannable files.
+    """
+    if sort_cols:
+        df = df.sortWithinPartitions(*partition_cols, *sort_cols)
+    w = df.write.format(format).mode(mode)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy(*partition_cols).save(path)
 
 
 def cluster_for_join(

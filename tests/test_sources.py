@@ -87,3 +87,51 @@ def test_cluster_for_join_single_shuffle_each_side(spark):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     # exactly the two explicit repartitions — the join itself adds none
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_partitioned_write_file_sizing(spark, tmp_path):
+    """sort_cols + max_records_per_file: hot partitions split into
+    multiple bounded files, and row-group stats are clustered."""
+    import glob
+
+    from fraud_detection_project_spark.catalog import load_table
+    from fraud_detection_project_spark.sources.bucketing import write_partitioned
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "ev_sized")
+    write_partitioned(
+        ev, path, ["day"], sort_cols=["user_id"], max_records_per_file=500
+    )
+    # every parquet file respects the record cap
+    for f in glob.glob(f"{path}/day=*/*.parquet"):
+        n = spark.read.parquet(f).count()
+        assert n <= 500, f"{f} has {n} rows"
+    # and the round-trip is lossless
+    assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Join-driven pruning: a filtered dim on the partition key prunes
+    fact partitions at runtime (DPP) — the fact scan must carry a
+    dynamicpruning subquery, not read all days."""
+    from fraud_detection_project_spark.catalog import load_table
+    from fraud_detection_project_spark.sources.bucketing import write_partitioned
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn("day", F.to_date("ts"))
+    path = str(tmp_path / "ev_dpp")
+    write_partitioned(ev, path, ["day"])
+
+    days = ev.select("day").distinct().withColumn(
+        "is_hot", F.dayofmonth("day") <= 2
+    )
+    fact = spark.read.parquet(path)
+    dim = days.filter(F.col("is_hot"))
+    joined = fact.join(dim.hint("broadcast"), "day").groupBy("day").count()
+
+    optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+    assert "dynamicpruning" in optimized.lower(), optimized
+
+    expect = ev.join(dim, "day").groupBy("day").count()
+    got = {(r["day"], r["count"]) for r in joined.collect()}
+    want = {(r["day"], r["count"]) for r in expect.collect()}
+    assert got == want
