@@ -209,12 +209,18 @@ def ivf_topk(
     of the seeded sample.
     """
     if centroids is None:
+        # deterministic seeded sample via hash order: ONE
+        # TakeOrderedAndProject job, n_centroids rows to the driver
+        # (rdd.takeSample would run a count job + a sample job and pull
+        # through the RDD path)
         sample = (
-            df.select(vec_col)
+            df.select(id_col, vec_col)
             .filter(F.col(vec_col).isNotNull())
-            .rdd.takeSample(False, n_centroids, seed)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+            .limit(n_centroids)
+            .collect()
         )
-        centroids = [list(map(float, r[0])) for r in sample]
+        centroids = [list(map(float, r[vec_col])) for r in sample]
 
     # squared distance to every centroid via higher-order functions over
     # one constant centroid matrix (O(1) expression nodes — see
@@ -362,3 +368,64 @@ def cosine_all_pairs_exact(
     # the B(B+1)/2 pairs across the cluster instead of batching them
     n_pairs = n_blocks * (n_blocks + 1) // 2
     return pairs.repartition(min(n_pairs, 2048)).mapInPandas(kernel, out_schema)
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the storage-side
+    compression step of an embedding pipeline (4× smaller than float32,
+    8× smaller than float64; ANN distance kernels then run on int8).
+
+    Per vector: ``scale = max|x| / 127`` (1.0 for all-zero vectors),
+    ``q_i = floor(x_i / scale + 0.5)`` — floor(+0.5) instead of round()
+    so the rounding rule is engine-independent (banker's vs half-away
+    ties can differ between numpy/JVM/SQL; floor cannot).
+
+    Output: (id_col, scale, q array<tinyint>, sum_q, n_sat, max_err) —
+    the trailing three are quality telemetry (saturated-lane count and
+    worst reconstruction error) computed in the same Arrow pass for
+    free. One narrow mapInPandas-style projection, no shuffle; all math
+    float64 so a SQL oracle reproduces it bit-for-bit.
+
+    No reference equivalent (reference has no embedding ops); north-star
+    §2 similarity family.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def kernel(vs):
+        n = len(vs)
+        out = {
+            "scale": [None] * n,
+            "q": [None] * n,
+            "sum_q": [None] * n,
+            "n_sat": [None] * n,
+            "max_err": [None] * n,
+        }
+        for i, v in enumerate(vs):
+            if v is None:
+                continue
+            x = np.asarray(list(v), dtype=np.float64)
+            m = float(np.max(np.abs(x))) if x.size else 0.0
+            scale = m / 127.0 if m > 0 else 1.0
+            q = np.floor(x / scale + 0.5)
+            out["scale"][i] = scale
+            out["q"][i] = [int(t) for t in q]
+            out["sum_q"][i] = int(q.sum())
+            out["n_sat"][i] = int((np.abs(q) == 127.0).sum())
+            out["max_err"][i] = float(np.max(np.abs(q * scale - x))) if x.size else 0.0
+        return pd.DataFrame(out)
+
+    packed = pandas_udf(
+        kernel,
+        returnType=(
+            "struct<scale: double, q: array<tinyint>, sum_q: bigint,"
+            " n_sat: bigint, max_err: double>"
+        ),
+    )(F.col(vec_col))
+    return df.select(F.col(id_col), packed.alias("_z")).select(
+        id_col, "_z.scale", "_z.q", "_z.sum_q", "_z.n_sat", "_z.max_err"
+    )

@@ -2268,3 +2268,48 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_search(docs, ["hash", "join", "vector"], top_k=20)
+
+
+@register(
+    "embedding_quantize_profile",
+    oracle=r"""
+    WITH b AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    s AS (
+        SELECT vec_id, xs,
+               CASE WHEN list_max(list_transform(xs, x -> abs(x))) = 0 THEN 1.0
+                    ELSE list_max(list_transform(xs, x -> abs(x))) / 127.0
+               END AS scale
+        FROM b
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CAST(list_sum(list_transform(xs, x -> floor(x / scale + 0.5))) AS BIGINT) AS sum_q,
+           CAST(len(list_filter(xs, x -> abs(floor(x / scale + 0.5)) = 127.0)) AS BIGINT) AS n_sat,
+           ROUND(list_max(list_transform(xs, x -> abs(floor(x / scale + 0.5) * scale - x))), 6) AS max_err
+    FROM s
+    ORDER BY vec_id
+    """,
+)
+def q_quantize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization telemetry per vector
+    (operators/similarity.py:quantize_int8): scale, quantized checksum,
+    saturated-lane count, worst reconstruction error. floor(+0.5)
+    rounding and float64 math make the Arrow kernel bit-reproducible in
+    SQL — a Python-kernel operator exact-checked against an engine that
+    shares none of its code."""
+    from .operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    qz = quantize_int8(emb)
+    return qz.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        "sum_q",
+        "n_sat",
+        F.round("max_err", 6).alias("max_err"),
+    ).orderBy("vec_id")

@@ -290,3 +290,42 @@ class TestConnectedComponents:
 
     def test_self_loops_and_dups_ignored(self, spark):
         self._check(spark, [(1, 1), (1, 2), (2, 1), (1, 2), (5, 5), (5, 6)])
+
+
+class TestQuantizeInt8:
+    def test_bounds_and_reconstruction(self, spark):
+        import numpy as np
+
+        from fraud_detection_project_spark.operators.similarity import quantize_int8
+
+        rng = np.random.RandomState(3)
+        rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(40)]
+        rows.append((100, [0.0] * 16))  # all-zero vector
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = quantize_int8(df).collect()
+        assert len(out) == 41
+        for r in out:
+            assert all(-127 <= v <= 127 for v in r["q"])
+            # symmetric scalar quantization error bound: half a step
+            assert r["max_err"] <= r["scale"] / 2 + 1e-12
+            assert r["n_sat"] >= 1 or r["vec_id"] == 100
+        zero = [r for r in out if r["vec_id"] == 100][0]
+        assert zero["scale"] == 1.0 and zero["sum_q"] == 0 and zero["max_err"] == 0.0
+
+    def test_ivf_default_centroids_deterministic(self, spark):
+        from fraud_detection_project_spark.operators.similarity import ivf_topk
+
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(200)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = [float(x) for x in rng.normal(size=8)]
+        a = [r["vec_id"] for r in ivf_topk(df, q, k=5, n_centroids=8, nprobe=8).collect()]
+        b = [r["vec_id"] for r in ivf_topk(df, q, k=5, n_centroids=8, nprobe=8).collect()]
+        assert a == b
+        # nprobe = n_centroids probes every cell -> exact top-k
+        from fraud_detection_project_spark.operators.similarity import cosine_topk
+
+        exact = [r["vec_id"] for r in cosine_topk(df, q, 5).collect()]
+        assert a == exact
