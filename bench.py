@@ -40,7 +40,7 @@ def ml_prep_pipeline(spark, sf_dir: str):
 
     from fraud_detection_project_spark.catalog import load_table
     from fraud_detection_project_spark.ml.imbalance import undersample_majority
-    from fraud_detection_project_spark.ml.prep import build_feature_pipeline
+    from fraud_detection_project_spark.ml.prep import NativeFeaturePrep
     from fraud_detection_project_spark.ml.split import id_hash_split
     from fraud_detection_project_spark.operators.windows import rolling_count_24h
 
@@ -66,7 +66,11 @@ def ml_prep_pipeline(spark, sf_dir: str):
     )
     test = split.filter(F.col("split") == "test")
 
-    pipe = build_feature_pipeline(["value", "txn_24h", "hour"], ["event_type"])
+    # DataFrame-native prep twin (ml/prep.py:NativeFeaturePrep) — same
+    # semantics as the MLlib pipeline (slot-for-slot test in test_ml.py)
+    # with fit collapsed to two small aggregates instead of MLlib's
+    # per-estimator RDD passes
+    pipe = NativeFeaturePrep(["value", "txn_24h", "hour"], ["event_type"])
     model = pipe.fit(train)
     train_proc = model.transform(train)
     test_proc = model.transform(test)

@@ -149,3 +149,125 @@ def one_hot_columns(
             f"{p}_{safe}", (F.col(col) == F.lit(cat)).cast("int")
         )
     return df
+
+
+class NativeFeaturePrep:
+    """DataFrame-native twin of :func:`build_feature_pipeline` — same
+    contract (M2+M3+M4: train-only fit, frequencyDesc string indexing,
+    unknown-tolerant one-hot with ``dropLast=False``, sample-std
+    scaling), built from first principles on DataFrame aggregates
+    instead of MLlib estimators.
+
+    Why it exists: MLlib's ``StandardScaler.fit`` and
+    ``StringIndexer.fit`` each cost ~1 s of RDD-path overhead per call
+    at bench scale even though both are one small aggregate. Here fit is
+    one plain agg (all numeric moments at once) plus one groupBy per
+    categorical column, and transform is pure whole-stage-codegen column
+    arithmetic finished by ``array_to_vector`` (JVM, no Python).
+    ``tests/test_ml.py`` asserts slot-for-slot equality with the MLlib
+    pipeline's output vectors.
+
+    Categorical indexing uses a literal CASE chain (fine for the
+    low-cardinality dims it targets); above ``max_case_categories`` the
+    model falls back to a broadcast-joined mapping table so a
+    high-cardinality vocab never builds a giant expression tree.
+    """
+
+    def __init__(
+        self,
+        num_cols: Sequence[str],
+        cat_cols: Sequence[str],
+        output_col: str = "features",
+        with_mean: bool = True,
+        with_std: bool = True,
+        max_case_categories: int = 64,
+    ) -> None:
+        self.num_cols = list(num_cols)
+        self.cat_cols = list(cat_cols)
+        self.output_col = output_col
+        self.with_mean = with_mean
+        self.with_std = with_std
+        self.max_case_categories = max_case_categories
+
+    def fit(self, df: DataFrame) -> "NativeFeaturePrepModel":
+        moments = {}
+        if self.num_cols:
+            aggs = []
+            for c in self.num_cols:
+                aggs.append(F.avg(c).alias(f"m_{c}"))
+                aggs.append(F.stddev_samp(c).alias(f"s_{c}"))
+            row = df.agg(*aggs).first()
+            moments = {
+                c: (row[f"m_{c}"], row[f"s_{c}"]) for c in self.num_cols
+            }
+        vocabs = {}
+        for c in self.cat_cols:
+            # StringIndexer frequencyDesc order: count desc, value asc;
+            # nulls fall through to the unseen bucket like handleInvalid=keep
+            rows = (
+                df.filter(F.col(c).isNotNull())
+                .groupBy(c)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), F.asc(c))
+                .collect()
+            )
+            vocabs[c] = [r[c] for r in rows]
+        return NativeFeaturePrepModel(self, moments, vocabs)
+
+
+class NativeFeaturePrepModel:
+    def __init__(self, prep: NativeFeaturePrep, moments: dict, vocabs: dict) -> None:
+        self.prep = prep
+        self.moments = moments
+        self.vocabs = vocabs
+
+    def _scaled(self, c: str):
+        mean, std = self.moments[c]
+        # VectorAssembler(handleInvalid="keep") turns null into NaN
+        x = F.coalesce(F.col(c).cast("double"), F.lit(float("nan")))
+        if self.prep.with_mean:
+            x = x - F.lit(float(mean))
+        if self.prep.with_std:
+            x = F.when(F.lit(std is not None and std > 0), x / F.lit(float(std) if std else 1.0)).otherwise(F.lit(0.0))
+        return x
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.functions import array_to_vector
+
+        slots = [self._scaled(c) for c in self.prep.num_cols]
+        for c in self.prep.cat_cols:
+            vocab = self.vocabs[c]
+            k = len(vocab)
+            if k <= self.prep.max_case_categories:
+                idx = F.lit(k)  # unseen / null -> keep bucket
+                for j in range(k - 1, -1, -1):
+                    idx = F.when(F.col(c) == F.lit(vocab[j]), F.lit(j)).otherwise(idx)
+            else:
+                mapping = df.sparkSession.createDataFrame(
+                    [(v, j) for j, v in enumerate(vocab)], f"{c} string, __idx_{c} int"
+                )
+                df = df.join(F.broadcast(mapping), on=c, how="left")
+                idx = F.coalesce(F.col(f"__idx_{c}"), F.lit(k))
+            # dropLast=False + handleInvalid=keep on BOTH stages: the
+            # indexer reserves slot k for unseen, and the encoder adds
+            # its own (never-reached) invalid slot k+1 — k+2 total,
+            # matching the MLlib pipeline vector slot-for-slot
+            slots.extend(
+                [
+                    F.when(idx == F.lit(j), F.lit(1.0)).otherwise(F.lit(0.0))
+                    for j in range(k + 2)
+                ]
+            )
+        out = df.withColumn(
+            self.prep.output_col, array_to_vector(F.array(*slots))
+        )
+        return out.drop(*[c for c in out.columns if c.startswith("__idx_")])
+
+    def feature_names_out(self) -> list[str]:
+        names = [f"{c}_scaled" for c in self.prep.num_cols]
+        for c in self.prep.cat_cols:
+            names += [f"{c}_{v}" for v in self.vocabs[c]] + [
+                f"{c}__unseen",
+                f"{c}__invalid",
+            ]
+        return names

@@ -251,3 +251,72 @@ class TestClustering:
         ]
         # probing the single trained cell containing the blob → full recall
         assert set(approx) == set(exact)
+
+
+class TestNativeFeaturePrep:
+    def test_matches_mllib_pipeline_slot_for_slot(self, spark):
+        from fraud_detection_project_spark.ml.prep import (
+            NativeFeaturePrep,
+            build_feature_pipeline,
+        )
+
+        train = spark.createDataFrame(
+            [
+                (1, 10.0, "a"), (2, 12.0, "b"), (3, 14.0, "a"), (4, 9.0, "c"),
+                (5, 11.0, "b"), (6, 13.0, "a"), (7, 8.5, "c"), (8, 10.5, "a"),
+            ],
+            "id long, x double, cat string",
+        )
+        # test split carries an UNSEEN category and a null numeric
+        test = spark.createDataFrame(
+            [(9, 20.0, "zz"), (10, None, "a"), (11, 7.0, None)],
+            "id long, x double, cat string",
+        )
+
+        mllib = build_feature_pipeline(["x"], ["cat"]).fit(train)
+        native = NativeFeaturePrep(["x"], ["cat"]).fit(train)
+
+        for df in (train, test):
+            got = {
+                r["id"]: list(r["features"].toArray())
+                for r in native.transform(df).select("id", "features").collect()
+            }
+            want = {
+                r["id"]: list(r["features"].toArray())
+                for r in mllib.transform(df).select("id", "features").collect()
+            }
+            assert got.keys() == want.keys()
+            for k in want:
+                assert len(got[k]) == len(want[k]), (k, got[k], want[k])
+                for a, b in zip(got[k], want[k]):
+                    if b != b:  # NaN slot
+                        assert a != a
+                    else:
+                        assert abs(a - b) <= 1e-9 * max(1.0, abs(b)), (k, got[k], want[k])
+
+    def test_feature_names_match_mllib_metadata(self, spark):
+        from fraud_detection_project_spark.ml.prep import (
+            NativeFeaturePrep,
+            build_feature_pipeline,
+            feature_names_out,
+        )
+
+        train = spark.createDataFrame(
+            [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "a")],
+            "id long, x double, cat string",
+        )
+        native = NativeFeaturePrep(["x"], ["cat"]).fit(train)
+        assert len(native.feature_names_out()) == len(
+            feature_names_out(build_feature_pipeline(["x"], ["cat"]).fit(train), train)
+        )
+
+    def test_high_cardinality_broadcast_path(self, spark):
+        from fraud_detection_project_spark.ml.prep import NativeFeaturePrep
+
+        rows = [(i, float(i % 7), f"c{i % 100}") for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, x double, cat string")
+        prep = NativeFeaturePrep(["x"], ["cat"], max_case_categories=16)
+        out = prep.fit(df).transform(df)
+        vec = out.select("features").first()["features"].toArray()
+        assert len(vec) == 1 + 100 + 2  # scaled x + 100 cats + unseen + invalid slots
+        assert abs(sum(vec[1:]) - 1.0) < 1e-12  # exactly one indicator fires
