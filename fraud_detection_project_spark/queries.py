@@ -2313,3 +2313,29 @@ def q_quantize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sat",
         F.round("max_err", 6).alias("max_err"),
     ).orderBy("vec_id")
+
+
+@register("hll_distinct_rollup")  # rows-only: sketch estimates are engine-specific
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch cardinality rollup: per (event_type, day) HLL
+    sketches of user_id (``hll_sketch_agg``), merged upward to
+    event_type totals with ``hll_union_agg`` — the 100 TB pattern where
+    fine-grain sketches are built once and every coarser rollup is a
+    cheap sketch merge, never a rescan of raw data. Datasketches HLL
+    bytes are engine-specific → rows-only driver check; pytest asserts
+    merge-equivalence (merged == direct sketch) and <5% error vs exact.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("event_type", "day")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_day_sketches"),
+        )
+        .orderBy("event_type")
+    )

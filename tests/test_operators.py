@@ -15,6 +15,7 @@ from fraud_detection_project_spark.operators.cleaning import (
     remove_duplicates,
 )
 from fraud_detection_project_spark.operators.joins import as_of_join, geolocate
+from tests.conftest import SF_SMOKE
 from fraud_detection_project_spark.operators.windows import rolling_count_24h
 
 
@@ -407,3 +408,38 @@ class TestMergeApply:
         assert sorted(map(tuple, plain)) == sorted(map(tuple, bcast))
         plan = merge_apply(base, changes, ["k"], "seq", broadcast_changes=True)._jdf.queryExecution().executedPlan().toString()
         assert "Broadcast" in plan
+
+
+class TestHllSketchRollup:
+    def test_merge_equivalence_and_error(self, spark):
+        """union-merged daily sketches == one direct sketch (byte-path
+        mergeability), and the estimate is within 5% of exact."""
+        from fraud_detection_project_spark.catalog import load_table
+
+        ev = load_table(spark, SF_SMOKE, "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        daily = ev.groupBy("event_type", "day").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        )
+        merged = {
+            r["event_type"]: r["est"]
+            for r in daily.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+            .collect()
+        }
+        direct = {
+            r["event_type"]: r["est"]
+            for r in ev.groupBy("event_type")
+            .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+            .collect()
+        }
+        exact = {
+            r["event_type"]: r["n"]
+            for r in ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert merged == direct
+        for k, n in exact.items():
+            assert abs(merged[k] - n) <= 0.05 * n + 2, (k, merged[k], n)
