@@ -72,19 +72,34 @@ def merge_apply(
 
     ``changes`` must carry every base column that is not a key (the
     replacement payload) plus ``seq_col`` and ``op_col``.
+
+    If the base itself carries ``seq_col`` (a snapshot that records the
+    sequence number that produced each row), a change only applies when
+    ``change.seq >= base.seq`` — stale or replayed changes are no-ops,
+    so applying batches in ANY order converges to the same snapshot
+    (the idempotence the streaming upsert sink relies on,
+    streaming/upsert.py).
     """
     payload_cols = [c for c in base.columns if c not in keys]
+    guard_seq = seq_col in base.columns
     latest = latest_changes(changes, keys, seq_col, op_col)
 
     def apply_side(joined: DataFrame) -> DataFrame:
         changed = F.col(f"c.{op_col}").isNotNull()
+        if guard_seq:
+            changed = changed & (
+                F.col(f"b.{seq_col}").isNull()
+                | (F.col(f"c.{seq_col}") >= F.col(f"b.{seq_col}"))
+            )
         merged = joined.select(
             *keys,
             *[
                 F.when(changed, F.col(f"c.{p}")).otherwise(F.col(f"b.{p}")).alias(p)
                 for p in payload_cols
             ],
-            F.col(f"c.{op_col}").alias("_op"),
+            # effective op: a guard-failing (stale) change is a no-op,
+            # including stale deletes
+            F.when(changed, F.col(f"c.{op_col}")).alias("_op"),
         )
         return merged.filter(
             F.col("_op").isNull() | (F.col("_op") != F.lit(delete_op))

@@ -335,3 +335,74 @@ def test_streaming_velocity_tws_matches_batch_window(spark, events_src, tmp_path
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+class TestStreamingUpsert:
+    def test_microbatched_cdc_equals_batch_merge(self, spark, tmp_path):
+        """3 micro-batches through the foreachBatch upsert sink produce
+        the same snapshot as one batch merge over all changes."""
+        from fraud_detection_project_spark.operators.merge import merge_apply
+        from fraud_detection_project_spark.streaming.upsert import apply_cdc_stream
+
+        base = spark.createDataFrame(
+            [(k, f"v{k}", 0) for k in range(20)], "k long, v string, seq long"
+        )
+        snap = str(tmp_path / "snap")
+        base.write.parquet(snap)
+
+        # three files -> three micro-batches (maxFilesPerTrigger=1);
+        # key 3 is updated then deleted, key 5 deleted then re-inserted,
+        # key 100 is a fresh insert
+        batches = [
+            [(3, "b1", "U", 1), (5, None, "D", 2), (7, "b2", "U", 3)],
+            [(3, None, "D", 4), (5, "back", "U", 5), (100, "new", "U", 6)],
+            [(7, "b3", "U", 7), (11, "x", "U", 8)],
+        ]
+        chdir = tmp_path / "changes"
+        chdir.mkdir()
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                rows, "k long, v string, op string, seq long"
+            ).coalesce(1).write.parquet(str(chdir / f"b{i}"))
+
+        stream = (
+            spark.readStream.schema("k long, v string, op string, seq long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(chdir / "*"))
+        )
+        apply_cdc_stream(
+            spark, stream, snap, keys=["k"], seq_col="seq",
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+
+        all_changes = spark.createDataFrame(
+            [r for b in batches for r in b], "k long, v string, op string, seq long"
+        )
+        want = {
+            (r["k"], r["v"])
+            for r in merge_apply(base, all_changes, ["k"], "seq").collect()
+        }
+        got = {
+            (r["k"], r["v"]) for r in spark.read.parquet(snap).collect()
+        }
+        assert got == want
+        assert all(k != 3 for k, _ in got)          # deleted
+        assert (5, "back") in got and (100, "new") in got and (7, "b3") in got
+
+    def test_stale_replay_is_noop(self, spark, tmp_path):
+        """Re-applying an old changeset against a newer snapshot changes
+        nothing (seq guard idempotence)."""
+        from fraud_detection_project_spark.operators.merge import merge_apply
+
+        snap = spark.createDataFrame(
+            [(1, "new", 10), (2, "cur", 5)], "k long, v string, seq long"
+        )
+        stale = spark.createDataFrame(
+            [(1, "old", "U", 3), (2, None, "D", 4)],
+            "k long, v string, op string, seq long",
+        )
+        out = {
+            (r["k"], r["v"], r["seq"])
+            for r in merge_apply(snap, stale, ["k"], "seq").collect()
+        }
+        assert out == {(1, "new", 10), (2, "cur", 5)}
