@@ -2339,3 +2339,28 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register("doc_pagerank_topk")  # rows-only: iterative float algorithm (no SQL twin)
+def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-based document centrality: PageRank
+    (operators/graph.py:pagerank, 10 power iterations with dangling-mass
+    redistribution) over the 3-gram-Jaccard similarity graph (edges both
+    directions — similarity is symmetric), top-10 docs. The corpus-
+    curation quality signal. pytest pins the algorithm to a numpy power
+    iteration at 1e-9; driver check is rows-only (DuckDB recursive CTEs
+    cannot aggregate per iteration)."""
+    from .operators.dedup import ngram_jaccard_pairs
+    from .operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    pr = pagerank(sym, n_iter=10)
+    return (
+        pr.select(F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("doc_id"))
+        .limit(10)
+    )

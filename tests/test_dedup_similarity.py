@@ -329,3 +329,54 @@ class TestQuantizeInt8:
 
         exact = [r["vec_id"] for r in cosine_topk(df, q, 5).collect()]
         assert a == exact
+
+
+class TestPageRank:
+    @staticmethod
+    def _numpy_pagerank(edges, damping=0.85, n_iter=10):
+        import numpy as np
+
+        nodes = sorted({x for e in edges for x in e})
+        ix = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        adj = {}
+        for s, d in set(edges):
+            adj.setdefault(ix[s], []).append(ix[d])
+        r = np.full(n, 1.0 / n)
+        for _ in range(n_iter):
+            nr = np.zeros(n)
+            dangling = 0.0
+            for i in range(n):
+                if i in adj:
+                    for j in adj[i]:
+                        nr[j] += r[i] / len(adj[i])
+                else:
+                    dangling += r[i]
+            r = (1 - damping) / n + damping * (nr + dangling / n)
+        return {v: r[ix[v]] for v in nodes}
+
+    def test_matches_numpy_power_iteration(self, spark):
+        from fraud_detection_project_spark.operators.graph import pagerank
+
+        edges = [
+            (1, 2), (2, 3), (3, 1), (3, 4), (4, 5),
+            (5, 4), (6, 4), (7, 1),  # 5 has out-edge; 2->3 chain; no edge from 8
+            (8, 1),
+        ]
+        want = self._numpy_pagerank(edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["id"]: r["rank"] for r in pagerank(df).collect()}
+        assert got.keys() == want.keys()
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_dangling_mass_conserved(self, spark):
+        from fraud_detection_project_spark.operators.graph import pagerank
+
+        # star into a sink: all mass funnels through the dangling node
+        edges = [(i, 99) for i in range(1, 6)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=5).collect()}
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+        assert got[99] == max(got.values())
