@@ -135,3 +135,50 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     got = {(r["day"], r["count"]) for r in joined.collect()}
     want = {(r["day"], r["count"]) for r in expect.collect()}
     assert got == want
+
+
+def test_zorder_tightens_both_dims(spark, tmp_path):
+    """Per-file bounding boxes: a single-column sort leaves the other
+    dimension's span at ~100% of global in every file; the Z-order
+    layout keeps BOTH dims' average spans well under half — that's the
+    min/max-stats pruning win for two-predicate scans."""
+    import glob
+
+    from fraud_detection_project_spark.catalog import load_table
+    from fraud_detection_project_spark.sources.zorder import zorder_by
+
+    ev = load_table(spark, SF_SMOKE, "events").select("user_id", "value").filter(
+        F.col("value").isNotNull()
+    )
+    g = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    span_u = g[1] - g[0] or 1
+    span_v = g[3] - g[2] or 1.0
+
+    def avg_spans(path):
+        su, sv, n = 0.0, 0.0, 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            r = spark.read.parquet(f).agg(
+                F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+            ).first()
+            su += (r[1] - r[0]) / span_u
+            sv += (r[3] - r[2]) / span_v
+            n += 1
+        return su / n, sv / n, n
+
+    zp = str(tmp_path / "z")
+    zorder_by(ev, "user_id", "value", num_files=8).write.parquet(zp)
+    sp = str(tmp_path / "s")
+    ev.repartitionByRange(8, "user_id").sortWithinPartitions("user_id").write.parquet(sp)
+
+    zu, zv, zn = avg_spans(zp)
+    su, sv, sn = avg_spans(sp)
+    assert zn >= 4 and sn >= 4
+    # single-col sort: value mostly unclustered (measured ~0.77)
+    assert sv > 0.7, sv
+    # z-order: both dims clustered under half the global span
+    # (measured ~0.38 / ~0.35)
+    assert zu < 0.6 and zv < 0.6, (zu, zv)
+    # the second dim tightens by ~2x vs the single-col layout
+    assert zv < 0.6 * sv, (zv, sv)
