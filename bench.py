@@ -103,17 +103,24 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_workloads_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_workloads_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    # attach the measured 10x scaling decade when tools/bench_scale.py
+    # has produced one (SCALING.md is the human-readable twin)
+    scaling = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".scale_data", "scaling.json")
+    if os.path.exists(scaling):
+        try:
+            with open(scaling) as f:
+                out["scaling_decade"] = json.load(f)
+        except (OSError, ValueError):
+            pass
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -159,7 +159,19 @@ def main() -> None:
     lines += ["", f"(run: `python tools/bench_scale.py`, {time.strftime('%Y-%m-%d')})"]
     with open(os.path.join(ROOT, "SCALING.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(json.dumps({"sf0.1": t_1x, "sf1": t_10x}))
+    payload = {
+        "sf0.1": t_1x,
+        "sf1": t_10x,
+        "exponents": {
+            k: round(math.log10(t_10x[k] / t_1x[k]), 2) for k in t_1x if t_1x[k]
+        },
+        "measured": time.strftime("%Y-%m-%d"),
+    }
+    # bench.py attaches this to its one-line output so the driver's
+    # BENCH_r{N}.json carries the measured decade
+    with open(os.path.join(ROOT, ".scale_data", "scaling.json"), "w") as f:
+        json.dump(payload, f)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
