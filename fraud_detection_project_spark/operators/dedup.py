@@ -28,6 +28,19 @@ from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text, tokens
 
+def spread_input(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Round-robin repartition when the input arrives under-partitioned
+    (e.g. one compacted parquet file): heavy per-row text kernels would
+    otherwise run single-threaded regardless of cluster size. No-op when
+    the scan already has enough splits — the common case at scale.
+    (Measured: the sf0.1 documents table is one file; shingling it
+    single-threaded costs 4x the balanced run.)"""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles of the normalized text → array<string>.
     Documents shorter than n words yield their whole text as the single
@@ -157,7 +170,7 @@ def minhash_lsh_pairs(
     point of banding.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    sig = spread_input(df).select(
         F.col(id_col).alias("id"),
         minhash_signature(text_col, num_hashes, shingle_n, seed).alias("sig"),
     )
@@ -272,7 +285,7 @@ def simhash_near_dup_pairs(
     """
     n_chunks = max(max_hamming + 1, 4)
     chunk_bits = 64 // n_chunks
-    sh = df.select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
+    sh = spread_input(df).select(F.col(id_col).alias("id"), simhash(text_col).alias("sh"))
     mask = (1 << chunk_bits) - 1
     chunks = sh.select(
         "id",
@@ -327,11 +340,16 @@ def ngram_jaccard_pairs(
     self-join on shingle → count common shingles per pair → Jaccard =
     common / (|A| + |B| − common).
     """
-    sh = df.select(
+    sh = spread_input(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
-    exploded = sh.select("id", "n_sh", F.explode("shingles").alias("shingle"))
+    # materialize the inverted index once: it feeds the hot-shingle scan
+    # and BOTH sides of the self-join — without this the shingle kernel
+    # and explode run three times (measured 11s -> 4s at sf0.1)
+    exploded = sh.select(
+        "id", "n_sh", F.explode("shingles").alias("shingle")
+    ).localCheckpoint(eager=True)
 
     hot = (
         exploded.groupBy("shingle")
@@ -396,6 +414,11 @@ def connected_components(
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # materialize NOW: each round references e several times (union
+        # with its swap, join, convergence fingerprint) — without this
+        # an expensive upstream plan (e.g. the jaccard pair join) would
+        # re-execute per reference in round 1
+        .localCheckpoint(eager=True)
     )
 
     def large_star(E: DataFrame) -> DataFrame:

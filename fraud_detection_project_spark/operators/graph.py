@@ -36,9 +36,15 @@ def pagerank(
     rank ⋈ edges on src, both shuffle-partitioned on the same key, so
     AQE reuses the partitioning across iterations.
     """
-    e = edges.select(
-        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
-    ).distinct()
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+        )
+        .distinct()
+        # materialize: the edge list is re-read every iteration; an
+        # expensive upstream plan must not re-execute per iteration
+        .localCheckpoint(eager=True)
+    )
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

@@ -41,7 +41,9 @@ def bm25_search(
     ``ln(1 + (N - df + 0.5)/(df + 0.5))`` idf variant) for a bag of
     query terms. Returns (id_col, bm25) ordered by score desc, id asc.
     """
-    toked = docs.select(
+    from .dedup import spread_input
+
+    toked = spread_input(docs).select(
         F.col(id_col), tokens(normalized_text(text_col)).alias("toks")
     )
     dl = toked.select(id_col, F.size("toks").alias("dl"))
