@@ -406,3 +406,57 @@ class TestStreamingUpsert:
             for r in merge_apply(snap, stale, ["k"], "seq").collect()
         }
         assert out == {(1, "new", 10), (2, "cur", 5)}
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_stream_equals_batch(self, spark, events_src, tmp_path):
+        """Purchase stream ⋈ error stream per user within [0, 30m]:
+        availableNow drain of the watermarked stream-stream join equals
+        the batch interval join over the same data."""
+        from fraud_detection_project_spark.streaming.joins import interval_join_streams
+
+        batch = spark.read.parquet(events_src)
+        schema = batch.schema
+
+        def split(df):
+            cols = ["event_id", "user_id", "ts"]
+            return (
+                df.filter(F.col("event_type") == "purchase").select(cols),
+                df.filter(F.col("event_type") == "error").select(cols),
+            )
+
+        lb, rb = split(batch)
+        want = {
+            (r["l_event_id"], r["r_event_id"])
+            for r in interval_join_streams(
+                lb, rb, "user_id", lower="0 seconds", upper="30 minutes"
+            ).collect()
+        }
+        assert want, "fixture must produce at least one joined pair"
+
+        ls, rs = split(_read_stream(spark, events_src, schema))
+        joined = interval_join_streams(
+            ls, rs, "user_id", lower="0 seconds", upper="30 minutes"
+        )
+        got_df = _run_stream(
+            spark, joined.select("l_event_id", "r_event_id"),
+            str(tmp_path / "ck_ssj"),
+        )
+        got = {(r["l_event_id"], r["r_event_id"]) for r in got_df.collect()}
+        assert got == want
+
+    def test_state_bound_in_plan(self, spark, events_src):
+        """Both sides carry watermarks and the join condition carries the
+        event-time range — the ingredients Spark needs to evict state."""
+        from fraud_detection_project_spark.streaming.joins import interval_join_streams
+
+        batch = spark.read.parquet(events_src)
+        s = _read_stream(spark, events_src, batch.schema)
+        j = interval_join_streams(
+            s.filter(F.col("event_type") == "purchase"),
+            s.filter(F.col("event_type") == "error"),
+            "user_id",
+            upper="10 minutes",
+        )
+        plan = j._jdf.queryExecution().analyzed().toString()
+        assert plan.lower().count("watermark") >= 2, plan
