@@ -2364,3 +2364,26 @@ def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "fuzzy_part_names_1edit",
+    oracle=r"""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_partkey < b.p_partkey
+     AND levenshtein(a.p_name, b.p_name) <= 1
+    ORDER BY id_a, id_b
+    """,
+)
+def q_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: all part-name pairs within one edit
+    (operators/dedup.py:fuzzy_pairs_1edit, SymSpell deletion-key
+    blocking + exact levenshtein verify). The oracle brute-forces the
+    quadratic comparison; matching output proves the deletion-
+    neighborhood blocking loses no pair."""
+    from .operators.dedup import fuzzy_pairs_1edit
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_pairs_1edit(part, "p_name", "p_partkey").orderBy("id_a", "id_b")

@@ -380,3 +380,41 @@ class TestPageRank:
         got = {r["id"]: r["rank"] for r in pagerank(df, n_iter=5).collect()}
         assert abs(sum(got.values()) - 1.0) < 1e-9
         assert got[99] == max(got.values())
+
+
+class TestFuzzyPairs1Edit:
+    @staticmethod
+    def _lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    def test_blocking_loses_no_pair(self, spark):
+        from fraud_detection_project_spark.operators.dedup import fuzzy_pairs_1edit
+
+        words = [
+            "spark", "spork", "spark", "sparks", "park", "spak",   # subs/ins/del/equal
+            "stark", "shark", "sharks", "bolt", "belt", "belts",
+            "a", "b", "ab", "", "widget", "widgets", "midget",
+        ]
+        rows = [(i, w) for i, w in enumerate(words)]
+        df = spark.createDataFrame(rows, "id long, s string")
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in fuzzy_pairs_1edit(df, "s", "id").collect()
+        }
+        want = {
+            (i, j, self._lev(a, b))
+            for i, a in rows for j, b in rows
+            if i < j and self._lev(a, b) <= 1
+        }
+        assert got == want
+        # sanity: distance-2 pairs excluded (e.g. "spark" vs "shark"? that's 1 sub -> included;
+        # "bolt" vs "belts" is 2 -> excluded)
+        ids = {w: i for i, w in reversed(rows)}
+        assert (min(ids["bolt"], ids["belts"]), max(ids["bolt"], ids["belts"])) not in {
+            (a, b) for a, b, _ in got
+        }
