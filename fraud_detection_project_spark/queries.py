@@ -2387,3 +2387,110 @@ def q_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = load_table(spark, sf_dir, "part")
     return fuzzy_pairs_1edit(part, "p_name", "p_partkey").orderBy("id_a", "id_b")
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_click_after_view,
+           (SELECT COUNT(*) FROM p) AS n_purchase_after_click
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase per user
+    (strictly increasing event times). Three per-user aggregates chained
+    by progressively-filtered joins — each stage shuffles only the
+    surviving users, all on the same user_id key so AQE reuses the
+    partitioning. Raw-ns timestamps compare identically in both engines.
+    No reference equivalent; classic product-analytics surface."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_ns") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_ns") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+@register(
+    "weekly_user_retention",
+    oracle="""
+    WITH aw AS (
+        SELECT DISTINCT user_id,
+               epoch_us(date_trunc('week', ts)) AS w
+        FROM events
+    )
+    SELECT a.w AS week_us,
+           COUNT(*) AS n_active,
+           COUNT(b.user_id) AS n_retained
+    FROM aw a
+    LEFT JOIN aw b
+      ON b.user_id = a.user_id
+     AND b.w = a.w + 604800000000
+    GROUP BY a.w
+    ORDER BY a.w
+    """,
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention: users active in week w who are also
+    active in w+1. One distinct (user, week) pass self-joined on
+    (user, next week) — both sides hash-partitioned on user_id; next
+    week is exact epoch arithmetic (UTC weeks are uniform, no DST).
+    Week buckets exported as epoch-micros per the cross-engine
+    convention. No reference equivalent; cohort-analytics surface."""
+    ev = load_table(spark, sf_dir, "events")
+    aw = (
+        ev.select(
+            "user_id",
+            F.unix_micros(F.date_trunc("week", F.col("ts"))).alias("w"),
+        )
+        .distinct()
+    )
+    a, b = aw.alias("a"), aw.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.w") == F.col("a.w") + F.lit(604800000000)),
+        "left_outer",
+    )
+    return (
+        joined.groupBy(F.col("a.w").alias("week_us"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count(F.col("b.w")).alias("n_retained"),
+        )
+        .orderBy("week_us")
+    )
