@@ -2494,3 +2494,85 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_us")
     )
+
+
+@register(
+    "doc_chunks_64_16",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) = ''
+                    THEN []::VARCHAR[]
+                    ELSE string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')
+               END AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CASE WHEN len(toks) <= 0 THEN 0
+                    ELSE ((len(toks) - 1) // 48) + 1 END AS nc0
+        FROM t
+    ),
+    c2 AS (
+        SELECT doc_id, toks, n,
+               CASE WHEN nc0 > 1 AND (nc0 - 1) * 48 + 16 >= n
+                    THEN nc0 - 1 ELSE nc0 END AS nc
+        FROM c
+    ),
+    e AS (
+        SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_idx FROM c2
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS INT) AS n_tokens,
+           array_to_string(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ') AS chunk_text
+    FROM e
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (operators/chunking.py:chunk_documents):
+    64-token windows, 16-token overlap, trailing redundant window
+    dropped. The sample-prep step between a cleaned corpus and a
+    training set. Tokenize-once + per-window array slice — row count
+    multiplies by chunks/doc, never by tokens."""
+    from .operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_size=64, overlap=16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        "chunk_text",
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "pack_sequences_512",
+    oracle=r"""
+    WITH n AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                // 512 AS BIGINT) AS bin_id
+    FROM n
+    ORDER BY doc_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing (operators/chunking.py:pack_greedy):
+    BPE-ish token counts packed into 512-token bins by cumulative count
+    over doc_id order — the deterministic next-fit contract a streaming
+    packer produces, exact-checkable in SQL."""
+    from .functions.text import bpe_ish_token_count
+    from .operators.chunking import pack_greedy
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", bpe_ish_token_count("text").alias("n_tokens")
+    )
+    return pack_greedy(sized, "n_tokens", "doc_id", capacity=512).orderBy("doc_id")

@@ -174,3 +174,46 @@ class TestBM25Search:
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
         assert len(q.collect()) == 5
+
+
+class TestChunking:
+    def test_chunk_windows_and_overlap(self, spark):
+        from fraud_detection_project_spark.operators.chunking import chunk_documents
+
+        text = " ".join(f"w{i}" for i in range(100))
+        df = spark.createDataFrame(
+            [(1, text), (2, "a b c"), (3, ""), (4, "   ")],
+            "doc_id long, text string",
+        )
+        out = chunk_documents(df, chunk_size=64, overlap=16).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 1: 100 tokens, stride 48 -> starts 0,48,96; start 96 covers
+        # [96,100) ⊂ [48,112) overlap zone? 96+? previous covers 48..111
+        # incl overlap -> last window [96:100) inside [48:112): dropped
+        # iff 2*48+16 >= 100 -> 112 >= 100 -> dropped => 2 chunks
+        c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+        assert [r["n_tokens"] for r in c1] == [64, 52]
+        assert c1[0]["chunk_text"].split()[:2] == ["w0", "w1"]
+        assert c1[1]["chunk_text"].split()[0] == "w48"  # overlap carried
+        assert c1[0]["chunk_text"].split()[-16:] == c1[1]["chunk_text"].split()[:16]
+        # doc 2: single short chunk; docs 3/4: no chunks
+        assert [r["n_tokens"] for r in by_doc[2]] == [3]
+        assert 3 not in by_doc and 4 not in by_doc
+
+    def test_pack_respects_capacity_contract(self, spark):
+        from fraud_detection_project_spark.operators.chunking import pack_greedy
+
+        rows = [(i, (i * 37) % 90 + 10) for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, n long")
+        out = sorted(
+            pack_greedy(df, "n", "doc_id", capacity=128).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        # bin ids are the cumsum contract, non-decreasing; every bin's
+        # content starts before the capacity boundary it closes on
+        cum = 0
+        for r in out:
+            assert r["bin_id"] == cum // 128
+            cum += r["n"]
