@@ -2576,3 +2576,55 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", bpe_ish_token_count("text").alias("n_tokens")
     )
     return pack_greedy(sized, "n_tokens", "doc_id", capacity=512).orderBy("doc_id")
+
+
+@register(
+    "dq_report_events",
+    oracle="""
+    WITH marked AS (
+        SELECT e.*, c.c_custkey IS NOT NULL AS has_cust
+        FROM events e
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON e.user_id = c.c_custkey
+    ),
+    agg AS (
+        SELECT
+            SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+            SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS negative_value,
+            SUM(CASE WHEN event_type NOT IN ('signup','error','click','view','purchase')
+                       OR event_type IS NULL THEN 1 ELSE 0 END) AS unknown_event_type,
+            SUM(CASE WHEN user_id IS NOT NULL AND NOT has_cust THEN 1 ELSE 0 END) AS orphan_user,
+            SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,
+            COUNT(*) AS n_rows
+        FROM marked
+    )
+    SELECT 'null_value' AS "check", null_value AS n_violations, n_rows FROM agg
+    UNION ALL SELECT 'negative_value', negative_value, n_rows FROM agg
+    UNION ALL SELECT 'unknown_event_type', unknown_event_type, n_rows FROM agg
+    UNION ALL SELECT 'orphan_user', orphan_user, n_rows FROM agg
+    UNION ALL SELECT 'null_ts', null_ts, n_rows FROM agg
+    ORDER BY "check"
+    """,
+)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality gate
+    (operators/quality.py:check_report): five checks — null/range/
+    domain/referential-integrity/timestamp — compiled into ONE
+    conditional-sum scan (the referential check rides a broadcast dim
+    marker, the fact never shuffles). No reference equivalent;
+    production-pipeline gate."""
+    from .operators.quality import check_report, with_dim_marker
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    marked = with_dim_marker(ev, "user_id", cust, "c_custkey", "__cust_hit")
+    known = ["signup", "error", "click", "view", "purchase"]
+    checks = {
+        "null_value": F.col("value").isNull(),
+        "negative_value": F.col("value") < 0,
+        "unknown_event_type": (~F.col("event_type").isin(known))
+        | F.col("event_type").isNull(),
+        "orphan_user": F.col("user_id").isNotNull() & F.col("__cust_hit").isNull(),
+        "null_ts": F.col("ts").isNull(),
+    }
+    return check_report(marked, checks).orderBy("check")

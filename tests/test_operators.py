@@ -443,3 +443,43 @@ class TestHllSketchRollup:
         assert merged == direct
         for k, n in exact.items():
             assert abs(merged[k] - n) <= 0.05 * n + 2, (k, merged[k], n)
+
+
+class TestDataQuality:
+    def test_check_report_single_pass_and_counts(self, spark):
+        from fraud_detection_project_spark.operators.quality import (
+            check_report,
+            with_dim_marker,
+        )
+
+        fact = spark.createDataFrame(
+            [(1, 10.0, 100), (2, None, 100), (3, -5.0, 999), (4, 2.0, None)],
+            "id long, v double, k long",
+        )
+        dim = spark.createDataFrame([(100,), (200,)], "k long")
+        marked = with_dim_marker(fact, "k", dim, "k", "__hit")
+        rep = {
+            r["check"]: (r["n_violations"], r["n_rows"])
+            for r in check_report(
+                marked,
+                {
+                    "null_v": F.col("v").isNull(),
+                    "neg_v": F.col("v") < 0,
+                    "orphan": F.col("k").isNotNull() & F.col("__hit").isNull(),
+                },
+            ).collect()
+        }
+        assert rep == {
+            "null_v": (1, 4), "neg_v": (1, 4), "orphan": (1, 4),
+        }
+        # referential check rides a broadcast join (fact unshuffled);
+        # a checks-set that never reads the marker gets the join
+        # ELIMINATED outright (distinct right side) — both plans good
+        plan = check_report(
+            marked, {"orphan": F.col("k").isNotNull() & F.col("__hit").isNull()}
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        pruned = check_report(
+            marked, {"null_v": F.col("v").isNull()}
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in pruned
