@@ -182,3 +182,23 @@ def test_zorder_tightens_both_dims(spark, tmp_path):
     assert zu < 0.6 and zv < 0.6, (zu, zv)
     # the second dim tightens by ~2x vs the single-col layout
     assert zv < 0.6 * sv, (zv, sv)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Parquet schema evolution: files written before a column existed
+    read as null under mergeSchema — additive evolution never breaks
+    old data, the contract a long-lived 100 TB table relies on."""
+    from fraud_detection_project_spark.catalog import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    path = str(tmp_path / "evolving")
+    ev.limit(100).write.parquet(path)
+    ev.limit(50).withColumn("risk_score", F.lit(0.5)).write.mode(
+        "append"
+    ).parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"event_id", "user_id", "risk_score"}
+    assert merged.count() == 150
+    assert merged.filter(F.col("risk_score").isNull()).count() == 100
+    assert merged.filter(F.col("risk_score") == 0.5).count() == 50
