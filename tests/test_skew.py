@@ -85,3 +85,48 @@ def test_salted_agg_fans_out_hot_key(spark):
         .first()[0]
     )
     assert n_salts >= 6  # 1000 events over 15 users → every salt hit
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew handling without salting: AQE detects the hot key's
+    oversized shuffle partition and splits it (skew=true in the final
+    adaptive plan) — the no-code-change complement to salted_join for
+    sort-merge joins. Thresholds are lowered to make toy data register
+    as skewed; at real scale the defaults (256MB/factor 5) do this."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(1))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("rv")
+        )
+        agg = left.join(right, "k").agg(F.sum("payload").alias("s"))
+        (row,) = agg.collect()
+        # exactness unaffected by the split
+        assert row["s"] == sum(
+            i for i in range(300000)
+        ), "skew split changed the result"
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
