@@ -2721,3 +2721,48 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance
+    (operators/incremental.py:merge_aggregate_state): state built from
+    history (ts < Jan 20) is combined with the delta batch (ts ≥ Jan 20)
+    — per-key algebraic merge, NO rescan of history. The oracle is the
+    from-scratch aggregate over everything: equality proves the
+    incremental path is lossless. No reference equivalent;
+    materialized-view maintenance surface."""
+    from .operators.incremental import aggregate_delta, merge_aggregate_state
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cutoff = F.lit("2024-01-20").cast("timestamp")
+    specs = {
+        "n": ("value", "count"),
+        "total_value": ("value", "sum"),
+        "min_value": ("value", "min"),
+        "max_value": ("value", "max"),
+    }
+    state = aggregate_delta(ev.filter(F.col("ts") < cutoff), ["event_type"], specs)
+    merged = merge_aggregate_state(
+        state, ev.filter(F.col("ts") >= cutoff), ["event_type"], specs
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.round("total_value", 4).alias("total_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    ).orderBy("event_type")

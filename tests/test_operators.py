@@ -483,3 +483,45 @@ class TestDataQuality:
             marked, {"null_v": F.col("v").isNull()}
         )._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in pruned
+
+
+class TestIncrementalAgg:
+    def test_merge_equals_full_recompute(self, spark):
+        from fraud_detection_project_spark.operators.incremental import (
+            aggregate_delta,
+            merge_aggregate_state,
+        )
+
+        specs = {
+            "n": ("v", "count"),
+            "s": ("v", "sum"),
+            "mn": ("v", "min"),
+            "mx": ("v", "max"),
+        }
+        old = spark.createDataFrame(
+            [("a", 1), ("a", 5), ("b", 3)], "k string, v long"
+        )
+        new = spark.createDataFrame(
+            [("a", 2), ("c", 7), ("c", -1)], "k string, v long"  # c is a NEW group
+        )
+        state = aggregate_delta(old, ["k"], specs)
+        merged = {
+            r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+            for r in merge_aggregate_state(state, new, ["k"], specs).collect()
+        }
+        full = {
+            r["k"]: (r["n"], r["s"], r["mn"], r["mx"])
+            for r in aggregate_delta(old.union(new), ["k"], specs).collect()
+        }
+        assert merged == full
+        assert merged["c"] == (2, 6, -1, 7)  # group born in the delta
+        assert merged["b"] == (1, 3, 3, 3)   # untouched group passes through
+
+    def test_holistic_aggregate_refused(self, spark):
+        import pytest as _pytest
+
+        from fraud_detection_project_spark.operators.incremental import aggregate_delta
+
+        df = spark.createDataFrame([("a", 1)], "k string, v long")
+        with _pytest.raises(ValueError, match="not algebraic"):
+            aggregate_delta(df, ["k"], {"m": ("v", "median")})
