@@ -525,3 +525,28 @@ class TestIncrementalAgg:
         df = spark.createDataFrame([("a", 1)], "k string, v long")
         with _pytest.raises(ValueError, match="not algebraic"):
             aggregate_delta(df, ["k"], {"m": ("v", "median")})
+
+
+class TestCountMinSketch:
+    def test_sketch_deterministic_for_seed(self, spark):
+        """count_min_sketch: mergeable frequency-sketch surface exists
+        and is deterministic for a fixed seed (the property a
+        distributed rollup relies on; PySpark exposes no point-query
+        function, so estimate accuracy is out of test scope)."""
+        from pyspark.sql.functions import count_min_sketch
+
+        from fraud_detection_project_spark.catalog import load_table
+
+        ev = load_table(spark, SF_SMOKE, "events")
+
+        def sketch():
+            return bytes(
+                ev.agg(
+                    count_min_sketch(
+                        "event_type", F.lit(0.001), F.lit(0.01), F.lit(42)
+                    ).alias("sk")
+                ).first()["sk"]
+            )
+
+        a, b = sketch(), sketch()
+        assert a and a == b
