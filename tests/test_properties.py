@@ -309,3 +309,49 @@ def test_sessionize_matches_bruteforce(spark, data):
                 sid += 1
             assert got[(k, t)] == sid, (k, t)
             prev = t
+
+
+# --- MERGE/upsert vs sequential dict-apply oracle ---------------------
+
+merge_changes = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),          # key
+        st.sampled_from(["x", "y", "z"]),                # payload
+        st.sampled_from(["U", "U", "U", "D"]),           # op (deletes rarer)
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(changes=merge_changes)
+@settings(**SETTINGS)
+def test_merge_apply_matches_dict_semantics(spark, changes):
+    """merge_apply == applying the changeset to a dict in seq order:
+    latest change per key wins, deletes remove, inserts appear — for
+    BOTH join strategies (full-outer SMJ and broadcast split)."""
+    from fraud_detection_project_spark.operators.merge import merge_apply
+
+    base_rows = [(k, f"b{k}") for k in range(0, 8)]
+    expect = dict(base_rows)
+    for seq, (k, v, op) in enumerate(changes):
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = v
+    # latest-wins: replay in seq order IS the dict semantics above
+
+    base = spark.createDataFrame(base_rows, "k long, v string")
+    if changes:
+        ch = spark.createDataFrame(
+            [(k, v, op, seq) for seq, (k, v, op) in enumerate(changes)],
+            "k long, v string, op string, seq long",
+        )
+    else:
+        ch = spark.createDataFrame([], "k long, v string, op string, seq long")
+    for bc in (False, True):
+        got = {
+            r["k"]: r["v"]
+            for r in merge_apply(base, ch, ["k"], "seq", broadcast_changes=bc).collect()
+        }
+        assert got == expect, (bc, got, expect)
