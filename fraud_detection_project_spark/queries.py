@@ -2766,3 +2766,34 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
     ).orderBy("event_type")
+
+
+@register(
+    "supplier_count_excluding_negative",
+    oracle="""
+    SELECT l.l_returnflag,
+           COUNT(DISTINCT l.l_suppkey) AS n_suppliers
+    FROM lineitem l
+    WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q_supplier_count_excl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN exclusion subquery → broadcast left-anti
+    join (no null-aware penalty: the exclusion list is a filtered key
+    column), then per-group COUNT(DISTINCT) — two-phase distinct agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .orderBy("l_returnflag")
+    )
