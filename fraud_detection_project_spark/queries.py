@@ -2797,3 +2797,31 @@ def q_supplier_count_excl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "expanding_zscore_user",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CASE WHEN COUNT(value) OVER w >= 2 AND STDDEV_SAMP(value) OVER w > 0
+                THEN ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4)
+           END AS zscore
+    FROM events
+    WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ORDER BY event_id
+    """,
+)
+def q_expanding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-referential anomaly score: each event's value z-scored
+    against the user's PRIOR history (streaming/anomaly.py:
+    expanding_zscore — prior-rows window frame, (ts, event_id)
+    deterministic order). Batch twin of the Welford-state streaming
+    scorer; one window shuffle on user_id."""
+    from .streaming.anomaly import expanding_zscore
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return expanding_zscore(
+        ev, "user_id", "ts_ns", "value", "event_id"
+    ).orderBy("event_id")

@@ -460,3 +460,41 @@ class TestStreamStreamJoin:
         )
         plan = j._jdf.queryExecution().analyzed().toString()
         assert plan.lower().count("watermark") >= 2, plan
+
+
+class TestStreamingZscore:
+    def test_stream_matches_batch_twin(self, spark, events_src, tmp_path):
+        from fraud_detection_project_spark.streaming.anomaly import (
+            expanding_zscore,
+            streaming_zscore,
+        )
+
+        batch = spark.read.parquet(events_src)
+        want = {
+            r["event_id"]: r["zscore"]
+            for r in expanding_zscore(
+                batch.filter(F.col("value").isNotNull()),
+                "user_id", "ts", "value", "event_id", round_dp=6,
+            ).collect()
+        }
+        out = streaming_zscore(
+            _read_stream(spark, events_src, batch.schema),
+            "user_id", ts_col="ts", val_col="value", id_col="event_id",
+            round_dp=6,
+        )
+        got = {
+            r["event_id"]: r["zscore"]
+            for r in _run_stream(spark, out, str(tmp_path / "ck_z")).collect()
+        }
+        assert got.keys() == want.keys()
+        n_scored = 0
+        for k in want:
+            a, b = got[k], want[k]
+            if b is None:
+                assert a is None, k
+            else:
+                n_scored += 1
+                # Welford vs two-pass window moments: identical to well
+                # under the rounding precision
+                assert a is not None and abs(a - b) <= 2e-6, (k, a, b)
+        assert n_scored > 0
