@@ -36,10 +36,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_q.QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so the driver's 50-entry CORRECTNESS window covers queries
+    that have never had a driver row first (see
+    ``queries.DRIVER_PRIORITY``), then high-value canaries, then the
+    rest in registration order.
+    """
+    return _q.driver_ordered(dict(_q.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted ⇒ rows-only)."""
-    return dict(_q.ORACLE_SQL)
+    return _q.driver_ordered(dict(_q.ORACLE_SQL))

@@ -2825,3 +2825,91 @@ def q_expanding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expanding_zscore(
         ev, "user_id", "ts_ns", "value", "event_id"
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering (VERDICT r2 item 1)
+#
+# The driver's CORRECTNESS artifact checks the FIRST 50 entries of
+# ``queries()`` in dict order.  Registration order above is thematic, so
+# without reordering the round-2/3 additions never receive a driver row.
+# ``DRIVER_PRIORITY`` lists queries that have never appeared hash-green in
+# a driver CORRECTNESS artifact (plus this round's new queries); they are
+# emitted first, followed by ``DRIVER_CANARIES`` (high-value round-1
+# anchors kept inside the window as regression canaries), followed by all
+# remaining queries in registration order.  Every name is validated
+# against the registry at import time so a typo fails fast in pytest.
+# ---------------------------------------------------------------------------
+
+DRIVER_PRIORITY: list[str] = [
+    # round-2 additions with no driver row (VERDICT r2 "What's missing" #1)
+    "dup_clusters",
+    "cdc_merge_apply",
+    "bm25_search_topk",
+    "fuzzy_part_names_1edit",
+    "doc_chunks_64_16",
+    "pack_sequences_512",
+    "user_sessions_30m",
+    "pivot_user_event_counts",
+    "cube_type_hourband",
+    "grouping_sets_revenue",
+    "funnel_view_click_purchase",
+    "weekly_user_retention",
+    "incremental_agg_maintenance",
+    "expanding_zscore_user",
+    "dq_report_events",
+    "embedding_quantize_profile",
+    "hll_distinct_rollup",
+    "doc_pagerank_topk",
+    "sql_surface_top_nations",
+    "exists_big_spenders",
+    "string_funcs_docs",
+    "monthly_revenue",
+    "ntile_quartiles_priority",
+    "word_repetition_by_lang",
+    "kmeans_cluster_profile",
+    "top_words",
+    "monthly_revenue_gapfill",
+    "redact_ids_cardinality",
+    "stats_corr_by_type",
+    "shipping_priority_top10",
+    "top_supplier_revenue",
+    "supplier_count_excluding_negative",
+    # fell out of the r02 50-row window (verified in r01 + locally)
+    "interval_join_binned",
+    "frame_sample_profile",
+]
+
+DRIVER_CANARIES: list[str] = [
+    "pricing_summary",
+    "revenue_by_region",
+    "cleaning_chain",
+    "rolling_24h_user",
+    "velocity_features_3keys",
+    "ip_roundtrip",
+    "time_features",
+    "asof_last_signup",
+    "exact_dedup_docs",
+    "ngram_jaccard_dups",
+    "embedding_near_dup_exact",
+    "tumbling_counts_6h",
+    "one_hot_event_type",
+    "standardize_quantity",
+    "media_feature_profile",
+    "undersample_exact_counts",
+]
+
+
+def driver_ordered(registry: dict) -> dict:
+    """Return ``registry`` reordered so the driver's 50-entry window
+    covers never-driver-verified queries first, then canaries, then the
+    rest in registration order.  Raises on unknown names (import-time
+    typo guard via tests)."""
+    unknown = [n for n in DRIVER_PRIORITY + DRIVER_CANARIES if n not in QUERIES]
+    if unknown:
+        raise KeyError(f"driver ordering references unknown queries: {unknown}")
+    front = [n for n in DRIVER_PRIORITY + DRIVER_CANARIES if n in registry]
+    seen = set(front)
+    ordered = {n: registry[n] for n in front}
+    ordered.update({n: v for n, v in registry.items() if n not in seen})
+    return ordered
