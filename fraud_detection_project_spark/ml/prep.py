@@ -228,7 +228,13 @@ class NativeFeaturePrepModel:
         if self.prep.with_mean:
             x = x - F.lit(float(mean))
         if self.prep.with_std:
-            x = F.when(F.lit(std is not None and std > 0), x / F.lit(float(std) if std else 1.0)).otherwise(F.lit(0.0))
+            # std==0/None zeroes only real inputs: MLlib emits NaN for a
+            # null (NaN) value even under a 0.0 multiplier, so NaN must
+            # stay NaN for slot parity on constant train columns
+            x = F.when(
+                F.lit(std is not None and std > 0),
+                x / F.lit(float(std) if std else 1.0),
+            ).otherwise(F.when(F.isnan(x), x).otherwise(F.lit(0.0)))
         return x
 
     def transform(self, df: DataFrame) -> DataFrame:

@@ -2804,7 +2804,8 @@ def q_supplier_count_excl(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, value,
            CASE WHEN COUNT(value) OVER w >= 2 AND STDDEV_SAMP(value) OVER w > 0
-                THEN ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4)
+                THEN FLOOR((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w
+                           * 10000 + 0.5) / 10000
            END AS zscore
     FROM events
     WHERE value IS NOT NULL

@@ -44,16 +44,25 @@ def expanding_zscore(
     n_prior = F.count(val_col).over(w)
     mean_p = F.avg(val_col).over(w)
     std_p = F.stddev_samp(val_col).over(w)
+    # engine-independent rounding (same rule as quantize_int8):
+    # floor(x·10^dp + 0.5)/10^dp — identical in Spark, DuckDB and the
+    # streaming scorer's Python, unlike HALF_UP vs banker's round()
+    scale = float(10**round_dp)
+    raw = (F.col(val_col) - mean_p) / std_p
     z = F.when(
         (n_prior >= 2) & (std_p > 0),
-        F.round((F.col(val_col) - mean_p) / std_p, round_dp),
+        F.floor(raw * scale + F.lit(0.5)) / scale,
     )
     return df.select(id_col, key, val_col, z.alias(out_col))
 
 
 def _zscore_func_factory(ts_col: str, val_col: str, id_col: str, round_dp: int):
+    import math
+
     import numpy as np
     import pandas as pd
+
+    scale = float(10**round_dp)
 
     def update(
         key: tuple[Any, ...],
@@ -71,7 +80,14 @@ def _zscore_func_factory(ts_col: str, val_col: str, id_col: str, round_dp: int):
         for x in batch[val_col].astype(float).values:
             if n >= 2 and m2 > 0:
                 std = (m2 / (n - 1)) ** 0.5
-                zs.append(round((x - mean) / std, round_dp) if std > 0 else None)
+                # same floor(x·10^dp + 0.5) rule as the batch twin —
+                # Python round() is banker's half-even and diverges from
+                # Spark/DuckDB on exact .5 ties
+                zs.append(
+                    math.floor((x - mean) / std * scale + 0.5) / scale
+                    if std > 0
+                    else None
+                )
             else:
                 zs.append(None)
             # Welford update AFTER scoring: prior-only semantics
@@ -100,8 +116,10 @@ def streaming_zscore(
     to :func:`expanding_zscore` when events arrive in event-time order
     per key (guaranteed within one availableNow batch by the in-batch
     sort; across micro-batches by upstream ordering, as with any
-    sequence-sensitive stateful op)."""
-    out_schema = f"{id_col} long, zscore double"
+    sequence-sensitive stateful op). The output id column keeps the
+    input's type — derived from the stream schema, not hardcoded."""
+    id_type = stream.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, zscore double"
     state_schema = "n long, mean double, m2 double"
     return (
         stream.select(key, ts_col, val_col, id_col)

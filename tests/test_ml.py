@@ -294,6 +294,42 @@ class TestNativeFeaturePrep:
                     else:
                         assert abs(a - b) <= 1e-9 * max(1.0, abs(b)), (k, got[k], want[k])
 
+    def test_constant_train_column_null_test_parity(self, spark):
+        """std==0 edge: a constant train column must zero real values but
+        keep null-as-NaN test values NaN, exactly as MLlib's NaN·0.0
+        multiplier does (ADVICE r2: prep.py std==0 branch)."""
+        from fraud_detection_project_spark.ml.prep import (
+            NativeFeaturePrep,
+            build_feature_pipeline,
+        )
+
+        train = spark.createDataFrame(
+            [(1, 5.0, "a"), (2, 5.0, "b"), (3, 5.0, "a")],
+            "id long, x double, cat string",
+        )
+        test = spark.createDataFrame(
+            [(4, 5.0, "a"), (5, None, "b"), (6, 7.0, None)],
+            "id long, x double, cat string",
+        )
+        mllib = build_feature_pipeline(["x"], ["cat"]).fit(train)
+        native = NativeFeaturePrep(["x"], ["cat"]).fit(train)
+        for df in (train, test):
+            got = {
+                r["id"]: list(r["features"].toArray())
+                for r in native.transform(df).select("id", "features").collect()
+            }
+            want = {
+                r["id"]: list(r["features"].toArray())
+                for r in mllib.transform(df).select("id", "features").collect()
+            }
+            assert got.keys() == want.keys()
+            for k in want:
+                for a, b in zip(got[k], want[k]):
+                    if b != b:
+                        assert a != a, (k, got[k], want[k])
+                    else:
+                        assert abs(a - b) <= 1e-12, (k, got[k], want[k])
+
     def test_feature_names_match_mllib_metadata(self, spark):
         from fraud_detection_project_spark.ml.prep import (
             NativeFeaturePrep,
