@@ -107,9 +107,12 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampNTZType()),
         ]
     ),
-    # events.ts physical type is TIMESTAMP(NANOS): read as raw ns long
-    # (spark.sql.legacy.parquet.nanosAsLong), then load_table derives a
-    # µs-precision TimestampType `ts` and keeps the raw long as `ts_ns`.
+    # events.ts physical type varies by generator version: TIMESTAMP(NANOS)
+    # (read as raw ns long via spark.sql.legacy.parquet.nanosAsLong) or
+    # plain timestamp[us]. Either way it's one INT64 column on disk, so we
+    # pin LongType here, sniff the unit from the parquet footer in
+    # load_table, and derive a µs TimestampType `ts` plus the exact
+    # nanosecond epoch long `ts_ns`.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
@@ -139,20 +142,50 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def _parquet_ts_unit(path: str, col: str = "ts") -> str:
+    """Physical time unit of ``col`` from the parquet footer: 'ns', 'us',
+    'ms', 's'. One driver-side footer read (bytes, not data) — the
+    generator has shipped both TIMESTAMP(NANOS) and timestamp[us] across
+    rounds, and silently mis-scaling an epoch is a 1000× corruption."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    p = path
+    if os.path.isdir(p):
+        parts = [f for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
+        if parts:
+            p = os.path.join(p, parts[0])
+    t = pq.read_schema(p).field(col).type
+    if pa.types.is_timestamp(t):
+        return t.unit
+    return "ns"  # legacy INT64 TIMESTAMP(NANOS) surfaces as int64
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one testdata table with normalized schema.
 
     ``events`` comes back with:
       - ``ts``     TimestampType at µs precision (matches what DuckDB and
                    pandas see for the same file),
-      - ``ts_ns``  the raw nanosecond epoch LongType (exact arithmetic for
-                   range windows — integer ``div``, no double rounding).
+      - ``ts_ns``  the nanosecond epoch LongType (exact arithmetic for
+                   range windows — integer ``div``, no double rounding),
+    regardless of whether the file stores ns or µs on disk.
     """
     ensure_runtime_confs(spark)
-    df = spark.read.schema(SCHEMAS[name]).parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(SCHEMAS[name]).parquet(path)
     if name == "events":
+        unit = _parquet_ts_unit(path)
+        raw = F.col("_ts_raw")
+        to_ns = {
+            "ns": raw,
+            "us": raw * F.lit(1_000),
+            "ms": raw * F.lit(1_000_000),
+            "s": raw * F.lit(1_000_000_000),
+        }[unit]
         df = (
-            df.withColumnRenamed("ts", "ts_ns")
+            df.withColumnRenamed("ts", "_ts_raw")
+            .withColumn("ts_ns", to_ns)
             .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
             .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
         )
