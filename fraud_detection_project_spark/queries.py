@@ -2413,35 +2413,42 @@ def q_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view → click → purchase per user
-    (strictly increasing event times). Three per-user aggregates chained
-    by progressively-filtered joins — each stage shuffles only the
-    surviving users, all on the same user_id key so AQE reuses the
-    partitioning. Raw-ns timestamps compare identically in both engines.
+    (strictly increasing event times), in ONE scan of events: three
+    chained full-partition window minima over the same
+    ``partitionBy(user_id)`` — Catalyst plans a single Exchange and
+    stacks the Window operators on it, vs the previous three
+    filtered-scan + join form that read events three times. The final
+    funnel counts distinct users per stage in one global aggregate.
+    Raw-ns timestamps compare identically in both engines.
     No reference equivalent; classic product-analytics surface."""
+    from pyspark.sql.window import Window
+
     ev = load_table(spark, sf_dir, "events")
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("t1"))
+    w = Window.partitionBy("user_id")
+    ty, ts = F.col("event_type"), F.col("ts_ns")
+    staged = (
+        ev.select("user_id", "event_type", "ts_ns")
+        .filter(ty.isin("view", "click", "purchase"))
+        .withColumn("t1", F.min(F.when(ty == "view", ts)).over(w))
+        .withColumn(
+            "t2",
+            F.min(F.when((ty == "click") & (ts > F.col("t1")), ts)).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(F.when((ty == "purchase") & (ts > F.col("t2")), ts)).over(w),
+        )
     )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts_ns") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("t2"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts_ns") > F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts_ns").alias("t3"))
-    )
-    return (
-        v.agg(F.count(F.lit(1)).alias("n_view"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
-        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    return staged.agg(
+        F.count_distinct(
+            F.when(F.col("t1").isNotNull(), F.col("user_id"))
+        ).alias("n_view"),
+        F.count_distinct(
+            F.when(F.col("t2").isNotNull(), F.col("user_id"))
+        ).alias("n_click_after_view"),
+        F.count_distinct(
+            F.when(F.col("t3").isNotNull(), F.col("user_id"))
+        ).alias("n_purchase_after_click"),
     )
 
 
@@ -2466,11 +2473,14 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week retention: users active in week w who are also
-    active in w+1. One distinct (user, week) pass self-joined on
-    (user, next week) — both sides hash-partitioned on user_id; next
-    week is exact epoch arithmetic (UTC weeks are uniform, no DST).
-    Week buckets exported as epoch-micros per the cross-engine
+    active in w+1. ONE distinct (user, week) pass; retention is a
+    ``lead(w)`` over each user's ordered active weeks — the self-join
+    form executed the distinct subplan (and the events scan under it)
+    twice. Next week is exact epoch arithmetic (UTC weeks are uniform,
+    no DST). Week buckets exported as epoch-micros per the cross-engine
     convention. No reference equivalent; cohort-analytics surface."""
+    from pyspark.sql.window import Window
+
     ev = load_table(spark, sf_dir, "events")
     aw = (
         ev.select(
@@ -2479,18 +2489,16 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a, b = aw.alias("a"), aw.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("b.w") == F.col("a.w") + F.lit(604800000000)),
-        "left_outer",
-    )
+    nxt = F.lead("w").over(Window.partitionBy("user_id").orderBy("w"))
     return (
-        joined.groupBy(F.col("a.w").alias("week_us"))
+        aw.withColumn(
+            "retained",
+            (nxt == F.col("w") + F.lit(604800000000)).cast("int"),
+        )
+        .groupBy(F.col("w").alias("week_us"))
         .agg(
             F.count(F.lit(1)).alias("n_active"),
-            F.count(F.col("b.w")).alias("n_retained"),
+            F.coalesce(F.sum("retained"), F.lit(0)).alias("n_retained"),
         )
         .orderBy("week_us")
     )

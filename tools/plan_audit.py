@@ -89,6 +89,18 @@ def audit(spark, sf_dir: str) -> list[str]:
     check("all_pairs_exact: Arrow mapInPandas kernel",
           "MapInPandas" in p, p)
 
+    # funnel — single-scan windowed form: ONE events scan feeding the
+    # stacked per-user window minima (the old form scanned events 3×)
+    p = plan_of(QUERIES["funnel_view_click_purchase"](spark, sf_dir))
+    check("funnel: single events scan", p.count("FileScan parquet") == 1, p)
+    check("funnel: stacked window stages", p.count("Window") >= 3, p)
+
+    # retention — lead() over active weeks: ONE events scan (the old
+    # self-join form executed the distinct subplan twice)
+    p = plan_of(QUERIES["weekly_user_retention"](spark, sf_dir))
+    check("retention: single events scan", p.count("FileScan parquet") == 1, p)
+    check("retention: no self-join", "Join" not in p, p)
+
     # whole-stage codegen compiles for the scan→agg path ("codegen"
     # explain mode generates the code without executing). The adaptive
     # wrapper hides codegen subtrees pre-execution, so plan this one
