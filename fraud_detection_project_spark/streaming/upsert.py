@@ -9,29 +9,104 @@ built-in file sink is append-only). Each micro-batch:
 1. compacts the batch's changes to latest-per-key (map-side ``max_by``),
 2. merges them into the current snapshot with
    :func:`~..operators.merge.merge_apply`,
-3. atomically swaps the snapshot directory (write to ``.tmp``, rename).
+3. commits the result ATOMICALLY: the merged frame is written to a
+   fresh versioned directory (``v00000042/``) and the ``_MANIFEST``
+   pointer file is flipped to it with ``os.replace`` — a single-syscall
+   atomic rename on POSIX. A crash at ANY point leaves the manifest
+   pointing at the previous complete version; a half-written version
+   directory is unreferenced garbage, never a corrupt snapshot. This is
+   exactly the miniature of a table format's commit protocol (Iceberg /
+   Delta flip a metadata pointer over immutable data files), so the
+   local layout upgrades 1:1 to a cluster object store.
 
 Exactly-once story: ``foreachBatch`` re-delivers a batch after failure.
 Seed the snapshot WITH the ``seq_col`` so every row records the change
-that produced it: ``merge_apply``'s seq guard then makes a replayed or
-out-of-order batch a no-op past the recorded seq — any delivery order
-converges to the same snapshot. At cluster scale the snapshot would live in a table format
-with transactional commit (the rename here stands in for that commit —
-single-filesystem atomic).
+that produced it: ``merge_apply``'s seq guard then makes a replayed
+batch a no-op past the recorded seq (and with ``keep_tombstones=True``
+in the batch operator, arbitrary-order redelivery also converges).
 
 Scale: the snapshot rewrite is proportional to the snapshot, not the
 stream; with a partitioned base only partitions containing changed keys
 need rewriting (dynamic overwrite) — the batch operator's broadcast
-path already avoids shuffling the base.
+path already avoids shuffling the base. Old versions are garbage
+collected after commit, keeping ``keep_versions`` behind for readers
+in flight (time travel is the same dial turned up).
 """
 
 from __future__ import annotations
 
+import os
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.merge import merge_apply
+
+MANIFEST = "_MANIFEST"
+_VERSION_PREFIX = "v"
+_VERSION_DIGITS = 8
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, MANIFEST)
+
+
+def current_version(root: str) -> str | None:
+    """Name of the committed version directory, or None if uninitialized."""
+    try:
+        with open(_manifest_path(root)) as f:
+            v = f.read().strip()
+        return v or None
+    except FileNotFoundError:
+        return None
+
+
+def _commit(root: str, version: str) -> None:
+    """Atomically point the manifest at ``version``: write a unique temp
+    file, fsync it, then ``os.replace`` over the manifest (atomic on
+    POSIX — readers see either the old or the new pointer, never a
+    partial write)."""
+    tmp = _manifest_path(root) + f".{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        f.write(version + "\n")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, _manifest_path(root))
+
+
+def _gc(root: str, keep_versions: int) -> None:
+    """Drop version directories older than the newest ``keep_versions``.
+    Only unreferenced history is removed; the committed version is always
+    within the kept suffix because version numbers are monotonic."""
+    versions = sorted(
+        d
+        for d in os.listdir(root)
+        if d.startswith(_VERSION_PREFIX)
+        and d[len(_VERSION_PREFIX) :].isdigit()
+        and os.path.isdir(os.path.join(root, d))
+    )
+    for d in versions[: max(0, len(versions) - keep_versions)]:
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+
+
+def init_snapshot(df: DataFrame, root: str) -> str:
+    """Seed a versioned snapshot root with ``df`` as version 0."""
+    os.makedirs(root, exist_ok=True)
+    v = f"{_VERSION_PREFIX}{0:0{_VERSION_DIGITS}d}"
+    df.write.mode("overwrite").parquet(os.path.join(root, v))
+    _commit(root, v)
+    return v
+
+
+def read_snapshot(spark: SparkSession, root: str) -> DataFrame:
+    """The committed snapshot (resolves the manifest pointer)."""
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(
+            f"no committed snapshot at {root!r} — seed with init_snapshot()"
+        )
+    return spark.read.parquet(os.path.join(root, v))
 
 
 def apply_cdc_stream(
@@ -44,27 +119,36 @@ def apply_cdc_stream(
     delete_op: str = "D",
     checkpoint: str | None = None,
     available_now: bool = True,
+    keep_versions: int = 2,
 ):
-    """Run the change stream into the snapshot at ``snapshot_path``.
+    """Run the change stream into the versioned snapshot at
+    ``snapshot_path`` (a root seeded by :func:`init_snapshot`).
 
-    Returns the StreamingQuery. The snapshot parquet must exist (seed it
-    with the initial base). ``available_now=True`` drains what's there
-    and stops — the batch-parity test mode; ``False`` runs continuously.
+    Returns the StreamingQuery. ``available_now=True`` drains what's
+    there and stops — the batch-parity test mode; ``False`` runs
+    continuously. ``keep_versions`` controls how much history survives
+    GC (min 2: current + previous for in-flight readers).
     """
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        base = spark.read.parquet(snapshot_path)
+        cur = current_version(snapshot_path)
+        if cur is None:
+            raise FileNotFoundError(
+                f"no committed snapshot at {snapshot_path!r} — "
+                "seed with init_snapshot()"
+            )
+        base = spark.read.parquet(os.path.join(snapshot_path, cur))
         merged = merge_apply(
             base, batch, keys=keys, seq_col=seq_col, op_col=op_col,
             delete_op=delete_op, broadcast_changes=True,
         )
-        tmp = snapshot_path + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(snapshot_path)
-        # the double write stands in for an atomic table-format commit;
-        # local filesystems can't rename over a non-empty dir portably
-        shutil.rmtree(tmp, ignore_errors=True)
+        nxt = f"{_VERSION_PREFIX}{int(cur[len(_VERSION_PREFIX):]) + 1:0{_VERSION_DIGITS}d}"
+        # overwrite handles a replayed batch whose version dir half-exists
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_path, nxt)
+        )
+        _commit(snapshot_path, nxt)
+        _gc(snapshot_path, max(2, keep_versions))
 
     writer = changes_stream.writeStream.foreachBatch(merge_batch)
     if checkpoint:

@@ -342,13 +342,17 @@ class TestStreamingUpsert:
         """3 micro-batches through the foreachBatch upsert sink produce
         the same snapshot as one batch merge over all changes."""
         from fraud_detection_project_spark.operators.merge import merge_apply
-        from fraud_detection_project_spark.streaming.upsert import apply_cdc_stream
+        from fraud_detection_project_spark.streaming.upsert import (
+            apply_cdc_stream,
+            init_snapshot,
+            read_snapshot,
+        )
 
         base = spark.createDataFrame(
             [(k, f"v{k}", 0) for k in range(20)], "k long, v string, seq long"
         )
         snap = str(tmp_path / "snap")
-        base.write.parquet(snap)
+        init_snapshot(base, snap)
 
         # three files -> three micro-batches (maxFilesPerTrigger=1);
         # key 3 is updated then deleted, key 5 deleted then re-inserted,
@@ -383,11 +387,51 @@ class TestStreamingUpsert:
             for r in merge_apply(base, all_changes, ["k"], "seq").collect()
         }
         got = {
-            (r["k"], r["v"]) for r in spark.read.parquet(snap).collect()
+            (r["k"], r["v"]) for r in read_snapshot(spark, snap).collect()
         }
         assert got == want
         assert all(k != 3 for k, _ in got)          # deleted
         assert (5, "back") in got and (100, "new") in got and (7, "b3") in got
+
+    def test_commit_is_atomic_and_crash_recoverable(self, spark, tmp_path):
+        """The manifest flip is the commit: a half-written version dir
+        with an unflipped manifest leaves the previous snapshot intact,
+        and a later merge over the same version name recovers."""
+        import os
+
+        from fraud_detection_project_spark.streaming.upsert import (
+            current_version,
+            init_snapshot,
+            read_snapshot,
+        )
+
+        base = spark.createDataFrame(
+            [(1, "a", 0), (2, "b", 0)], "k long, v string, seq long"
+        )
+        snap = str(tmp_path / "snap")
+        init_snapshot(base, snap)
+        v0 = current_version(snap)
+
+        # simulate a crash mid-write: version dir exists, garbage inside,
+        # manifest never flipped
+        crashed = os.path.join(snap, "v00000001")
+        os.makedirs(crashed)
+        with open(os.path.join(crashed, "part-junk.parquet"), "wb") as f:
+            f.write(b"\x00not parquet")
+
+        assert current_version(snap) == v0
+        got = {(r["k"], r["v"]) for r in read_snapshot(spark, snap).collect()}
+        assert got == {(1, "a"), (2, "b")}  # committed snapshot untouched
+
+        # the recovery path overwrites the junk dir and flips the pointer
+        upd = spark.createDataFrame([(2, "b2", 1)], "k long, v string, seq long")
+        upd.write.mode("overwrite").parquet(crashed)
+        from fraud_detection_project_spark.streaming.upsert import _commit
+
+        _commit(snap, "v00000001")
+        assert current_version(snap) == "v00000001"
+        got = {(r["k"], r["v"]) for r in read_snapshot(spark, snap).collect()}
+        assert got == {(2, "b2")}
 
     def test_stale_replay_is_noop(self, spark, tmp_path):
         """Re-applying an old changeset against a newer snapshot changes
