@@ -6,12 +6,17 @@ feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so bytes never round-trip through Python
 row-at-a-time.
 
-The actual codecs (PIL/libav/etc.) are NOT in this container, so the
-decode kernels are stubbed: :func:`register_decoder` installs a real
-decoder when available; otherwise the deterministic fake
-(:func:`_fake_decode`) produces shape-correct output so the Spark-side
-plumbing — schema, batching, partition sizing — is real and tested, or
-``strict=True`` raises ``NotImplementedError`` at the decode site.
+Decoders are pluggable via :func:`register_decoder`. Two REAL
+stdlib-only codecs ship built in and are registered at import — WAV
+(RIFF PCM via ``wave``/``struct``, :func:`decode_wav`) and binary
+PNM (P5 gray / P6 RGB, hand-parsed, :func:`decode_pnm`) — plus an
+``auto`` decoder that sniffs the magic bytes, so ``strict=True``
+decode is honest end-to-end for those formats. Codecs the container
+lacks (JPEG/libav/...) stay behind ``register_decoder``; without a
+match, the deterministic fake (:func:`_fake_decode`) produces
+shape-correct output so the Spark-side plumbing — schema, batching,
+partition sizing — remains real and tested, or ``strict=True`` raises
+``NotImplementedError`` at the decode site.
 
 At 100 TB: binary payloads dominate partition size, so
 ``media_repartition`` sizes partitions by *bytes* (payload length), not
@@ -60,11 +65,107 @@ def _decoder(name: str | None, strict: bool):
         return _DECODERS[name]
     if strict:
         raise NotImplementedError(
-            "no media decoder registered in this environment "
-            "(image/audio libs not installed); call register_decoder() "
-            "or use strict=False for the deterministic fake"
+            f"no media decoder named {name!r} registered (built-ins: "
+            f"{sorted(_DECODERS)}); call register_decoder() for codecs "
+            "this environment lacks, or use strict=False for the "
+            "deterministic fake"
         )
     return _fake_decode
+
+
+# --- real stdlib codecs ------------------------------------------------
+
+
+def wav_bytes(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 PCM mono samples as a minimal RIFF/WAVE payload
+    (44-byte header + frames) using only the stdlib ``wave`` module.
+    The synthesis half of the WAV round-trip used by tests/oracles."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes, mime: str = "audio/wav") -> np.ndarray:
+    """REAL WAV decode, stdlib only: RIFF PCM via ``wave``. Returns
+    float64 samples, shape (n_frames,) mono or (n_frames, n_channels).
+    Supports 8-bit unsigned and 16/32-bit signed PCM."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, width, nframes = w.getnchannels(), w.getsampwidth(), w.getnframes()
+        raw = w.readframes(nframes)
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(width)
+    if dtype is None:
+        raise ValueError(f"unsupported PCM sample width: {width}")
+    arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if nch > 1:
+        arr = arr.reshape(-1, nch)
+    return arr
+
+
+def ppm_bytes(pixels: np.ndarray) -> bytes:
+    """Encode a (h, w, 3) RGB or (h, w) gray uint8 array as binary
+    P6/P5 PNM. The synthesis half of the PNM round-trip."""
+    a = np.asarray(pixels, dtype=np.uint8)
+    if a.ndim == 3:
+        magic, h, w = b"P6", a.shape[0], a.shape[1]
+    elif a.ndim == 2:
+        magic, h, w = b"P5", a.shape[0], a.shape[1]
+    else:
+        raise ValueError("pixels must be (h, w) or (h, w, 3)")
+    return magic + f"\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_pnm(payload: bytes, mime: str = "image/x-portable-pixmap") -> np.ndarray:
+    """REAL binary PNM decode, hand-parsed: P6 RGB → (h, w, 3), P5
+    gray → (h, w), float64. Handles whitespace/comment-tolerant headers
+    and 8-bit maxval (the overwhelmingly common case)."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM (P5/P6) payload")
+    rgb = payload[:2] == b"P6"
+    # header: magic, width, height, maxval — tokens separated by
+    # whitespace, '#' comments run to end-of-line
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    n = w * h * (3 if rgb else 1)
+    arr = np.frombuffer(payload[pos : pos + n], dtype=np.uint8).astype(np.float64)
+    return arr.reshape(h, w, 3) if rgb else arr.reshape(h, w)
+
+
+def decode_auto(payload: bytes, mime: str = "") -> np.ndarray:
+    """Magic-byte sniffing decoder: RIFF/WAVE → wav, P5/P6 → pnm."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload, mime)
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_pnm(payload, mime)
+    raise ValueError("unrecognized media payload (no registered codec)")
+
+
+register_decoder("wav", decode_wav)
+register_decoder("pnm", decode_pnm)
+register_decoder("auto", decode_auto)
 
 
 def attach_media_meta(

@@ -1572,6 +1572,129 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wav_decode_profile",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               list_transform(range(0, 16 + doc_id % 17),
+                   i -> CAST((doc_id * 31 + i * 7) % 201 - 100 AS DOUBLE)) AS xs
+        FROM documents
+    ), m AS (
+        SELECT doc_id, xs, list_avg(xs) AS mu FROM s
+    )
+    SELECT doc_id,
+           44 + 2 * len(xs) AS n_bytes,
+           FLOOR(mu * 1000000 + 0.5) / 1000000 AS mean_sample,
+           FLOOR(sqrt(list_avg(list_transform(xs, x -> (x - mu) * (x - mu))))
+                 * 1000000 + 0.5) / 1000000 AS std_sample
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode end-to-end under ``strict=True`` (no stand-in):
+    a deterministic int16 PCM waveform is synthesized per doc_id
+    (sample[i] = (d*31 + i*7) % 201 - 100, n = 16 + d%17), encoded to
+    RIFF/WAVE bytes with the stdlib ``wave`` writer, and decoded back by
+    operators/multimodal.py:decode_wav inside the Arrow mapInPandas
+    feature kernel. n_bytes pins the 44-byte-header + 2n layout; mean
+    and population std of the decoded samples match SQL computing the
+    same statistics straight from the generator formula — so header
+    parse, sample width, endianness, and dtype are all value-checked.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import extract_features, wav_bytes
+
+    out_schema = "doc_id long, payload binary"
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for d in ids:
+                n = 16 + d % 17
+                i = np.arange(n, dtype=np.int64)
+                samples = (d * 31 + i * 7) % 201 - 100
+                payloads.append(wav_bytes(samples))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(synth, out_schema)
+    feats = extract_features(
+        media, payload_col="payload", id_col="doc_id",
+        decoder="wav", strict=True,
+    )
+    round6 = lambda c: F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        round6("mean_intensity").alias("mean_sample"),
+        round6("std_intensity").alias("std_sample"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "ppm_decode_profile",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           11 + 3 * w * h AS n_bytes,
+           FLOOR(list_avg(list_transform(range(0, 3 * w * h),
+                 k -> CAST((doc_id * 7 + k * 13) % 256 AS DOUBLE)))
+                 * 1000000 + 0.5) / 1000000 AS mean_pixel
+    FROM dims
+    ORDER BY doc_id
+    """,
+)
+def q_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL binary-PPM (P6) decode end-to-end under ``strict=True``: a
+    deterministic (h, w, 3) RGB raster is synthesized per doc_id
+    (pixel at linear index k = (d*7 + k*13) % 256, w = 4 + d%5,
+    h = 3 + d%4), encoded by ppm_bytes, decoded by the hand-written
+    header parser in operators/multimodal.py:decode_pnm. n_bytes pins
+    the exact header+raster length (single-digit dims → 11-byte
+    header); the mean over decoded pixels matches SQL computing it from
+    the generator formula, value-checking the raster layout.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .operators.multimodal import extract_features, ppm_bytes
+
+    out_schema = "doc_id long, payload binary"
+
+    def synth(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].tolist()
+            payloads = []
+            for d in ids:
+                w, h = 4 + d % 5, 3 + d % 4
+                k = np.arange(h * w * 3, dtype=np.int64)
+                pixels = ((d * 7 + k * 13) % 256).reshape(h, w, 3)
+                payloads.append(ppm_bytes(pixels))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = docs.mapInPandas(synth, out_schema)
+    feats = extract_features(
+        media, payload_col="payload", id_col="doc_id",
+        decoder="pnm", strict=True,
+    )
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        (F.floor(F.col("mean_intensity") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "mean_pixel"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
     "user_sessions_30m",
     oracle="""
     WITH t AS (
@@ -2887,6 +3010,9 @@ DRIVER_PRIORITY: list[str] = [
     # fell out of the r02 50-row window (verified in r01 + locally)
     "interval_join_binned",
     "frame_sample_profile",
+    # round-3 additions: real stdlib codec decode under strict=True
+    "wav_decode_profile",
+    "ppm_decode_profile",
 ]
 
 DRIVER_CANARIES: list[str] = [
@@ -2904,8 +3030,9 @@ DRIVER_CANARIES: list[str] = [
     "tumbling_counts_6h",
     "one_hot_event_type",
     "standardize_quantity",
-    "media_feature_profile",
-    "undersample_exact_counts",
+    # media_feature_profile / undersample_exact_counts rotated out to
+    # keep the 50-row window exact when the two decode queries landed
+    # (both r02 hash-green; still covered by verify_local)
 ]
 
 
