@@ -1007,6 +1007,52 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "minhash_recall_supercheck",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))), '\s+') AS toks
+        FROM documents
+    ),
+    s AS (SELECT doc_id, unnest(range(1, len(toks) - 1)) AS i, toks FROM t WHERE len(toks) >= 3),
+    d AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM s),
+    n AS (SELECT doc_id, COUNT(*) AS ns FROM d GROUP BY doc_id),
+    p AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+        FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           ROUND(c * 1.0 / (na.ns + nb.ns - c), 6) AS jaccard
+    FROM p JOIN n na ON na.doc_id = p.ia JOIN n nb ON nb.doc_id = p.ib
+    WHERE c * 1.0 / (na.ns + nb.ns - c) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+)
+def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash/LSH recall made SQL-checkable (VERDICT r2 item 4): exact
+    3-gram-Jaccard pairs at ≥ 0.7 — a margin above the 128-hash/32-band
+    LSH S-curve knee, where expected recall is ≥ 0.999 — semi-joined
+    against the LSH candidate set. The query equals the exact pair set
+    iff LSH missed NOTHING above the margin, so the DuckDB oracle (which
+    knows nothing of MinHash) hash-verifies the recall property; a
+    single missed pair turns the row red. Empirically 0 misses at both
+    sf0.01 and sf0.1."""
+    from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.7)
+    candidates = minhash_lsh_pairs(docs, num_hashes=128, bands=32).select(
+        "id_a", "id_b"
+    )
+    return (
+        exact.join(candidates, ["id_a", "id_b"], "left_semi")
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 @register("simhash_near_dup_docs")  # rows-only: engine-specific hashes
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) with pigeonhole chunk
@@ -1213,6 +1259,66 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.round("cosine_sim", 6).alias("cosine_sim")
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "embedding_lsh_precision_union",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    ORDER BY id_a, id_b
+    """,
+)
+def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH precision made SQL-checkable (VERDICT r2 item 4):
+    the union of the exact pair set (cos ≥ 0.45) with the LSH bucketed
+    candidates at the same threshold, distinct on pair ids. The LSH
+    operator re-ranks bucket mates with exact cosine before emitting, so
+    every candidate MUST already be in the exact set — the union equals
+    the exact set iff LSH emitted no false positive, which the DuckDB
+    oracle verifies without knowing the bucketing. (Recall is covered by
+    the minhash supercheck pattern; single-shot hyperplane buckets make
+    no recall guarantee, and the exact twin embedding_near_dup_exact is
+    the anchored baseline.)"""
+    from .operators.similarity import cosine_all_pairs_exact, cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_all_pairs_exact(emb, 0.45).select("id_a", "id_b")
+    lsh = cosine_near_dup_pairs(emb, threshold=0.45, bits=4, dim=64).select(
+        "id_a", "id_b"
+    )
+    return exact.union(lsh).distinct().orderBy("id_a", "id_b")
+
+
+@register(
+    "ivf_full_probe_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine_sim
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+)
+def q_ivf_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF completeness made SQL-checkable (VERDICT r2 item 4): probing
+    ALL cells (nprobe = n_centroids) makes IVF exhaustive, so its top-k
+    must equal the brute-force oracle exactly — proving the coarse
+    quantizer assigns every vector to exactly one cell and the
+    cell-pruned search loses nothing when no cell is pruned. The
+    embedding_ivf_topk query keeps exercising the pruned (nprobe=8)
+    fast path as a rows-only entry."""
+    from .operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = ivf_topk(emb, query, k=10, n_centroids=16, nprobe=16)
+    return out.select(
+        "vec_id", F.round("cosine_sim", 6).alias("cosine_sim")
+    ).orderBy(F.desc("cosine_sim"), "vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2464,6 +2570,41 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hll_within_tolerance",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_hll_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch error made SQL-checkable (VERDICT r2 item 4): per
+    event_type, the datasketches HLL estimate of distinct users must sit
+    within 5% (≈3σ at the default lgConfigK=12, RSE ≈ 1.6%) of the
+    exact COUNT(DISTINCT) — the oracle pins exact_users and a constant
+    TRUE; an out-of-tolerance estimate flips the flag and reddens the
+    row. Complements hll_distinct_rollup (rows-only), which exercises
+    the sketch-merge rollup path whose raw estimates are
+    engine-specific."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    return per.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("within_tol"),
+    ).orderBy("event_type")
+
+
 @register("doc_pagerank_topk")  # rows-only: iterative float algorithm (no SQL twin)
 def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-based document centrality: PageRank
@@ -3013,6 +3154,11 @@ DRIVER_PRIORITY: list[str] = [
     # round-3 additions: real stdlib codec decode under strict=True
     "wav_decode_profile",
     "ppm_decode_profile",
+    # round-3 additions: sketch/ANN invariants made SQL-checkable
+    "minhash_recall_supercheck",
+    "embedding_lsh_precision_union",
+    "ivf_full_probe_topk",
+    "hll_within_tolerance",
 ]
 
 DRIVER_CANARIES: list[str] = [
@@ -3025,14 +3171,13 @@ DRIVER_CANARIES: list[str] = [
     "time_features",
     "asof_last_signup",
     "exact_dedup_docs",
-    "ngram_jaccard_dups",
-    "embedding_near_dup_exact",
     "tumbling_counts_6h",
-    "one_hot_event_type",
-    "standardize_quantity",
-    # media_feature_profile / undersample_exact_counts rotated out to
-    # keep the 50-row window exact when the two decode queries landed
-    # (both r02 hash-green; still covered by verify_local)
+    # rotated out to keep the 50-row window exact as round-3 additions
+    # landed (all r02 hash-green; still covered by verify_local):
+    # media_feature_profile, undersample_exact_counts, ngram_jaccard_dups
+    # (minhash_recall_supercheck runs the same exact-jaccard pipeline),
+    # embedding_near_dup_exact (inside embedding_lsh_precision_union),
+    # one_hot_event_type, standardize_quantity (ML-prep pytest suite)
 ]
 
 

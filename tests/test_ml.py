@@ -179,6 +179,82 @@ class TestImbalance:
         sb = sorted(tuple(r["f"]) for r in b.filter(F.col("id") == -1).collect())
         assert sa == sb
 
+    def test_smote_highdim_arrow_projection(self, spark):
+        """dim=512 routes _projection through the Arrow gemm kernel
+        (VERDICT r2 item 5): counts stay exact, synthesis deterministic,
+        and the kernel agrees with the unrolled-expression form run on
+        the same vectors."""
+        import numpy as np
+
+        from fraud_detection_project_spark.ml.imbalance import _projection
+
+        dim, rng = 512, np.random.default_rng(3)
+        rows = [
+            (i, int(i < 40), rng.normal(size=dim).tolist()) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "id long, label int, f array<double>")
+
+        out = smote(df, "label", "f", "id", k=3, seed=42)
+        c = class_counts(out, "label")
+        assert c == {0: 160, 1: 160}
+        syn_a = sorted(
+            tuple(r["f"]) for r in out.filter(F.col("id") == -1).collect()
+        )
+        out_b = smote(df, "label", "f", "id", k=3, seed=42)
+        syn_b = sorted(
+            tuple(r["f"]) for r in out_b.filter(F.col("id") == -1).collect()
+        )
+        assert syn_a == syn_b  # deterministic across runs
+
+        # Arrow kernel ≡ numpy ground truth at dim=512 (the unrolled
+        # expression form StackOverflows Catalyst at this width — the
+        # reason the Arrow path exists)
+        got_arrow = {
+            r["id"]: r["p"]
+            for r in df.select(
+                "id", _projection(df, "f", dim, seed=42).alias("p")
+            ).collect()
+        }
+        plane_rng = np.random.RandomState(42)
+        r_plane = plane_rng.normal(size=dim)
+        r_plane = r_plane / np.linalg.norm(r_plane)
+        for i, _, f in rows:
+            assert abs(got_arrow[i] - float(np.dot(f, r_plane))) < 1e-9
+
+    def test_projection_arrow_matches_expression_lowdim(self, spark):
+        """The two _projection forms agree bit-for-bit-ish (1e-9) on the
+        same seeded plane — checked at dim=32 where both are viable, by
+        forcing the Arrow path against the default expression path."""
+        import numpy as np
+
+        import fraud_detection_project_spark.ml.imbalance as imb
+        from fraud_detection_project_spark.ml.imbalance import _projection
+
+        dim, rng = 32, np.random.default_rng(5)
+        rows = [(i, rng.normal(size=dim).tolist()) for i in range(50)]
+        df = spark.createDataFrame(rows, "id long, f array<double>")
+
+        expr = {
+            r["id"]: r["p"]
+            for r in df.select(
+                "id", _projection(df, "f", dim, seed=42).alias("p")
+            ).collect()
+        }
+        old_max = imb._PROJ_EXPR_MAX_DIM
+        imb._PROJ_EXPR_MAX_DIM = 0  # force Arrow kernel
+        try:
+            arrow = {
+                r["id"]: r["p"]
+                for r in df.select(
+                    "id", _projection(df, "f", dim, seed=42).alias("p")
+                ).collect()
+            }
+        finally:
+            imb._PROJ_EXPR_MAX_DIM = old_max
+        assert expr.keys() == arrow.keys()
+        for i in expr:
+            assert abs(expr[i] - arrow[i]) < 1e-9
+
     def test_smote_interpolates_within_hull(self, labeled):
         # all synthetic points must lie on a segment between two minority
         # points → every coordinate within the minority min/max box
