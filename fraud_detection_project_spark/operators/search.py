@@ -9,9 +9,15 @@ Scale design (100 TB corpus, |query| ≈ a handful of terms):
 - the explode is filtered to the query's terms BEFORE any shuffle —
   ``array_intersect``-style pruning means the exploded relation carries
   at most |docs| × |terms| rows, never the full token stream.
-- document-frequency and corpus stats are one-row / |terms|-row
+- the corpus is TOKENIZED EXACTLY TWICE: once for the global (N, avgdl)
+  aggregate, once for the combined tf+dl explode pass (per-doc length
+  rides along the exploded rows, so no third scan joins lengths back).
+  The compacted (doc, term, tf, dl) relation — bounded by
+  |matching docs| × |terms| — is localCheckpoint-ed so the df() rollup
+  and the score join don't re-derive (and re-tokenize) its lineage.
+- document-frequency and corpus stats are |terms|-row / one-row
   aggregates joined back via broadcast; the only per-doc shuffle is the
-  final (doc_id, term) → doc_id score sum, bounded by |docs| × |terms|.
+  (doc_id, term) → doc_id score sum, bounded by |docs| × |terms|.
 - top-k is ``ORDER BY … LIMIT k`` → TakeOrderedAndProject: k rows per
   partition cross the network, k rows reach the driver.
 
@@ -46,17 +52,26 @@ def bm25_search(
     toked = spread_input(docs).select(
         F.col(id_col), tokens(normalized_text(text_col)).alias("toks")
     )
-    dl = toked.select(id_col, F.size("toks").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    # tokenization pass 1: global corpus stats (one-row aggregate)
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("n"), F.avg(F.size("toks")).alias("avgdl")
     )
 
+    # tokenization pass 2: combined tf+dl — per-doc length rides the
+    # exploded rows so no separate length scan joins back later
     tf = (
-        toked.select(F.col(id_col), F.explode("toks").alias("term"))
+        toked.select(
+            F.col(id_col),
+            F.size("toks").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
         .filter(F.col("term").isin(terms))
         .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
+    # |matching docs| × |terms| rows — checkpoint kills lineage so the
+    # df() rollup and score join don't re-tokenize the corpus
+    tf = tf.localCheckpoint(eager=True)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     idf = F.log(
@@ -69,7 +84,6 @@ def bm25_search(
 
     scored = (
         tf.join(F.broadcast(df_), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .select(F.col(id_col), score.alias("s"))
         .groupBy(id_col)

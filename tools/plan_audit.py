@@ -89,6 +89,33 @@ def audit(spark, sf_dir: str) -> list[str]:
     check("all_pairs_exact: Arrow mapInPandas kernel",
           "MapInPandas" in p, p)
 
+    # BM25 — df/stats broadcast, top-k is TakeOrderedAndProject, and the
+    # corpus is tokenized exactly twice (stats pass + tf/dl pass; the
+    # compacted tf relation is checkpointed so nothing re-tokenizes)
+    p = plan_of(QUERIES["bm25_search_topk"](spark, sf_dir))
+    check("bm25: TakeOrderedAndProject", "TakeOrderedAndProject" in p, p)
+    check("bm25: df/stats broadcast", p.count("BroadcastExchange") >= 2, p)
+    check("bm25: corpus tokenized at most twice",
+          p.count("FileScan parquet") <= 2, p)
+
+    # CDC merge broadcast path — base payload never shuffles: both joins
+    # are broadcast (no SortMergeJoin), and the anti-join's base scan is
+    # pruned to the key column only
+    p = plan_of(QUERIES["cdc_merge_apply"](spark, sf_dir))
+    check("merge: broadcast joins only", "SortMergeJoin" not in p
+          and p.count("BroadcastHashJoin") >= 2, p)
+    check("merge: anti-join base scan key-pruned",
+          "ReadSchema: struct<c_custkey:bigint>" in p, p)
+
+    # dup_clusters — iterative CC with per-round localCheckpoint: the
+    # final plan must hang off materialized RDDs with NO parquet lineage
+    # (bounded plan depth regardless of iteration count)
+    p = plan_of(QUERIES["dup_clusters"](spark, sf_dir))
+    check("dup_clusters: lineage truncated to checkpointed RDDs",
+          "ExistingRDD" in p and "FileScan parquet" not in p, p)
+    check("dup_clusters: O(1) post-checkpoint plan",
+          p.count("\n") < 40, p)
+
     # funnel — single-scan windowed form: ONE events scan feeding the
     # stacked per-user window minima (the old form scanned events 3×)
     p = plan_of(QUERIES["funnel_view_click_purchase"](spark, sf_dir))
