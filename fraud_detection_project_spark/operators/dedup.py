@@ -527,3 +527,47 @@ def fuzzy_pairs_1edit(
     return cand.select("id_a", "id_b", dist.alias("dist")).filter(
         F.col("dist") <= 1
     )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: which corpus documents share at least
+    one word ``n``-gram with any probe (benchmark/eval) document — the
+    standard 13-gram collision test run before training-set release.
+
+    Returns one row per contaminated corpus doc:
+    ``(id_col, n_hit_ngrams, n_probe_docs)`` — distinct colliding
+    shingles and distinct probe docs hit.
+
+    Scale design (100 TB corpus, benchmark ≪ corpus): both sides
+    shingle with the same normalization as the near-dup stack
+    (:func:`word_shingles`; short docs fall back to their whole text);
+    shingles fold to ``xxhash64`` BEFORE the join so the probe side's
+    distinct (hash, probe_id) set — benchmark-sized — BROADCASTS, and
+    the corpus side is never shuffled at all: one narrow
+    shingle→hash→broadcast-join→per-doc agg pass over the corpus. A
+    64-bit hash false-collision is ~2⁻⁶⁴ per candidate pair (accepted,
+    as in exact_dedup).
+    """
+    def shingled(df: DataFrame, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(
+                F.array_distinct(word_shingles(text_col, n))
+            ).alias("__sh"),
+        ).select(out_id, F.xxhash64("__sh").alias("__h"))
+
+    probe_sh = shingled(probes, "__probe_id").dropDuplicates(
+        ["__probe_id", "__h"]
+    )
+    corpus_sh = shingled(spread_input(corpus), id_col)
+    hits = corpus_sh.join(F.broadcast(probe_sh), "__h")
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("__h").alias("n_hit_ngrams"),
+        F.count_distinct("__probe_id").alias("n_probe_docs"),
+    )

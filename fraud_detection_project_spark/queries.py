@@ -1053,6 +1053,47 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "contamination_13gram",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))), '\s+') AS toks
+        FROM documents
+    ),
+    d AS (
+        SELECT DISTINCT doc_id, list_aggregate(toks[i:i+12], 'string_agg', ' ') AS sh
+        FROM (SELECT doc_id, unnest(range(1, len(toks) - 11)) AS i, toks
+              FROM t WHERE len(toks) >= 13)
+        UNION
+        SELECT DISTINCT doc_id, list_aggregate(toks, 'string_agg', ' ') AS sh
+        FROM t WHERE len(toks) < 13
+    ),
+    probe  AS (SELECT doc_id AS pid, sh FROM d WHERE doc_id % 50 = 0),
+    corpus AS (SELECT * FROM d WHERE doc_id % 50 <> 0)
+    SELECT c.doc_id,
+           COUNT(DISTINCT c.sh)  AS n_hit_ngrams,
+           COUNT(DISTINCT p.pid) AS n_probe_docs
+    FROM corpus c JOIN probe p ON c.sh = p.sh
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination (operators/dedup.py:
+    ngram_contamination): corpus docs sharing any 13-gram with the
+    benchmark probe set (here: every 50th doc_id standing in for an eval
+    set). The corpus side never shuffles — probe shingle hashes
+    broadcast; the oracle recomputes the collision join on raw shingle
+    strings, value-checking the whole hash-join path."""
+    from .operators.dedup import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(corpus, probes, n=13).orderBy("doc_id")
+
+
 @register("simhash_near_dup_docs")  # rows-only: engine-specific hashes
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3) with pigeonhole chunk
@@ -3159,6 +3200,8 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_lsh_precision_union",
     "ivf_full_probe_topk",
     "hll_within_tolerance",
+    # round-3 additions: LLM-pipeline decontamination
+    "contamination_13gram",
 ]
 
 DRIVER_CANARIES: list[str] = [
@@ -3168,7 +3211,6 @@ DRIVER_CANARIES: list[str] = [
     "rolling_24h_user",
     "velocity_features_3keys",
     "ip_roundtrip",
-    "time_features",
     "asof_last_signup",
     "exact_dedup_docs",
     "tumbling_counts_6h",
@@ -3177,7 +3219,8 @@ DRIVER_CANARIES: list[str] = [
     # media_feature_profile, undersample_exact_counts, ngram_jaccard_dups
     # (minhash_recall_supercheck runs the same exact-jaccard pipeline),
     # embedding_near_dup_exact (inside embedding_lsh_precision_union),
-    # one_hot_event_type, standardize_quantity (ML-prep pytest suite)
+    # one_hot_event_type, standardize_quantity (ML-prep pytest suite),
+    # time_features (pure column functions, ip_roundtrip covers family)
 ]
 
 

@@ -97,6 +97,41 @@ def consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cc_alone(spark, sf_dir: str):
+    """Connected components in isolation (no shingle pipeline in front):
+    bipartite order↔part edges from lineitem — the pure iterative-merge
+    load, isolating CC's per-round shuffle+checkpoint scaling."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_project_spark.catalog import load_table
+    from fraud_detection_project_spark.operators.dedup import connected_components
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + F.lit(1_000_000_000)).alias("dst"),
+    )
+    return connected_components(edges)
+
+
+def _stream_join_batch_twin(spark, sf_dir: str):
+    """Stream-stream interval join, batch twin (streaming/joins.py):
+    purchases correlated to errors by the same user within [0, 1h] —
+    the watermark-bounded state shape, timed on its identical batch
+    plan."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_project_spark.catalog import load_table
+    from fraud_detection_project_spark.streaming.joins import interval_join_streams
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error")
+    return interval_join_streams(
+        purchases, errors, "user_id", lower="0 seconds", upper="1 hour"
+    ).select("l_user_id", "l_ts", "r_ts")
+
+
 def run(spark, sf_dir: str) -> dict[str, float]:
     from fraud_detection_project_spark.queries import QUERIES
 
@@ -113,6 +148,11 @@ def run(spark, sf_dir: str) -> dict[str, float]:
         "q8_bm25": lambda: QUERIES["bm25_search_topk"](spark, sf_dir),
         "q9_quantize": lambda: QUERIES["embedding_quantize_profile"](spark, sf_dir),
         "q10_cdc_merge": lambda: QUERIES["cdc_merge_apply"](spark, sf_dir),
+        # graph + streaming families (VERDICT r2 item 6)
+        "q11_pagerank": lambda: QUERIES["doc_pagerank_topk"](spark, sf_dir),
+        "q12_cc_alone": lambda: _cc_alone(spark, sf_dir),
+        "q13_sessionize": lambda: QUERIES["user_sessions_30m"](spark, sf_dir),
+        "q14_stream_join_twin": lambda: _stream_join_batch_twin(spark, sf_dir),
     }
     consume(QUERIES["cleaning_chain"](spark, sf_dir))  # warm listing/JIT
     out = {}
