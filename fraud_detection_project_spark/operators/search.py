@@ -90,3 +90,53 @@ def bm25_search(
         .agg(F.round(F.sum("s"), 4).alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc(id_col)).limit(top_k)
+
+
+def tfidf_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-(doc, term) TF-IDF weights over the whole vocabulary — the
+    sparse-feature twin of :func:`bm25_search` (which scores a fixed
+    query term set; this weights every term for downstream vectorizers /
+    keyword extraction).
+
+    tf = term count in doc; idf = ln((N + 1) / (df + 1)) + 1 (the
+    smoothed sklearn variant — never zero, defined for df = N);
+    weight = tf · idf, rounded to 4 dp for cross-engine determinism.
+
+    Scale design: same two-pass shape as BM25 — one one-row aggregate
+    for N, one explode→(doc, term) count pass; document frequency rolls
+    up from the compacted tf relation (checkpointed, so the corpus is
+    tokenized exactly twice regardless of plan reuse), then broadcasts
+    back. The output is the exploded sparse matrix, ready for a pivot
+    or a feature-hash fold.
+    """
+    from .dedup import spread_input
+
+    toked = spread_input(docs).select(
+        F.col(id_col), tokens(normalized_text(text_col)).alias("toks")
+    )
+    n_docs = toked.agg(F.count(F.lit(1)).alias("n"))
+
+    tf = (
+        toked.select(F.col(id_col), F.explode("toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tf.localCheckpoint(eager=True)
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf = F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(idf, 6).alias("idf"),
+            F.round(F.col("tf") * idf, 4).alias("tfidf"),
+        )
+    )

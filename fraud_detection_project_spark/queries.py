@@ -1054,6 +1054,43 @@ def q_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, t AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS t FROM tk)
+        WHERE t <> ''
+        GROUP BY 1, 2
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    d AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    SELECT tf.doc_id, tf.term, tf.tf,
+           ROUND(ln((n.n + 1.0) / (d.df + 1.0)) + 1.0, 6) AS idf,
+           ROUND(tf.tf * (ln((n.n + 1.0) / (d.df + 1.0)) + 1.0), 4) AS tfidf
+    FROM tf JOIN d USING (term) CROSS JOIN n
+    ORDER BY tfidf DESC, tf.doc_id, tf.term
+    LIMIT 20
+    """,
+)
+def q_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF weighting (operators/search.py:tfidf_weights,
+    smoothed-idf sklearn variant): the feature-building twin of BM25 —
+    every (doc, term) weighted, global top-20 by weight with a total
+    deterministic tie-break. TakeOrderedAndProject caps network traffic
+    at k rows per partition."""
+    from .operators.search import tfidf_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = tfidf_weights(docs)
+    return w.orderBy(F.desc("tfidf"), "doc_id", "term").limit(20)
+
+
+@register(
     "contamination_13gram",
     oracle=r"""
     WITH t AS (
@@ -2646,6 +2683,51 @@ def q_hll_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+@register(
+    "approx_percentile_tolerance",
+    oracle="""
+    SELECT COUNT(value) AS n_values,
+           TRUE AS ok_p50,
+           TRUE AS ok_p90
+    FROM events
+    """,
+)
+def q_approx_percentile_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-style approximate percentiles made SQL-checkable (same
+    pattern as hll_within_tolerance): ``percentile_approx(value,
+    [0.5, 0.9], accuracy=1000)`` guarantees rank error ≤ n/accuracy, so
+    the count of values below/at the returned quantile must sit within
+    that rank envelope of p·n. The oracle pins n and constant-TRUE
+    flags; a sketch answer outside its documented bound reddens the
+    row. Complements quantiles_value (exact interpolated quartiles,
+    hash-green)."""
+    ev = load_table(spark, sf_dir, "events").select("value").filter(
+        F.col("value").isNotNull()
+    )
+    appr = ev.agg(
+        F.percentile_approx("value", [0.5, 0.9], 1000).alias("a")
+    )
+    j = ev.crossJoin(F.broadcast(appr))
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") <= F.col("a")[0]).cast("long")).alias("le50"),
+        F.sum((F.col("value") < F.col("a")[0]).cast("long")).alias("lt50"),
+        F.sum((F.col("value") <= F.col("a")[1]).cast("long")).alias("le90"),
+        F.sum((F.col("value") < F.col("a")[1]).cast("long")).alias("lt90"),
+    )
+    tol = F.greatest(F.lit(1.0), F.col("n") / F.lit(1000.0))
+
+    def ok(p, le, lt):
+        target = F.col("n") * F.lit(p)
+        return (F.col(le) >= target - tol) & (F.col(lt) <= target + tol)
+
+    return agg.select(
+        F.col("n").alias("n_values"),
+        ok(0.5, "le50", "lt50").alias("ok_p50"),
+        ok(0.9, "le90", "lt90").alias("ok_p90"),
+    )
+
+
 @register("doc_pagerank_topk")  # rows-only: iterative float algorithm (no SQL twin)
 def q_doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-based document centrality: PageRank
@@ -3200,8 +3282,11 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_lsh_precision_union",
     "ivf_full_probe_topk",
     "hll_within_tolerance",
-    # round-3 additions: LLM-pipeline decontamination
+    # round-3 additions: LLM-pipeline decontamination + TF-IDF + sketch
+    # tolerance
     "contamination_13gram",
+    "tfidf_top_terms",
+    "approx_percentile_tolerance",
 ]
 
 DRIVER_CANARIES: list[str] = [
@@ -3209,9 +3294,7 @@ DRIVER_CANARIES: list[str] = [
     "revenue_by_region",
     "cleaning_chain",
     "rolling_24h_user",
-    "velocity_features_3keys",
     "ip_roundtrip",
-    "asof_last_signup",
     "exact_dedup_docs",
     "tumbling_counts_6h",
     # rotated out to keep the 50-row window exact as round-3 additions
@@ -3220,7 +3303,9 @@ DRIVER_CANARIES: list[str] = [
     # (minhash_recall_supercheck runs the same exact-jaccard pipeline),
     # embedding_near_dup_exact (inside embedding_lsh_precision_union),
     # one_hot_event_type, standardize_quantity (ML-prep pytest suite),
-    # time_features (pure column functions, ip_roundtrip covers family)
+    # time_features (pure column functions, ip_roundtrip covers family),
+    # velocity_features_3keys (rolling_24h_user covers the W1 family),
+    # asof_last_signup (interval_join_custkey + geolocate cover J1)
 ]
 
 
