@@ -2684,6 +2684,61 @@ def q_hll_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_diff_summary",
+    oracle="""
+    WITH l AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    r AS (
+        SELECT c_custkey, c_name,
+               CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1.5
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer WHERE c_custkey % 13 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000000, c_name, c_acctbal
+        FROM customer WHERE c_custkey % 17 = 0
+    )
+    SELECT COUNT(CASE WHEN r.c_custkey IS NULL THEN 1 END) AS n_only_left,
+           COUNT(CASE WHEN l.c_custkey IS NULL THEN 1 END) AS n_only_right,
+           COUNT(CASE WHEN l.c_custkey IS NOT NULL AND r.c_custkey IS NOT NULL
+                       AND (l.c_acctbal IS DISTINCT FROM r.c_acctbal
+                            OR l.c_name IS DISTINCT FROM r.c_name)
+                      THEN 1 END) AS n_differing,
+           COUNT(CASE WHEN l.c_custkey IS NOT NULL AND r.c_custkey IS NOT NULL
+                       AND l.c_acctbal IS NOT DISTINCT FROM r.c_acctbal
+                       AND l.c_name IS NOT DISTINCT FROM r.c_name
+                      THEN 1 END) AS n_equal
+    FROM l FULL OUTER JOIN r ON l.c_custkey = r.c_custkey
+    """,
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/diff.py:diff_summary — the
+    validation companion to MERGE): customer diffed against a
+    deterministically perturbed copy (every 13th key dropped, every 7th
+    acctbal shifted, every 17th re-keyed as an insert). One full-outer
+    join on the key, NULL-safe per-column compare, codegen throughout;
+    the oracle recomputes the same classification in SQL."""
+    from .operators.diff import diff_summary
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    right = (
+        cust.filter(F.col("c_custkey") % 13 != 0)
+        .withColumn(
+            "c_acctbal",
+            F.when(
+                F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 1.5
+            ).otherwise(F.col("c_acctbal")),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 17 == 0).withColumn(
+                "c_custkey", F.col("c_custkey") + F.lit(1_000_000_000)
+            )
+        )
+    )
+    return diff_summary(cust, right, ["c_custkey"])
+
+
+@register(
     "approx_percentile_tolerance",
     oracle="""
     SELECT COUNT(value) AS n_values,
@@ -3287,6 +3342,7 @@ DRIVER_PRIORITY: list[str] = [
     "contamination_13gram",
     "tfidf_top_terms",
     "approx_percentile_tolerance",
+    "table_diff_summary",
 ]
 
 DRIVER_CANARIES: list[str] = [
@@ -3294,7 +3350,6 @@ DRIVER_CANARIES: list[str] = [
     "revenue_by_region",
     "cleaning_chain",
     "rolling_24h_user",
-    "ip_roundtrip",
     "exact_dedup_docs",
     "tumbling_counts_6h",
     # rotated out to keep the 50-row window exact as round-3 additions
@@ -3303,7 +3358,8 @@ DRIVER_CANARIES: list[str] = [
     # (minhash_recall_supercheck runs the same exact-jaccard pipeline),
     # embedding_near_dup_exact (inside embedding_lsh_precision_union),
     # one_hot_event_type, standardize_quantity (ML-prep pytest suite),
-    # time_features (pure column functions, ip_roundtrip covers family),
+    # time_features + ip_roundtrip (pure column functions, r01+r02
+    # hash-green twice, zero moving parts),
     # velocity_features_3keys (rolling_24h_user covers the W1 family),
     # asof_last_signup (interval_join_custkey + geolocate cover J1)
 ]

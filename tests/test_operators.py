@@ -550,3 +550,44 @@ class TestCountMinSketch:
 
         a, b = sketch(), sketch()
         assert a and a == b
+
+
+class TestTableDiff:
+    def test_classification_and_null_safety(self, spark):
+        from fraud_detection_project_spark.operators.diff import (
+            diff_rows,
+            diff_summary,
+        )
+
+        left = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+            "k long, name string, v double",
+        )
+        right = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", None), (3, "CHANGED", 3.0), (5, "e", 5.0)],
+            "k long, name string, v double",
+        )
+        rows = {r["k"]: r for r in diff_rows(left, right, ["k"]).collect()}
+        assert rows[1]["diff_status"] == "equal"
+        # NULL == NULL under eqNullSafe — key 2 is equal, not differing
+        assert rows[2]["diff_status"] == "equal"
+        assert rows[3]["diff_status"] == "differing"
+        assert rows[3]["eq_name"] is False and rows[3]["eq_v"] is True
+        assert rows[4]["diff_status"] == "only_left"
+        assert rows[5]["diff_status"] == "only_right"
+
+        s = diff_summary(left, right, ["k"]).first()
+        assert (
+            s["n_only_left"],
+            s["n_only_right"],
+            s["n_differing"],
+            s["n_equal"],
+        ) == (1, 1, 1, 2)
+
+    def test_compare_cols_subset(self, spark):
+        from fraud_detection_project_spark.operators.diff import diff_rows
+
+        left = spark.createDataFrame([(1, "a", 1.0)], "k long, name string, v double")
+        right = spark.createDataFrame([(1, "x", 1.0)], "k long, name string, v double")
+        r = diff_rows(left, right, ["k"], compare_cols=["v"]).first()
+        assert r["diff_status"] == "equal"  # name excluded from compare
