@@ -2684,6 +2684,43 @@ def q_hll_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_event_stats",
+    oracle="""
+    WITH wide AS (
+        SELECT user_id,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END)     AS n_view,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END)    AS n_click,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, metric, cnt
+    FROM wide
+    UNPIVOT (cnt FOR metric IN (n_view, n_click, n_purchase))
+    ORDER BY user_id, metric
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt (`df.unpivot`, the inverse of the pivot surface in
+    pivot_user_event_counts): per-user event-type counts melted back to
+    (user_id, metric, cnt) rows. Unpivot is a zero-shuffle Expand —
+    each input row emits |metrics| rows map-side; the only Exchange is
+    the upstream groupBy. DuckDB's UNPIVOT is the oracle twin. Spark
+    drops NULL cells by default; counts are never NULL so both engines
+    emit exactly 3 rows per user."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "n_purchase"
+        ),
+    )
+    return wide.unpivot(
+        ["user_id"], ["n_view", "n_click", "n_purchase"], "metric", "cnt"
+    ).orderBy("user_id", "metric")
+
+
+@register(
     "table_diff_summary",
     oracle="""
     WITH l AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
@@ -3343,6 +3380,7 @@ DRIVER_PRIORITY: list[str] = [
     "tfidf_top_terms",
     "approx_percentile_tolerance",
     "table_diff_summary",
+    "unpivot_event_stats",
 ]
 
 DRIVER_CANARIES: list[str] = [
@@ -3350,7 +3388,6 @@ DRIVER_CANARIES: list[str] = [
     "revenue_by_region",
     "cleaning_chain",
     "rolling_24h_user",
-    "exact_dedup_docs",
     "tumbling_counts_6h",
     # rotated out to keep the 50-row window exact as round-3 additions
     # landed (all r02 hash-green; still covered by verify_local):
@@ -3361,7 +3398,9 @@ DRIVER_CANARIES: list[str] = [
     # time_features + ip_roundtrip (pure column functions, r01+r02
     # hash-green twice, zero moving parts),
     # velocity_features_3keys (rolling_24h_user covers the W1 family),
-    # asof_last_signup (interval_join_custkey + geolocate cover J1)
+    # asof_last_signup (interval_join_custkey + geolocate cover J1),
+    # exact_dedup_docs (contamination/minhash run the same shingle+hash
+    # machinery against live oracles)
 ]
 
 
