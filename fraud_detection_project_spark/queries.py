@@ -2684,6 +2684,45 @@ def q_hll_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_algebra_user_types",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           types,
+           len(types) AS n_types,
+           len(list_intersect(types, ['click', 'view'])) AS n_core,
+           list_sort(list_filter(types,
+               t -> NOT list_contains(['click', 'view'], t))) AS extra_types
+    FROM s
+    ORDER BY user_id
+    """,
+)
+def q_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-algebra surface: per-user distinct event-type sets via
+    collect_set (order nondeterministic → array_sort pins it for the
+    cross-engine compare), then size / intersect / except as pure array
+    expressions — the nested-type manipulation layer a feature store
+    leans on, zero UDFs, one groupBy shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    core = F.array(F.lit("click"), F.lit("view"))
+    return (
+        ev.groupBy("user_id")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .select(
+            "user_id",
+            "types",
+            F.size("types").alias("n_types"),
+            F.size(F.array_intersect("types", core)).alias("n_core"),
+            F.array_sort(F.array_except("types", core)).alias("extra_types"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "unpivot_event_stats",
     oracle="""
     WITH wide AS (
@@ -3381,13 +3420,13 @@ DRIVER_PRIORITY: list[str] = [
     "approx_percentile_tolerance",
     "table_diff_summary",
     "unpivot_event_stats",
+    "array_algebra_user_types",
 ]
 
 DRIVER_CANARIES: list[str] = [
     "pricing_summary",
     "revenue_by_region",
     "cleaning_chain",
-    "rolling_24h_user",
     "tumbling_counts_6h",
     # rotated out to keep the 50-row window exact as round-3 additions
     # landed (all r02 hash-green; still covered by verify_local):
@@ -3400,7 +3439,9 @@ DRIVER_CANARIES: list[str] = [
     # velocity_features_3keys (rolling_24h_user covers the W1 family),
     # asof_last_signup (interval_join_custkey + geolocate cover J1),
     # exact_dedup_docs (contamination/minhash run the same shingle+hash
-    # machinery against live oracles)
+    # machinery against live oracles),
+    # rolling_24h_user (rolling_24h_user_sliced in priority runs the
+    # same W1 frame plus the skew-hardened twin)
 ]
 
 
