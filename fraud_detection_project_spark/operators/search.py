@@ -140,3 +140,39 @@ def tfidf_weights(
             F.round(F.col("tf") * idf, 4).alias("tfidf"),
         )
     )
+
+
+def feature_hash_vectors(
+    docs: DataFrame,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashing-trick sparse vectors (HashingVectorizer): term →
+    ``pmod(xxhash64(term), dim)`` bucket, weight = term count summed per
+    bucket. Returns the sparse (id, bucket, weight) stream — fixed
+    dimensionality with NO vocabulary pass, the property that makes the
+    hashing trick the scale path when even the vocab is too big to
+    broadcast.
+
+    Scale: one explode → one (id, bucket) groupBy shuffle; hashing is
+    JVM-side codegen. Collisions fold weights additively (the standard
+    unsigned variant). Invariants a SQL oracle can pin without knowing
+    the hash: per-doc total weight equals the doc's token count (mass
+    conservation through collisions) and distinct buckets ≤
+    min(dim, distinct terms).
+    """
+    from .dedup import spread_input
+
+    toked = spread_input(docs).select(
+        F.col(id_col), tokens(normalized_text(text_col)).alias("toks")
+    )
+    return (
+        toked.select(F.col(id_col), F.explode("toks").alias("term"))
+        .select(
+            F.col(id_col),
+            F.pmod(F.xxhash64("term"), F.lit(dim)).alias("bucket"),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )

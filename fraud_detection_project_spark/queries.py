@@ -2684,6 +2684,85 @@ def q_hll_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "feature_hash_conservation",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id, t AS term FROM (SELECT doc_id, unnest(toks) AS t FROM tk)
+        WHERE t <> ''
+    )
+    SELECT doc_id,
+           COUNT(*) AS total_weight,
+           TRUE AS bucket_bound_ok
+    FROM t
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer made SQL-checkable (operators/search.py:
+    feature_hash_vectors): the oracle can't know xxhash64 bucket ids,
+    but it CAN pin mass conservation — per-doc bucket weights must sum
+    to the doc's token count — and the bucket-cardinality bound
+    (distinct buckets ≤ min(dim, tokens)). A dropped/duplicated term or
+    an out-of-range bucket reddens the row."""
+    from .operators.search import feature_hash_vectors
+
+    docs = load_table(spark, sf_dir, "documents")
+    dim = 256
+    v = feature_hash_vectors(docs, dim=dim)
+    return (
+        v.groupBy("doc_id")
+        .agg(
+            F.sum("weight").alias("total_weight"),
+            (
+                (F.count(F.lit(1)) <= F.least(F.lit(dim), F.sum("weight")))
+                & (F.min("bucket") >= 0)
+                & (F.max("bucket") < dim)
+            ).alias("bucket_bound_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "groupwise_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75,
+           COUNT(value) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_groupwise_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group interpolated quartiles (`F.percentile`, the
+    continuous-rank estimator both engines implement identically) — the
+    per-group twin of the global quantiles_value row. Holistic
+    aggregate: one shuffle on the group key, per-group sort inside the
+    aggregate buffer; at scale the approx_percentile tolerance row
+    (same file) is the sketch-backed alternative."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+            F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+            F.count("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "array_algebra_user_types",
     oracle="""
     WITH s AS (
@@ -3421,13 +3500,16 @@ DRIVER_PRIORITY: list[str] = [
     "table_diff_summary",
     "unpivot_event_stats",
     "array_algebra_user_types",
+    "groupwise_percentiles",
+    "feature_hash_conservation",
 ]
 
 DRIVER_CANARIES: list[str] = [
-    "pricing_summary",
-    "revenue_by_region",
     "cleaning_chain",
     "tumbling_counts_6h",
+    # pricing_summary + revenue_by_region rotated out last: both twice
+    # hash-green, pricing is bench q1 + plan-audited, and the driver's
+    # entry() smoke runs revenue_by_region every round regardless,
     # rotated out to keep the 50-row window exact as round-3 additions
     # landed (all r02 hash-green; still covered by verify_local):
     # media_feature_profile, undersample_exact_counts, ngram_jaccard_dups
