@@ -591,3 +591,32 @@ class TestTableDiff:
         right = spark.createDataFrame([(1, "x", 1.0)], "k long, name string, v double")
         r = diff_rows(left, right, ["k"], compare_cols=["v"]).first()
         assert r["diff_status"] == "equal"  # name excluded from compare
+
+    def test_diff_identifies_merge_changes_exactly(self, spark):
+        """diff(base, merge_apply(base, changes)) classifies exactly the
+        changeset: updates → differing, deletes → only_left, inserts →
+        only_right, untouched keys → equal. Links the reconciliation
+        operator to the MERGE operator it validates."""
+        from fraud_detection_project_spark.operators.diff import diff_summary
+        from fraud_detection_project_spark.operators.merge import merge_apply
+
+        base = spark.createDataFrame(
+            [(k, f"v{k}") for k in range(10)], "k long, v string"
+        )
+        changes = spark.createDataFrame(
+            [
+                (2, "upd2", "U", 1),
+                (5, "upd5", "U", 2),
+                (7, None, "D", 3),
+                (100, "new", "U", 4),
+            ],
+            "k long, v string, op string, seq long",
+        )
+        merged = merge_apply(base, changes, ["k"], "seq")
+        s = diff_summary(base, merged, ["k"]).first()
+        assert (
+            s["n_only_left"],      # deleted key 7
+            s["n_only_right"],     # inserted key 100
+            s["n_differing"],      # updated keys 2, 5
+            s["n_equal"],          # the 7 untouched keys
+        ) == (1, 1, 2, 7)
