@@ -562,9 +562,10 @@ def ngram_contamination(
             ).alias("__sh"),
         ).select(out_id, F.xxhash64("__sh").alias("__h"))
 
-    probe_sh = shingled(probes, "__probe_id").dropDuplicates(
-        ["__probe_id", "__h"]
-    )
+    # (probe_id, hash) pairs are already unique: shingled() explodes
+    # array_distinct per doc, and the final count_distinct absorbs the
+    # ~2⁻⁶⁴ in-doc hash-collision case — no dedup pass needed
+    probe_sh = shingled(probes, "__probe_id")
     corpus_sh = shingled(spread_input(corpus), id_col)
     hits = corpus_sh.join(F.broadcast(probe_sh), "__h")
     return hits.groupBy(id_col).agg(

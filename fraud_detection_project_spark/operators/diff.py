@@ -43,9 +43,13 @@ def diff_rows(
     if compare_cols is None:
         shared = [c for c in left.columns if c in set(right.columns)]
         compare_cols = [c for c in shared if c not in set(keys)]
-    l, r = left.alias("l"), right.alias("r")
-    in_left = F.col(f"l.{keys[0]}").isNotNull()
-    in_right = F.col(f"r.{keys[0]}").isNotNull()
+    # presence markers, NOT key-nullness: a row whose key is genuinely
+    # NULL must still read as present on its side (the null-safe join
+    # aligns NULL keys, so key-nullness would misclassify those rows)
+    l = left.withColumn("__in_l", F.lit(True)).alias("l")
+    r = right.withColumn("__in_r", F.lit(True)).alias("r")
+    in_left = F.col("l.__in_l").isNotNull()
+    in_right = F.col("r.__in_r").isNotNull()
     eqs = [
         F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")).alias(f"eq_{c}")
         for c in compare_cols
@@ -71,7 +75,11 @@ def diff_rows(
     joined = l.join(r, cond, "full_outer")
     return joined.select(
         *[
-            F.coalesce(F.col(f"l.{k}"), F.col(f"r.{k}")).alias(k)
+            # when(in_left) not coalesce: a present-but-NULL left key
+            # must stay NULL, not fall through to the right side
+            F.when(in_left, F.col(f"l.{k}"))
+            .otherwise(F.col(f"r.{k}"))
+            .alias(k)
             for k in keys
         ],
         status.alias("diff_status"),

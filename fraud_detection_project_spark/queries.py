@@ -1263,11 +1263,15 @@ def q_fingerprint_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_topk",
     oracle="""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id,
-           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine_sim
-    FROM embeddings e CROSS JOIN q
-    ORDER BY cosine_sim DESC, e.vec_id
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (
+        SELECT e.vec_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cs
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id, ROUND(cs, 6) AS cosine_sim
+    FROM s
+    ORDER BY cs DESC, vec_id
     LIMIT 10
     """,
 )
@@ -1373,11 +1377,15 @@ def q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ivf_full_probe_topk",
     oracle="""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT e.vec_id,
-           ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS cosine_sim
-    FROM embeddings e CROSS JOIN q
-    ORDER BY cosine_sim DESC, e.vec_id
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (
+        SELECT e.vec_id,
+               list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS cs
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT vec_id, ROUND(cs, 6) AS cosine_sim
+    FROM s
+    ORDER BY cs DESC, vec_id
     LIMIT 10
     """,
 )
@@ -1810,12 +1818,13 @@ def q_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         media, payload_col="payload", id_col="doc_id",
         decoder="wav", strict=True,
     )
-    round6 = lambda c: F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    from .functions.rounding import round_floor
+
     return feats.select(
         "doc_id",
         "n_bytes",
-        round6("mean_intensity").alias("mean_sample"),
-        round6("std_intensity").alias("std_sample"),
+        round_floor("mean_intensity", 6).alias("mean_sample"),
+        round_floor("std_intensity", 6).alias("std_sample"),
     ).orderBy("doc_id")
 
 
@@ -1869,12 +1878,12 @@ def q_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         media, payload_col="payload", id_col="doc_id",
         decoder="pnm", strict=True,
     )
+    from .functions.rounding import round_floor
+
     return feats.select(
         "doc_id",
         "n_bytes",
-        (F.floor(F.col("mean_intensity") * 1e6 + F.lit(0.5)) / 1e6).alias(
-            "mean_pixel"
-        ),
+        round_floor("mean_intensity", 6).alias("mean_pixel"),
     ).orderBy("doc_id")
 
 

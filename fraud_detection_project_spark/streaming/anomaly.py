@@ -44,14 +44,14 @@ def expanding_zscore(
     n_prior = F.count(val_col).over(w)
     mean_p = F.avg(val_col).over(w)
     std_p = F.stddev_samp(val_col).over(w)
-    # engine-independent rounding (same rule as quantize_int8):
-    # floor(x·10^dp + 0.5)/10^dp — identical in Spark, DuckDB and the
-    # streaming scorer's Python, unlike HALF_UP vs banker's round()
-    scale = float(10**round_dp)
+    # engine-independent rounding (functions/rounding.py — same rule as
+    # quantize_int8 and the streaming scorer's Python twin)
+    from ..functions.rounding import round_floor
+
     raw = (F.col(val_col) - mean_p) / std_p
     z = F.when(
         (n_prior >= 2) & (std_p > 0),
-        F.floor(raw * scale + F.lit(0.5)) / scale,
+        round_floor(raw, round_dp),
     )
     return df.select(id_col, key, val_col, z.alias(out_col))
 

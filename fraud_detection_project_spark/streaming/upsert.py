@@ -64,15 +64,23 @@ def current_version(root: str) -> str | None:
 
 def _commit(root: str, version: str) -> None:
     """Atomically point the manifest at ``version``: write a unique temp
-    file, fsync it, then ``os.replace`` over the manifest (atomic on
-    POSIX — readers see either the old or the new pointer, never a
-    partial write)."""
+    file, fsync it, ``os.replace`` over the manifest (atomic on POSIX —
+    readers see either the old or the new pointer, never a partial
+    write), then fsync the parent DIRECTORY so the rename itself is
+    durable — without it a power loss could persist a later GC unlink
+    but not this rename, leaving the manifest pointing at a deleted
+    version."""
     tmp = _manifest_path(root) + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         f.write(version + "\n")
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, _manifest_path(root))
+    dfd = os.open(root, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _gc(root: str, keep_versions: int) -> None:

@@ -409,6 +409,71 @@ class TestMergeApply:
         plan = merge_apply(base, changes, ["k"], "seq", broadcast_changes=True)._jdf.queryExecution().executedPlan().toString()
         assert "Broadcast" in plan
 
+    def test_keep_tombstones_requires_seq_and_op(self, spark):
+        from fraud_detection_project_spark.operators.merge import merge_apply
+
+        base = spark.createDataFrame([(1, "a")], "k long, v string")
+        changes = spark.createDataFrame(
+            [(1, "b", "U", 1)], "k long, v string, op string, seq long"
+        )
+        with pytest.raises(ValueError, match="keep_tombstones"):
+            merge_apply(base, changes, ["k"], "seq", keep_tombstones=True)
+
+    @pytest.mark.parametrize("broadcast", [False, True])
+    def test_keep_tombstones_commutes_across_batch_order(self, spark, broadcast):
+        """With tombstones retained, applying batches in ANY order
+        converges to the same snapshot — the docstring's upgraded
+        guarantee: a delete's seq survives as a tombstone row, so a
+        stale update replayed AFTER the delete stays a no-op instead of
+        resurrecting the key. Covers both join strategies, including a
+        delete for a never-seen key inserting a tombstone."""
+        from pyspark.sql import functions as F
+
+        from fraud_detection_project_spark.operators.merge import merge_apply
+
+        base = spark.createDataFrame(
+            [(k, f"v{k}", 0, None) for k in range(6)],
+            "k long, v string, seq long, op string",
+        )
+        b1 = [(2, "old2", "U", 1), (9, "ghost", "U", 2)]   # stale vs later ops
+        b2 = [(2, None, "D", 5), (9, None, "D", 6), (4, "new4", "U", 7)]
+        schema = "k long, v string, op string, seq long"
+
+        def apply_in(order):
+            snap = base
+            for rows in order:
+                snap = merge_apply(
+                    snap,
+                    spark.createDataFrame(rows, schema),
+                    ["k"],
+                    "seq",
+                    broadcast_changes=broadcast,
+                    keep_tombstones=True,
+                )
+            return snap
+
+        def live(snap):
+            return {
+                (r["k"], r["v"], r["seq"])
+                for r in snap.filter(
+                    F.col("op").isNull() | (F.col("op") != "D")
+                ).collect()
+            }
+
+        fwd, rev = apply_in([b1, b2]), apply_in([b2, b1])
+        assert live(fwd) == live(rev)
+        # and the delete won: key 2 and the never-inserted key 9 are not
+        # live in either order (without tombstones, rev would resurrect
+        # key 9 from the stale b1 update)
+        keys = {k for k, _, _ in live(fwd)}
+        assert 2 not in keys and 9 not in keys and (4 in keys)
+        # tombstones themselves persist with their seq for future guards
+        tombs = {
+            r["k"]: r["seq"]
+            for r in fwd.filter(F.col("op") == "D").collect()
+        }
+        assert tombs == {2: 5, 9: 6}
+
 
 class TestHllSketchRollup:
     def test_merge_equivalence_and_error(self, spark):
@@ -591,6 +656,35 @@ class TestTableDiff:
         right = spark.createDataFrame([(1, "x", 1.0)], "k long, name string, v double")
         r = diff_rows(left, right, ["k"], compare_cols=["v"]).first()
         assert r["diff_status"] == "equal"  # name excluded from compare
+
+    def test_null_keys_classified_by_presence(self, spark):
+        """NULL key components must classify by side PRESENCE, not key
+        nullness: the null-safe join aligns NULL keys, so a matched
+        NULL-key pair is equal/differing and a one-sided NULL-key row is
+        only_<side> — the case key-nullness presence checks invert."""
+        from fraud_detection_project_spark.operators.diff import diff_rows
+
+        left = spark.createDataFrame([(1, "a"), (None, "x")], "k long, v string")
+        right = spark.createDataFrame(
+            [(1, "a"), (None, "x"), (None, None)], "k long, v string"
+        )
+        # note: the two NULL-key right rows each null-safe-match the one
+        # NULL-key left row (join semantics), so we diff per-column
+        out = diff_rows(left, right, ["k"]).collect()
+        by = {}
+        for r in out:
+            by.setdefault(r["k"], []).append(r)
+        assert by[1][0]["diff_status"] == "equal"
+        null_states = sorted(r["diff_status"] for r in by[None])
+        assert null_states == ["differing", "equal"]  # matched, not only_left
+
+        rightonly = spark.createDataFrame([(1, "a")], "k long, v string")
+        states = [
+            r["diff_status"]
+            for r in diff_rows(rightonly, right, ["k"]).collect()
+            if r["k"] is None
+        ]
+        assert states and all(s == "only_right" for s in states)
 
     def test_diff_identifies_merge_changes_exactly(self, spark):
         """diff(base, merge_apply(base, changes)) classifies exactly the
