@@ -277,3 +277,92 @@ class NativeFeaturePrepModel:
                 f"{c}__invalid",
             ]
         return names
+
+
+def winsorize(
+    df: DataFrame,
+    cols: Sequence[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Percentile clipping (winsorization): cap each column at its
+    [lower, upper] exact interpolated percentiles, optionally per
+    ``by``-group — the standard outlier guard before scaling (a single
+    extreme value otherwise dominates a z-score's σ).
+
+    Scale design: percentiles come from ONE aggregate over the input
+    (per group when ``by`` is set — a |groups|-row frame), broadcast
+    back; the clip itself is a codegen ``greatest(least(...))``. NULLs
+    pass through untouched.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.percentile(c, F.lit(float(lower))).alias(f"__lo_{c}"),
+            F.percentile(c, F.lit(float(upper))).alias(f"__hi_{c}"),
+        ]
+    if by:
+        bounds = df.groupBy(*by).agg(*aggs)
+        out = df.join(F.broadcast(bounds), list(by), "left")
+    else:
+        bounds = df.agg(*aggs)
+        out = df.crossJoin(F.broadcast(bounds))
+    for c in cols:
+        clipped = F.greatest(
+            F.least(F.col(c), F.col(f"__hi_{c}")), F.col(f"__lo_{c}")
+        )
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), clipped))
+    return out.drop(*[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
+
+
+def target_encode(
+    train: DataFrame,
+    cat_col: str,
+    target_col: str,
+    out_col: str | None = None,
+    smoothing: float = 10.0,
+):
+    """Mean target encoding with additive smoothing, train-only fit:
+    ``enc(c) = (sum_c + prior·m) / (n_c + m)`` where ``prior`` is the
+    global target mean and ``m`` the smoothing mass — the standard
+    high-cardinality categorical encoder (one-hot explodes at 10⁶
+    categories; this is one double per category).
+
+    Returns ``(encoder_df, transform)``: a |categories|-row mapping
+    frame and a closure applying it to ANY frame via broadcast join
+    (unseen categories fall back to the prior — the unknown-tolerant
+    contract of the one-hot path). Fit is one groupBy over train; no
+    driver collection.
+    """
+    out_col = out_col or f"{cat_col}_te"
+    prior_df = train.agg(
+        F.avg(target_col).alias("__prior"), F.count(target_col).alias("__n")
+    )
+    enc = (
+        train.groupBy(cat_col)
+        .agg(
+            F.sum(target_col).alias("__sum"),
+            F.count(target_col).alias("__cnt"),
+        )
+        .crossJoin(F.broadcast(prior_df.select("__prior")))
+        .select(
+            cat_col,
+            (
+                (F.col("__sum") + F.col("__prior") * F.lit(smoothing))
+                / (F.col("__cnt") + F.lit(smoothing))
+            ).alias(out_col),
+            "__prior",
+        )
+    )
+
+    def transform(df: DataFrame) -> DataFrame:
+        joined = df.join(F.broadcast(enc.drop("__prior")), cat_col, "left")
+        prior = F.broadcast(prior_df.select("__prior"))
+        return (
+            joined.crossJoin(prior)
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.col("__prior")))
+            .drop("__prior")
+        )
+
+    return enc.drop("__prior"), transform

@@ -2739,6 +2739,77 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winsorize_value_by_type",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           ROUND(AVG(GREATEST(LEAST(e.value, b.hi), b.lo)), 6) AS mean_clipped,
+           ROUND(MIN(GREATEST(LEAST(e.value, b.hi), b.lo)), 6) AS min_clipped,
+           ROUND(MAX(GREATEST(LEAST(e.value, b.hi), b.lo)), 6) AS max_clipped,
+           COUNT(e.value) AS n
+    FROM events e JOIN b USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile clipping (ml/prep.py:winsorize): per-type [5%, 95%]
+    exact-percentile caps from ONE broadcast aggregate, codegen clip,
+    NULL passthrough — the outlier guard in front of standardization.
+    Profiled per group so the oracle checks the clip bounds end-to-end."""
+    from .ml.prep import winsorize
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    w = winsorize(ev, ["value"], lower=0.05, upper=0.95, by=["event_type"])
+    return (
+        w.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("mean_clipped"),
+            F.round(F.min("value"), 6).alias("min_clipped"),
+            F.round(F.max("value"), 6).alias("max_clipped"),
+            F.count("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "target_encode_event_type",
+    oracle="""
+    WITH p AS (SELECT AVG(value) AS prior FROM events),
+    g AS (
+        SELECT event_type, SUM(value) AS s, COUNT(value) AS c
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           ROUND((s + prior * 10.0) / (c + 10.0), 6) AS event_type_te
+    FROM g CROSS JOIN p
+    ORDER BY event_type
+    """,
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding (ml/prep.py:target_encode): the
+    high-cardinality categorical encoder — one double per category via
+    one groupBy, additive smoothing toward the global prior, unseen
+    categories fall back to the prior at transform time (pytest covers
+    the closure; this query oracle-checks the fitted mapping)."""
+    from .ml.prep import target_encode
+
+    ev = load_table(spark, sf_dir, "events")
+    enc, _ = target_encode(ev, "event_type", "value", smoothing=10.0)
+    return enc.select(
+        "event_type", F.round("event_type_te", 6).alias("event_type_te")
+    ).orderBy("event_type")
+
+
+@register(
     "groupwise_percentiles",
     oracle="""
     SELECT event_type,

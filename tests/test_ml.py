@@ -432,3 +432,54 @@ class TestNativeFeaturePrep:
         vec = out.select("features").first()["features"].toArray()
         assert len(vec) == 1 + 100 + 2  # scaled x + 100 cats + unseen + invalid slots
         assert abs(sum(vec[1:]) - 1.0) < 1e-12  # exactly one indicator fires
+
+
+class TestPrepEncoders:
+    def test_winsorize_clips_and_passes_nulls(self, spark):
+        from fraud_detection_project_spark.ml.prep import winsorize
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(1, 100)] + [(None,), (1000.0,)],
+            "v double",
+        )
+        out = winsorize(df, ["v"], lower=0.05, upper=0.95)
+        rows = [r["v"] for r in out.collect()]
+        assert sum(x is None for x in rows) == 1          # NULL passthrough
+        vals = [x for x in rows if x is not None]
+        import numpy as np
+
+        data = [float(i) for i in range(1, 100)] + [1000.0]
+        lo, hi = np.percentile(data, [5, 95])
+        assert abs(min(vals) - lo) < 1e-9
+        assert abs(max(vals) - hi) < 1e-9                 # 1000.0 capped
+        assert len(vals) == len(data)
+
+    def test_target_encode_unseen_falls_back_to_prior(self, spark):
+        from fraud_detection_project_spark.ml.prep import target_encode
+
+        train = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), ("b", 10.0)], "c string, y double"
+        )
+        enc, transform = target_encode(train, "c", "y", smoothing=0.0)
+        m = {r["c"]: r["c_te"] for r in enc.collect()}
+        assert abs(m["a"] - 2.0) < 1e-9 and abs(m["b"] - 10.0) < 1e-9
+
+        test = spark.createDataFrame([("a",), ("zzz",)], "c string")
+        got = {r["c"]: r["c_te"] for r in transform(test).collect()}
+        assert abs(got["a"] - 2.0) < 1e-9
+        prior = (1.0 + 3.0 + 10.0) / 3
+        assert abs(got["zzz"] - prior) < 1e-9             # unseen → prior
+
+    def test_target_encode_smoothing_shrinks_to_prior(self, spark):
+        from fraud_detection_project_spark.ml.prep import target_encode
+
+        train = spark.createDataFrame(
+            [("a", 0.0)] * 2 + [("b", 1.0)] * 100, "c string, y double"
+        )
+        enc_hard, _ = target_encode(train, "c", "y", smoothing=1000.0)
+        enc_none, _ = target_encode(train, "c", "y", smoothing=0.0)
+        hard = {r["c"]: r["c_te"] for r in enc_hard.collect()}
+        none = {r["c"]: r["c_te"] for r in enc_none.collect()}
+        prior = 100.0 / 102.0
+        # heavy smoothing pulls the rare category near the prior
+        assert abs(hard["a"] - prior) < abs(none["a"] - prior)
