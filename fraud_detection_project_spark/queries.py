@@ -3274,12 +3274,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     agg AS (
         SELECT
-            SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
-            SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS negative_value,
-            SUM(CASE WHEN event_type NOT IN ('signup','error','click','view','purchase')
-                       OR event_type IS NULL THEN 1 ELSE 0 END) AS unknown_event_type,
-            SUM(CASE WHEN user_id IS NOT NULL AND NOT has_cust THEN 1 ELSE 0 END) AS orphan_user,
-            SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS null_ts,
+            -- CAST: DuckDB SUM(int) is HUGEINT → pandas float64, which
+            -- dtype-diverges from Spark's int64 (tools/dtype_audit.py)
+            CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+            CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_value,
+            CAST(SUM(CASE WHEN event_type NOT IN ('signup','error','click','view','purchase')
+                       OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unknown_event_type,
+            CAST(SUM(CASE WHEN user_id IS NOT NULL AND NOT has_cust THEN 1 ELSE 0 END) AS BIGINT) AS orphan_user,
+            CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
             COUNT(*) AS n_rows
         FROM marked
     )
