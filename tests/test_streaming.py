@@ -565,3 +565,47 @@ def test_native_prep_scores_stream(spark, events_src, tmp_path):
     assert got.count() == want.count()
     pairs = got.alias("g").join(want.alias("w"), "event_id")
     assert pairs.filter(F.col("g.features") != F.col("w.features")).count() == 0
+
+
+def test_streaming_decontamination_matches_batch_operator(spark, tmp_path):
+    """The stateless streaming contamination score (append mode, no
+    state) agrees with both its own batch form and the batch
+    broadcast-join operator (ngram_contamination) on the same docs."""
+    from fraud_detection_project_spark.catalog import load_table
+    from fraud_detection_project_spark.operators.dedup import ngram_contamination
+    from fraud_detection_project_spark.streaming.decontam import (
+        contamination_scores,
+        probe_shingle_hashes,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    probes = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    hashes = probe_shingle_hashes(probes, n=13)
+    assert hashes
+
+    # batch form of the streaming expression
+    batch_scores = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in contamination_scores(corpus, hashes, n=13).collect()
+    }
+    # agrees with the broadcast-join operator on contaminated docs
+    op = {
+        r["doc_id"]: r["n_hit_ngrams"]
+        for r in ngram_contamination(corpus, probes, n=13).collect()
+    }
+    assert op  # the check bites: contamination exists in the testdata
+    assert {k: v for k, v in batch_scores.items() if v > 0} == op
+
+    # stream ≡ batch: same expression through a real stream
+    src = str(tmp_path / "docs")
+    corpus.write.parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    got = _run_stream(
+        spark,
+        contamination_scores(stream, hashes, n=13),
+        str(tmp_path / "ckpt"),
+    )
+    stream_scores = {r["doc_id"]: r["n_hit_ngrams"] for r in got.collect()}
+    assert stream_scores == batch_scores
