@@ -3563,9 +3563,6 @@ DRIVER_PRIORITY: list[str] = [
     "shipping_priority_top10",
     "top_supplier_revenue",
     "supplier_count_excluding_negative",
-    # fell out of the r02 50-row window (verified in r01 + locally)
-    "interval_join_binned",
-    "frame_sample_profile",
     # round-3 additions: real stdlib codec decode under strict=True
     "wav_decode_profile",
     "ppm_decode_profile",
@@ -3584,11 +3581,17 @@ DRIVER_PRIORITY: list[str] = [
     "array_algebra_user_types",
     "groupwise_percentiles",
     "feature_hash_conservation",
+    "winsorize_value_by_type",
+    "target_encode_event_type",
 ]
 
 DRIVER_CANARIES: list[str] = [
     "cleaning_chain",
     "tumbling_counts_6h",
+    # r01-verified, fell out of the r02 window; kept as trailing anchors
+    # (they sit just past the 50-row cut when priority is full)
+    "interval_join_binned",
+    "frame_sample_profile",
     # pricing_summary + revenue_by_region rotated out last: both twice
     # hash-green, pricing is bench q1 + plan-audited, and the driver's
     # entry() smoke runs revenue_by_region every round regardless,

@@ -26,15 +26,37 @@ def test_priority_names_exist():
     q.driver_ordered(dict(q.QUERIES))
 
 
-def test_never_driver_verified_queries_fit_in_window():
+def test_no_window_slot_wasted_on_verified_query():
+    """The corpus has outgrown the 50-row window, so not every
+    never-driver-verified query can be inside it — but no slot may be
+    WASTED: while a never-verified query waits outside, only the
+    explicit canaries (deliberate regression anchors) may occupy
+    window slots with prior driver rows. Overflow is bounded to the
+    arithmetic minimum."""
     covered = set()
     for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
         p = os.path.join(REPO, art)
         if os.path.exists(p):
             covered |= set(json.load(open(p)))
-    window = set(_window_names())
-    rowless = [n for n in q.QUERIES if n not in covered and n not in window]
-    assert rowless == [], f"driver-rowless queries outside 50-row window: {rowless}"
+    window = _window_names()
+    rowless_total = [n for n in q.QUERIES if n not in covered]
+    rowless_outside = [
+        n for n in rowless_total if n not in set(window)
+    ]
+    # overflow no larger than arithmetic forces (canaries are exempt
+    # slots by design)
+    budget = WINDOW - len(q.DRIVER_CANARIES)
+    max_overflow = max(0, len(rowless_total) - budget)
+    assert len(rowless_outside) <= max_overflow, (
+        f"window wastes slots: {rowless_outside} wait outside while "
+        f"only {max_overflow} overflow is arithmetically necessary"
+    )
+    # and every non-canary slot inside the window is a rowless query
+    for n in window:
+        if n not in q.DRIVER_CANARIES:
+            assert n not in covered, (
+                f"already-verified {n} occupies a non-canary window slot"
+            )
 
 
 def test_oracle_ordering_is_subset_of_query_ordering():
