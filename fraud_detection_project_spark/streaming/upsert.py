@@ -107,13 +107,43 @@ def init_snapshot(df: DataFrame, root: str) -> str:
     return v
 
 
-def read_snapshot(spark: SparkSession, root: str) -> DataFrame:
-    """The committed snapshot (resolves the manifest pointer)."""
-    v = current_version(root)
-    if v is None:
-        raise FileNotFoundError(
-            f"no committed snapshot at {root!r} — seed with init_snapshot()"
+def list_versions(root: str) -> list[str]:
+    """Version directories still on disk, oldest first (the committed
+    one plus up to ``keep_versions - 1`` predecessors)."""
+    return sorted(
+        d
+        for d in os.listdir(root)
+        if d.startswith(_VERSION_PREFIX)
+        and d[len(_VERSION_PREFIX) :].isdigit()
+        and os.path.isdir(os.path.join(root, d))
+    )
+
+
+def read_snapshot(
+    spark: SparkSession, root: str, version: int | str | None = None
+) -> DataFrame:
+    """The committed snapshot (resolves the manifest pointer), or —
+    time travel — a retained historical ``version`` (int number or
+    directory name). History depth is the sink's ``keep_versions``
+    dial; asking for a GC'd version raises with what IS available."""
+    if version is None:
+        v = current_version(root)
+        if v is None:
+            raise FileNotFoundError(
+                f"no committed snapshot at {root!r} — seed with init_snapshot()"
+            )
+    else:
+        v = (
+            f"{_VERSION_PREFIX}{int(version):0{_VERSION_DIGITS}d}"
+            if not isinstance(version, str)
+            else version
         )
+        if not os.path.isdir(os.path.join(root, v)):
+            raise FileNotFoundError(
+                f"version {v!r} not retained at {root!r} "
+                f"(available: {list_versions(root)}; raise keep_versions "
+                "on apply_cdc_stream for deeper history)"
+            )
     return spark.read.parquet(os.path.join(root, v))
 
 

@@ -394,6 +394,46 @@ class TestStreamingUpsert:
         assert all(k != 3 for k, _ in got)          # deleted
         assert (5, "back") in got and (100, "new") in got and (7, "b3") in got
 
+    def test_time_travel_reads_retained_versions(self, spark, tmp_path):
+        """keep_versions retains history; read_snapshot(version=...)
+        reads it, and a GC'd version raises with what's available."""
+        import pytest as _pytest
+
+        from fraud_detection_project_spark.operators.merge import merge_apply
+        from fraud_detection_project_spark.streaming.upsert import (
+            _commit,
+            _gc,
+            init_snapshot,
+            list_versions,
+            read_snapshot,
+        )
+
+        base = spark.createDataFrame(
+            [(1, "a", 0), (2, "b", 0)], "k long, v string, seq long"
+        )
+        snap = str(tmp_path / "snap")
+        init_snapshot(base, snap)
+        for i, rows in enumerate(
+            [[(1, "a1", "U", 1)], [(2, None, "D", 2)]], start=1
+        ):
+            ch = spark.createDataFrame(rows, "k long, v string, op string, seq long")
+            merged = merge_apply(read_snapshot(spark, snap), ch, ["k"], "seq")
+            import os
+
+            merged.write.mode("overwrite").parquet(
+                os.path.join(snap, f"v{i:08d}")
+            )
+            _commit(snap, f"v{i:08d}")
+            _gc(snap, keep_versions=2)
+
+        assert list_versions(snap) == ["v00000001", "v00000002"]
+        v1 = {(r["k"], r["v"]) for r in read_snapshot(spark, snap, 1).collect()}
+        assert v1 == {(1, "a1"), (2, "b")}
+        cur = {(r["k"], r["v"]) for r in read_snapshot(spark, snap).collect()}
+        assert cur == {(1, "a1")}
+        with _pytest.raises(FileNotFoundError, match="v00000001"):
+            read_snapshot(spark, snap, 0)  # GC'd; error names retained ones
+
     def test_commit_is_atomic_and_crash_recoverable(self, spark, tmp_path):
         """The manifest flip is the commit: a half-written version dir
         with an unflipped manifest leaves the previous snapshot intact,
