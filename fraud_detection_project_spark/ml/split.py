@@ -62,3 +62,25 @@ def stratified_split(
     train = df.stat.sampleBy(label_col, fractions, seed)
     test = df.exceptAll(train)
     return train, test
+
+
+def kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    seed: int = 42,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment: ``fold = pmod(xxhash64(id, seed), k)``.
+
+    Folds are a pure function of (id, seed, k) — stable across runs,
+    partitionings, and cluster layouts, so every worker agrees on the
+    assignment without any coordination or shuffled sampling, and a
+    fold's train split is just ``fold != i`` (no materialized copies of
+    the dataset per fold — the property that matters when the dataset
+    is 100 TB and sklearn's KFold would build k index arrays).
+    """
+    return df.withColumn(
+        fold_col,
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(k)).cast("int"),
+    )

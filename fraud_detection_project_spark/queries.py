@@ -2739,6 +2739,46 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kfold_assignment_invariants",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           TRUE AS all_assigned,
+           TRUE AS balanced
+    FROM events
+    """,
+)
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (ml/split.py:kfold_assign) made
+    SQL-checkable via the invariant-flag pattern (xxhash64 fold ids have
+    no SQL twin): every row gets exactly one fold in [0, k), all k
+    folds are populated, and fold sizes stay within a generous binomial
+    envelope (±10% of n/k — hash-uniformity at n=10⁴⁺, deterministic
+    for fixed data+seed). A lost row, out-of-range fold, or skewed hash
+    reddens the constant-TRUE oracle row."""
+    from .ml.split import kfold_assign
+
+    k = 5
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        kfold_assign(ev, "event_id", k=k, seed=42)
+        .groupBy("fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per.agg(
+        F.sum("n").alias("n_rows"),
+        (
+            (F.count(F.lit(1)) == k)
+            & (F.min("fold") == 0)
+            & (F.max("fold") == k - 1)
+        ).alias("all_assigned"),
+        (
+            (F.max("n") <= F.lit(1.1) * F.sum("n") / k)
+            & (F.min("n") >= F.lit(0.9) * F.sum("n") / k)
+        ).alias("balanced"),
+    )
+
+
+@register(
     "winsorize_value_by_type",
     oracle="""
     WITH b AS (

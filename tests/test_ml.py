@@ -483,3 +483,29 @@ class TestPrepEncoders:
         prior = 100.0 / 102.0
         # heavy smoothing pulls the rare category near the prior
         assert abs(hard["a"] - prior) < abs(none["a"] - prior)
+
+
+class TestKFold:
+    def test_assignment_deterministic_and_partition_independent(self, spark):
+        from fraud_detection_project_spark.ml.split import kfold_assign
+
+        df = spark.range(0, 2000).withColumnRenamed("id", "rid")
+        a = {r["rid"]: r["fold"] for r in kfold_assign(df, "rid", k=5).collect()}
+        b = {
+            r["rid"]: r["fold"]
+            for r in kfold_assign(df.repartition(13), "rid", k=5).collect()
+        }
+        assert a == b                              # layout-independent
+        assert set(a.values()) == {0, 1, 2, 3, 4}  # all folds populated
+        # different seed reshuffles
+        c = {r["rid"]: r["fold"] for r in kfold_assign(df, "rid", k=5, seed=7).collect()}
+        assert c != a
+        # train/test per fold partitions the data with no copies
+        from pyspark.sql import functions as F
+
+        tagged = kfold_assign(df, "rid", k=5)
+        n = df.count()
+        for i in range(5):
+            tr = tagged.filter(F.col("fold") != i).count()
+            te = tagged.filter(F.col("fold") == i).count()
+            assert tr + te == n and te > 0
