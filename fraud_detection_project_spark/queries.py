@@ -789,12 +789,27 @@ def q_undersample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("smote_balanced_counts")  # rows-only: synthetic row generation
+@register(
+    "smote_balanced_counts",
+    oracle="""
+    WITH c AS (
+        SELECT CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS label,
+               COUNT(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT label, (SELECT MAX(n) FROM c) AS cnt
+    FROM c
+    ORDER BY label
+    """,
+)
 def q_smote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 (SMOTE, ``transform_data.py:103-111``): LSH-bucketed kNN +
-    Arrow-batched interpolation (ml/imbalance.py). Deterministic quota →
-    classes balance exactly; verified here by the output label counts.
-    """
+    Arrow-batched interpolation (ml/imbalance.py). The synthetic VALUES
+    are engine-specific, but the COUNTS are deterministic by
+    construction — exact per-row quotas raise every class to the
+    majority count — so the oracle pins both classes at MAX(n):
+    upgraded from rows-only to hash-checked (VERDICT r2 item 4
+    pattern)."""
     from .ml.imbalance import smote
 
     ev = load_table(spark, sf_dir, "events").select(
