@@ -355,3 +355,75 @@ def test_merge_apply_matches_dict_semantics(spark, changes):
             for r in merge_apply(base, ch, ["k"], "seq", broadcast_changes=bc).collect()
         }
         assert got == expect, (bc, got, expect)
+
+
+# --- table diff / winsorize properties --------------------------------
+
+
+class TestDiffProperties:
+    def test_diff_partition_of_keyspace(self, spark):
+        """For random keyed frames: n_only_left + n_differing + n_equal
+        == |left keys| and n_only_right + n_differing + n_equal ==
+        |right keys| (unique keys per side) — diff classifies every key
+        exactly once."""
+        import random
+
+        from fraud_detection_project_spark.operators.diff import diff_summary
+
+        rng = random.Random(11)
+        for _ in range(3):
+            lk = rng.sample(range(100), rng.randint(10, 60))
+            rk = rng.sample(range(100), rng.randint(10, 60))
+            left = spark.createDataFrame(
+                [(k, f"v{k % 7}") for k in lk], "k long, v string"
+            )
+            right = spark.createDataFrame(
+                [(k, f"v{k % 5}") for k in rk], "k long, v string"
+            )
+            s = diff_summary(left, right, ["k"]).first()
+            assert s["n_only_left"] + s["n_differing"] + s["n_equal"] == len(lk)
+            assert s["n_only_right"] + s["n_differing"] + s["n_equal"] == len(rk)
+
+    def test_diff_self_is_all_equal(self, spark):
+        from fraud_detection_project_spark.operators.diff import diff_summary
+
+        df = spark.createDataFrame(
+            [(i, f"x{i}", float(i) if i % 3 else None) for i in range(50)],
+            "k long, a string, b double",
+        )
+        s = diff_summary(df, df, ["k"]).first()
+        assert (
+            s["n_only_left"],
+            s["n_only_right"],
+            s["n_differing"],
+            s["n_equal"],
+        ) == (0, 0, 0, 50)
+
+
+class TestWinsorizeProperties:
+    def test_bounds_and_interior_preservation(self, spark):
+        """Clipped values are exactly the input's [p_lo, p_hi]
+        percentile bounds; interior values pass through untouched; row
+        count and NULLs preserved. (Winsorize is deliberately NOT
+        re-applied — interpolated percentiles of the clipped frame
+        shift past the tie block at the boundary, so exact idempotence
+        does not hold for quantile clipping; one fit, many transforms
+        is the contract, same as every train-fitted prep op.)"""
+        import random
+
+        import numpy as np
+
+        from fraud_detection_project_spark.ml.prep import winsorize
+
+        rng = random.Random(3)
+        data = [rng.gauss(0, 100) for _ in range(500)]
+        df = spark.createDataFrame([(v,) for v in data] + [(None,)], "v double")
+        out = [r["v"] for r in winsorize(df, ["v"], 0.1, 0.9).collect()]
+        lo, hi = np.percentile(data, [10, 90])
+        vals = [v for v in out if v is not None]
+        assert len(vals) == len(data) and out.count(None) == 1
+        assert abs(min(vals) - lo) < 1e-9 and abs(max(vals) - hi) < 1e-9
+        clipped_in = sorted(v for v in data if lo <= v <= hi)
+        clipped_out = sorted(v for v in vals if lo < v < hi)
+        # every interior input survives bit-identical
+        assert set(np.round(clipped_out, 12)) <= set(np.round(clipped_in, 12))

@@ -116,6 +116,21 @@ def audit(spark, sf_dir: str) -> list[str]:
     check("dup_clusters: O(1) post-checkpoint plan",
           p.count("\n") < 40, p)
 
+    # contamination — probe hashes broadcast; the corpus side must NOT
+    # shuffle before the join (broadcast hash join straight off the scan)
+    p = plan_of(QUERIES["contamination_13gram"](spark, sf_dir))
+    check("contamination: probe side broadcast",
+          "BroadcastHashJoin" in p, p)
+    check("contamination: two doc scans (corpus + probe)",
+          p.count("FileScan parquet") == 2, p)
+
+    # tfidf — checkpointed tf relation: at most two corpus tokenization
+    # passes survive in the final plan
+    p = plan_of(QUERIES["tfidf_top_terms"](spark, sf_dir))
+    check("tfidf: corpus tokenized at most twice",
+          p.count("FileScan parquet") <= 2, p)
+    check("tfidf: TakeOrderedAndProject", "TakeOrderedAndProject" in p, p)
+
     # funnel — single-scan windowed form: ONE events scan feeding the
     # stacked per-user window minima (the old form scanned events 3×)
     p = plan_of(QUERIES["funnel_view_click_purchase"](spark, sf_dir))
