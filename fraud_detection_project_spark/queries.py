@@ -2754,6 +2754,37 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rank_distribution_windows",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           ROUND(percent_rank() OVER w, 6) AS pr,
+           ROUND(cume_dist() OVER w, 6) AS cd,
+           dense_rank() OVER w AS dr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+)
+def q_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-window surface (percent_rank / cume_dist /
+    dense_rank) — completes §2.5 beyond rank/lag/ntile: one Exchange on
+    the partition key, ordering made total with the key tie-break so
+    both engines agree on every rank."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.dense_rank().over(w).alias("dr"),
+    ).orderBy("o_orderkey")
+
+
+@register(
     "kfold_assignment_invariants",
     oracle="""
     SELECT COUNT(*) AS n_rows,
