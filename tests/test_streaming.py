@@ -649,3 +649,64 @@ def test_streaming_decontamination_matches_batch_operator(spark, tmp_path):
     )
     stream_scores = {r["doc_id"]: r["n_hit_ngrams"] for r in got.collect()}
     assert stream_scores == batch_scores
+
+
+def test_stream_enrich_against_versioned_snapshot(spark, tmp_path):
+    """Composition: a foreachBatch enricher that re-resolves the
+    versioned snapshot manifest per micro-batch always joins against
+    the FRESHEST committed dim — events arriving after a snapshot
+    commit pick up the new attributes, earlier output is untouched.
+    (The read side of the upsert sink's commit protocol.)"""
+    import os
+
+    from fraud_detection_project_spark.streaming.upsert import (
+        _commit,
+        init_snapshot,
+        read_snapshot,
+    )
+
+    dim_root = str(tmp_path / "dim")
+    out_dir = str(tmp_path / "out")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    v0 = spark.createDataFrame(
+        [(1, "bronze"), (2, "bronze")], "user_id long, tier string"
+    )
+    init_snapshot(v0, dim_root)
+
+    def run_pass(rows):
+        spark.createDataFrame(rows, "event_id long, user_id long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("event_id long, user_id long").parquet(src)
+
+        def enrich(batch, batch_id):
+            dim = read_snapshot(spark, dim_root)  # manifest re-resolved
+            batch.join(dim, "user_id", "left").write.mode("append").parquet(
+                out_dir
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass([(100, 1), (101, 2)])           # enriched against v0
+
+    v1 = spark.createDataFrame(
+        [(1, "gold"), (2, "bronze")], "user_id long, tier string"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(dim_root, "v00000001"))
+    _commit(dim_root, "v00000001")
+
+    run_pass([(200, 1), (201, 2)])           # enriched against v1
+
+    got = {
+        r["event_id"]: r["tier"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {100: "bronze", 101: "bronze", 200: "gold", 201: "bronze"}
