@@ -366,3 +366,47 @@ def target_encode(
         )
 
     return enc.drop("__prior"), transform
+
+
+def robust_scale(
+    df: DataFrame,
+    cols: Sequence[str],
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Median/IQR scaling (sklearn ``RobustScaler`` parity):
+    ``(x - median) / (q3 - q1)`` per column — the outlier-insensitive
+    alternative to z-scoring (mean and σ are both unbounded under a
+    single corrupt value; median and IQR are 25%-breakdown robust).
+
+    ``stats`` carries a fitted one-row frame (from
+    :func:`robust_scale_stats`) for the train-only-fit contract;
+    omitted, it is fitted on ``df`` itself. Zero-IQR columns scale to
+    0.0 (matching the zero-variance convention in :func:`standardize`).
+    One aggregate pass; the clip is codegen arithmetic off a broadcast
+    one-row join.
+    """
+    if stats is None:
+        stats = robust_scale_stats(df, cols)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        iqr = F.col(f"__iqr_{c}")
+        scaled = F.when(
+            iqr > 0, (F.col(c) - F.col(f"__med_{c}")) / iqr
+        ).otherwise(F.when(F.col(c).isNotNull(), F.lit(0.0)))
+        out = out.withColumn(f"{c}_scaled", scaled)
+    return out.drop(
+        *[f"__med_{c}" for c in cols], *[f"__iqr_{c}" for c in cols]
+    )
+
+
+def robust_scale_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One-row (median, IQR) frame per column — the fit half."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.percentile(c, F.lit(0.5)).alias(f"__med_{c}"),
+            (
+                F.percentile(c, F.lit(0.75)) - F.percentile(c, F.lit(0.25))
+            ).alias(f"__iqr_{c}"),
+        ]
+    return df.agg(*aggs)

@@ -2754,6 +2754,72 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "robust_scale_value",
+    oracle="""
+    WITH s AS (
+        SELECT quantile_cont(value, 0.5) AS med,
+               quantile_cont(value, 0.75) - quantile_cont(value, 0.25) AS iqr
+        FROM events
+    )
+    SELECT event_id,
+           ROUND((value - s.med) / s.iqr, 6) AS value_scaled
+    FROM events CROSS JOIN s
+    WHERE value IS NOT NULL
+    ORDER BY event_id
+    """,
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling (ml/prep.py:robust_scale, sklearn
+    RobustScaler parity) — outlier-insensitive sibling of
+    standardize_quantity: one exact-percentile aggregate broadcast back,
+    codegen arithmetic."""
+    from .ml.prep import robust_scale
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    out = robust_scale(ev, ["value"])
+    return (
+        out.filter(F.col("value").isNotNull())
+        .select(
+            "event_id", F.round("value_scaled", 6).alias("value_scaled")
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "first_last_event_per_user",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type, ts) AS first_type,
+           arg_max(event_type, ts) AS last_type,
+           epoch_us(MIN(ts)) AS first_us,
+           epoch_us(MAX(ts)) AS last_us
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by aggregate surface (argmin/argmax without a window
+    or self-join — one hash aggregate instead of a rank+filter pass):
+    each user's first and last event type by time. ts is unique per
+    user in this data, so the argmin is well-defined across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by("event_type", "ts_ns").alias("first_type"),
+            F.max_by("event_type", "ts_ns").alias("last_type"),
+            # integer div: ts_ns ≈ 1.7e18 exceeds double's 53-bit
+            # mantissa, so float division would round the epoch
+            F.expr("min(ts_ns) div 1000").alias("first_us"),
+            F.expr("max(ts_ns) div 1000").alias("last_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "rank_distribution_windows",
     oracle="""
     SELECT o_orderkey,
