@@ -485,6 +485,29 @@ class TestPrepEncoders:
         assert abs(hard["a"] - prior) < abs(none["a"] - prior)
 
 
+class TestRobustScale:
+    def test_robust_scale_train_only_fit_and_zero_iqr(self, spark):
+        from fraud_detection_project_spark.ml.prep import (
+            robust_scale,
+            robust_scale_stats,
+        )
+
+        train = spark.createDataFrame(
+            [(float(v),) for v in range(1, 101)], "x double"
+        )
+        stats = robust_scale_stats(train, ["x"])
+        test = spark.createDataFrame([(50.5,), (100.5,), (None,)], "x double")
+        got = [r["x_scaled"] for r in robust_scale(test, ["x"], stats=stats).collect()]
+        # median 50.5, IQR = 75.25 - 25.75 = 49.5
+        assert abs(got[0] - 0.0) < 1e-9
+        assert abs(got[1] - (50.0 / 49.5)) < 1e-9
+        assert got[2] is None  # NULL passthrough
+
+        const = spark.createDataFrame([(7.0,), (7.0,), (None,)], "x double")
+        out = [r["x_scaled"] for r in robust_scale(const, ["x"]).collect()]
+        assert out[:2] == [0.0, 0.0] and out[2] is None  # zero-IQR → 0.0
+
+
 class TestKFold:
     def test_assignment_deterministic_and_partition_independent(self, spark):
         from fraud_detection_project_spark.ml.split import kfold_assign
@@ -509,24 +532,3 @@ class TestKFold:
             tr = tagged.filter(F.col("fold") != i).count()
             te = tagged.filter(F.col("fold") == i).count()
             assert tr + te == n and te > 0
-
-    def test_robust_scale_train_only_fit_and_zero_iqr(self, spark):
-        from fraud_detection_project_spark.ml.prep import (
-            robust_scale,
-            robust_scale_stats,
-        )
-
-        train = spark.createDataFrame(
-            [(float(v),) for v in range(1, 101)], "x double"
-        )
-        stats = robust_scale_stats(train, ["x"])
-        test = spark.createDataFrame([(50.5,), (100.5,), (None,)], "x double")
-        got = [r["x_scaled"] for r in robust_scale(test, ["x"], stats=stats).collect()]
-        # median 50.5, IQR = 75.25 - 25.75 = 49.5
-        assert abs(got[0] - 0.0) < 1e-9
-        assert abs(got[1] - (50.0 / 49.5)) < 1e-9
-        assert got[2] is None  # NULL passthrough
-
-        const = spark.createDataFrame([(7.0,), (7.0,), (None,)], "x double")
-        out = [r["x_scaled"] for r in robust_scale(const, ["x"]).collect()]
-        assert out[:2] == [0.0, 0.0] and out[2] is None  # zero-IQR → 0.0
