@@ -87,6 +87,70 @@ def diff_rows(
     )
 
 
+def make_changeset(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    seq: int = 1,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+    upsert_op: str = "U",
+) -> DataFrame:
+    """The CDC changeset that transforms ``left`` into ``right``:
+    right-only keys become inserts, left-only keys deletes, differing
+    keys updates; equal keys emit nothing. Closes the algebra with
+    MERGE — ``merge_apply(left, make_changeset(left, right, k)) ≡
+    right`` (property-tested) — which is exactly snapshot
+    reconciliation-repair: diff two replicas, ship the minimal
+    changeset, converge.
+
+    Payload columns come from ``right`` (NULL for deletes). One
+    full-outer join (shared with diff_rows' plan shape); the changeset
+    is minimal — |inserts| + |deletes| + |updates| rows.
+    """
+    compare_cols = [
+        c for c in right.columns if c in set(left.columns) and c not in set(keys)
+    ]
+    l = left.withColumn("__in_l", F.lit(True)).alias("l")
+    r = right.withColumn("__in_r", F.lit(True)).alias("r")
+    in_left = F.col("l.__in_l").isNotNull()
+    in_right = F.col("r.__in_r").isNotNull()
+    all_eq = (
+        F.lit(True)
+        if not compare_cols
+        else F.array_min(
+            F.array(
+                *[F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}")) for c in compare_cols]
+            )
+        )
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = l.join(r, cond, "full_outer")
+    op = (
+        F.when(~in_right, F.lit(delete_op))
+        .when(~in_left, F.lit(upsert_op))
+        .when(~all_eq, F.lit(upsert_op))
+    )  # equal → NULL → filtered out
+    return (
+        joined.select(
+            *[
+                F.when(in_right, F.col(f"r.{k}"))
+                .otherwise(F.col(f"l.{k}"))
+                .alias(k)
+                for k in keys
+            ],
+            *[F.col(f"r.{c}").alias(c) for c in compare_cols],
+            op.alias(op_col),
+        )
+        .filter(F.col(op_col).isNotNull())
+        .withColumn(seq_col, F.lit(seq).cast("long"))
+    )
+
+
 def diff_summary(
     left: DataFrame,
     right: DataFrame,
