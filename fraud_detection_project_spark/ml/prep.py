@@ -410,3 +410,42 @@ def robust_scale_stats(df: DataFrame, cols: Sequence[str]) -> DataFrame:
             ).alias(f"__iqr_{c}"),
         ]
     return df.agg(*aggs)
+
+
+def quantile_discretize(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 4,
+    stats: DataFrame | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency binning (MLlib ``QuantileDiscretizer`` with
+    EXACT boundaries instead of its approximate sketch): fit the
+    ``n_bins - 1`` interior percentile boundaries, assign
+    ``bin = #{boundaries < x}`` ∈ [0, n_bins). Fit is one aggregate; the
+    assignment is a fold over the tiny boundary array off a broadcast
+    one-row join — no per-row UDF, no window. ``stats`` (from
+    :func:`quantile_discretize_stats`) carries a train-fitted boundary
+    frame for the train-only-fit contract. NULLs pass through as NULL.
+    """
+    out_col = out_col or f"{col}_bin"
+    if stats is None:
+        stats = quantile_discretize_stats(df, col, n_bins)
+    out = df.crossJoin(F.broadcast(stats))
+    bnds = F.col(f"__bnds_{col}")
+    bin_ = F.size(F.filter(bnds, lambda b: b < F.col(col)))
+    return out.withColumn(
+        out_col, F.when(F.col(col).isNotNull(), bin_).cast("int")
+    ).drop(f"__bnds_{col}")
+
+
+def quantile_discretize_stats(
+    df: DataFrame, col: str, n_bins: int = 4
+) -> DataFrame:
+    """One-row frame with the interior exact-percentile boundaries."""
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    return df.agg(
+        F.array(
+            *[F.percentile(col, F.lit(f)) for f in fracs]
+        ).alias(f"__bnds_{col}")
+    )

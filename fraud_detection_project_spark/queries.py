@@ -2754,6 +2754,39 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_discretize_value",
+    oracle="""
+    WITH b AS (
+        SELECT [quantile_cont(value, 0.25),
+                quantile_cont(value, 0.50),
+                quantile_cont(value, 0.75)] AS bs
+        FROM events
+    )
+    SELECT e.event_id,
+           CAST(len(list_filter(b.bs, x -> x < e.value)) AS INTEGER) AS value_bin
+    FROM events e CROSS JOIN b
+    WHERE e.value IS NOT NULL
+    ORDER BY e.event_id
+    """,
+)
+def q_quantile_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning (ml/prep.py:quantile_discretize —
+    QuantileDiscretizer semantics with EXACT boundaries): bin =
+    #{boundaries < x} over a broadcast fitted boundary array. Both
+    engines interpolate quantile_cont identically, so bin assignments
+    match exactly, boundary-sitting values included."""
+    from .ml.prep import quantile_discretize
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    out = quantile_discretize(ev, "value", n_bins=4)
+    return (
+        out.filter(F.col("value").isNotNull())
+        .select("event_id", "value_bin")
+        .orderBy("event_id")
+    )
+
+
+@register(
     "robust_scale_value",
     oracle="""
     WITH s AS (

@@ -532,3 +532,33 @@ class TestKFold:
             tr = tagged.filter(F.col("fold") != i).count()
             te = tagged.filter(F.col("fold") == i).count()
             assert tr + te == n and te > 0
+
+
+class TestQuantileDiscretize:
+    def test_balanced_bins_train_only_fit_nulls(self, spark):
+        from fraud_detection_project_spark.ml.prep import (
+            quantile_discretize,
+            quantile_discretize_stats,
+        )
+
+        train = spark.createDataFrame(
+            [(float(v),) for v in range(1000)], "x double"
+        )
+        out = quantile_discretize(train, "x", n_bins=4)
+        sizes = {
+            r["x_bin"]: r["count"]
+            for r in out.groupBy("x_bin").count().collect()
+        }
+        assert set(sizes) == {0, 1, 2, 3}
+        assert all(200 <= n <= 300 for n in sizes.values())  # ~250 each
+
+        # train-fitted boundaries applied to unseen data + NULLs
+        stats = quantile_discretize_stats(train, "x", 4)
+        test = spark.createDataFrame(
+            [(-5.0,), (999999.0,), (None,)], "x double"
+        )
+        got = [
+            r["x_bin"]
+            for r in quantile_discretize(test, "x", 4, stats=stats).collect()
+        ]
+        assert got[0] == 0 and got[1] == 3 and got[2] is None
