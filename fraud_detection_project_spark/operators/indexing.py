@@ -1,0 +1,73 @@
+"""Global dense indexing — ROW_NUMBER over a total order WITHOUT the
+single-partition sort.
+
+``F.row_number().over(Window.orderBy(...))`` funnels the entire dataset
+through ONE task — the textbook scale cliff (a 100 TB sort on one
+executor). The scalable equivalent:
+
+1. ``repartitionByRange`` on the order columns (Spark's sampled range
+   partitioner — the same machinery a global sort uses) and sort within
+   partitions; ``localCheckpoint`` pins the partitioning so the two
+   passes below see identical layouts (the range partitioner samples,
+   so re-execution is not guaranteed bit-stable otherwise);
+2. per-partition row counts (one tiny aggregate over partition ids) →
+   cumulative offsets, broadcast back;
+3. an Arrow ``mapInPandas`` pass emits ``offset[pid] + local_position``
+   — order within a partition is preserved by the sorted checkpoint.
+
+Result: index ≡ rank in the total order, every partition works in
+parallel, and the only driver data is |partitions| counts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dense_global_index(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """0-based dense global index by the total order ``order_cols``
+    (which must be a total order — include a unique tie-breaker).
+    Equivalent to ``ROW_NUMBER() OVER (ORDER BY order_cols) - 1`` with
+    no single-partition stage."""
+    import pandas as pd
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    rp = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in rp.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+
+    out_schema = rp.drop("__pid").schema.add(out_col, "long")
+    cols = [f.name for f in out_schema.fields]
+
+    def kernel(batches):
+        pos = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            start = pos.get(pid, offsets[pid])
+            pdf = pdf.drop(columns="__pid")
+            pdf[out_col] = range(start, start + len(pdf))
+            pos[pid] = start + len(pdf)
+            yield pd.DataFrame(pdf, columns=cols)
+
+    return rp.mapInPandas(kernel, out_schema)

@@ -2754,6 +2754,29 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "global_index_events",
+    oracle="""
+    SELECT event_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 AS BIGINT) AS idx
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global index WITHOUT the single-partition sort
+    (operators/indexing.py:dense_global_index): range-partition on the
+    order key, per-partition offsets from a |partitions|-row aggregate,
+    Arrow pass emits offset + local position. ≡ ROW_NUMBER() over the
+    total order — the oracle — while every partition works in parallel
+    (the naive Window.orderBy form funnels 100 TB through one task)."""
+    from .operators.indexing import dense_global_index
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts_ns")
+    out = dense_global_index(ev, ["ts_ns", "event_id"], out_col="idx")
+    return out.select("event_id", "idx").orderBy("event_id")
+
+
+@register(
     "quantile_discretize_value",
     oracle="""
     WITH b AS (

@@ -714,3 +714,36 @@ class TestTableDiff:
             s["n_differing"],      # updated keys 2, 5
             s["n_equal"],          # the 7 untouched keys
         ) == (1, 1, 2, 7)
+
+
+class TestDenseGlobalIndex:
+    def test_matches_row_number_and_avoids_single_partition(self, spark):
+        from fraud_detection_project_spark.operators.indexing import (
+            dense_global_index,
+        )
+
+        import random
+
+        rng = random.Random(5)
+        rows = [(i, rng.randint(0, 10**9)) for i in range(5000)]
+        df = spark.createDataFrame(rows, "rid long, key long").repartition(16)
+        out = dense_global_index(df, ["key", "rid"], out_col="idx")
+        got = {(r["rid"]): r["idx"] for r in out.collect()}
+        want = {
+            rid: i
+            for i, (rid, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+        }
+        assert got == want
+        # the scalable shape: range partitioning, no SinglePartition sort
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+    def test_indices_dense_and_unique(self, spark):
+        from fraud_detection_project_spark.operators.indexing import (
+            dense_global_index,
+        )
+
+        df = spark.range(0, 3000).withColumnRenamed("id", "k")
+        out = dense_global_index(df, ["k"])
+        idxs = sorted(r["idx"] for r in out.collect())
+        assert idxs == list(range(3000))
