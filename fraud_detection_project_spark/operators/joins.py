@@ -235,3 +235,62 @@ def binned_range_join(
     for p in payload:
         unmatched = unmatched.withColumn(p, F.lit(None).cast(dim.schema[p].dataType))
     return matched.unionByName(unmatched)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_bounds: tuple[str, str],
+    right_bounds: tuple[str, str],
+    bin_width: float | None = None,
+) -> DataFrame:
+    """Interval × interval overlap join — pairs whose spans intersect
+    (``l_lo <= r_hi AND r_lo <= l_hi``), e.g. sessions × campaign
+    windows. The naive form is a cross join with a range predicate —
+    quadratic; here BOTH sides bin-explode so candidates meet on an
+    integer equi-key:
+
+    1. bin width defaults to the max P95 span of either side (each
+       interval explodes into ~≤2 bins);
+    2. explode both sides into every bin their span overlaps;
+    3. hash-join on the bin, dropDuplicates the (left, right) pair (a
+       pair can meet in several bins), exact overlap residual.
+
+    Output: all left columns + all right columns (caller aliases to
+    avoid collisions). Cost: one shuffle join on the bin key — the same
+    trick as binned_range_join, generalized from point∈interval to
+    interval∩interval.
+    """
+    l_lo, l_hi = left_bounds
+    r_lo, r_hi = right_bounds
+    if bin_width is None:
+        p95s = []
+        for df, lo, hi in ((left, l_lo, l_hi), (right, r_lo, r_hi)):
+            s = df.select(
+                F.expr(f"percentile(({hi}) - ({lo}), 0.95)").alias("p")
+            ).first()
+            p95s.append(float(s["p"] or 1.0))
+        bin_width = max(max(p95s), 1e-9)
+
+    w = float(bin_width)
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / F.lit(w)).cast("long"),
+                    F.floor(F.col(hi) / F.lit(w)).cast("long"),
+                )
+            ),
+        )
+
+    lb = binned(left, l_lo, l_hi)
+    rb = binned(right, r_lo, r_hi)
+    overlap = (F.col(l_lo) <= F.col(r_hi)) & (F.col(r_lo) <= F.col(l_hi))
+    return (
+        lb.join(rb, "__bin")
+        .filter(overlap)
+        .drop("__bin")
+        .dropDuplicates(left.columns + right.columns)
+    )

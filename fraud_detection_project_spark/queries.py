@@ -2754,6 +2754,60 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_overlap_sessions",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               epoch_us(MIN(ts)) AS s_lo,
+               epoch_us(MAX(ts)) AS s_hi
+        FROM events GROUP BY user_id
+    ),
+    w AS (
+        SELECT p_partkey AS win_id,
+               CAST(1704067200000000 + p_partkey * 86400000000 AS BIGINT) AS w_lo,
+               CAST(1704067200000000 + p_partkey * 86400000000
+                    + 172800000000 AS BIGINT) AS w_hi
+        FROM part WHERE p_partkey <= 30
+    )
+    SELECT s.user_id, w.win_id
+    FROM s JOIN w ON s.s_lo <= w.w_hi AND w.w_lo <= s.s_hi
+    ORDER BY user_id, win_id
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (operators/joins.py:
+    interval_overlap_join): per-user activity spans crossed with
+    synthetic 2-day campaign windows — both sides bin-explode so
+    candidates meet on an integer equi-key (one shuffle join, no
+    quadratic cross product); oracle brute-forces the overlap
+    predicate."""
+    from .operators.joins import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.expr("min(ts_ns) div 1000").alias("s_lo"),
+        F.expr("max(ts_ns) div 1000").alias("s_hi"),
+    )
+    base = 1_704_067_200_000_000  # 2024-01-01 epoch µs
+    day = 86_400_000_000
+    wins = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 30)
+        .select(
+            F.col("p_partkey").alias("win_id"),
+            (F.lit(base) + F.col("p_partkey") * F.lit(day)).alias("w_lo"),
+            (
+                F.lit(base) + F.col("p_partkey") * F.lit(day) + F.lit(2 * day)
+            ).alias("w_hi"),
+        )
+    )
+    out = interval_overlap_join(
+        spans, wins, ("s_lo", "s_hi"), ("w_lo", "w_hi")
+    )
+    return out.select("user_id", "win_id").orderBy("user_id", "win_id")
+
+
+@register(
     "global_index_events",
     oracle="""
     SELECT event_id,

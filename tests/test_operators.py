@@ -747,3 +747,44 @@ class TestDenseGlobalIndex:
         out = dense_global_index(df, ["k"])
         idxs = sorted(r["idx"] for r in out.collect())
         assert idxs == list(range(3000))
+
+
+class TestIntervalOverlapJoin:
+    def test_matches_bruteforce_crossjoin(self, spark):
+        import random
+
+        from fraud_detection_project_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        rng = random.Random(9)
+        L = [(i, a := rng.randint(0, 500), a + rng.randint(0, 80)) for i in range(40)]
+        R = [(j, b := rng.randint(0, 500), b + rng.randint(0, 40)) for j in range(30)]
+        left = spark.createDataFrame(L, "lid long, l_lo long, l_hi long")
+        right = spark.createDataFrame(R, "rid long, r_lo long, r_hi long")
+        got = {
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                left, right, ("l_lo", "l_hi"), ("r_lo", "r_hi")
+            ).collect()
+        }
+        want = {
+            (i, j)
+            for (i, a, b) in L
+            for (j, c, d) in R
+            if a <= d and c <= b
+        }
+        assert got == want
+
+    def test_no_duplicate_pairs_across_bins(self, spark):
+        from fraud_detection_project_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        # long intervals that span many bins — every pair must emit once
+        left = spark.createDataFrame([(1, 0, 1000)], "lid long, l_lo long, l_hi long")
+        right = spark.createDataFrame([(2, 500, 1500)], "rid long, r_lo long, r_hi long")
+        out = interval_overlap_join(
+            left, right, ("l_lo", "l_hi"), ("r_lo", "r_hi"), bin_width=10.0
+        )
+        assert out.count() == 1
