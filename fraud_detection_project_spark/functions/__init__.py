@@ -25,8 +25,10 @@ from .text import (
     doc_fingerprint,
 )
 from .vectors import dot, l2_norm, cosine_similarity
+from .rounding import round_floor
 
 __all__ = [
+    "round_floor",
     "ip_to_int",
     "int_to_ip",
     "epoch_seconds",

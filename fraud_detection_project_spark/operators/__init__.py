@@ -7,7 +7,13 @@ from .cleaning import (
     convert_ip_to_int_column,
     clean_transactions,
 )
-from .joins import range_join, geolocate, as_of_join
+from .joins import (
+    range_join,
+    geolocate,
+    as_of_join,
+    binned_range_join,
+    interval_overlap_join,
+)
 from .windows import rolling_count_24h, velocity_features
 from .aggregates import (
     rate_by,
@@ -16,6 +22,19 @@ from .aggregates import (
     numeric_profile,
     histogram,
 )
+from .diff import diff_rows, diff_summary, make_changeset
+from .merge import merge_apply
+from .indexing import dense_global_index
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    connected_components,
+    fuzzy_pairs_1edit,
+    ngram_contamination,
+)
+from .search import bm25_search, tfidf_weights, feature_hash_vectors
 
 __all__ = [
     "handle_missing_values",
@@ -26,6 +45,8 @@ __all__ = [
     "range_join",
     "geolocate",
     "as_of_join",
+    "binned_range_join",
+    "interval_overlap_join",
     "rolling_count_24h",
     "velocity_features",
     "rate_by",
@@ -33,4 +54,19 @@ __all__ = [
     "count_distinct",
     "numeric_profile",
     "histogram",
+    "diff_rows",
+    "diff_summary",
+    "make_changeset",
+    "merge_apply",
+    "dense_global_index",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "connected_components",
+    "fuzzy_pairs_1edit",
+    "ngram_contamination",
+    "bm25_search",
+    "tfidf_weights",
+    "feature_hash_vectors",
 ]
