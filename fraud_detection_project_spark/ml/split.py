@@ -84,3 +84,35 @@ def kfold_assign(
         fold_col,
         F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(k)).cast("int"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_cols: Sequence[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    exponential keys): each row draws ``u = hash-uniform(id, seed)`` and
+    scores ``key = ln(u) / w``; the top-k keys are the sample, with
+    inclusion probability proportional to weight — the distributed
+    analogue of ``np.random.choice(..., replace=False, p=w)``.
+
+    Scale: one narrow projection + TakeOrderedAndProject (k rows per
+    partition cross the wire). Deterministic for a fixed (seed,
+    ``id_cols``) — every executor derives the same keys, no RNG state.
+    Rows with NULL or non-positive weight are excluded (standard
+    contract). ``id_cols`` must uniquely identify rows.
+    """
+    # uniform in (0, 1]: 63-bit positive hash scaled; +1 avoids ln(0)
+    h = F.abs(F.xxhash64(*[F.col(c) for c in id_cols], F.lit(seed)))
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(2**63))
+    key = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__wkey", key)
+        .orderBy(F.desc("__wkey"), *id_cols)
+        .limit(k)
+        .drop("__wkey")
+    )

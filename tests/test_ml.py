@@ -562,3 +562,49 @@ class TestQuantileDiscretize:
             for r in quantile_discretize(test, "x", 4, stats=stats).collect()
         ]
         assert got[0] == 0 and got[1] == 3 and got[2] is None
+
+
+class TestWeightedSample:
+    def test_exact_k_subset_deterministic(self, spark):
+        from fraud_detection_project_spark.ml.split import weighted_sample
+
+        df = spark.createDataFrame(
+            [(i, float(1 + i % 5)) for i in range(500)], "id long, w double"
+        )
+        a = sorted(r["id"] for r in weighted_sample(df, "w", 50, ["id"]).collect())
+        b = sorted(
+            r["id"]
+            for r in weighted_sample(df.repartition(7), "w", 50, ["id"]).collect()
+        )
+        assert a == b and len(a) == 50          # layout-independent, exact k
+        assert len(set(a)) == 50                 # without replacement
+        c = sorted(
+            r["id"] for r in weighted_sample(df, "w", 50, ["id"], seed=7).collect()
+        )
+        assert c != a                            # seed moves the sample
+
+    def test_weight_bias(self, spark):
+        """Across many seeds, heavy items are sampled ~proportionally
+        more often than light ones (deterministic per seed, so this
+        loop is reproducible, not flaky)."""
+        from fraud_detection_project_spark.ml.split import weighted_sample
+
+        rows = [(i, 10.0 if i < 10 else 1.0) for i in range(110)]
+        df = spark.createDataFrame(rows, "id long, w double")
+        heavy_hits = 0
+        trials, k = 20, 10
+        for s in range(trials):
+            got = {r["id"] for r in weighted_sample(df, "w", k, ["id"], seed=s).collect()}
+            heavy_hits += sum(1 for i in got if i < 10)
+        # heavy items are 10/110 of rows but 100/200 of mass; with k=10
+        # draws they should dominate clearly over the uniform baseline
+        assert heavy_hits > trials * k * 0.25    # ≫ uniform's ~0.09
+
+    def test_zero_and_null_weights_excluded(self, spark):
+        from fraud_detection_project_spark.ml.split import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 0.0), (2, None), (3, 2.0)], "id long, w double"
+        )
+        got = [r["id"] for r in weighted_sample(df, "w", 3, ["id"]).collect()]
+        assert got == [3]
