@@ -153,6 +153,11 @@ def run(spark, sf_dir: str) -> dict[str, float]:
         "q12_cc_alone": lambda: _cc_alone(spark, sf_dir),
         "q13_sessionize": lambda: QUERIES["user_sessions_30m"](spark, sf_dir),
         "q14_stream_join_twin": lambda: _stream_join_batch_twin(spark, sf_dir),
+        # round-3 scale-shaped additions
+        "q15_global_index": lambda: QUERIES["global_index_events"](spark, sf_dir),
+        "q16_interval_overlap": lambda: QUERIES["interval_overlap_sessions"](
+            spark, sf_dir
+        ),
     }
     consume(QUERIES["cleaning_chain"](spark, sf_dir))  # warm listing/JIT
     out = {}
