@@ -176,3 +176,52 @@ def feature_hash_vectors(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).alias("weight"))
     )
+
+
+def build_vocabulary(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+    max_vocab: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary with document-frequency pruning (the
+    CountVectorizer ``min_df`` / ``max_df`` contract): terms appearing
+    in at least ``min_df`` docs and at most ``max_df_frac`` of the
+    corpus, optionally capped to the ``max_vocab`` most frequent
+    (ties broken lexicographically for determinism).
+
+    Too-rare terms are noise/typos; too-common terms are stopwords by
+    definition of the corpus itself — df pruning is the first stage of
+    any vectorizer at scale because it bounds the vocabulary a
+    downstream broadcast must carry.
+
+    One explode → distinct → |vocab| aggregate; returns
+    ``(term, df, df_frac)`` ordered by df desc, term.
+    """
+    from .dedup import spread_input
+
+    toked = spread_input(docs).select(
+        F.col(id_col), tokens(normalized_text(text_col)).alias("toks")
+    )
+    n_docs = toked.agg(F.count(F.lit(1)).alias("n"))
+    df_ = (
+        toked.select(F.col(id_col), F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= F.lit(int(min_df)))
+            & (F.col("df") <= F.col("n") * F.lit(float(max_df_frac)))
+        )
+        .select(
+            "term",
+            "df",
+            F.round(F.col("df") / F.col("n"), 6).alias("df_frac"),
+        )
+        .orderBy(F.desc("df"), "term")
+    )
+    if max_vocab is not None:
+        df_ = df_.limit(int(max_vocab))
+    return df_

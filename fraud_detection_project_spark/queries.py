@@ -2754,6 +2754,88 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "activity_gaps_48h",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, epoch_us(ts) AS ts_us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        FROM events
+    )
+    SELECT user_id,
+           prev_us AS gap_start_us,
+           ts_us AS gap_end_us,
+           (ts_us - prev_us) // 1000000 AS gap_seconds
+    FROM t
+    WHERE ts_us - prev_us > 172800000000
+    ORDER BY user_id, gap_start_us
+    """,
+)
+def q_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal gap detection — the inverse of sessionization: per-user
+    silences longer than 48h, as (gap_start, gap_end, seconds) rows via
+    one lag window (one shuffle on user_id). Churn-risk / sensor-outage
+    analytics surface; exact integer µs arithmetic both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            F.expr("lag(ts_ns) over (partition by user_id order by ts_ns) div 1000").alias(
+                "gap_start_us"
+            ),
+            F.expr("ts_ns div 1000").alias("gap_end_us"),
+            F.expr(
+                "(ts_ns - lag(ts_ns) over (partition by user_id order by ts_ns))"
+                " div 1000000000"
+            ).alias("gap_seconds"),
+        )
+        .filter(
+            F.col("gap_end_us") - F.col("gap_start_us") > F.lit(172_800_000_000)
+        )
+        .orderBy("user_id", "gap_start_us")
+    )
+
+
+@register(
+    "vocabulary_df_pruned",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+        FROM documents
+    ),
+    d AS (
+        SELECT DISTINCT doc_id, t AS term
+        FROM (SELECT doc_id, unnest(toks) AS t FROM tk)
+        WHERE t <> ''
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    v AS (
+        SELECT term, COUNT(*) AS df
+        FROM d GROUP BY term
+    )
+    SELECT term, df, ROUND(df * 1.0 / n.n, 6) AS df_frac
+    FROM v CROSS JOIN n
+    WHERE df >= 3 AND df <= 0.78 * n.n
+    ORDER BY df DESC, term
+    LIMIT 100
+    """,
+)
+def q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building with document-frequency pruning
+    (operators/search.py:build_vocabulary — the CountVectorizer
+    min_df/max_df contract): terms in ≥3 docs and ≤78% of the corpus
+    (both bounds bite on this corpus's df distribution),
+    top-100 by df with lexicographic tie-break. DF pruning bounds the
+    vocabulary a downstream vectorizer broadcast must carry."""
+    from .operators.search import build_vocabulary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocabulary(
+        docs, min_df=3, max_df_frac=0.78, max_vocab=100
+    )
+
+
+@register(
     "interval_overlap_sessions",
     oracle="""
     WITH s AS (
