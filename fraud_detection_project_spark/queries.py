@@ -3460,16 +3460,16 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when((ty == "purchase") & (ts > F.col("t2")), ts)).over(w),
         )
     )
-    return staged.agg(
-        F.count_distinct(
-            F.when(F.col("t1").isNotNull(), F.col("user_id"))
-        ).alias("n_view"),
-        F.count_distinct(
-            F.when(F.col("t2").isNotNull(), F.col("user_id"))
-        ).alias("n_click_after_view"),
-        F.count_distinct(
-            F.when(F.col("t3").isNotNull(), F.col("user_id"))
-        ).alias("n_purchase_after_click"),
+    # collapse to one row per user FIRST — reuses the window's user_id
+    # partitioning (no new Exchange) and avoids the Expand×3 that a
+    # triple count_distinct would run over every event row
+    per_user = staged.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.col("t1")).alias("n_view"),
+        F.count(F.col("t2")).alias("n_click_after_view"),
+        F.count(F.col("t3")).alias("n_purchase_after_click"),
     )
 
 

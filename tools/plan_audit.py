@@ -136,6 +136,8 @@ def audit(spark, sf_dir: str) -> list[str]:
     p = plan_of(QUERIES["funnel_view_click_purchase"](spark, sf_dir))
     check("funnel: single events scan", p.count("FileScan parquet") == 1, p)
     check("funnel: stacked window stages", p.count("Window") >= 3, p)
+    check("funnel: one Exchange, no Expand",
+          p.count("Exchange hashpartitioning") == 1 and "Expand" not in p, p)
 
     # retention — lead() over active weeks: ONE events scan (the old
     # self-join form executed the distinct subplan twice)
