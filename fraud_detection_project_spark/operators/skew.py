@@ -92,3 +92,28 @@ def salted_join_hot_keys(
     joined_hot = fact_hot.join(dim_hot, [key, "__salt"], how).drop("__salt")
     joined_cold = fact_cold.join(dim_cold, [key], how)
     return joined_hot.unionByName(joined_cold)
+
+
+def skew_report(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Key-distribution diagnostic — the measurement that decides
+    between plain hash partitioning, salting (:func:`salted_agg` /
+    :func:`salted_join_hot_keys`), and AQE skew handling: one row with
+    the group-size distribution over ``keys``.
+
+    ``skew_ratio`` = max group / mean group: ~1 is uniform; a ratio of
+    N/10 means one key holds 10% of the data and its task runs that
+    much longer than the average — the straggler signal. Two aggregates
+    (per-key count → one-row stats); nothing collected beyond the
+    summary row.
+    """
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__n").alias("n_rows"),
+        F.max("__n").alias("max_count"),
+        F.percentile("__n", F.lit(0.5)).alias("p50_count"),
+        F.percentile("__n", F.lit(0.99)).alias("p99_count"),
+        F.round(
+            F.max("__n") / (F.sum("__n") / F.count(F.lit(1))), 4
+        ).alias("skew_ratio"),
+    )

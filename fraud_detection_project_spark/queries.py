@@ -2754,6 +2754,30 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_report_user_key",
+    oracle="""
+    WITH g AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           MAX(n) AS max_count,
+           quantile_cont(n, 0.5) AS p50_count,
+           quantile_cont(n, 0.99) AS p99_count,
+           ROUND(MAX(n) / (SUM(n) * 1.0 / COUNT(*)), 4) AS skew_ratio
+    FROM g
+    """,
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators/skew.py:skew_report): the
+    group-size distribution that decides between plain partitioning,
+    salting, and AQE skew handling — max/p99/median group sizes and the
+    straggler ratio, in two aggregates with only a summary row moved."""
+    from .operators.skew import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, ["user_id"])
+
+
+@register(
     "activity_gaps_48h",
     oracle="""
     WITH t AS (
