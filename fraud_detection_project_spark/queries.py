@@ -2754,6 +2754,39 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "correlation_matrix_events",
+    oracle="""
+    WITH f AS (
+        SELECT value AS v, hour(ts) * 1.0 AS h, (user_id % 10) * 1.0 AS u
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT 'h_u' AS pair, ROUND(corr(h, u), 5) AS r FROM f
+    UNION ALL SELECT 'v_h', ROUND(corr(v, h), 5) FROM f
+    UNION ALL SELECT 'v_u', ROUND(corr(v, u), 5) FROM f
+    ORDER BY pair
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix (the reference's EDA ``df.corr()``
+    heatmap input, SURVEY §2 S5 family) as ONE aggregate pass over n
+    columns — n·(n-1)/2 corr aggregates share a single scan and one
+    reduce, vs pandas needing the full matrix in RAM. Flattened
+    (pair, r) output; deterministic pair naming."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    f = ev.select(
+        F.col("value").alias("v"),
+        F.hour("ts").cast("double").alias("h"),
+        (F.col("user_id") % 10).cast("double").alias("u"),
+    )
+    agg = f.agg(
+        F.round(F.corr("v", "h"), 5).alias("v_h"),
+        F.round(F.corr("v", "u"), 5).alias("v_u"),
+        F.round(F.corr("h", "u"), 5).alias("h_u"),
+    )
+    return agg.unpivot([], ["h_u", "v_h", "v_u"], "pair", "r").orderBy("pair")
+
+
+@register(
     "skew_report_user_key",
     oracle="""
     WITH g AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id)
