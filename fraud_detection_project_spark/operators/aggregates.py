@@ -95,3 +95,45 @@ def histogram(
     )
     order = ["bucket"] + ([by] if by else [])
     return out.orderBy(*order)
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] | None = None,
+    n_sigmas: float = 3.0,
+    out_col: str = "is_outlier",
+) -> DataFrame:
+    """Robust outlier flag via Median Absolute Deviation:
+    ``|x − median| > n_sigmas · 1.4826 · MAD`` (1.4826 makes MAD a
+    consistent σ estimator under normality). Unlike the z-score, both
+    the center and the spread have 50% breakdown — a corrupt batch
+    cannot drag the threshold toward itself, which is exactly the
+    failure mode of mean/σ gating on dirty 100 TB feeds.
+
+    Two aggregate passes (median, then median of absolute deviations),
+    optionally per ``by`` group — each a |groups|-row broadcast; the
+    flag itself is codegen arithmetic. NULLs flag as NULL.
+    """
+    gb = list(by) if by else []
+    med_agg = df.groupBy(*gb).agg(
+        F.percentile(value_col, F.lit(0.5)).alias("__med")
+    ) if gb else df.agg(F.percentile(value_col, F.lit(0.5)).alias("__med"))
+    with_med = (
+        df.join(F.broadcast(med_agg), gb) if gb
+        else df.crossJoin(F.broadcast(med_agg))
+    )
+    dev = F.abs(F.col(value_col) - F.col("__med"))
+    mad_agg = with_med.groupBy(*gb).agg(
+        F.percentile(dev, F.lit(0.5)).alias("__mad")
+    ) if gb else with_med.agg(F.percentile(dev, F.lit(0.5)).alias("__mad"))
+    out = (
+        with_med.join(F.broadcast(mad_agg), gb) if gb
+        else with_med.crossJoin(F.broadcast(mad_agg))
+    )
+    flag = F.when(
+        F.col(value_col).isNotNull(),
+        F.abs(F.col(value_col) - F.col("__med"))
+        > F.lit(float(n_sigmas) * 1.4826) * F.col("__mad"),
+    )
+    return out.withColumn(out_col, flag).drop("__med", "__mad")

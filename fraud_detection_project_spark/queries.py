@@ -2754,6 +2754,54 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mad_outlier_counts",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    d AS (
+        SELECT e.event_type, e.value, m.med,
+               ABS(e.value - m.med) AS dev
+        FROM events e JOIN m USING (event_type)
+        WHERE e.value IS NOT NULL
+    ),
+    s AS (
+        SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        FROM d GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN ABS(d.value - d.med) > 3.0 * 1.4826 * s.mad
+                      THEN 1 END) AS n_outliers
+    FROM d JOIN s USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier gate (operators/aggregates.py:mad_outliers):
+    per-type |x − median| > 3·1.4826·MAD flags — 50% breakdown on both
+    center and spread, the dirty-feed-safe alternative to z-score
+    gating. Two broadcast aggregates, codegen flag; profiled per type
+    for the oracle."""
+    from .operators.aggregates import mad_outliers
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("event_type", "value")
+    out = mad_outliers(ev, "value", by=["event_type"], n_sigmas=3.0)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("is_outlier"), 1)).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "correlation_matrix_events",
     oracle="""
     WITH f AS (
