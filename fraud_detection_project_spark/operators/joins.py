@@ -253,16 +253,27 @@ def interval_overlap_join(
     1. bin width defaults to the max P95 span of either side (each
        interval explodes into ~≤2 bins);
     2. explode both sides into every bin their span overlaps;
-    3. hash-join on the bin, dropDuplicates the (left, right) pair (a
-       pair can meet in several bins), exact overlap residual.
+    3. hash-join on the bin, dedup on per-row ids (a pair can meet in
+       several bins), exact overlap residual.
 
-    Output: all left columns + all right columns (caller aliases to
-    avoid collisions). Cost: one shuffle join on the bin key — the same
-    trick as binned_range_join, generalized from point∈interval to
-    interval∩interval.
+    Output: all left columns + all right columns — names must be
+    DISJOINT (asserted, since the join would otherwise produce ambiguous
+    references). Dedup runs on two ``monotonically_increasing_id`` row
+    ids attached before binning, so genuinely duplicate input rows keep
+    their full cross-product multiplicity — exactly what the naive
+    cross-join-with-predicate yields (ADVICE r3: deduping on column
+    VALUES collapsed duplicate rows). Cost: one shuffle join on the bin
+    key — the same trick as binned_range_join, generalized from
+    point∈interval to interval∩interval.
     """
     l_lo, l_hi = left_bounds
     r_lo, r_hi = right_bounds
+    shared = set(left.columns) & set(right.columns)
+    if shared:
+        raise ValueError(
+            f"interval_overlap_join requires disjoint column names; "
+            f"shared: {sorted(shared)} — alias one side first"
+        )
     if bin_width is None:
         p95s = []
         for df, lo, hi in ((left, l_lo, l_hi), (right, r_lo, r_hi)):
@@ -285,12 +296,13 @@ def interval_overlap_join(
             ),
         )
 
-    lb = binned(left, l_lo, l_hi)
-    rb = binned(right, r_lo, r_hi)
+    lb = binned(left.withColumn("__lid", F.monotonically_increasing_id()), l_lo, l_hi)
+    rb = binned(right.withColumn("__rid", F.monotonically_increasing_id()), r_lo, r_hi)
     overlap = (F.col(l_lo) <= F.col(r_hi)) & (F.col(r_lo) <= F.col(l_hi))
     return (
         lb.join(rb, "__bin")
         .filter(overlap)
         .drop("__bin")
-        .dropDuplicates(left.columns + right.columns)
+        .dropDuplicates(["__lid", "__rid"])
+        .drop("__lid", "__rid")
     )

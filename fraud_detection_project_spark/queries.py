@@ -2879,7 +2879,12 @@ def q_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal gap detection — the inverse of sessionization: per-user
     silences longer than 48h, as (gap_start, gap_end, seconds) rows via
     one lag window (one shuffle on user_id). Churn-risk / sensor-outage
-    analytics surface; exact integer µs arithmetic both engines."""
+    analytics surface; exact integer µs arithmetic both engines.
+    ``gap_seconds`` is derived from the µs-floored epochs (not the raw
+    ns diff) so the floor matches the oracle's ``(us - us) // 1e6`` for
+    ANY physical timestamp unit the generator ships (ADVICE r3: under a
+    TIMESTAMP(NANOS) generator the ns-diff floor can differ by 1 at
+    exact-second boundaries)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.select(
@@ -2888,10 +2893,10 @@ def q_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "gap_start_us"
             ),
             F.expr("ts_ns div 1000").alias("gap_end_us"),
-            F.expr(
-                "(ts_ns - lag(ts_ns) over (partition by user_id order by ts_ns))"
-                " div 1000000000"
-            ).alias("gap_seconds"),
+        )
+        .withColumn(
+            "gap_seconds",
+            F.expr("(gap_end_us - gap_start_us) div 1000000"),
         )
         .filter(
             F.col("gap_end_us") - F.col("gap_start_us") > F.lit(172_800_000_000)
@@ -3009,11 +3014,19 @@ def q_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     order key, per-partition offsets from a |partitions|-row aggregate,
     Arrow pass emits offset + local position. ≡ ROW_NUMBER() over the
     total order — the oracle — while every partition works in parallel
-    (the naive Window.orderBy form funnels 100 TB through one task)."""
+    (the naive Window.orderBy form funnels 100 TB through one task).
+    Ordering key is the µs-TRUNCATED epoch (``ts_ns div 1000``), not raw
+    ns, so two events inside the same microsecond tie-break on event_id
+    in BOTH engines — the oracle's ROW_NUMBER orders by the µs ``ts``
+    column (ADVICE r3: a ns-precision generator would otherwise rank
+    intra-µs events by ns in Spark only)."""
     from .operators.indexing import dense_global_index
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "ts_ns")
-    out = dense_global_index(ev, ["ts_ns", "event_id"], out_col="idx")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", F.expr("ts_ns div 1000").alias("ts_us"))
+    )
+    out = dense_global_index(ev, ["ts_us", "event_id"], out_col="idx")
     return out.select("event_id", "idx").orderBy("event_id")
 
 
@@ -3299,11 +3312,12 @@ def q_groupwise_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     )
     SELECT user_id,
-           types,
+           array_to_string(types, ',') AS types,
            len(types) AS n_types,
            len(list_intersect(types, ['click', 'view'])) AS n_core,
-           list_sort(list_filter(types,
-               t -> NOT list_contains(['click', 'view'], t))) AS extra_types
+           array_to_string(list_sort(list_filter(types,
+               t -> NOT list_contains(['click', 'view'], t))), ','
+           ) AS extra_types
     FROM s
     ORDER BY user_id
     """,
@@ -3313,18 +3327,24 @@ def q_array_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set (order nondeterministic → array_sort pins it for the
     cross-engine compare), then size / intersect / except as pure array
     expressions — the nested-type manipulation layer a feature store
-    leans on, zero UDFs, one groupBy shuffle."""
+    leans on, zero UDFs, one groupBy shuffle.  The sorted arrays are
+    projected through ``array_join`` (oracle: ``array_to_string``) so
+    every output cell is a hashable scalar for the driver's
+    order-insensitive comparator (ADVICE r3: ndarray cells are
+    unhashable in the driver's pandas canonicalization)."""
     ev = load_table(spark, sf_dir, "events")
     core = F.array(F.lit("click"), F.lit("view"))
     return (
         ev.groupBy("user_id")
-        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types_arr"))
         .select(
             "user_id",
-            "types",
-            F.size("types").alias("n_types"),
-            F.size(F.array_intersect("types", core)).alias("n_core"),
-            F.array_sort(F.array_except("types", core)).alias("extra_types"),
+            F.array_join("types_arr", ",").alias("types"),
+            F.size("types_arr").alias("n_types"),
+            F.size(F.array_intersect("types_arr", core)).alias("n_core"),
+            F.array_join(
+                F.array_sort(F.array_except("types_arr", core)), ","
+            ).alias("extra_types"),
         )
         .orderBy("user_id")
     )

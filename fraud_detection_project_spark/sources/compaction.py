@@ -45,7 +45,25 @@ def compact_parquet(
     """Rewrite the parquet dataset at ``src`` into ``dst`` with file
     sizes near ``target_file_bytes``. ``range_cols`` switches to
     range-partitioned compaction (sorted-ish layout for downstream
-    min/max pruning). Returns a before/after report dict."""
+    min/max pruning). Returns a before/after report dict.
+
+    ``dst`` must not equal or live inside ``src``: the overwrite sink
+    truncates ``dst`` before the lazy scan of ``src`` runs, so
+    compaction-in-place here would destroy the data being compacted
+    (ADVICE r3). In-place compaction goes through a temp dir + atomic
+    swap — the streaming/upsert.py pattern."""
+    real_src = os.path.realpath(src)
+    real_dst = os.path.realpath(dst)
+    if (
+        real_dst == real_src
+        or (real_dst + os.sep).startswith(real_src + os.sep)
+        or (real_src + os.sep).startswith(real_dst + os.sep)
+    ):
+        raise ValueError(
+            f"compact_parquet dst ({dst!r}) overlaps src ({src!r}): the "
+            "overwrite would truncate the source before it is read. "
+            "Write to a sibling path, then swap."
+        )
     before = dataset_file_stats(src)
     n_out = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
     df: DataFrame = spark.read.parquet(src)

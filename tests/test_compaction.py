@@ -42,3 +42,17 @@ def test_range_compaction_layout_prunes(spark, tmp_path):
     got = {r["event_id"] for r in df.collect()}
     want = {r["event_id"] for r in ev.filter(F.col("user_id") == 3).collect()}
     assert got == want
+
+
+def test_compaction_refuses_overlapping_paths(spark, tmp_path):
+    """dst == src / nested either way must fail fast BEFORE the
+    overwrite truncates the source (ADVICE r3)."""
+    import pytest
+
+    src = str(tmp_path / "data")
+    load_table(spark, SF_SMOKE, "region").write.parquet(src)
+    for dst in (src, src + "/sub", str(tmp_path)):
+        with pytest.raises(ValueError, match="overlaps"):
+            compact_parquet(spark, src, dst)
+    # source untouched
+    assert spark.read.parquet(src).count() == 5

@@ -788,3 +788,34 @@ class TestIntervalOverlapJoin:
             left, right, ("l_lo", "l_hi"), ("r_lo", "r_hi"), bin_width=10.0
         )
         assert out.count() == 1
+
+
+    def test_duplicate_rows_keep_multiplicity(self, spark):
+        """Dedup runs on row-ids, not column values: duplicate input
+        rows must yield the full cross-product multiplicity, matching
+        the naive cross-join-with-predicate (ADVICE r3)."""
+        from fraud_detection_project_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        left = spark.createDataFrame(
+            [(1, 0, 10), (1, 0, 10)], "lid long, l_lo long, l_hi long"
+        )
+        right = spark.createDataFrame(
+            [(2, 5, 15), (2, 5, 15), (2, 5, 15)], "rid long, r_lo long, r_hi long"
+        )
+        out = interval_overlap_join(
+            left, right, ("l_lo", "l_hi"), ("r_lo", "r_hi"), bin_width=4.0
+        )
+        assert out.count() == 6
+
+    def test_shared_column_names_rejected(self, spark):
+        import pytest
+
+        from fraud_detection_project_spark.operators.joins import (
+            interval_overlap_join,
+        )
+
+        df = spark.createDataFrame([(1, 0, 10)], "id long, lo long, hi long")
+        with pytest.raises(ValueError, match="disjoint"):
+            interval_overlap_join(df, df, ("lo", "hi"), ("lo", "hi"))
