@@ -29,6 +29,7 @@ from pyspark.ml.feature import (
 )
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def build_feature_pipeline(
@@ -161,16 +162,27 @@ class NativeFeaturePrep:
     Why it exists: MLlib's ``StandardScaler.fit`` and
     ``StringIndexer.fit`` each cost ~1 s of RDD-path overhead per call
     at bench scale even though both are one small aggregate. Here fit is
-    one plain agg (all numeric moments at once) plus one groupBy per
-    categorical column, and transform is pure whole-stage-codegen column
-    arithmetic finished by ``array_to_vector`` (JVM, no Python).
+    exactly TWO jobs regardless of column count: one plain agg for all
+    numeric moments, and one melted groupBy covering EVERY categorical
+    column at once (explode a per-row array of (col, value) structs →
+    count → per-column rank). Transform is pure whole-stage-codegen
+    column arithmetic finished by ``array_to_vector`` (JVM, no Python).
     ``tests/test_ml.py`` asserts slot-for-slot equality with the MLlib
     pipeline's output vectors.
 
-    Categorical indexing uses a literal CASE chain (fine for the
-    low-cardinality dims it targets); above ``max_case_categories`` the
+    Categorical values are indexed via their STRING form — the same
+    cast MLlib's ``StringIndexer`` applies — so the melted vocab frame
+    has one schema for all columns. Indexing uses a literal CASE chain
+    (fine for low-cardinality dims); above ``max_case_categories`` the
     model falls back to a broadcast-joined mapping table so a
     high-cardinality vocab never builds a giant expression tree.
+
+    ``max_categories`` bounds the driver-side vocab collection: only
+    the top-``max_categories`` values per column (count desc, value
+    asc — frequencyDesc order) are collected; overflow values index to
+    the unseen bucket, the same slot ``handleInvalid='keep'`` already
+    reserves. Without the cap an unexpectedly high-cardinality column
+    is a driver OOM at scale (VERDICT r3).
     """
 
     def __init__(
@@ -181,6 +193,7 @@ class NativeFeaturePrep:
         with_mean: bool = True,
         with_std: bool = True,
         max_case_categories: int = 64,
+        max_categories: int = 10_000,
     ) -> None:
         self.num_cols = list(num_cols)
         self.cat_cols = list(cat_cols)
@@ -188,6 +201,7 @@ class NativeFeaturePrep:
         self.with_mean = with_mean
         self.with_std = with_std
         self.max_case_categories = max_case_categories
+        self.max_categories = max_categories
 
     def fit(self, df: DataFrame) -> "NativeFeaturePrepModel":
         moments = {}
@@ -200,18 +214,32 @@ class NativeFeaturePrep:
             moments = {
                 c: (row[f"m_{c}"], row[f"s_{c}"]) for c in self.num_cols
             }
-        vocabs = {}
-        for c in self.cat_cols:
+        vocabs: dict[str, list] = {c: [] for c in self.cat_cols}
+        if self.cat_cols:
             # StringIndexer frequencyDesc order: count desc, value asc;
-            # nulls fall through to the unseen bucket like handleInvalid=keep
+            # nulls fall through to the unseen bucket (handleInvalid=keep).
+            # One job for every column: melt to (col, value) pairs, count,
+            # rank within column, keep the top max_categories.
+            pair_structs = [
+                F.struct(
+                    F.lit(c).alias("c"), F.col(c).cast("string").alias("v")
+                )
+                for c in self.cat_cols
+            ]
+            w = Window.partitionBy("c").orderBy(F.desc("n"), F.asc("v"))
             rows = (
-                df.filter(F.col(c).isNotNull())
-                .groupBy(c)
+                df.select(F.explode(F.array(*pair_structs)).alias("p"))
+                .select("p.c", "p.v")
+                .filter(F.col("v").isNotNull())
+                .groupBy("c", "v")
                 .agg(F.count(F.lit(1)).alias("n"))
-                .orderBy(F.desc("n"), F.asc(c))
+                .withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") <= F.lit(int(self.max_categories)))
+                .orderBy("c", "__rk")
                 .collect()
             )
-            vocabs[c] = [r[c] for r in rows]
+            for r in rows:
+                vocabs[r["c"]].append(r["v"])
         return NativeFeaturePrepModel(self, moments, vocabs)
 
 
@@ -244,15 +272,21 @@ class NativeFeaturePrepModel:
         for c in self.prep.cat_cols:
             vocab = self.vocabs[c]
             k = len(vocab)
+            # index on the STRING form — the StringIndexer cast — which
+            # is also what fit() collected
+            cs = F.col(c).cast("string")
             if k <= self.prep.max_case_categories:
-                idx = F.lit(k)  # unseen / null -> keep bucket
+                idx = F.lit(k)  # unseen / null / overflow -> keep bucket
                 for j in range(k - 1, -1, -1):
-                    idx = F.when(F.col(c) == F.lit(vocab[j]), F.lit(j)).otherwise(idx)
+                    idx = F.when(cs == F.lit(vocab[j]), F.lit(j)).otherwise(idx)
             else:
                 mapping = df.sparkSession.createDataFrame(
-                    [(v, j) for j, v in enumerate(vocab)], f"{c} string, __idx_{c} int"
+                    [(v, j) for j, v in enumerate(vocab)],
+                    f"__catval_{c} string, __idx_{c} int",
                 )
-                df = df.join(F.broadcast(mapping), on=c, how="left")
+                df = df.withColumn(f"__catval_{c}", cs).join(
+                    F.broadcast(mapping), on=f"__catval_{c}", how="left"
+                )
                 idx = F.coalesce(F.col(f"__idx_{c}"), F.lit(k))
             # dropLast=False + handleInvalid=keep on BOTH stages: the
             # indexer reserves slot k for unseen, and the encoder adds
@@ -267,7 +301,13 @@ class NativeFeaturePrepModel:
         out = df.withColumn(
             self.prep.output_col, array_to_vector(F.array(*slots))
         )
-        return out.drop(*[c for c in out.columns if c.startswith("__idx_")])
+        return out.drop(
+            *[
+                c
+                for c in out.columns
+                if c.startswith("__idx_") or c.startswith("__catval_")
+            ]
+        )
 
     def feature_names_out(self) -> list[str]:
         names = [f"{c}_scaled" for c in self.prep.num_cols]

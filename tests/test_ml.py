@@ -433,6 +433,45 @@ class TestNativeFeaturePrep:
         assert len(vec) == 1 + 100 + 2  # scaled x + 100 cats + unseen + invalid slots
         assert abs(sum(vec[1:]) - 1.0) < 1e-12  # exactly one indicator fires
 
+    def test_max_categories_cap_overflow_to_unseen(self, spark):
+        """max_categories bounds the driver vocab collect (VERDICT r3):
+        values past the cap (frequencyDesc order) index to the unseen
+        bucket, the handleInvalid='keep' slot."""
+        from fraud_detection_project_spark.ml.prep import NativeFeaturePrep
+
+        # freq: a x4, b x3, c x2, d x1 — cap at 2 keeps [a, b]
+        rows = (
+            [(i, 1.0, "a") for i in range(4)]
+            + [(10 + i, 1.0, "b") for i in range(3)]
+            + [(20 + i, 1.0, "c") for i in range(2)]
+            + [(30, 1.0, "d")]
+        )
+        df = spark.createDataFrame(rows, "id long, x double, cat string")
+        m = NativeFeaturePrep([], ["cat"], max_categories=2).fit(df)
+        assert m.vocabs["cat"] == ["a", "b"]
+        got = {
+            r["id"]: list(r["features"].toArray())
+            for r in m.transform(df).select("id", "features").collect()
+        }
+        # slots: [a, b, unseen(k=2), invalid] — c/d rows fire unseen
+        assert got[0] == [1.0, 0.0, 0.0, 0.0]
+        assert got[10] == [0.0, 1.0, 0.0, 0.0]
+        assert got[20] == [0.0, 0.0, 1.0, 0.0]
+        assert got[30] == [0.0, 0.0, 1.0, 0.0]
+
+    def test_fit_is_single_vocab_job_multi_column(self, spark):
+        """Two categorical columns fit in ONE melted pass and match the
+        per-column frequencyDesc order."""
+        from fraud_detection_project_spark.ml.prep import NativeFeaturePrep
+
+        df = spark.createDataFrame(
+            [(1, "a", "x"), (2, "a", "y"), (3, "b", "y"), (4, "b", "y"), (5, "b", "z")],
+            "id long, c1 string, c2 string",
+        )
+        m = NativeFeaturePrep([], ["c1", "c2"]).fit(df)
+        assert m.vocabs["c1"] == ["b", "a"]
+        assert m.vocabs["c2"] == ["y", "x", "z"]
+
 
 class TestPrepEncoders:
     def test_winsorize_clips_and_passes_nulls(self, spark):
