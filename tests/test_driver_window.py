@@ -33,11 +33,22 @@ def test_no_window_slot_wasted_on_verified_query():
     explicit canaries (deliberate regression anchors) may occupy
     window slots with prior driver rows. Overflow is bounded to the
     arithmetic minimum."""
+    # covered = the driver has delivered the STRONGEST signal the query
+    # can earn: a hash-green row for SQL-oracled queries, any row for
+    # by-design rows-only queries (no SQL oracle exists to hash against).
+    # A rows-only row from before a query's oracle upgrade does NOT
+    # cover it — the upgraded hash oracle still needs its first run.
     covered = set()
-    for art in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+    for art in (
+        "CORRECTNESS_r01.json",
+        "CORRECTNESS_r02.json",
+        "CORRECTNESS_r03.json",
+    ):
         p = os.path.join(REPO, art)
         if os.path.exists(p):
-            covered |= set(json.load(open(p)))
+            for name, row in json.load(open(p)).items():
+                if row.get("hash_match") or name not in q.ORACLE_SQL:
+                    covered.add(name)
     window = _window_names()
     rowless_total = [n for n in q.QUERIES if n not in covered]
     rowless_outside = [
