@@ -204,42 +204,74 @@ class NativeFeaturePrep:
         self.max_categories = max_categories
 
     def fit(self, df: DataFrame) -> "NativeFeaturePrepModel":
-        moments = {}
-        if self.num_cols:
-            aggs = []
-            for c in self.num_cols:
-                aggs.append(F.avg(c).alias(f"m_{c}"))
-                aggs.append(F.stddev_samp(c).alias(f"s_{c}"))
-            row = df.agg(*aggs).first()
-            moments = {
-                c: (row[f"m_{c}"], row[f"s_{c}"]) for c in self.num_cols
-            }
+        moments: dict = {}
         vocabs: dict[str, list] = {c: [] for c in self.cat_cols}
-        if self.cat_cols:
-            # StringIndexer frequencyDesc order: count desc, value asc;
-            # nulls fall through to the unseen bucket (handleInvalid=keep).
-            # One job for every column: melt to (col, value) pairs, count,
-            # rank within column, keep the top max_categories.
-            pair_structs = [
-                F.struct(
-                    F.lit(c).alias("c"), F.col(c).cast("string").alias("v")
-                )
-                for c in self.cat_cols
-            ]
-            w = Window.partitionBy("c").orderBy(F.desc("n"), F.asc("v"))
-            rows = (
-                df.select(F.explode(F.array(*pair_structs)).alias("p"))
-                .select("p.c", "p.v")
-                .filter(F.col("v").isNotNull())
-                .groupBy("c", "v")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .withColumn("__rk", F.row_number().over(w))
-                .filter(F.col("__rk") <= F.lit(int(self.max_categories)))
-                .orderBy("c", "__rk")
-                .collect()
+        num_aggs = []
+        for c in self.num_cols:
+            num_aggs.append(F.avg(c).alias(f"m_{c}"))
+            num_aggs.append(F.stddev_samp(c).alias(f"s_{c}"))
+
+        if not self.cat_cols:
+            if self.num_cols:
+                row = df.agg(*num_aggs).first()
+                moments = {
+                    c: (row[f"m_{c}"], row[f"s_{c}"]) for c in self.num_cols
+                }
+            return NativeFeaturePrepModel(self, moments, vocabs)
+
+        # ONE job / one shuffle for the whole fit: GROUPING SETS over
+        # (()) ∪ ((c) for each categorical). The global () row carries
+        # the numeric moments; each (c) row carries one category's
+        # count. grouping_id() tells the sets apart (bit=1 ⟺ column
+        # aggregated-over), so a real null category value is not
+        # confused with "column not in this set". StringIndexer
+        # frequencyDesc order: count desc, string value asc; a
+        # per-set rank caps the driver collect at max_categories rows
+        # per column (overflow → unseen bucket).
+        cats = [F.col(c).cast("string").alias(f"__cat_{c}") for c in self.cat_cols]
+        cat_names = [f"__cat_{c}" for c in self.cat_cols]
+        proj = df.select(*df.columns, *cats)
+        all_mask = (1 << len(cat_names)) - 1
+        masks = {
+            c: all_mask & ~(1 << (len(cat_names) - 1 - i))
+            for i, c in enumerate(self.cat_cols)
+        }
+        gs = proj.groupingSets(
+            [[]] + [[n] for n in cat_names], *[F.col(n) for n in cat_names]
+        ).agg(
+            F.grouping_id().alias("__gid"),
+            F.count(F.lit(1)).alias("__n"),
+            *num_aggs,
+        )
+        val = F.lit(None).cast("string")
+        for c in self.cat_cols:
+            val = F.when(F.col("__gid") == F.lit(masks[c]), F.col(f"__cat_{c}")).otherwise(val)
+        w = Window.partitionBy("__gid").orderBy(F.desc("__n"), F.asc("__v"))
+        rows = (
+            gs.withColumn("__v", val)
+            .filter(
+                (F.col("__gid") == F.lit(all_mask)) | F.col("__v").isNotNull()
             )
-            for r in rows:
-                vocabs[r["c"]].append(r["v"])
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(
+                (F.col("__gid") == F.lit(all_mask))
+                | (F.col("__rk") <= F.lit(int(self.max_categories)))
+            )
+            .collect()
+        )
+        gid_to_col = {m: c for c, m in masks.items()}
+        vocab_rows = {c: [] for c in self.cat_cols}
+        for r in rows:
+            if r["__gid"] == all_mask:
+                moments = {
+                    c: (r[f"m_{c}"], r[f"s_{c}"]) for c in self.num_cols
+                }
+            else:
+                vocab_rows[gid_to_col[r["__gid"]]].append(
+                    (-r["__n"], r["__v"], r["__rk"])
+                )
+        for c in self.cat_cols:
+            vocabs[c] = [v for _, v, _ in sorted(vocab_rows[c])]
         return NativeFeaturePrepModel(self, moments, vocabs)
 
 
