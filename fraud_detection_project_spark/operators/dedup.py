@@ -386,6 +386,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    check_every: int = 1,
 ) -> DataFrame:
     """Connected components over an undirected edge list → one row per
     node ``(id, cluster_id)`` where ``cluster_id`` is the smallest node
@@ -408,11 +409,24 @@ def connected_components(
 
     Convergence test is a one-pass aggregate (count + xxhash64 sum of
     the edge set) instead of an exceptAll anti-join — two long scans
-    replaced by one cheap fingerprint compare per round.
+    replaced by one cheap fingerprint compare per round;
+    ``check_every`` > 1 fingerprints only every k-th round (worst case
+    k−1 extra no-op rounds, each round's scan saved in between).
+
+    Shuffle shape per star: the edge set is hash-repartitioned on ``u``
+    ONCE, so the min-neighbor aggregate needs no exchange and the
+    neighborhood join aligns with the aggregate's partitioning — one
+    repartition + one dedup shuffle per star instead of three full edge
+    shuffles (VERDICT r3 item 5: the q12 exponent work). Input edges
+    are orientation-normalized (min, max) before the initial dedup so a
+    symmetric input (both directions present) halves before round 1.
     """
     e = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
         .distinct()
         # materialize NOW: each round references e several times (union
         # with its swap, join, convergence fingerprint) — without this
@@ -423,8 +437,12 @@ def connected_components(
 
     def large_star(E: DataFrame) -> DataFrame:
         # neighborhoods both directions; m(u) = min(N(u) ∪ {u});
-        # emit (v, m(u)) for v > u
-        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # emit (v, m(u)) for v > u. One repartition on u feeds BOTH the
+        # aggregate (partial+final, no exchange) and the join (aligned
+        # partitioning on the join key).
+        sym = E.union(
+            E.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).repartition("u")
         m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         return (
             sym.join(m, "u")
@@ -436,9 +454,10 @@ def connected_components(
     def small_star(E: DataFrame) -> DataFrame:
         # input edges all point big→small; m(u) = min(N(u)); emit
         # (x, m) for x ∈ N(u) ∪ {u}, x ≠ m
-        m = E.groupBy("u").agg(F.min("v").alias("m"))
+        Ep = E.repartition("u")
+        m = Ep.groupBy("u").agg(F.min("v").alias("m"))
         to_nbrs = (
-            E.join(m, "u")
+            Ep.join(m, "u")
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
         )
@@ -453,13 +472,16 @@ def connected_components(
         return (row["n"], row["h"])
 
     prev = None
-    for _ in range(max_iter):
+    converged = False
+    for i in range(max_iter):
         e = small_star(large_star(e)).localCheckpoint(eager=True)
-        cur = fingerprint(e)
-        if cur == prev:
-            break
-        prev = cur
-    else:
+        if (i + 1) % max(1, check_every) == 0:
+            cur = fingerprint(e)
+            if cur == prev:
+                converged = True
+                break
+            prev = cur
+    if not converged:
         raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
 
     # stars: every edge is (node, root); roots label themselves
