@@ -137,3 +137,56 @@ def mad_outliers(
         > F.lit(float(n_sigmas) * 1.4826) * F.col("__mad"),
     )
     return out.withColumn(out_col, flag).drop("__med", "__mad")
+
+
+def entropy_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Shannon entropy per categorical column →
+    ``(column_name, n_distinct, n_rows, entropy_bits)``.
+
+    H = −Σ p·log2(p) over the column's value distribution (nulls
+    excluded) — the data-profiling signal behind "is this column a
+    near-constant / near-key": H ≈ 0 flags degenerate features,
+    H ≈ log2(n_distinct) flags uniform ones.
+
+    Scale design: every column profiles in ONE pass — rows melt into
+    (column, value) structs (values via their string form so one frame
+    carries all columns), one grouped count per (column, value), then
+    the entropy fold runs over the tiny distinct-counts frame. No
+    per-column job loop.
+    """
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"), F.col(c).cast("string").alias("v")
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).filter(F.col("p.v").isNotNull())
+    counts = (
+        melted.select("p.c", "p.v")
+        .groupBy("c", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum("n").alias("n_rows"),
+            F.sum(F.col("n") * F.log2("n")).alias("__sum_nlogn"),
+        )
+        # H = log2(N) - (1/N)·Σ n·log2(n): one pass, no second join
+        # against the per-column total
+        .select(
+            F.col("c").alias("column_name"),
+            "n_distinct",
+            "n_rows",
+            F.round(
+                F.log2("n_rows") - F.col("__sum_nlogn") / F.col("n_rows"), 6
+            ).alias("entropy_bits"),
+        )
+        .orderBy("column_name")
+    )

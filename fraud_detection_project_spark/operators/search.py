@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.text import normalized_text, tokens
 
@@ -225,3 +226,130 @@ def build_vocabulary(
     if max_vocab is not None:
         df_ = df_.limit(int(max_vocab))
     return df_
+
+
+def pmi_term_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_df_frac: float = 0.5,
+    min_pair_df: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top term pairs by pointwise mutual information over document
+    co-occurrence → ``(term_a, term_b, pair_df, pmi)``.
+
+    PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) with probabilities estimated
+    from document frequencies: ln(df_ab · N / (df_a · df_b)). The
+    collocation / phrase-mining primitive of a corpus pipeline.
+
+    Scale design: the pair space is bounded BEFORE the self-join —
+    terms prune to the [min_df, max_df_frac·N] band first (the same
+    guard as build_vocabulary: ultra-common terms would otherwise make
+    the per-doc pair product quadratic in the hot key), then the
+    (doc, term) inverted index self-joins on doc_id with ``a < b``,
+    and pairs below ``min_pair_df`` drop before the PMI arithmetic.
+    PMI is rounded to 6 dp BEFORE the final ordering so the top-k cut
+    is reproducible across engines (ln() last-ulp differences).
+    """
+    from .dedup import spread_input
+
+    toked = spread_input(docs).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokens(normalized_text(text_col)))).alias(
+            "term"
+        ),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    term_df = (
+        toked.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") >= F.lit(int(min_df)))
+            & (F.col("df") <= F.col("n") * F.lit(float(max_df_frac)))
+        )
+        .localCheckpoint(eager=False)
+    )
+    kept = toked.join(
+        F.broadcast(term_df.select("term", "df")), "term"
+    ).select("doc", "term", "df")
+    a = kept.select(
+        "doc", F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    b = kept.select(
+        "doc", F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    pairs = (
+        a.join(b, "doc")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "df_a", "df_b")
+        .agg(F.count(F.lit(1)).alias("pair_df"))
+        .filter(F.col("pair_df") >= F.lit(int(min_pair_df)))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term_a",
+            "term_b",
+            "pair_df",
+            F.round(
+                F.log(
+                    F.col("pair_df").cast("double")
+                    * F.col("n")
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "term_a", "term_b")
+        .limit(int(top_k))
+    )
+
+
+def bigram_lm_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    top_k: int = 50,
+) -> DataFrame:
+    """Bigram language-model counts: the ``top_k`` most frequent
+    adjacent word pairs with their conditional probability
+    P(w2 | w1) = c(w1 w2) / c(w1 ·) → ``(w1, w2, c, p)``.
+
+    c(w1 ·) sums bigram counts over the context word (w1 as a
+    NON-final token), so probabilities per context sum to exactly 1 —
+    the n-gram LM estimation kernel (and a corpus-statistics staple:
+    boilerplate detection, domain drift).
+
+    One tokenize pass: adjacent pairs come from zipping the token
+    array with itself shifted by one (``slice``), exploded — no
+    positional self-join. Two shuffles total: bigram count, context
+    window sum over the counts frame (bounded by distinct bigrams).
+    """
+    toked = docs.select(tokens(normalized_text(text_col)).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    big = toked.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+                F.slice("toks", 2, F.size("toks") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = Window.partitionBy("w1")
+    return (
+        counts.withColumn("c1", F.sum("c").over(ctx))
+        .filter(F.col("c") >= F.lit(int(min_count)))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.round(F.col("c") / F.col("c1"), 6).alias("p"),
+        )
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(int(top_k))
+    )

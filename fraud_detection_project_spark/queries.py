@@ -4068,6 +4068,227 @@ def q_expanding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@register(
+    "chi_square_features",
+    oracle="""
+    WITH base AS (
+        SELECT event_type AS f1,
+               CAST(hour(ts) // 6 AS VARCHAR) AS f2,
+               (value > 50) AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT 'event_type' AS f, f1 AS v, y FROM base
+        UNION ALL
+        SELECT 'hour_band' AS f, f2 AS v, y FROM base
+    ),
+    cells AS (SELECT f, v, y, COUNT(*) AS o FROM m GROUP BY 1, 2, 3),
+    tot AS (
+        SELECT f, v, y, o,
+               SUM(o) OVER (PARTITION BY f, v) AS rt,
+               SUM(o) OVER (PARTITION BY f, y) AS ct,
+               SUM(o) OVER (PARTITION BY f) AS n
+        FROM cells
+    )
+    SELECT f AS feature,
+           ROUND(SUM(o * o / (rt * ct * 1.0 / n)) - MAX(n), 6) AS chi2,
+           CAST((COUNT(DISTINCT v) - 1) * (COUNT(DISTINCT y) - 1) AS BIGINT) AS dof,
+           MAX(n) AS n
+    FROM tot GROUP BY f
+    ORDER BY chi2 DESC, feature
+    """,
+)
+def q_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² feature ranking (ml/feature_select.py:chi_square_rank — the
+    SelectKBest(chi2) shape): event_type and 6h hour-band ranked by
+    independence from a high-value label, ALL features in one melted
+    pass building every contingency table at once. Zero cells
+    contribute via the Σ O²/E − n identity, so nothing unobserved
+    materializes."""
+    from .ml.feature_select import chi_square_rank
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    feats = ev.select(
+        "event_type",
+        F.expr("cast(hour(ts) div 6 as string)").alias("hour_band"),
+        (F.col("value") > 50).alias("y"),
+    )
+    return chi_square_rank(feats, ["event_type", "hour_band"], "y")
+
+
+@register(
+    "pmi_term_pairs",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+        FROM documents
+    ),
+    d AS (
+        SELECT DISTINCT doc_id, t AS term
+        FROM (SELECT doc_id, unnest(toks) AS t FROM tk)
+        WHERE t <> ''
+    ),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    tdf AS (SELECT term, COUNT(*) AS df FROM d GROUP BY term),
+    kept AS (
+        SELECT term, df FROM tdf CROSS JOIN n
+        WHERE df >= 5 AND df <= 0.9 * n.n
+    ),
+    p AS (
+        SELECT a.term AS term_a, b.term AS term_b,
+               ka.df AS df_a, kb.df AS df_b, COUNT(*) AS pair_df
+        FROM d a
+        JOIN d b ON a.doc_id = b.doc_id AND a.term < b.term
+        JOIN kept ka ON ka.term = a.term
+        JOIN kept kb ON kb.term = b.term
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT term_a, term_b, pair_df,
+           ROUND(ln(pair_df * n.n * 1.0 / (df_a * df_b)), 6) AS pmi
+    FROM p CROSS JOIN n
+    WHERE pair_df >= 5
+    ORDER BY pmi DESC, term_a, term_b
+    LIMIT 50
+    """,
+)
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (operators/search.py:pmi_term_pairs): top-50
+    document-co-occurrence term pairs by PMI, df-band pruned BEFORE the
+    inverted-index self-join so the per-doc pair product stays bounded.
+    PMI rounds to 6 dp before the ordering cut — the cross-engine
+    ln() reproducibility convention (same as BM25)."""
+    from .operators.search import pmi_term_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pmi_term_pairs(
+        docs, min_df=5, max_df_frac=0.9, min_pair_df=5, top_k=50
+    )
+
+
+@register(
+    "entropy_profile_docs",
+    oracle="""
+    WITH m AS (
+        SELECT 'lang' AS c, lang AS v FROM documents WHERE lang IS NOT NULL
+        UNION ALL
+        SELECT 'source' AS c, source AS v FROM documents WHERE source IS NOT NULL
+    ),
+    cnt AS (SELECT c, v, COUNT(*) AS n FROM m GROUP BY 1, 2)
+    SELECT c AS column_name,
+           COUNT(*) AS n_distinct,
+           SUM(n) AS n_rows,
+           ROUND(log2(SUM(n)) - SUM(n * log2(n)) / SUM(n), 6) AS entropy_bits
+    FROM cnt GROUP BY c
+    ORDER BY column_name
+    """,
+)
+def q_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column entropy profiling (operators/aggregates.py:
+    entropy_profile): Shannon entropy of the documents lang and source
+    distributions, every column in ONE melted pass; H computed as
+    log2(N) − Σ n·log2(n)/N so no second join against per-column
+    totals. The near-constant / near-key detector of a data profiler."""
+    from .operators.aggregates import entropy_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return entropy_profile(docs, ["lang", "source"])
+
+
+@register(
+    "curation_funnel_docs",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text, lang,
+               len(string_split_regex(trim(text), '\s+')) AS wc,
+               length(text) AS nc,
+               length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS clean,
+               ROW_NUMBER() OVER (
+                   PARTITION BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                   ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ),
+    f AS (
+        SELECT (wc >= 10) AS p1,
+               (4 * (nc - clean) <= nc) AS p2,
+               (lang = 'en') AS p3,
+               (rn = 1) AS p4
+        FROM base
+    )
+    SELECT 0 AS stage_idx, 'input' AS stage, COUNT(*) AS survivors FROM f
+    UNION ALL
+    SELECT 1, 'min_words', COUNT(CASE WHEN p1 THEN 1 END) FROM f
+    UNION ALL
+    SELECT 2, 'low_punct', COUNT(CASE WHEN p1 AND p2 THEN 1 END) FROM f
+    UNION ALL
+    SELECT 3, 'lang_en', COUNT(CASE WHEN p1 AND p2 AND p3 THEN 1 END) FROM f
+    UNION ALL
+    SELECT 4, 'dedup_first', COUNT(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 END) FROM f
+    ORDER BY stage_idx
+    """,
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-corpus curation gauntlet (operators/curation.py:
+    curation_funnel): word-count gate → punctuation-density gate
+    (integer arithmetic: 4·punct ≤ chars, no float thresholds to
+    disagree on) → language gate → keep-first exact dedup (window
+    rank over the normalized text, computed across the FULL corpus).
+    Every stage's cumulative survivor count comes from ONE aggregate
+    scan; the window rank is the only shuffle."""
+    from .functions.text import normalized_text, word_count
+    from .operators.curation import curation_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(normalized_text("text")).orderBy("doc_id")
+    base = docs.withColumn("__rn", F.row_number().over(w))
+    n = F.length("text")
+    clean = F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+    return curation_funnel(
+        base,
+        [
+            ("min_words", word_count("text") >= 10),
+            ("low_punct", F.lit(4) * (n - clean) <= n),
+            ("lang_en", F.col("lang") == "en"),
+            ("dedup_first", F.col("__rn") == 1),
+        ],
+    )
+
+
+@register(
+    "bigram_lm_topk",
+    oracle=r"""
+    WITH tk AS (
+        SELECT string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+        FROM documents
+    ),
+    valid AS (SELECT toks FROM tk WHERE len(toks) >= 2 AND toks[1] <> ''),
+    bg AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM valid)
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c) AS c1 FROM cnt GROUP BY 1)
+    SELECT cnt.w1, cnt.w2, cnt.c,
+           ROUND(cnt.c * 1.0 / ctx.c1, 6) AS p
+    FROM cnt JOIN ctx ON cnt.w1 = ctx.w1
+    WHERE cnt.c >= 5
+    ORDER BY cnt.c DESC, cnt.w1, cnt.w2
+    LIMIT 50
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM estimation (operators/search.py:bigram_lm_topk): top-50
+    adjacent word pairs with P(w2|w1), contexts summed over the
+    distinct-bigram counts frame so probabilities per context sum to 1.
+    Pairs come from zipping the token array with its own 1-shift —
+    no positional self-join, one tokenize pass."""
+    from .operators.search import bigram_lm_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_topk(docs, min_count=5, top_k=50)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -4103,6 +4324,11 @@ DRIVER_PRIORITY: list[str] = [
     "array_algebra_user_types",
     # round-4 additions
     "pagerank_mass_invariant",
+    "chi_square_features",
+    "pmi_term_pairs",
+    "entropy_profile_docs",
+    "curation_funnel_docs",
+    "bigram_lm_topk",
 ]
 
 DRIVER_CANARIES: list[str] = [
@@ -4126,11 +4352,8 @@ DRIVER_CANARIES: list[str] = [
     "embedding_quantize_profile",
     "sql_surface_top_nations",
     "exists_big_spenders",
-    "ntile_quartiles_priority",
-    "word_repetition_by_lang",
     "monthly_revenue_gapfill",
     "wav_decode_profile",
-    "ppm_decode_profile",
     "minhash_recall_supercheck",
     "embedding_lsh_precision_union",
     "ivf_full_probe_topk",
@@ -4139,8 +4362,6 @@ DRIVER_CANARIES: list[str] = [
     "tfidf_top_terms",
     "approx_percentile_tolerance",
     "table_diff_summary",
-    "unpivot_event_stats",
-    "groupwise_percentiles",
     "feature_hash_conservation",
     "winsorize_value_by_type",
     "target_encode_event_type",
@@ -4148,7 +4369,14 @@ DRIVER_CANARIES: list[str] = [
     "undersample_exact_counts",
     # once-green names left OUTSIDE the window this round (still
     # verify_local-covered), each with an in-window kin running the
-    # same machinery: monthly_revenue (gapfill superset in-window),
+    # same machinery: ppm_decode_profile (wav_decode_profile, same
+    # mapInPandas codec path), unpivot_event_stats
+    # (pivot_user_event_counts, inverse ops), groupwise_percentiles
+    # (approx_percentile_tolerance + quantile_discretize),
+    # word_repetition_by_lang (text-function family, now also covered
+    # by the four new text queries in priority), ntile_quartiles_priority
+    # (rank_distribution_windows in priority),
+    # monthly_revenue (gapfill superset in-window),
     # top_words (tfidf), string_funcs_docs (pure column funcs),
     # expanding_zscore_user (rank_distribution_windows),
     # cube_type_hourband (grouping_sets_revenue),

@@ -1,0 +1,154 @@
+"""Round-4 operators: χ² ranking, PMI pairs, entropy profile,
+curation funnel, bigram LM (ml/feature_select.py, operators/search.py,
+operators/aggregates.py, operators/curation.py)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+class TestChiSquareRank:
+    def test_matches_hand_computed_contingency(self, spark):
+        from fraud_detection_project_spark.ml.feature_select import (
+            chi_square_rank,
+        )
+
+        # 2x2 table: a:(y=1)=30,(y=0)=10 ; b:(y=1)=10,(y=0)=30
+        rows = (
+            [("a", 1)] * 30 + [("a", 0)] * 10 + [("b", 1)] * 10 + [("b", 0)] * 30
+        )
+        df = spark.createDataFrame(rows, "f1 string, y int")
+        got = chi_square_rank(df, ["f1"], "y").first()
+        # E = 20 in every cell; chi2 = 4 * (10^2/20) = 20
+        assert got["feature"] == "f1"
+        assert abs(got["chi2"] - 20.0) < 1e-9
+        assert got["dof"] == 1
+        assert got["n"] == 80
+
+    def test_independent_feature_scores_zero(self, spark):
+        from fraud_detection_project_spark.ml.feature_select import (
+            chi_square_rank,
+        )
+
+        rows = [(v, y) for v in ("a", "b") for y in (0, 1) for _ in range(25)]
+        df = spark.createDataFrame(rows, "f1 string, y int")
+        got = chi_square_rank(df, ["f1"], "y").first()
+        assert abs(got["chi2"]) < 1e-9
+
+    def test_zero_cell_contributes_expected(self, spark):
+        from fraud_detection_project_spark.ml.feature_select import (
+            chi_square_rank,
+        )
+
+        # (b, 1) never observed: O=0 cell must still contribute E
+        rows = [("a", 0)] * 10 + [("a", 1)] * 10 + [("b", 0)] * 10
+        df = spark.createDataFrame(rows, "f1 string, y int")
+        got = chi_square_rank(df, ["f1"], "y").first()
+        # n=30; rt(a)=20 rt(b)=10; ct(0)=20 ct(1)=10
+        # E: a0=40/3, a1=20/3, b0=20/3, b1=10/3
+        exp = (
+            (10 - 40 / 3) ** 2 / (40 / 3)
+            + (10 - 20 / 3) ** 2 / (20 / 3)
+            + (10 - 20 / 3) ** 2 / (20 / 3)
+            + (0 - 10 / 3) ** 2 / (10 / 3)
+        )
+        assert abs(got["chi2"] - round(exp, 6)) < 1e-6
+
+
+class TestEntropyProfile:
+    def test_uniform_and_constant_columns(self, spark):
+        from fraud_detection_project_spark.operators.aggregates import (
+            entropy_profile,
+        )
+
+        rows = [(v, "k") for v in ("a", "b", "c", "d") for _ in range(10)]
+        df = spark.createDataFrame(rows, "u string, k string")
+        got = {r["column_name"]: r for r in entropy_profile(df, ["u", "k"]).collect()}
+        assert abs(got["u"]["entropy_bits"] - 2.0) < 1e-9  # log2(4)
+        assert got["u"]["n_distinct"] == 4
+        assert abs(got["k"]["entropy_bits"]) < 1e-9  # constant
+        assert got["k"]["n_distinct"] == 1
+
+    def test_skewed_matches_formula_and_excludes_nulls(self, spark):
+        from fraud_detection_project_spark.operators.aggregates import (
+            entropy_profile,
+        )
+
+        rows = [("a",)] * 3 + [("b",)] * 1 + [(None,)] * 5
+        df = spark.createDataFrame(rows, "v string")
+        got = entropy_profile(df, ["v"]).first()
+        h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+        assert got["n_rows"] == 4
+        assert abs(got["entropy_bits"] - round(h, 6)) < 1e-6
+
+
+class TestCurationFunnel:
+    def test_cumulative_counts_and_null_predicates(self, spark):
+        from fraud_detection_project_spark.operators.curation import (
+            curation_funnel,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 5, True), (2, 20, True), (3, 50, None), (4, 60, False)],
+            "id long, x long, ok boolean",
+        )
+        out = curation_funnel(
+            df,
+            [("big", F.col("x") >= 10), ("ok", F.col("ok"))],
+        ).collect()
+        assert [(r["stage_idx"], r["stage"], r["survivors"]) for r in out] == [
+            (0, "input", 4),
+            (1, "big", 3),
+            (2, "ok", 1),  # null ok -> fails, cumulative AND
+        ]
+
+
+class TestPmiBigram:
+    def test_pmi_hand_example(self, spark):
+        from fraud_detection_project_spark.operators.search import (
+            pmi_term_pairs,
+        )
+
+        # 4 docs; x and y always together (2 docs), z everywhere
+        docs = spark.createDataFrame(
+            [
+                (1, "x y z"),
+                (2, "x y z"),
+                (3, "z q w"),
+                (4, "z q w"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["term_a"], r["term_b"]): r
+            for r in pmi_term_pairs(
+                docs, min_df=2, max_df_frac=1.0, min_pair_df=2, top_k=100
+            ).collect()
+        }
+        xy = out[("x", "y")]
+        assert xy["pair_df"] == 2
+        # pmi = ln(2*4/(2*2)) = ln 2
+        assert abs(xy["pmi"] - round(math.log(2), 6)) < 1e-6
+        xz = out[("x", "z")]
+        # pmi = ln(2*4/(2*4)) = 0
+        assert abs(xz["pmi"]) < 1e-9
+
+    def test_bigram_probabilities_sum_to_one_per_context(self, spark):
+        from fraud_detection_project_spark.operators.search import (
+            bigram_lm_topk,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b a c"), (2, "a b a c a b")],
+            "doc_id long, text string",
+        )
+        out = bigram_lm_topk(docs, min_count=1, top_k=100).collect()
+        # contexts: 'a' appears as non-final in both docs
+        a_rows = [r for r in out if r["w1"] == "a"]
+        assert abs(sum(r["p"] for r in a_rows) - 1.0) < 1e-6
+        ab = next(r for r in out if (r["w1"], r["w2"]) == ("a", "b"))
+        # c(a b)=4, c(a .)=6  (doc1: ab ab ac -> ab x2 ac x1; doc2: ab ac ab)
+        assert ab["c"] == 4
+        assert abs(ab["p"] - round(4 / 6, 6)) < 1e-6
