@@ -594,3 +594,42 @@ def ngram_contamination(
         F.count_distinct("__h").alias("n_hit_ngrams"),
         F.count_distinct("__probe_id").alias("n_probe_docs"),
     )
+
+
+def substring_contamination(
+    corpus: DataFrame,
+    probes: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring decontamination: which corpus documents contain
+    any of the literal ``probes`` inside their NORMALIZED text →
+    ``(id_col, probe)`` one row per (doc, probe) hit.
+
+    The companion of :func:`ngram_contamination` for probes shorter
+    than the n-gram window (a leaked answer key, a canary string, a
+    PII marker): n-gram collision can't see a 3-word probe under
+    n=13; substring scan can.
+
+    Scale design: the probe list is a literal array broadcast inside
+    the plan (no join, no shuffle) — one codegen ``contains`` pass
+    over the corpus, exploding only the matching (doc, probe) pairs.
+    Probes normalize with the same lowercase/strip pipeline as the
+    corpus so punctuation variants still collide.
+    """
+    from ..functions.text import normalized_text
+
+    probe_arr = F.array(
+        *[F.lit(p) for p in sorted(probes)]
+    )
+    norm = normalized_text(text_col)
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.filter(
+                probe_arr, lambda p: F.contains(norm, p)
+            ).alias("__hits"),
+        )
+        .filter(F.size("__hits") > 0)
+        .select(F.col(id_col), F.explode("__hits").alias("probe"))
+    )

@@ -4289,6 +4289,83 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_topk(docs, min_count=5, top_k=50)
 
 
+@register(
+    "substring_decontam_docs",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS nt
+        FROM documents
+    ),
+    p AS (
+        SELECT unnest(['data column agg', 'slow fast table', 'window spark']) AS probe
+    )
+    SELECT n.doc_id, p.probe
+    FROM norm n CROSS JOIN p
+    WHERE contains(n.nt, p.probe)
+    ORDER BY n.doc_id, p.probe
+    """,
+)
+def q_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring decontamination (operators/dedup.py:
+    substring_contamination): which docs contain any literal probe
+    phrase in their normalized text — the companion of the 13-gram
+    collision gate for probes SHORTER than the n-gram window (leaked
+    answer keys, canary strings). The probe list is a literal array
+    inside the plan: zero joins, zero shuffles, one codegen contains()
+    pass over the corpus."""
+    from .operators.dedup import substring_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_contamination(
+        docs, ["data column agg", "slow fast table", "window spark"]
+    ).orderBy("doc_id", "probe")
+
+
+@register(
+    "stratified_sample_docs",
+    oracle="""
+    WITH h AS (
+        SELECT source, doc_id,
+               (doc_id * 2654435761) % 4294967296 AS hv
+        FROM documents
+    ),
+    r AS (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY hv, doc_id
+               ) AS rn
+        FROM h
+    )
+    SELECT source, doc_id FROM r WHERE rn <= 10
+    ORDER BY source, doc_id
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly min(10, |stratum|)
+    docs per source, selected by a multiplicative integer hash of the
+    id (Knuth 2654435761 mod 2³²) — reproducible across engines and
+    runs, unlike ``sample()``/``TABLESAMPLE`` whose RNG is
+    engine-specific. The eval-set / debug-slice carver of a corpus
+    pipeline: one window shuffle on the stratum key, integer-exact
+    arithmetic so both engines pick identical rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("hv", "doc_id")
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            (F.col("doc_id") * F.lit(2654435761)).__mod__(
+                F.lit(4294967296)
+            ).alias("hv"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("source", "doc_id")
+        .orderBy("source", "doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -4329,6 +4406,8 @@ DRIVER_PRIORITY: list[str] = [
     "entropy_profile_docs",
     "curation_funnel_docs",
     "bigram_lm_topk",
+    "substring_decontam_docs",
+    "stratified_sample_docs",
 ]
 
 DRIVER_CANARIES: list[str] = [
@@ -4342,14 +4421,12 @@ DRIVER_CANARIES: list[str] = [
     "dup_clusters",
     "cdc_merge_apply",
     "bm25_search_topk",
-    "fuzzy_part_names_1edit",
     "doc_chunks_64_16",
     "pack_sequences_512",
     "user_sessions_30m",
     "pivot_user_event_counts",
     "grouping_sets_revenue",
     "weekly_user_retention",
-    "embedding_quantize_profile",
     "sql_surface_top_nations",
     "exists_big_spenders",
     "monthly_revenue_gapfill",
@@ -4375,7 +4452,10 @@ DRIVER_CANARIES: list[str] = [
     # (approx_percentile_tolerance + quantile_discretize),
     # word_repetition_by_lang (text-function family, now also covered
     # by the four new text queries in priority), ntile_quartiles_priority
-    # (rank_distribution_windows in priority),
+    # (rank_distribution_windows in priority), fuzzy_part_names_1edit
+    # (SymSpell blocking, r03 row + brute-force pytest),
+    # embedding_quantize_profile (Arrow kernel, r03 row; similarity
+    # family covered by the LSH/IVF invariants in-window),
     # monthly_revenue (gapfill superset in-window),
     # top_words (tfidf), string_funcs_docs (pure column funcs),
     # expanding_zscore_user (rank_distribution_windows),

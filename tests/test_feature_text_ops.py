@@ -152,3 +152,27 @@ class TestPmiBigram:
         # c(a b)=4, c(a .)=6  (doc1: ab ab ac -> ab x2 ac x1; doc2: ab ac ab)
         assert ab["c"] == 4
         assert abs(ab["p"] - round(4 / 6, 6)) < 1e-6
+
+
+class TestSubstringContamination:
+    def test_normalized_probe_hits_punctuated_doc(self, spark):
+        from fraud_detection_project_spark.operators.dedup import (
+            substring_contamination,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "The Answer... IS: forty-two!"),
+                (2, "nothing to see here"),
+                (3, "answer is forty two"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            (r["doc_id"], r["probe"])
+            for r in substring_contamination(
+                docs, ["answer is forty two"]
+            ).collect()
+        }
+        # doc 1 normalizes to 'the answer is forty two' -> hit
+        assert out == {(1, "answer is forty two"), (3, "answer is forty two")}
