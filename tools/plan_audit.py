@@ -145,6 +145,40 @@ def audit(spark, sf_dir: str) -> list[str]:
     check("retention: single events scan", p.count("FileScan parquet") == 1, p)
     check("retention: no self-join", "Join" not in p, p)
 
+    # round-4 additions ---------------------------------------------------
+    # substring decontam: probes live in the plan as a literal array —
+    # no join, no shuffle, one corpus scan
+    p = plan_of(QUERIES["substring_decontam_docs"](spark, sf_dir))
+    check("substring_decontam: no join", "Join" not in p, p)
+    check("substring_decontam: no shuffle",
+          "Exchange hashpartitioning" not in p, p)
+    check("substring_decontam: single corpus scan",
+          p.count("FileScan parquet") == 1, p)
+
+    # chi-square: every feature's contingency table from ONE scan
+    p = plan_of(QUERIES["chi_square_features"](spark, sf_dir))
+    check("chi_square: single events scan",
+          p.count("FileScan parquet") == 1, p)
+    check("chi_square: map-side partial agg", "partial_" in p, p)
+
+    # entropy profile: all columns in one melted scan
+    p = plan_of(QUERIES["entropy_profile_docs"](spark, sf_dir))
+    check("entropy_profile: single docs scan",
+          p.count("FileScan parquet") == 1, p)
+
+    # curation funnel: one scan; the dedup window is the only shuffle
+    p = plan_of(QUERIES["curation_funnel_docs"](spark, sf_dir))
+    check("curation_funnel: single docs scan",
+          p.count("FileScan parquet") == 1, p)
+    check("curation_funnel: only the dedup-window shuffle",
+          p.count("Exchange hashpartitioning") == 1, p)
+
+    # bigram LM: one tokenize scan; counts shuffle + context window
+    p = plan_of(QUERIES["bigram_lm_topk"](spark, sf_dir))
+    check("bigram_lm: single docs scan", p.count("FileScan parquet") == 1, p)
+    check("bigram_lm: top-k via TakeOrderedAndProject",
+          "TakeOrderedAndProject" in p, p)
+
     # whole-stage codegen compiles for the scan→agg path ("codegen"
     # explain mode generates the code without executing). The adaptive
     # wrapper hides codegen subtrees pre-execution, so plan this one
