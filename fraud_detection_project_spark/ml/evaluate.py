@@ -1,0 +1,207 @@
+"""Distributed model-evaluation metrics.
+
+The reference pipeline ends where the model begins: it emits train/test
+matrices (`transform_data.py:150-161`) and never scores or evaluates.
+A production fraud engine needs the other half — batch evaluation of a
+score column against a label column — so this module provides the
+standard binary-classification metrics as *pure DataFrame aggregates*:
+
+- ``binary_metrics``     one-scan confusion matrix + derived rates
+- ``auc_roc``            exact ROC-AUC (Mann-Whitney with tie averaging)
+- ``auc_roc_binned``     fixed-bin approximation — the 100 TB path
+- ``log_loss``           clipped cross-entropy, one scan
+- ``calibration_bins``   reliability-diagram aggregates
+
+Scale design
+------------
+``binary_metrics`` / ``log_loss`` are single conditional-sum scans:
+partial aggregation map-side, a 1-row shuffle, no sort. ``auc_roc``
+first collapses to *distinct score values* (``groupBy(score)``), so the
+ordered prefix-sum window runs over ``|distinct scores|`` rows, not
+``n`` — exact and cheap whenever scores are discretized (model outputs
+rounded to k decimals, integer risk scores). For genuinely continuous
+scores at 100 TB the distinct frame degenerates to ``n`` rows in a
+single-partition window; use ``auc_roc_binned`` there — it buckets
+scores into ``n_bins`` fixed-width bins (pure map-side work, one small
+shuffle) and applies the same pair-counting formula, giving AUC exact
+up to within-bin ordering (error ≤ the bin's pos·neg overlap mass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def binary_metrics(
+    df: DataFrame,
+    score: str | Column,
+    label: str | Column,
+    threshold: float,
+    precision: int = 6,
+) -> DataFrame:
+    """Confusion matrix + precision/recall/F1/accuracy at ``threshold``.
+
+    One conditional-sum aggregate over a single scan — no join, no
+    window. ``label`` must be 0/1 (int or bool); rows with a NULL score
+    or label are excluded (counted in no cell), matching sklearn's
+    requirement that inputs be finite.
+    """
+    s, y = _as_col(score), _as_col(label).cast("int")
+    valid = s.isNotNull() & y.isNotNull()
+    pred = (s >= F.lit(threshold)).cast("int")
+    tp = F.sum(F.when(valid & (pred == 1) & (y == 1), 1).otherwise(0))
+    fp = F.sum(F.when(valid & (pred == 1) & (y == 0), 1).otherwise(0))
+    fn = F.sum(F.when(valid & (pred == 0) & (y == 1), 1).otherwise(0))
+    tn = F.sum(F.when(valid & (pred == 0) & (y == 0), 1).otherwise(0))
+    agg = df.agg(
+        tp.alias("tp"), fp.alias("fp"), fn.alias("fn"), tn.alias("tn")
+    )
+    tp_c, fp_c, fn_c, tn_c = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    prec = tp_c / F.nullif(tp_c + fp_c, F.lit(0))
+    rec = tp_c / F.nullif(tp_c + fn_c, F.lit(0))
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, precision).alias("precision"),
+        F.round(rec, precision).alias("recall"),
+        F.round(
+            2 * prec * rec / F.nullif(prec + rec, F.lit(0.0)), precision
+        ).alias("f1"),
+        F.round(
+            (tp_c + tn_c) / (tp_c + fp_c + fn_c + tn_c), precision
+        ).alias("accuracy"),
+    )
+
+
+def _pair_count_auc(per_score: DataFrame, precision: int) -> DataFrame:
+    """AUC from a (score_key, pos_s, neg_s) frame via pair counting:
+
+        AUC = [ Σ_s pos_s · (neg_below(s) + neg_s / 2) ] / (n_pos · n_neg)
+
+    i.e. P(score⁺ > score⁻) + ½·P(score⁺ = score⁻) — the Mann-Whitney
+    U statistic with tie averaging, identical to sklearn's
+    ``roc_auc_score``. The prefix sum runs over the *aggregated* frame.
+    """
+    w = Window.orderBy("score_key").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per_score.withColumn(
+        "neg_below", F.coalesce(F.sum("neg_s").over(w), F.lit(0.0))
+    )
+    return cum.agg(
+        F.round(
+            F.sum(F.col("pos_s") * (F.col("neg_below") + F.col("neg_s") / 2))
+            / (F.sum("pos_s") * F.sum("neg_s")),
+            precision,
+        ).alias("auc"),
+        F.sum("pos_s").cast("long").alias("n_pos"),
+        F.sum("neg_s").cast("long").alias("n_neg"),
+    )
+
+
+def auc_roc(
+    df: DataFrame,
+    score: str | Column,
+    label: str | Column,
+    precision: int = 6,
+) -> DataFrame:
+    """Exact ROC-AUC. Collapses to distinct scores first (hash agg),
+    then one ordered prefix-sum over the distinct-score frame — see
+    module docstring for the scale contract."""
+    s, y = _as_col(score), _as_col(label).cast("int")
+    per_score = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("score_key"))
+        .agg(
+            F.sum(y).cast("double").alias("pos_s"),
+            F.sum(1 - y).cast("double").alias("neg_s"),
+        )
+    )
+    return _pair_count_auc(per_score, precision)
+
+
+def auc_roc_binned(
+    df: DataFrame,
+    score: str | Column,
+    label: str | Column,
+    lo: float,
+    hi: float,
+    n_bins: int = 1000,
+    precision: int = 6,
+) -> DataFrame:
+    """Approximate AUC over ``n_bins`` fixed-width score bins in
+    ``[lo, hi]`` (scores outside clamp to the edge bins). Same pair
+    counting as :func:`auc_roc`, but the ordered frame is at most
+    ``n_bins`` rows regardless of data size — the 100 TB path."""
+    s, y = _as_col(score), _as_col(label).cast("int")
+    bin_w = (hi - lo) / n_bins
+    key = F.least(
+        F.greatest(F.floor((s - F.lit(lo)) / F.lit(bin_w)), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    per_bin = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(key.alias("score_key"))
+        .agg(
+            F.sum(y).cast("double").alias("pos_s"),
+            F.sum(1 - y).cast("double").alias("neg_s"),
+        )
+    )
+    return _pair_count_auc(per_bin, precision)
+
+
+def log_loss(
+    df: DataFrame,
+    prob: str | Column,
+    label: str | Column,
+    eps: float = 1e-15,
+    precision: int = 6,
+) -> DataFrame:
+    """Mean cross-entropy ``-avg(y·ln p + (1-y)·ln(1-p))`` with p
+    clipped to [eps, 1-eps] (sklearn's contract). One scan."""
+    p, y = _as_col(prob), _as_col(label).cast("double")
+    pc = F.least(F.greatest(p, F.lit(eps)), F.lit(1.0 - eps))
+    term = -(y * F.log(pc) + (1 - y) * F.log(1 - pc))
+    return df.filter(p.isNotNull() & y.isNotNull()).agg(
+        F.round(F.avg(term), precision).alias("log_loss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    score: str | Column,
+    label: str | Column,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    precision: int = 6,
+) -> DataFrame:
+    """Reliability-diagram aggregates: fixed-width bins over the raw
+    score (deterministic bin edges — no quantile pass), per bin the
+    mean score, observed positive rate, and count. Binning on the raw
+    score rather than a transcendental transform keeps bin assignment
+    bit-identical across engines."""
+    s, y = _as_col(score), _as_col(label).cast("double")
+    bin_w = (hi - lo) / n_bins
+    key = F.least(
+        F.greatest(F.floor((s - F.lit(lo)) / F.lit(bin_w)), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    return (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(key.cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(s), precision).alias("mean_score"),
+            F.round(F.avg(y), precision).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )

@@ -4367,6 +4367,177 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Model-evaluation bucket: the scoring-side metrics the reference never
+# reaches (its pipeline stops at emitting train/test matrices,
+# transform_data.py:150-161) — ml/evaluate.py
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "model_eval_auc",
+    oracle="""
+    WITH g AS (
+        SELECT value AS score_key,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS pos_s,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS DOUBLE) AS neg_s
+        FROM events WHERE value IS NOT NULL GROUP BY value
+    ),
+    c AS (
+        SELECT pos_s, neg_s,
+               COALESCE(SUM(neg_s) OVER (
+                   ORDER BY score_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        FROM g
+    ),
+    exact AS (
+        SELECT SUM(pos_s * (neg_below + neg_s / 2)) / (SUM(pos_s) * SUM(neg_s)) AS auc_raw,
+               CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+               CAST(SUM(neg_s) AS BIGINT) AS n_neg
+        FROM c
+    ),
+    bg AS (
+        SELECT LEAST(GREATEST(FLOOR(value / 5.0), 0), 99) AS score_key,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS pos_s,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS DOUBLE) AS neg_s
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    bc AS (
+        SELECT pos_s, neg_s,
+               COALESCE(SUM(neg_s) OVER (
+                   ORDER BY score_key
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        FROM bg
+    ),
+    binned AS (
+        SELECT SUM(pos_s * (neg_below + neg_s / 2)) / (SUM(pos_s) * SUM(neg_s)) AS auc_binned_raw
+        FROM bc
+    )
+    SELECT ROUND(exact.auc_raw, 6) AS auc,
+           ROUND(binned.auc_binned_raw, 6) AS auc_binned,
+           exact.n_pos, exact.n_neg,
+           ABS(exact.auc_raw - binned.auc_binned_raw) < 0.01 AS binned_close
+    FROM exact, binned
+    """,
+)
+def q_model_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC (ml/evaluate.py:auc_roc — Mann-Whitney pair count
+    with tie averaging, identical to sklearn.roc_auc_score) next to its
+    100 TB-path approximation (auc_roc_binned, 100 fixed-width bins),
+    plus a closeness flag. The exact form collapses to distinct scores
+    before the ordered prefix sum (6.6k rows here, not 10k events); the
+    binned form's ordered frame is ≤ n_bins rows at ANY data size —
+    that is the plan that survives a 1000-executor cluster. Labels:
+    event_type = 'purchase' as the positive class, value as the score."""
+    from .ml.evaluate import auc_roc, auc_roc_binned
+
+    ev = load_table(spark, sf_dir, "events")
+    lab = (F.col("event_type") == "purchase").cast("int")
+    exact = auc_roc(ev, F.col("value"), lab, precision=9).select(
+        F.col("auc").alias("auc_raw"), "n_pos", "n_neg"
+    )
+    binned = auc_roc_binned(
+        ev, F.col("value"), lab, lo=0.0, hi=500.0, n_bins=100, precision=9
+    ).select(F.col("auc").alias("auc_binned_raw"))
+    return exact.crossJoin(binned).select(
+        F.round("auc_raw", 6).alias("auc"),
+        F.round("auc_binned_raw", 6).alias("auc_binned"),
+        "n_pos",
+        "n_neg",
+        (F.abs(F.col("auc_raw") - F.col("auc_binned_raw")) < 0.01).alias(
+            "binned_close"
+        ),
+    )
+
+
+@register(
+    "confusion_threshold_metrics",
+    oracle="""
+    WITH m AS (
+        SELECT SUM(CASE WHEN value >= 50.0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN value >= 50.0 AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS fp,
+               SUM(CASE WHEN value < 50.0 AND event_type = 'purchase' THEN 1 ELSE 0 END) AS fn,
+               SUM(CASE WHEN value < 50.0 AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS tn
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT tp, fp, fn, tn,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall,
+           ROUND(2 * (CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0)) * (CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0))
+                 / NULLIF(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0) + CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 0), 6) AS f1,
+           ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+    FROM m
+    """,
+)
+def q_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded confusion matrix + precision/recall/F1/accuracy
+    (ml/evaluate.py:binary_metrics): ONE conditional-sum scan — partial
+    aggregation map-side, a single 1-row shuffle, no sort, no join.
+    The shape stays O(1) in output at any input size."""
+    from .ml.evaluate import binary_metrics
+
+    ev = load_table(spark, sf_dir, "events")
+    lab = (F.col("event_type") == "purchase").cast("int")
+    return binary_metrics(ev, F.col("value"), lab, threshold=50.0)
+
+
+@register(
+    "calibration_curve_value",
+    oracle="""
+    SELECT CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 9) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(AVG(value), 6) AS mean_score,
+           ROUND(AVG(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END), 6) AS frac_pos
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    ORDER BY bin
+    """,
+)
+def q_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram aggregates (ml/evaluate.py:calibration_bins):
+    10 fixed-width score bins over [0, 500] with per-bin mean score and
+    observed positive rate. Bin edges are data-independent constants, so
+    there is no quantile pre-pass and bin assignment is bit-identical
+    across engines; the whole query is one hash aggregate."""
+    from .ml.evaluate import calibration_bins
+
+    ev = load_table(spark, sf_dir, "events")
+    lab = (F.col("event_type") == "purchase").cast("int")
+    return calibration_bins(
+        ev, F.col("value"), lab, lo=0.0, hi=500.0, n_bins=10
+    )
+
+
+@register(
+    "logloss_sigmoid_value",
+    oracle="""
+    WITH p AS (
+        SELECT LEAST(GREATEST(1.0 / (1.0 + EXP(-(value - 50.0) / 25.0)), 1e-15), 1.0 - 1e-15) AS pc,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT ROUND(AVG(-(y * LN(pc) + (1 - y) * LN(1 - pc))), 6) AS log_loss,
+           COUNT(*) AS n
+    FROM p
+    """,
+)
+def q_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipped cross-entropy (ml/evaluate.py:log_loss) of a fixed
+    logistic link p = σ((value-50)/25) against the purchase label —
+    sklearn.log_loss semantics (p clipped to [1e-15, 1-1e-15]). One
+    conditional-average scan; the sigmoid is a codegen expression, no
+    UDF, no Python boundary."""
+    from .ml.evaluate import log_loss
+
+    ev = load_table(spark, sf_dir, "events")
+    lab = (F.col("event_type") == "purchase").cast("int")
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("value") - F.lit(50.0)) / F.lit(25.0))
+    )
+    return log_loss(ev, p, lab)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
 # The driver's CORRECTNESS artifact checks the FIRST 50 entries of

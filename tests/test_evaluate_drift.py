@@ -1,0 +1,156 @@
+"""Model-evaluation (ml/evaluate.py) and drift (ml/drift.py) metrics.
+
+Oracles are hand-computed numpy implementations of the textbook
+definitions (sklearn is not installed in this environment; the numpy
+forms below are the same formulas sklearn documents).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from fraud_detection_project_spark.ml.evaluate import (
+    auc_roc,
+    auc_roc_binned,
+    binary_metrics,
+    calibration_bins,
+    log_loss,
+)
+
+
+def _numpy_auc(scores, labels):
+    """Mann-Whitney AUC with tie averaging (== sklearn.roc_auc_score)."""
+    scores = np.asarray(scores, dtype=float)
+    labels = np.asarray(labels)
+    order = np.argsort(scores, kind="mergesort")
+    s, y = scores[order], labels[order]
+    # average ranks (1-based) with ties sharing the mean rank
+    ranks = np.empty(len(s))
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and s[j + 1] == s[i]:
+            j += 1
+        ranks[i : j + 1] = (i + j) / 2 + 1
+        i = j + 1
+    n_pos = int(y.sum())
+    n_neg = len(y) - n_pos
+    u = ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2
+    return u / (n_pos * n_neg)
+
+
+@pytest.fixture(scope="module")
+def scored(spark):
+    rng = np.random.RandomState(7)
+    scores = np.round(rng.rand(400) * 10, 1)  # 1dp -> plenty of ties
+    labels = (rng.rand(400) < 1 / (1 + np.exp(-(scores - 5)))).astype(int)
+    df = spark.createDataFrame(
+        [(float(s), int(y)) for s, y in zip(scores, labels)],
+        "score double, label int",
+    )
+    return df, scores, labels
+
+
+class TestAuc:
+    def test_matches_numpy_with_ties(self, spark, scored):
+        df, scores, labels = scored
+        got = auc_roc(df, "score", "label", precision=9).collect()[0]
+        assert got["auc"] == pytest.approx(_numpy_auc(scores, labels), abs=1e-8)
+        assert got["n_pos"] == int(labels.sum())
+        assert got["n_neg"] == int(len(labels) - labels.sum())
+
+    def test_perfect_and_inverted_separation(self, spark):
+        df = spark.createDataFrame(
+            [(float(i), int(i >= 5)) for i in range(10)],
+            "score double, label int",
+        )
+        assert auc_roc(df, "score", "label").collect()[0]["auc"] == 1.0
+        inv = df.withColumn("label", 1 - F.col("label"))
+        assert auc_roc(inv, "score", "label").collect()[0]["auc"] == 0.0
+
+    def test_constant_score_is_half(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, i % 2) for i in range(20)], "score double, label int"
+        )
+        assert auc_roc(df, "score", "label").collect()[0]["auc"] == 0.5
+
+    def test_binned_close_to_exact(self, spark, scored):
+        df, scores, labels = scored
+        exact = _numpy_auc(scores, labels)
+        got = auc_roc_binned(
+            df, "score", "label", lo=0.0, hi=10.0, n_bins=200, precision=9
+        ).collect()[0]
+        # bins at 0.05 width vs scores on a 0.1 grid -> exact agreement
+        assert got["auc"] == pytest.approx(exact, abs=1e-8)
+        coarse = auc_roc_binned(
+            df, "score", "label", lo=0.0, hi=10.0, n_bins=10, precision=9
+        ).collect()[0]
+        assert coarse["auc"] == pytest.approx(exact, abs=0.05)
+
+    def test_null_scores_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1.0, 0), (2.0, 1), (None, 1)], "score double, label int"
+        )
+        got = auc_roc(df, "score", "label").collect()[0]
+        assert (got["n_pos"], got["n_neg"]) == (1, 1)
+
+
+class TestBinaryMetrics:
+    def test_against_manual_counts(self, spark, scored):
+        df, scores, labels = scored
+        pred = scores >= 5.0
+        tp = int((pred & (labels == 1)).sum())
+        fp = int((pred & (labels == 0)).sum())
+        fn = int((~pred & (labels == 1)).sum())
+        tn = int((~pred & (labels == 0)).sum())
+        got = binary_metrics(df, "score", "label", threshold=5.0).collect()[0]
+        assert (got["tp"], got["fp"], got["fn"], got["tn"]) == (tp, fp, fn, tn)
+        prec, rec = tp / (tp + fp), tp / (tp + fn)
+        assert got["precision"] == pytest.approx(prec, abs=1e-6)
+        assert got["recall"] == pytest.approx(rec, abs=1e-6)
+        assert got["f1"] == pytest.approx(
+            2 * prec * rec / (prec + rec), abs=1e-6
+        )
+        assert got["accuracy"] == pytest.approx(
+            (tp + tn) / len(labels), abs=1e-6
+        )
+
+    def test_degenerate_threshold_yields_null_precision(self, spark):
+        df = spark.createDataFrame(
+            [(0.1, 1), (0.2, 0)], "score double, label int"
+        )
+        got = binary_metrics(df, "score", "label", threshold=9.0).collect()[0]
+        assert got["tp"] == 0 and got["fp"] == 0
+        assert got["precision"] is None and got["f1"] is None
+
+
+class TestLogLossCalibration:
+    def test_log_loss_matches_numpy(self, spark, scored):
+        df, scores, labels = scored
+        p = 1 / (1 + np.exp(-(scores - 5)))
+        pc = np.clip(p, 1e-15, 1 - 1e-15)
+        want = float(
+            -np.mean(labels * np.log(pc) + (1 - labels) * np.log(1 - pc))
+        )
+        prob = 1 / (1 + F.exp(-(F.col("score") - 5)))
+        got = log_loss(df, prob, "label", precision=9).collect()[0]
+        assert got["log_loss"] == pytest.approx(want, abs=1e-8)
+        assert got["n"] == len(labels)
+
+    def test_calibration_bins_partition_and_rates(self, spark, scored):
+        df, scores, labels = scored
+        rows = calibration_bins(
+            df, "score", "label", lo=0.0, hi=10.0, n_bins=5
+        ).collect()
+        assert sum(r["n"] for r in rows) == len(labels)
+        assert [r["bin"] for r in rows] == sorted(r["bin"] for r in rows)
+        for r in rows:
+            in_bin = (scores >= r["bin"] * 2.0) & (
+                (scores < (r["bin"] + 1) * 2.0) | (r["bin"] == 4)
+            )
+            assert r["n"] == int(in_bin.sum())
+            assert r["frac_pos"] == pytest.approx(
+                labels[in_bin].mean(), abs=1e-6
+            )
