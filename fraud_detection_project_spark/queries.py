@@ -4537,6 +4537,90 @@ def q_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log_loss(ev, p, lab)
 
 
+@register(
+    "psi_value_drift",
+    oracle="""
+    WITH binned AS (
+        SELECT CAST(LEAST(GREATEST(FLOOR(value / 50.0), 0), 9) AS BIGINT) AS bin,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ce,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca
+        FROM events
+        WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+        GROUP BY 1
+    ),
+    f AS (
+        SELECT GREATEST(CAST(ce AS DOUBLE) / SUM(ce) OVER (), 1e-6) AS fe,
+               GREATEST(CAST(ca AS DOUBLE) / SUM(ca) OVER (), 1e-6) AS fa,
+               ce, ca
+        FROM binned
+    )
+    SELECT ROUND(SUM((fa - fe) * LN(fa / fe)), 6) AS psi,
+           SUM(ce) AS n_expected,
+           SUM(ca) AS n_actual
+    FROM f
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (ml/drift.py:psi) between the value
+    distributions of 'view' (expected) and 'purchase' (actual) events —
+    the train-vs-serve drift monitor. Both sides are tagged and
+    unioned, so the whole statistic is ONE grouped aggregation over one
+    combined scan into 10 data-independent bins; the shuffle carries
+    ≤ 10 rows per map task and the final sum runs over ≤ 10 rows."""
+    from .ml.drift import psi
+
+    ev = load_table(spark, sf_dir, "events")
+    return psi(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        lo=0.0,
+        hi=500.0,
+        n_bins=10,
+    )
+
+
+@register(
+    "ks_value_types",
+    oracle="""
+    WITH u AS (
+        SELECT value AS k,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        FROM events
+        WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+        GROUP BY value
+    ),
+    c AS (
+        SELECT CAST(SUM(ca) OVER (ORDER BY k) AS DOUBLE) / SUM(ca) OVER ()
+               - CAST(SUM(cb) OVER (ORDER BY k) AS DOUBLE) / SUM(cb) OVER () AS diff,
+               SUM(ca) OVER () AS na,
+               SUM(cb) OVER () AS nb
+        FROM u
+    )
+    SELECT ROUND(MAX(ABS(diff)), 6) AS ks,
+           MAX(na) AS n_a,
+           MAX(nb) AS n_b
+    FROM c
+    """,
+)
+def q_ks_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic
+    (ml/drift.py:ks_two_sample) between 'view' and 'purchase' value
+    distributions. Collapses to distinct values (hash agg) before the
+    ordered ECDF pass, so the single-partition window sees |distinct|
+    rows, not n; the bins=(lo,hi,n) variant bounds that frame to n rows
+    for continuous columns at 100 TB (tested equivalent in pytest)."""
+    from .ml.drift import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    return ks_two_sample(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #

@@ -126,6 +126,91 @@ class TestBinaryMetrics:
         assert got["precision"] is None and got["f1"] is None
 
 
+def _numpy_ks(a, b):
+    """Exact two-sample KS via ECDF evaluation at all sample points."""
+    a, b = np.sort(np.asarray(a, float)), np.sort(np.asarray(b, float))
+    pts = np.concatenate([a, b])
+    ca = np.searchsorted(a, pts, side="right") / len(a)
+    cb = np.searchsorted(b, pts, side="right") / len(b)
+    return float(np.max(np.abs(ca - cb)))
+
+
+class TestDrift:
+    def _frames(self, spark, a, b):
+        fa = spark.createDataFrame([(float(v),) for v in a], "value double")
+        fb = spark.createDataFrame([(float(v),) for v in b], "value double")
+        return fa, fb
+
+    def test_psi_identical_distribution_is_zero(self, spark):
+        from fraud_detection_project_spark.ml.drift import psi
+
+        vals = [float(i % 10) for i in range(100)]
+        fa, fb = self._frames(spark, vals, vals)
+        got = psi(fa, fb, "value", lo=0.0, hi=10.0, n_bins=5).collect()[0]
+        assert got["psi"] == pytest.approx(0.0, abs=1e-9)
+        assert got["n_expected"] == 100 and got["n_actual"] == 100
+
+    def test_psi_matches_hand_computation(self, spark):
+        from fraud_detection_project_spark.ml.drift import psi
+
+        rng = np.random.RandomState(3)
+        a = rng.rand(500) * 10
+        b = rng.rand(400) * 10 + 2  # shifted -> drift, plus clamping
+        fa, fb = self._frames(spark, a, b)
+        n_bins, lo, hi = 5, 0.0, 10.0
+        width = (hi - lo) / n_bins
+        bins_a = np.clip(np.floor((a - lo) / width), 0, n_bins - 1)
+        bins_b = np.clip(np.floor((b - lo) / width), 0, n_bins - 1)
+        want = 0.0
+        for k in range(n_bins):
+            fe = max((bins_a == k).mean(), 1e-6)
+            fc = max((bins_b == k).mean(), 1e-6)
+            want += (fc - fe) * np.log(fc / fe)
+        got = psi(
+            fa, fb, "value", lo=lo, hi=hi, n_bins=n_bins, precision=9
+        ).collect()[0]
+        assert got["psi"] == pytest.approx(want, abs=1e-8)
+
+    def test_psi_one_sided_empty_bin_stays_finite(self, spark):
+        from fraud_detection_project_spark.ml.drift import psi
+
+        fa, fb = self._frames(spark, [0.5] * 50, [9.5] * 50)
+        got = psi(fa, fb, "value", lo=0.0, hi=10.0, n_bins=10).collect()[0]
+        assert np.isfinite(got["psi"]) and got["psi"] > 10
+
+    def test_ks_identical_zero_disjoint_one(self, spark):
+        from fraud_detection_project_spark.ml.drift import ks_two_sample
+
+        vals = [float(i) for i in range(50)]
+        fa, fb = self._frames(spark, vals, vals)
+        assert ks_two_sample(fa, fb, "value").collect()[0]["ks"] == 0.0
+        fa, fb = self._frames(spark, range(50), range(100, 150))
+        got = ks_two_sample(fa, fb, "value").collect()[0]
+        assert got["ks"] == 1.0
+        assert got["n_a"] == 50 and got["n_b"] == 50
+
+    def test_ks_matches_numpy_with_ties(self, spark):
+        from fraud_detection_project_spark.ml.drift import ks_two_sample
+
+        rng = np.random.RandomState(11)
+        a = np.round(rng.rand(300) * 10, 1)
+        b = np.round(rng.rand(200) * 10 + 1.5, 1)
+        fa, fb = self._frames(spark, a, b)
+        got = ks_two_sample(fa, fb, "value", precision=9).collect()[0]
+        assert got["ks"] == pytest.approx(_numpy_ks(a, b), abs=1e-8)
+
+    def test_ks_binned_close_to_exact(self, spark):
+        from fraud_detection_project_spark.ml.drift import ks_two_sample
+
+        rng = np.random.RandomState(13)
+        a, b = rng.rand(500) * 10, rng.rand(500) * 10 + 1
+        fa, fb = self._frames(spark, a, b)
+        got = ks_two_sample(
+            fa, fb, "value", bins=(0.0, 11.0, 500), precision=9
+        ).collect()[0]
+        assert got["ks"] == pytest.approx(_numpy_ks(a, b), abs=0.02)
+
+
 class TestLogLossCalibration:
     def test_log_loss_matches_numpy(self, spark, scored):
         df, scores, labels = scored
