@@ -4621,6 +4621,84 @@ def q_ks_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_linear_score_topk",
+    oracle="""
+    WITH w AS (
+        SELECT i, ((((i - 1) * 2654435761) % 97) - 48) / 97.0 AS wv
+        FROM (SELECT UNNEST(RANGE(1, 65)) AS i)
+    ),
+    dots AS (
+        SELECT vec_id, label, SUM(embedding[w.i] * w.wv) AS d
+        FROM embeddings CROSS JOIN w
+        GROUP BY vec_id, label
+    )
+    SELECT vec_id, label, ROUND(1.0 / (1.0 + EXP(-(d + 0.1))), 6) AS score
+    FROM dots
+    ORDER BY score DESC, vec_id
+    LIMIT 50
+    """,
+)
+def q_embedding_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch logistic scoring over the embedding column
+    (ml/scoring.py:score_linear): σ(w·x + b) with a fixed 64-dim weight
+    vector embedded as a literal array in the plan — map-only, zero
+    shuffle, zero broadcast, JVM-side fold (functions/vectors.py:dot),
+    then TakeOrderedAndProject for the top-50. Ordering is on the
+    ROUNDED score with vec_id tie-break so the top-k cut is identical
+    across engines. The deterministic pseudo-weights
+    w_j = ((j·2654435761) mod 97 − 48)/97 are reproduced literally in
+    the DuckDB oracle."""
+    from .ml.scoring import score_linear
+
+    ws = [((j * 2654435761) % 97 - 48) / 97.0 for j in range(64)]
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        score_linear(emb, "embedding", ws, intercept=0.1)
+        .select("vec_id", "label", "score")
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(50)
+    )
+
+
+@register(
+    "loo_target_encode_hour",
+    oracle="""
+    WITH g AS (SELECT AVG(value) AS gm FROM events),
+    s AS (
+        SELECT event_id, value,
+               SUM(value) OVER (PARTITION BY user_id, event_type, HOUR(ts)) AS st,
+               COUNT(value) OVER (PARTITION BY user_id, event_type, HOUR(ts)) AS ct
+        FROM events
+    )
+    SELECT event_id,
+           ROUND(CASE WHEN value IS NULL THEN NULL
+                      WHEN ct > 1 THEN (st - value) / (ct - 1)
+                      ELSE (SELECT gm FROM g) END, 6) AS loo_enc
+    FROM s
+    ORDER BY event_id
+    """,
+)
+def q_loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (ml/scoring.py:loo_target_encode)
+    of value on (user_id, event_type, hour) — the leakage-safe variant
+    of target_encode_event_type: each row is encoded by the mean target
+    of the OTHER rows in its group, singletons fall back to the global
+    mean (this key is fine-grained enough that the fallback branch is
+    exercised). One window shuffle on the group key + a broadcast 1-row
+    global-mean frame."""
+    from .ml.scoring import loo_target_encode
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "hr", F.hour("ts")
+    )
+    return (
+        loo_target_encode(ev, ["user_id", "event_type", "hr"], "value")
+        .select("event_id", "loo_enc")
+        .orderBy("event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
