@@ -4699,6 +4699,46 @@ def q_loo_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "triangle_count_coparts",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    t AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e0 e1
+        JOIN e0 e2 ON e2.u = e1.v
+        JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    s AS (SELECT COUNT(*) AS n_edges FROM e0),
+    n AS (
+        SELECT COUNT(*) AS n_nodes
+        FROM (SELECT u AS node FROM e0 UNION SELECT v AS node FROM e0)
+    )
+    SELECT t.n_triangles, n.n_nodes, s.n_edges FROM t, s, n
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.py:triangle_count) over the
+    part co-purchase graph (parts sharing an order,
+    graph.py:co_occurrence_edges) — the clustering-coefficient /
+    fraud-ring primitive. Degree-ordered edge orientation caps every
+    out-degree at O(√m), so the wedge self-join is Σ C(outdeg,2) =
+    O(m^1.5) with no hot-node skew — the plan that survives a power-law
+    degree distribution at 100 TB, vs the oracle's naive 3-way
+    self-join which is only viable at test scale."""
+    from .operators.graph import co_occurrence_edges, triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    return triangle_count(edges)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
