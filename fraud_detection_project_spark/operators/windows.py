@@ -167,3 +167,58 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+
+
+def ewma_bounded(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    value: str,
+    alpha: float = 0.3,
+    n: int = 20,
+    out_col: str = "ewma",
+    precision: int | None = 6,
+):
+    """Exponentially weighted moving average over the trailing ``n``
+    rows per key (NULL values excluded from both numerator and
+    normalization):
+
+        ewma_t = Σ_{j=0..n-1} (1-α)^j · x_{t-j}  /  Σ_{j} (1-α)^j
+
+    — the ``adjust=True`` pandas ``ewm`` convention, truncated to a
+    bounded window so state stays O(n) per row. The truncation error of
+    dropping terms beyond n is (1-α)^n (< 0.1% for α=0.3, n=20), which
+    is why the bounded form is the production choice: the exact
+    infinite-history EWMA needs a sequential scan per key, while this
+    is ONE window shuffle on the key, identical in shape to the 24h
+    velocity windows (reference `transform_data.py:59-65`).
+
+    Rows with a NULL value are dropped up front (they appear in neither
+    the output nor any other row's history), so "trailing n rows" means
+    n observed values — unambiguous across engines.
+
+    Implementation: ``collect_list`` over the rows-frame (frame order =
+    the window's ORDER BY, so the list is oldest→newest), then a
+    JVM-side left fold ``s ← s·(1-α) + x`` whose closed form equals the
+    weighted numerator; the denominator is the geometric series of the
+    window's row count.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(-(n - 1), 0)
+    )
+    beta = 1.0 - alpha
+    xs = F.collect_list(F.col(value)).over(w)
+    # fold oldest->newest: s = s*beta + x  ==>  Σ x_i * beta^(m-1-i)
+    num = F.aggregate(
+        xs,
+        F.lit(0.0),
+        lambda acc, x: acc * F.lit(beta) + x.cast("double"),
+    )
+    m = F.size(xs)
+    den = (F.lit(1.0) - F.pow(F.lit(beta), m)) / F.lit(alpha)
+    out = num / den
+    if precision is not None:
+        out = F.round(out, precision)
+    return df.filter(F.col(value).isNotNull()).withColumn(out_col, out)

@@ -239,3 +239,94 @@ class TestLogLossCalibration:
             assert r["frac_pos"] == pytest.approx(
                 labels[in_bin].mean(), abs=1e-6
             )
+
+
+class TestEwmaBounded:
+    def test_matches_pandas_ewm_within_window(self, spark):
+        """For series shorter than n, bounded EWMA == pandas
+        ewm(alpha, adjust=True).mean() exactly."""
+        import pandas as pd
+        from fraud_detection_project_spark.operators.windows import (
+            ewma_bounded,
+        )
+
+        rng = np.random.RandomState(17)
+        vals = rng.rand(15) * 10
+        df = spark.createDataFrame(
+            [(1, i, float(v)) for i, v in enumerate(vals)],
+            "k long, t long, value double",
+        )
+        got = (
+            ewma_bounded(df, ["k"], ["t"], "value", alpha=0.3, n=20,
+                         precision=None)
+            .orderBy("t")
+            .collect()
+        )
+        want = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+        for r, w in zip(got, want):
+            assert r["ewma"] == pytest.approx(float(w), rel=1e-12)
+
+    def test_truncation_at_n(self, spark):
+        """Row 25 of a constant-then-spike series must only see the
+        last 20 values."""
+        from fraud_detection_project_spark.operators.windows import (
+            ewma_bounded,
+        )
+
+        vals = [100.0] * 10 + [1.0] * 20
+        df = spark.createDataFrame(
+            [(1, i, v) for i, v in enumerate(vals)],
+            "k long, t long, value double",
+        )
+        got = (
+            ewma_bounded(df, ["k"], ["t"], "value", alpha=0.3, n=20,
+                         precision=None)
+            .orderBy("t")
+            .collect()
+        )
+        # last row's trailing-20 window is all 1.0 -> ewma exactly 1.0
+        assert got[-1]["ewma"] == pytest.approx(1.0, abs=1e-12)
+        # an infinite-history EWMA would still carry spike mass > 1e-4
+        beta = 0.7
+        inf_hist = (
+            sum(v * beta ** (len(vals) - 1 - i) for i, v in enumerate(vals))
+            * 0.3 / (1 - beta ** len(vals))
+        )
+        assert inf_hist > 1.0 + 1e-4
+
+    def test_null_rows_dropped_everywhere(self, spark):
+        from fraud_detection_project_spark.operators.windows import (
+            ewma_bounded,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0, 2.0), (1, 1, None), (1, 2, 4.0)],
+            "k long, t long, value double",
+        )
+        got = (
+            ewma_bounded(df, ["k"], ["t"], "value", alpha=0.5, n=20,
+                         precision=None)
+            .orderBy("t")
+            .collect()
+        )
+        assert [r["t"] for r in got] == [0, 2]
+        # second row: (2*0.5 + 4) / 1.5
+        assert got[1]["ewma"] == pytest.approx((2 * 0.5 + 4) / 1.5)
+
+    def test_keys_do_not_mix(self, spark):
+        from fraud_detection_project_spark.operators.windows import (
+            ewma_bounded,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0, 10.0), (2, 1, 99.0), (1, 2, 20.0)],
+            "k long, t long, value double",
+        )
+        got = {
+            (r["k"], r["t"]): r["ewma"]
+            for r in ewma_bounded(
+                df, ["k"], ["t"], "value", alpha=0.5, n=20, precision=None
+            ).collect()
+        }
+        assert got[(1, 2)] == pytest.approx((10 * 0.5 + 20) / 1.5)
+        assert got[(2, 1)] == pytest.approx(99.0)
