@@ -14,7 +14,7 @@ from .joins import (
     binned_range_join,
     interval_overlap_join,
 )
-from .windows import rolling_count_24h, velocity_features
+from .windows import ewma_bounded, rolling_count_24h, velocity_features
 from .aggregates import (
     rate_by,
     value_counts,
@@ -35,6 +35,7 @@ from .dedup import (
     ngram_contamination,
 )
 from .search import bm25_search, tfidf_weights, feature_hash_vectors
+from .graph import co_occurrence_edges, pagerank, triangle_count
 
 __all__ = [
     "handle_missing_values",
@@ -47,6 +48,7 @@ __all__ = [
     "as_of_join",
     "binned_range_join",
     "interval_overlap_join",
+    "ewma_bounded",
     "rolling_count_24h",
     "velocity_features",
     "rate_by",
@@ -58,6 +60,9 @@ __all__ = [
     "diff_summary",
     "make_changeset",
     "merge_apply",
+    "co_occurrence_edges",
+    "pagerank",
+    "triangle_count",
     "dense_global_index",
     "exact_dedup",
     "minhash_lsh_pairs",

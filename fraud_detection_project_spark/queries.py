@@ -4826,6 +4826,18 @@ DRIVER_PRIORITY: list[str] = [
     "bigram_lm_topk",
     "substring_decontam_docs",
     "stratified_sample_docs",
+    # round-4 second wave: model evaluation / drift / scoring / graph /
+    # smoothing families, all registered this round with no driver row
+    "model_eval_auc",
+    "confusion_threshold_metrics",
+    "calibration_curve_value",
+    "logloss_sigmoid_value",
+    "psi_value_drift",
+    "ks_value_types",
+    "embedding_linear_score_topk",
+    "loo_target_encode_hour",
+    "triangle_count_coparts",
+    "ewma_value_user",
 ]
 
 DRIVER_CANARIES: list[str] = [
@@ -4852,16 +4864,16 @@ DRIVER_CANARIES: list[str] = [
     "minhash_recall_supercheck",
     "embedding_lsh_precision_union",
     "ivf_full_probe_topk",
-    "hll_within_tolerance",
-    "contamination_13gram",
-    "tfidf_top_terms",
-    "approx_percentile_tolerance",
-    "table_diff_summary",
-    "feature_hash_conservation",
-    "winsorize_value_by_type",
-    "target_encode_event_type",
-    "rolling_24h_user_sliced",
-    "undersample_exact_counts",
+    # trimmed to fit the 32-name priority block: these r03-green names
+    # rotate out to make room for the round-4 second wave —
+    # hll_within_tolerance, contamination_13gram, tfidf_top_terms,
+    # approx_percentile_tolerance, table_diff_summary,
+    # feature_hash_conservation, winsorize_value_by_type,
+    # target_encode_event_type, rolling_24h_user_sliced,
+    # undersample_exact_counts (each family keeps in-window kin:
+    # sketches via minhash/ivf invariants, diff via cdc_merge_apply,
+    # clipping/encoding via the priority LOO encoder, windows via
+    # ewma/rank_distribution in priority).
     # once-green names left OUTSIDE the window this round (still
     # verify_local-covered), each with an in-window kin running the
     # same machinery: ppm_decode_profile (wav_decode_profile, same
