@@ -34,7 +34,7 @@ from .dedup import (
     fuzzy_pairs_1edit,
     ngram_contamination,
 )
-from .search import bm25_search, tfidf_weights, feature_hash_vectors
+from .search import bm25_search, tfidf_weights, feature_hash_vectors, lm_perplexity
 from .graph import co_occurrence_edges, pagerank, triangle_count
 
 __all__ = [
@@ -60,6 +60,7 @@ __all__ = [
     "diff_summary",
     "make_changeset",
     "merge_apply",
+    "lm_perplexity",
     "co_occurrence_edges",
     "pagerank",
     "triangle_count",

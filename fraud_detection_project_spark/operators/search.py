@@ -353,3 +353,87 @@ def bigram_lm_topk(
         .orderBy(F.desc("c"), "w1", "w2")
         .limit(int(top_k))
     )
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.1,
+    lm_docs: DataFrame | None = None,
+    precision: int | None = 6,
+) -> DataFrame:
+    """Per-document bigram-LM perplexity — the CCNet-style quality
+    filter: documents whose word sequences are improbable under a
+    reference language model (boilerplate, gibberish, wrong-language
+    residue) surface with high perplexity. Returns
+    ``(doc_id, n_bigrams, ppl)`` for every doc with ≥ 2 tokens, where
+
+        ppl = exp( − mean_bigrams ln P(w2 | w1) )
+        P(w2 | w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V)     (add-k)
+
+    The LM trains on ``lm_docs`` (default: ``docs`` itself — the
+    self-perplexity used for outlier screening); ``V`` is the distinct
+    token count of the training corpus, and unseen bigrams/contexts
+    smooth to k/(k·V) = 1/V.
+
+    Scale design: one tokenize pass per corpus; bigram counts and
+    context sums aggregate to the distinct-bigram frame (vocabulary-
+    bounded, ≪ corpus); scoring joins doc-bigrams to the counts frame
+    on the bigram key — at 100 TB prune the LM to a top-V table and
+    broadcast it (unseen mass is already defined by the smoothing), at
+    which point scoring is map-only. The V scalar and any 1-row stats
+    ride along as broadcast crossJoins, never a driver collect.
+    """
+    src = lm_docs if lm_docs is not None else docs
+
+    def _valid_toked(frame: DataFrame, *extra):
+        return frame.select(
+            *extra, tokens(normalized_text(text_col)).alias("toks")
+        ).filter(
+            (F.size("toks") >= 2) & (F.element_at("toks", 1) != F.lit(""))
+        )
+
+    lm_toked = _valid_toked(src)
+
+    def _bigrams(toked: DataFrame, *keep):
+        return toked.select(
+            *keep,
+            F.explode(
+                F.arrays_zip(
+                    F.slice("toks", 1, F.size("toks") - 1).alias("w1"),
+                    F.slice("toks", 2, F.size("toks") - 1).alias("w2"),
+                )
+            ).alias("bg"),
+        ).select(*keep, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    cnt = _bigrams(lm_toked).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ctx = cnt.groupBy("w1").agg(F.sum("c").alias("c1"))
+    voc = lm_toked.select(F.explode("toks").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+
+    doc_bg = _bigrams(_valid_toked(docs, F.col(id_col)), id_col)
+    scored = (
+        doc_bg.join(cnt, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .crossJoin(F.broadcast(voc))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(float(k)))
+                / (
+                    F.coalesce(F.col("c1"), F.lit(0))
+                    + F.lit(float(k)) * F.col("v")
+                )
+            ).alias("logp"),
+        )
+    )
+    ppl = F.exp(-F.avg("logp"))
+    if precision is not None:
+        ppl = F.round(ppl, precision)
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"), ppl.alias("ppl")
+    )

@@ -4784,6 +4784,55 @@ def q_ewma_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_perplexity_profile",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+        FROM documents
+    ),
+    valid AS (SELECT doc_id, toks FROM tk WHERE len(toks) >= 2 AND toks[1] <> ''),
+    bg AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM valid)
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c) AS c1 FROM cnt GROUP BY 1),
+    voc AS (
+        SELECT COUNT(DISTINCT t) AS v
+        FROM (SELECT unnest(toks) AS t FROM valid)
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               LN((cnt.c + 0.1) / (ctx.c1 + 0.1 * voc.v)) AS logp
+        FROM bg b
+        JOIN cnt ON b.w1 = cnt.w1 AND b.w2 = cnt.w2
+        JOIN ctx ON b.w1 = ctx.w1
+        CROSS JOIN voc
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(EXP(-AVG(logp)), 6) AS ppl
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM perplexity
+    (operators/search.py:lm_perplexity), the CCNet-style quality
+    filter: self-trained add-k(0.1) bigram model, docs scored by
+    exp(−mean ln P(w2|w1)). The LM statistics (counts, context sums,
+    vocab size) live on vocabulary-bounded frames; at 100 TB the
+    pruned LM broadcasts and scoring becomes map-only — here the
+    bigram-key join runs through AQE. Self-trained corpus means every
+    doc bigram hits the counts table (inner-equivalent left join), and
+    the smoothing term defines unseen mass for the reference-LM case
+    (lm_docs= kwarg, pytest-covered)."""
+    from .operators.search import lm_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_perplexity(docs, k=0.1).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -4838,6 +4887,7 @@ DRIVER_PRIORITY: list[str] = [
     "loo_target_encode_hour",
     "triangle_count_coparts",
     "ewma_value_user",
+    "doc_perplexity_profile",
 ]
 
 DRIVER_CANARIES: list[str] = [

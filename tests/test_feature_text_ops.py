@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -176,3 +177,68 @@ class TestSubstringContamination:
         }
         # doc 1 normalizes to 'the answer is forty two' -> hit
         assert out == {(1, "answer is forty two"), (3, "answer is forty two")}
+
+
+class TestLmPerplexity:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_hand_computed_tiny_corpus(self, spark):
+        import math
+
+        from fraud_detection_project_spark.operators.search import (
+            lm_perplexity,
+        )
+
+        docs = self._docs(spark, ["a b a b", "a b"])
+        # bigrams: doc0 = (a,b),(b,a),(a,b); doc1 = (a,b)
+        # counts: c(a,b)=3, c(b,a)=1; ctx: c(a.)=3, c(b.)=1; V=2, k=0.1
+        p_ab = (3 + 0.1) / (3 + 0.2)
+        p_ba = (1 + 0.1) / (1 + 0.2)
+        got = {
+            r["doc_id"]: r
+            for r in lm_perplexity(docs, k=0.1, precision=None).collect()
+        }
+        want0 = math.exp(-(2 * math.log(p_ab) + math.log(p_ba)) / 3)
+        want1 = math.exp(-math.log(p_ab))
+        assert got[0]["n_bigrams"] == 3
+        assert got[0]["ppl"] == pytest.approx(want0, rel=1e-12)
+        assert got[1]["ppl"] == pytest.approx(want1, rel=1e-12)
+
+    def test_gibberish_scores_higher_than_repetition(self, spark):
+        from fraud_detection_project_spark.operators.search import (
+            lm_perplexity,
+        )
+
+        common = "the quick brown fox jumps over the lazy dog " * 5
+        texts = [common] * 8 + ["zxq plk wvn qqj mzr tbl okp vvx"]
+        got = {
+            r["doc_id"]: r["ppl"]
+            for r in lm_perplexity(self._docs(spark, texts)).collect()
+        }
+        assert got[8] > max(got[i] for i in range(8)) * 1.5
+
+    def test_unseen_doc_against_reference_lm_equals_vocab_size(self, spark):
+        from fraud_detection_project_spark.operators.search import (
+            lm_perplexity,
+        )
+
+        lm = self._docs(spark, ["a b c a b c", "c b a"])  # V = 3
+        target = self._docs(spark, ["x y z"])  # every bigram unseen
+        got = lm_perplexity(
+            target, lm_docs=lm, k=0.5, precision=None
+        ).collect()
+        assert len(got) == 1
+        # unseen bigram+context smooths to k/(k*V) = 1/V -> ppl = V
+        assert got[0]["ppl"] == pytest.approx(3.0, rel=1e-12)
+
+    def test_short_docs_excluded(self, spark):
+        from fraud_detection_project_spark.operators.search import (
+            lm_perplexity,
+        )
+
+        docs = self._docs(spark, ["hello", "", "a b"])
+        got = lm_perplexity(docs).collect()
+        assert [r["doc_id"] for r in got] == [2]
