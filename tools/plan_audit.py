@@ -179,6 +179,48 @@ def audit(spark, sf_dir: str) -> list[str]:
     check("bigram_lm: top-k via TakeOrderedAndProject",
           "TakeOrderedAndProject" in p, p)
 
+    # round-4 second wave: evaluation / drift / scoring / graph / ewma
+    p = plan_of(QUERIES["embedding_linear_score_topk"](spark, sf_dir))
+    check("linear_score: map-only scoring (no hash Exchange)",
+          p.count("Exchange hashpartitioning") == 0, p)
+    check("linear_score: top-k via TakeOrderedAndProject",
+          "TakeOrderedAndProject" in p, p)
+    check("linear_score: single embeddings scan",
+          p.count("FileScan parquet") == 1, p)
+
+    p = plan_of(QUERIES["confusion_threshold_metrics"](spark, sf_dir))
+    check("confusion: single events scan",
+          p.count("FileScan parquet") == 1, p)
+    check("confusion: no join", "Join" not in p, p)
+    check("confusion: map-side partial agg", "partial_" in p, p)
+    check("confusion: scan pruned to score+label cols",
+          "ReadSchema: struct<event_type:string,value:double>" in p, p)
+
+    p = plan_of(QUERIES["psi_value_drift"](spark, sf_dir))
+    check("psi: no join between the two sides", "Join" not in p, p)
+    check("psi: map-side partial agg", "partial_" in p, p)
+
+    p = plan_of(QUERIES["model_eval_auc"](spark, sf_dir))
+    check("auc: distinct-score collapse before ordered pass",
+          "partial_" in p, p)
+    check("auc: 1-row frames joined by broadcast only",
+          "SortMergeJoin" not in p, p)
+
+    p = plan_of(QUERIES["triangle_count_coparts"](spark, sf_dir))
+    check("triangles: no cartesian product on data paths",
+          "CartesianProduct" not in p, p)
+
+    p = plan_of(QUERIES["ewma_value_user"](spark, sf_dir))
+    check("ewma: single events scan", p.count("FileScan parquet") == 1, p)
+    check("ewma: exactly one window shuffle",
+          p.count("Exchange hashpartitioning") == 1, p)
+    check("ewma: no self-join (the oracle's quadratic form)",
+          "Join" not in p, p)
+
+    p = plan_of(QUERIES["doc_perplexity_profile"](spark, sf_dir))
+    check("perplexity: no cartesian product (V rides broadcast)",
+          "CartesianProduct" not in p, p)
+
     # whole-stage codegen compiles for the scan→agg path ("codegen"
     # explain mode generates the code without executing). The adaptive
     # wrapper hides codegen subtrees pre-execution, so plan this one
