@@ -36,6 +36,7 @@ from .dedup import (
 )
 from .search import bm25_search, tfidf_weights, feature_hash_vectors, lm_perplexity
 from .graph import co_occurrence_edges, pagerank, triangle_count
+from .scd import build_scd2
 
 __all__ = [
     "handle_missing_values",
@@ -61,6 +62,7 @@ __all__ = [
     "make_changeset",
     "merge_apply",
     "lm_perplexity",
+    "build_scd2",
     "co_occurrence_edges",
     "pagerank",
     "triangle_count",

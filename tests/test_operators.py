@@ -819,3 +819,62 @@ class TestIntervalOverlapJoin:
         df = spark.createDataFrame([(1, 0, 10)], "id long, lo long, hi long")
         with pytest.raises(ValueError, match="disjoint"):
             interval_overlap_join(df, df, ("lo", "hi"), ("lo", "hi"))
+
+
+class TestScd2:
+    def _obs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "k long, seq long, attr string, ts long"
+        )
+
+    def test_compression_and_intervals(self, spark):
+        from fraud_detection_project_spark.operators.scd import build_scd2
+
+        rows = [
+            (1, 0, "a", 10), (1, 1, "a", 20), (1, 2, "b", 30),
+            (1, 3, "b", 40), (1, 4, "a", 50),
+            (2, 0, "x", 15),
+        ]
+        out = build_scd2(
+            self._obs(spark, rows), ["k"], ["ts", "seq"], ["attr"], "ts"
+        ).orderBy("k", "valid_from").collect()
+        got = [(r["k"], r["attr"], r["valid_from"], r["valid_to"]) for r in out]
+        assert got == [
+            (1, "a", 10, 30), (1, "b", 30, 50), (1, "a", 50, None),
+            (2, "x", 15, None),
+        ]
+
+    def test_intervals_tile_without_gaps(self, spark):
+        import numpy as np
+
+        from fraud_detection_project_spark.operators.scd import build_scd2
+
+        rng = np.random.RandomState(31)
+        rows = [
+            (int(k), i, str(rng.randint(0, 3)), i * 10)
+            for i in range(100)
+            for k in [rng.randint(0, 5)]
+        ]
+        out = build_scd2(
+            self._obs(spark, rows), ["k"], ["ts", "seq"], ["attr"], "ts"
+        ).collect()
+        by_key = {}
+        for r in out:
+            by_key.setdefault(r["k"], []).append(r)
+        for k, vs in by_key.items():
+            vs.sort(key=lambda r: r["valid_from"])
+            assert vs[-1]["valid_to"] is None
+            for a, b in zip(vs, vs[1:]):
+                assert a["valid_to"] == b["valid_from"]  # no gap/overlap
+                assert a["attr"] != b["attr"]  # fully compressed
+
+    def test_null_attr_is_nullsafe(self, spark):
+        from fraud_detection_project_spark.operators.scd import build_scd2
+
+        rows = [(1, 0, None, 10), (1, 1, None, 20), (1, 2, "a", 30)]
+        out = build_scd2(
+            self._obs(spark, rows), ["k"], ["ts", "seq"], ["attr"], "ts"
+        ).orderBy("valid_from").collect()
+        assert [(r["attr"], r["valid_from"]) for r in out] == [
+            (None, 10), ("a", 30)
+        ]

@@ -221,6 +221,11 @@ def audit(spark, sf_dir: str) -> list[str]:
     check("perplexity: no cartesian product (V rides broadcast)",
           "CartesianProduct" not in p, p)
 
+    p = plan_of(QUERIES["scd2_user_type_history"](spark, sf_dir))
+    check("scd2: both windows share one shuffle",
+          p.count("Exchange hashpartitioning") == 1, p)
+    check("scd2: no self-join", "Join" not in p, p)
+
     # whole-stage codegen compiles for the scan→agg path ("codegen"
     # explain mode generates the code without executing). The adaptive
     # wrapper hides codegen subtrees pre-execution, so plan this one
