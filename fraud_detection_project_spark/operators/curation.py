@@ -58,3 +58,65 @@ def curation_funnel(
         .select("r.stage_idx", "r.stage", "r.survivors")
         .orderBy("stage_idx")
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    lines: Column,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate removal: drop every line that
+    occurs in >= ``min_docs`` distinct documents (nav bars, cookie
+    banners, license footers), keeping the remaining lines in order.
+
+    ``lines`` is any expression producing the document's
+    ``array<string>`` of lines (``F.split(text, '\\n')`` for real text;
+    callers with unstructured text can chunk however they like).
+    Returns the input columns plus ``kept_lines`` (array, original
+    order) and ``n_removed``.
+
+    Scale design — the corpus text itself never shuffles:
+      1. frequency pass groups on ``xxhash64(line)`` so the shuffle
+         carries 16-byte (hash, doc_id) pairs, never line text;
+      2. the removal pass semi-joins exploded lines against the common
+         set (small by construction — lines repeated across >=min_docs
+         docs; AQE broadcasts it) and reduces to per-affected-doc
+         position sets, which are tiny relative to the corpus;
+      3. unaffected documents take a null-fast path in the final left
+         join — their line arrays are passed through untouched, and
+         only affected docs evaluate the positional filter.
+    Line identity is the 64-bit hash: a collision could drop a
+    non-common line (P ~ n^2 / 2^64 — negligible at any real corpus
+    size, same trade as exact_dedup_docs).
+    """
+    tagged = df.withColumn("__lines", lines)
+    exploded = tagged.select(
+        id_col, F.posexplode("__lines").alias("__pos", "__line")
+    ).withColumn("__h", F.xxhash64("__line"))
+    common = (
+        exploded.groupBy("__h")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= int(min_docs))
+        .select("__h")
+    )
+    removals = (
+        exploded.join(common, "__h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__rm"))
+    )
+    kept = F.when(F.col("__rm").isNull(), F.col("__lines")).otherwise(
+        F.filter(
+            "__lines",
+            lambda line, i: ~F.array_contains(F.col("__rm"), i),
+        )
+    )
+    return (
+        tagged.join(removals, id_col, "left")
+        .withColumn("kept_lines", kept)
+        .withColumn(
+            "n_removed",
+            (F.size("__lines") - F.size("kept_lines")).cast("long"),
+        )
+        .drop("__lines", "__rm")
+    )

@@ -4886,6 +4886,321 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "boilerplate_removed_docs",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, toks,
+               unnest(range(0, CAST(ceil(len(toks) / 5.0) AS BIGINT))) AS i
+        FROM tk
+    ),
+    l AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(list_slice(toks, i * 5 + 1, i * 5 + 5), ' ') AS line
+        FROM idx
+    ),
+    c AS (
+        SELECT line FROM l GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    k AS (
+        SELECT doc_id, pos, line,
+               line IN (SELECT line FROM c) AS rm
+        FROM l
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) FILTER (NOT rm) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (rm) AS BIGINT) AS n_removed,
+           md5(COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (NOT rm), '')) AS text_md5
+    FROM k GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_boilerplate_removed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-line removal (operators/curation.py:
+    remove_boilerplate_lines — the CCNet / RefinedWeb common-line
+    filter): every 5-token chunk occurring in >=2 distinct documents is
+    dropped, survivors rejoin in order, md5 proves byte-exact
+    reconstruction against the oracle. The corpus text never shuffles:
+    frequency pass groups on 64-bit line hashes, removal positions are
+    located only for affected docs, untouched docs pass through a
+    null-fast path. No reference equivalent (reference has no corpus
+    ops); chunking reuses the doc_chunks tokenizer shape."""
+    from .operators.curation import remove_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    lines = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.size(toks) / F.lit(5.0)).cast("long") - 1,
+        ),
+        lambda i: F.array_join(F.slice(toks, i * 5 + 1, 5), " "),
+    )
+    out = remove_boilerplate_lines(docs, lines, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.size("kept_lines").cast("long").alias("n_kept"),
+        "n_removed",
+        F.md5(F.array_join("kept_lines", " ")).alias("text_md5"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dup_cluster_canonical",
+    oracle=r"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))), '\s+') AS toks
+        FROM documents
+    ),
+    s AS (SELECT doc_id, unnest(range(1, len(toks) - 1)) AS i, toks FROM t WHERE len(toks) >= 3),
+    d AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle FROM s),
+    n AS (SELECT doc_id, COUNT(*) AS ns FROM d GROUP BY doc_id),
+    p AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+        FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pq AS (
+        SELECT ia, ib
+        FROM p JOIN n na ON na.doc_id = p.ia JOIN n nb ON nb.doc_id = p.ib
+        WHERE c * 1.0 / (na.ns + nb.ns - c) >= 0.5
+    ),
+    e AS (SELECT ia AS es, ib AS ed FROM pq UNION ALL SELECT ib, ia FROM pq),
+    r AS (
+        SELECT es AS id, es AS lab FROM e
+        UNION
+        SELECT e.ed, r.lab FROM r JOIN e ON e.es = r.id
+    ),
+    cc AS (SELECT id AS doc_id, MIN(lab) AS cluster_id FROM r GROUP BY id),
+    scored AS (
+        SELECT cc.cluster_id, cc.doc_id, dd.n_chars
+        FROM cc JOIN documents dd ON dd.doc_id = cc.doc_id
+    ),
+    ranked AS (
+        SELECT cluster_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+               ) AS rn
+        FROM scored
+    ),
+    agg AS (
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size,
+               CAST(MAX(n_chars) AS BIGINT) AS keep_n_chars
+        FROM scored GROUP BY cluster_id
+    )
+    SELECT a.cluster_id, a.cluster_size, r.doc_id AS keep_doc_id,
+           a.keep_n_chars
+    FROM agg a JOIN ranked r ON r.cluster_id = a.cluster_id AND r.rn = 1
+    ORDER BY a.cluster_id
+    """,
+)
+def q_dup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-survivor selection — the step AFTER near-dup clustering
+    in a curation pipeline: within each Jaccard>=0.5 connected
+    component, keep the highest-quality member (longest text, doc_id
+    tie-break) and record cluster size. One max_by aggregate over the
+    cluster assignment joined back to doc metadata; the join is on
+    doc_id so it co-partitions with the CC output. Composes
+    operators/dedup.py:connected_components with max_by — no extra
+    machinery. No reference equivalent."""
+    from .operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    cc = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+    scored = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.expr("max_by(doc_id, struct(n_chars, -doc_id))").alias(
+                "keep_doc_id"
+            ),
+            F.max("n_chars").cast("long").alias("keep_n_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "event_transition_probs",
+    oracle=r"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+               ) AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT event_type AS src, next_type AS dst, COUNT(*) AS cnt
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT src, dst, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(cnt * 1.0 / SUM(cnt) OVER (PARTITION BY src), 6) AS prob
+    FROM pairs ORDER BY src, dst
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event type | current type). One window shuffle on user_id
+    (lead), then the pair counts and the per-source normalization ride
+    a single groupBy — the normalizing SUM runs over the tiny
+    (src x dst) matrix, not the event stream. Orders on (ts_us,
+    event_id) so intra-microsecond ties break identically in both
+    engines (ADVICE r3 ns-precision class). Sequence-model/funnel
+    surface; no reference equivalent."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.withColumn("next_type", F.lead("event_type").over(w))
+    pairs = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wsrc = Window.partitionBy("src")
+    return pairs.select(
+        "src",
+        "dst",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("cnt") / F.sum("cnt").over(wsrc), 6).alias("prob"),
+    ).orderBy("src", "dst")
+
+
+@register(
+    "autocorr_lag1_users",
+    oracle=r"""
+    WITH seq AS (
+        SELECT user_id, value,
+               lag(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+               ) AS prev_value
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(corr(value, prev_value), 6) AS acf1
+    FROM seq WHERE prev_value IS NOT NULL
+    GROUP BY user_id HAVING COUNT(*) >= 20
+    ORDER BY user_id
+    """,
+)
+def q_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key lag-1 autocorrelation of the value series — the
+    time-series diagnostic behind burst/periodicity detection (is a
+    user's activity self-correlated?). lag() and the corr aggregate
+    share ONE shuffle on user_id; corr is Spark's built-in
+    codegen'd Pearson (pairwise-deletion on the lag NULLs matches the
+    oracle's WHERE). Keys with <20 pairs are suppressed — small-n
+    correlations are noise. Ties break on (ts_us, event_id) in both
+    engines. No reference equivalent (reference has no window stats)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.expr("ts_ns div 1000").alias("ts_us"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.withColumn("prev_value", F.lag("value").over(w)).filter(
+        F.col("prev_value").isNotNull()
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.corr("value", "prev_value"), 6).alias("acf1"),
+        )
+        .filter(F.col("n_pairs") >= 20)
+        .select("user_id", F.col("n_pairs").cast("long").alias("n_pairs"), "acf1")
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle=r"""
+    SELECT fk, CAST(total AS BIGINT) AS total,
+           CAST(orphans AS BIGINT) AS orphans
+    FROM (
+        SELECT 'lineitem.l_orderkey->orders' AS fk,
+               (SELECT COUNT(*) FROM lineitem) AS total,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphans
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    ) ORDER BY fk
+    """,
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table foreign-key orphan audit — the data-quality gate a
+    warehouse runs before trusting joins (operators/quality.py family).
+    Each FK edge is total-count + anti-join orphan count; the dimension
+    side of every edge broadcasts (nation/customer/supplier/orders keys
+    are the small side or a key-only projection), so no fact table
+    shuffles. Key-only projections mean the parquet scans read exactly
+    one column per side (pruned-scan plan-audited). No reference
+    equivalent (single-table reference)."""
+    def edge(name: str, fact: DataFrame, fk: str, dim: DataFrame, pk: str):
+        dim_keys = dim.select(pk)
+        orphans = fact.select(fk).join(
+            F.broadcast(dim_keys),
+            on=F.col(fk) == F.col(pk),
+            how="left_anti",
+        )
+        return (
+            fact.select(F.lit(1).alias("__one"))
+            .agg(F.count(F.lit(1)).alias("total"))
+            .crossJoin(
+                F.broadcast(orphans.agg(F.count(F.lit(1)).alias("orphans")))
+            )
+            .select(F.lit(name).alias("fk"), "total", "orphans")
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    out = (
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionAll(edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"))
+        .unionAll(edge("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"))
+        .unionAll(edge("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"))
+    )
+    return out.orderBy("fk")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #

@@ -242,3 +242,55 @@ class TestLmPerplexity:
         docs = self._docs(spark, ["hello", "", "a b"])
         got = lm_perplexity(docs).collect()
         assert [r["doc_id"] for r in got] == [2]
+
+
+class TestRemoveBoilerplateLines:
+    def _run(self, spark, docs, min_docs=2):
+        from fraud_detection_project_spark.operators.curation import (
+            remove_boilerplate_lines,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+        )
+        out = remove_boilerplate_lines(
+            df, F.split("text", "\n"), min_docs=min_docs
+        )
+        return {
+            r["doc_id"]: (list(r["kept_lines"]), r["n_removed"])
+            for r in out.collect()
+        }
+
+    def test_common_lines_removed_order_preserved(self, spark):
+        got = self._run(
+            spark,
+            [
+                "keep me\nCOOKIE BANNER\nunique tail",
+                "COOKIE BANNER\nother body",
+                "solo document",
+            ],
+        )
+        assert got[0] == (["keep me", "unique tail"], 1)
+        assert got[1] == (["other body"], 1)
+        assert got[2] == (["solo document"], 0)
+
+    def test_doc_can_lose_every_line(self, spark):
+        got = self._run(spark, ["same\nsame", "same\nsame"], min_docs=2)
+        # 'same' occurs in 2 distinct docs -> both copies go in each doc
+        assert got[0] == ([], 2)
+        assert got[1] == ([], 2)
+
+    def test_within_doc_repetition_does_not_trigger(self, spark):
+        # min_docs counts DISTINCT docs: a line repeated 5x inside one
+        # doc but appearing nowhere else stays
+        got = self._run(spark, ["x\nx\nx\nx\nx", "different"], min_docs=2)
+        assert got[0] == (["x"] * 5, 0)
+
+    def test_threshold_three_spares_two_doc_lines(self, spark):
+        got = self._run(
+            spark,
+            ["shared\na", "shared\nb", "c"],
+            min_docs=3,
+        )
+        assert got[0] == (["shared", "a"], 0)
+        assert got[1] == (["shared", "b"], 0)

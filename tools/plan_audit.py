@@ -226,6 +226,42 @@ def audit(spark, sf_dir: str) -> list[str]:
           p.count("Exchange hashpartitioning") == 1, p)
     check("scd2: no self-join", "Join" not in p, p)
 
+    # boilerplate removal — corpus text never shuffles: every hash
+    # exchange carries only (line-hash, doc_id) pairs or per-affected-doc
+    # position sets; the common-set and removals joins broadcast
+    p = plan_of(QUERIES["boilerplate_removed_docs"](spark, sf_dir))
+    check("boilerplate: frequency pass shuffles hashes, not text",
+          "xxhash64" in p and p.count("Exchange hashpartitioning(__h") == 2,
+          p)
+    check("boilerplate: common-set and removals join by broadcast",
+          p.count("BroadcastHashJoin") == 2 and "SortMergeJoin" not in p, p)
+
+    # per-key autocorrelation — lag window and corr aggregate share ONE
+    # shuffle on user_id
+    p = plan_of(QUERIES["autocorr_lag1_users"](spark, sf_dir))
+    check("autocorr: window+agg share one user_id shuffle",
+          p.count("Exchange hashpartitioning") == 1, p)
+    check("autocorr: value filter pushed to scan", "isnotnull(value" in p, p)
+
+    # transition matrix — the only full-stream shuffle is the user_id
+    # window; pair counts partial-agg map-side, the src normalization
+    # runs over the tiny matrix
+    p = plan_of(QUERIES["event_transition_probs"](spark, sf_dir))
+    check("transitions: one full-stream shuffle + two matrix-sized",
+          p.count("Exchange hashpartitioning") == 3, p)
+    check("transitions: map-side partial pair counts", "partial_" in p, p)
+
+    # FK orphan audit — every dim broadcasts, fact tables never shuffle,
+    # scans are key-only projections
+    p = plan_of(QUERIES["referential_integrity_audit"](spark, sf_dir))
+    check("ref_integrity: zero hash shuffles",
+          p.count("Exchange hashpartitioning") == 0, p)
+    check("ref_integrity: four broadcast anti-joins",
+          p.count("BroadcastHashJoin") == 4 and "LeftAnti" in p, p)
+    check("ref_integrity: key-only fact scans",
+          "FileScan parquet [l_orderkey#" in p
+          and "FileScan parquet [o_custkey#" in p, p)
+
     # whole-stage codegen compiles for the scan→agg path ("codegen"
     # explain mode generates the code without executing). The adaptive
     # wrapper hides codegen subtrees pre-execution, so plan this one
