@@ -6,7 +6,8 @@ the reference's intended API (``Processor.preprocess_dataset``,
 from .split import id_hash_split, stratified_split
 from .prep import build_feature_pipeline, feature_names_out, standardize
 from .imbalance import undersample_majority, oversample_minority_naive, smote
-from .evaluate import auc_roc, auc_roc_binned, binary_metrics, calibration_bins, log_loss
+from .evaluate import (auc_roc, auc_roc_binned, average_precision, binary_metrics,
+                       calibration_bins, log_loss)
 from .drift import ks_two_sample, psi
 from .scoring import loo_target_encode, score_linear
 
@@ -21,6 +22,7 @@ __all__ = [
     "smote",
     "auc_roc",
     "auc_roc_binned",
+    "average_precision",
     "binary_metrics",
     "calibration_bins",
     "log_loss",

@@ -157,6 +157,52 @@ def auc_roc_binned(
     return _pair_count_auc(per_bin, precision)
 
 
+def average_precision(
+    df: DataFrame,
+    score: str | Column,
+    label: str | Column,
+    precision: int = 6,
+) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    sklearn's ``average_precision_score`` step interpolation):
+
+        AP = Σ_k (R_k − R_{k−1}) · P_k   over distinct scores desc,
+
+    where threshold k admits every row scoring >= s_k. Same scale
+    contract as auc_roc: collapse to distinct scores first (hash agg
+    with map-side partials), then one ordered prefix-sum over the
+    small aggregated frame — the global window runs over |distinct
+    scores| rows, not the dataset.
+    """
+    s, y = _as_col(score), _as_col(label).cast("int")
+    per_score = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("score_key"))
+        .agg(
+            F.sum(y).cast("double").alias("pos_s"),
+            F.sum(1 - y).cast("double").alias("neg_s"),
+        )
+    )
+    w = Window.orderBy(F.desc("score_key")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = per_score.select(
+        "pos_s",
+        "neg_s",
+        F.sum("pos_s").over(w).alias("tp"),
+        F.sum(F.col("pos_s") + F.col("neg_s")).over(w).alias("pp"),
+    )
+    return cum.agg(
+        F.round(
+            F.sum(F.col("pos_s") * F.col("tp") / F.col("pp"))
+            / F.sum("pos_s"),
+            precision,
+        ).alias("average_precision"),
+        F.sum("pos_s").cast("long").alias("n_pos"),
+        (F.sum("pos_s") + F.sum("neg_s")).cast("long").alias("n"),
+    )
+
+
 def log_loss(
     df: DataFrame,
     prob: str | Column,

@@ -37,6 +37,8 @@ from .dedup import (
 from .search import bm25_search, tfidf_weights, feature_hash_vectors, lm_perplexity
 from .graph import co_occurrence_edges, pagerank, triangle_count
 from .scd import build_scd2
+from .curation import curation_funnel, remove_boilerplate_lines
+from .sketches import count_min_estimate, count_min_table, hash_filter_semijoin
 
 __all__ = [
     "handle_missing_values",
@@ -77,4 +79,9 @@ __all__ = [
     "bm25_search",
     "tfidf_weights",
     "feature_hash_vectors",
+    "curation_funnel",
+    "remove_boilerplate_lines",
+    "count_min_estimate",
+    "count_min_table",
+    "hash_filter_semijoin",
 ]

@@ -1,0 +1,132 @@
+"""Frequency sketches and membership pre-filters.
+
+No reference equivalent (the 446-line pandas reference holds everything
+in memory); these are the approximate structures a 100 TB pipeline uses
+where exact state would not fit or would force a full shuffle:
+
+- count-min: sub-linear frequency table over an unbounded key domain —
+  heavy-hitter detection, rate limiting, join-size estimation. The
+  sketch is ``depth x width`` counters regardless of key cardinality.
+- hash filter: bloom-style semi-join pruning — drop fact rows whose key
+  cannot exist on the dimension side BEFORE the expensive shuffle, at
+  the cost of bounded false positives (never false negatives). This is
+  the manual twin of Spark's runtime bloom-filter injection, usable
+  where the optimizer can't see the opportunity (e.g. pre-aggregation
+  pruning or cross-job pipelines).
+
+Scale design: the count-min build explodes each row into ``depth``
+(row, bucket) coordinates and partial-aggregates map-side, so the
+shuffle carries at most ``depth * width`` rows per map task no matter
+the input size; probing broadcasts the finished (depth*width)-row
+sketch. The hash filter broadcasts only DISTINCT dimension-key buckets
+(<= num_buckets rows), never the dimension itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def count_min_table(
+    df: DataFrame,
+    key: str | Column,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Build the count-min counter table ``(d, bucket, cnt)``.
+
+    Row r increments counter ``(d, xxhash64(key, seed+d) mod width)``
+    for every d in [0, depth). Estimates read ``min_d cnt`` — each row
+    of counters is an independent hash, so the minimum tightens the
+    collision inflation. One grouped aggregation; the post-partial-agg
+    shuffle is bounded by depth*width rows per task.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(k, F.lit(seed + d)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(coords).alias("r"))
+        .groupBy(F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    df: DataFrame,
+    key: str,
+    probes: DataFrame | None = None,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-key count-min estimates: ``(key, cms_est)``.
+
+    ``probes`` defaults to the distinct keys of ``df`` (full
+    self-audit); pass a small frame to probe specific keys. The
+    finished sketch (<= depth*width rows) broadcasts to the probe side,
+    so probing costs no extra full-data shuffle. Guarantee:
+    ``cms_est >= true count`` always; overestimate is collision mass,
+    E[excess] <= n/width per row, minimized over ``depth`` rows.
+    """
+    tbl = count_min_table(df, key, depth=depth, width=width, seed=seed)
+    keys = probes if probes is not None else df.select(key).distinct()
+    k = F.col(key)
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.pmod(F.xxhash64(k, F.lit(seed + d)), F.lit(width)).alias(
+                    "bucket"
+                ),
+            )
+            for d in range(depth)
+        ]
+    )
+    probed = keys.select(key, F.explode(coords).alias("r")).select(
+        key, F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket")
+    )
+    return (
+        probed.join(F.broadcast(tbl), ["d", "bucket"])
+        .groupBy(key)
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+
+
+def hash_filter_semijoin(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    num_buckets: int = 1 << 20,
+    seed: int = 7,
+) -> DataFrame:
+    """Prune ``fact`` to rows whose key *might* exist in ``dim`` —
+    a one-hash bloom filter realized as a broadcast semi-join on
+    hash buckets.
+
+    Never drops a matching row (false negatives impossible: a real
+    match hashes to a bucket the dimension populated). Keeps at most
+    ``|distinct dim keys| / num_buckets`` of non-matching rows in
+    expectation. The broadcast side is the DISTINCT bucket set
+    (<= num_buckets 8-byte values, small for any practical setting),
+    so the fact table is filtered in place with no shuffle — run it
+    before a shuffle join or aggregation to cut the exchanged volume.
+    """
+    bucket_of = lambda c: F.pmod(F.xxhash64(F.col(c), F.lit(seed)), F.lit(num_buckets))  # noqa: E731
+    dim_buckets = dim.select(bucket_of(dim_key).alias("__hf_bucket")).distinct()
+    return fact.join(
+        F.broadcast(dim_buckets),
+        on=bucket_of(fact_key) == F.col("__hf_bucket"),
+        how="left_semi",
+    )

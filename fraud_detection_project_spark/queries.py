@@ -5201,6 +5201,164 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("fk")
 
 
+@register(
+    "model_eval_pr_auc",
+    oracle="""
+    WITH p AS (
+        SELECT ROUND(1.0 / (1.0 + EXP(-(value - 50.0) / 25.0)), 6) AS sc,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+        SELECT sc, CAST(SUM(y) AS DOUBLE) AS pos_s,
+               CAST(SUM(1 - y) AS DOUBLE) AS neg_s
+        FROM p GROUP BY sc
+    ),
+    c AS (
+        SELECT pos_s,
+               SUM(pos_s) OVER (ORDER BY sc DESC) AS tp,
+               SUM(pos_s + neg_s) OVER (ORDER BY sc DESC) AS pp
+        FROM g
+    )
+    SELECT ROUND(SUM(pos_s * tp / pp) / SUM(pos_s), 6) AS average_precision,
+           CAST(SUM(pos_s) AS BIGINT) AS n_pos,
+           (SELECT CAST(SUM(pos_s + neg_s) AS BIGINT) FROM g) AS n
+    FROM c
+    """,
+)
+def q_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (ml/evaluate.py:average_precision —
+    sklearn average_precision_score) of the fixed logistic score
+    σ((value-50)/25) against the purchase label. Scores round to 6dp
+    BEFORE the distinct-score collapse so both engines group on
+    identical keys; the ordered prefix-sum then runs over the small
+    distinct-score frame, mirroring model_eval_auc's scale contract."""
+    from .ml.evaluate import average_precision
+
+    ev = load_table(spark, sf_dir, "events")
+    score = F.round(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(F.col("value") - F.lit(50.0)) / F.lit(25.0))),
+        6,
+    )
+    lab = (F.col("event_type") == "purchase").cast("int")
+    return average_precision(ev, score, lab)
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS never_underestimates,
+           TRUE AS overestimate_within_8eps
+    FROM events
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch self-audit (operators/sketches.py:
+    count_min_estimate, depth=4 x width=512): estimate every user's
+    event count from the sketch and assert the CMS contract against the
+    exact counts — estimates never undershoot, and the worst
+    overestimate stays within 8·n/width (the ε-bound with generous
+    margin; E[excess] = n/width per counter row, minimized over 4
+    independent rows). Invariant-style oracle (hll_within_tolerance
+    pattern): the booleans must come back TRUE at any scale, n_keys /
+    n_rows are exact-checked. Sketch build shuffles <= depth*width
+    rows per task; probing broadcasts the finished 2048-row sketch."""
+    from .operators.sketches import count_min_estimate
+
+    ev = load_table(spark, sf_dir, "events")
+    est = count_min_estimate(ev, "user_id", depth=4, width=512)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    joined = exact.join(est, "user_id")
+    totals = ev.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        joined.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min(F.col("cms_est") >= F.col("exact_cnt")).alias(
+                "never_underestimates"
+            ),
+            F.max(F.col("cms_est") - F.col("exact_cnt")).alias("__worst"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "never_underestimates",
+            (F.col("__worst") <= F.lit(8.0) * F.col("n_rows") / F.lit(512)).alias(
+                "overestimate_within_8eps"
+            ),
+        )
+    )
+
+
+@register(
+    "hash_filter_prune",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS fact_total,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey
+                                 AND o.o_totalprice > 400000)) AS BIGINT) AS exact_semi,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_within_3x_expected
+    """,
+)
+def q_hash_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style semi-join pruning audit (operators/sketches.py:
+    hash_filter_semijoin, 2^16 buckets): prune lineitem against the
+    hash buckets of high-value orders, then assert (a) every true match
+    survived — false negatives are structurally impossible — and
+    (b) the false-positive carry-through is within 3x the expected
+    |dim keys|/num_buckets rate, at ANY scale (the bound adapts to the
+    measured dim cardinality, so the invariant is scale-free).
+    fact_total/exact_semi are exact-checked. This is the pre-shuffle
+    pruning pattern for joins the optimizer can't bloom on its own."""
+    from .operators.sketches import hash_filter_semijoin
+
+    nb = 1 << 16
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    dim = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    filtered = hash_filter_semijoin(li, "l_orderkey", dim, "o_orderkey", num_buckets=nb)
+    exact = li.join(
+        F.broadcast(dim.select("o_orderkey")),
+        on=F.col("l_orderkey") == F.col("o_orderkey"),
+        how="left_semi",
+    )
+    n_fact = li.agg(F.count(F.lit(1)).alias("fact_total"))
+    n_filt = filtered.agg(F.count(F.lit(1)).alias("__n_filtered"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("exact_semi"))
+    n_dim = dim.agg(F.count_distinct("o_orderkey").alias("__n_dim"))
+    # false negatives: true matches the filter dropped (must be zero)
+    fn = exact.join(
+        filtered.distinct(),
+        on="l_orderkey",
+        how="left_anti",
+    ).agg(F.count(F.lit(1)).alias("__fn"))
+    return (
+        n_fact.crossJoin(F.broadcast(n_filt))
+        .crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_dim))
+        .crossJoin(F.broadcast(fn))
+        .select(
+            F.col("fact_total").cast("long").alias("fact_total"),
+            F.col("exact_semi").cast("long").alias("exact_semi"),
+            (F.col("__fn") == 0).alias("no_false_negatives"),
+            (
+                (F.col("__n_filtered") - F.col("exact_semi"))
+                <= F.lit(3.0)
+                * F.col("__n_dim")
+                / F.lit(nb)
+                * (F.col("fact_total") - F.col("exact_semi"))
+                + F.lit(10.0)
+            ).alias("fp_within_3x_expected"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #

@@ -1,0 +1,119 @@
+"""Count-min sketch + hash-filter pruning (operators/sketches.py) and
+average precision (ml/evaluate.py:average_precision)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+class TestCountMin:
+    def _events(self, spark, counts: dict[int, int]):
+        rows = [(k,) for k, n in counts.items() for _ in range(n)]
+        random.Random(7).shuffle(rows)
+        return spark.createDataFrame(rows, "user_id long")
+
+    def test_never_underestimates_and_bounded(self, spark):
+        from fraud_detection_project_spark.operators.sketches import (
+            count_min_estimate,
+        )
+
+        counts = {k: (50 if k < 3 else 2) for k in range(100)}
+        df = self._events(spark, counts)
+        n = sum(counts.values())
+        got = {
+            r["user_id"]: r["cms_est"]
+            for r in count_min_estimate(df, "user_id", depth=4, width=64).collect()
+        }
+        assert set(got) == set(counts)
+        for k, exact in counts.items():
+            assert got[k] >= exact, f"underestimate at {k}"
+            assert got[k] <= exact + 8 * n / 64
+
+    def test_exact_when_width_dwarfs_cardinality(self, spark):
+        from fraud_detection_project_spark.operators.sketches import (
+            count_min_estimate,
+        )
+
+        counts = {k: k + 1 for k in range(10)}
+        df = self._events(spark, counts)
+        got = {
+            r["user_id"]: r["cms_est"]
+            for r in count_min_estimate(
+                df, "user_id", depth=4, width=65536
+            ).collect()
+        }
+        assert got == counts
+
+    def test_probe_subset(self, spark):
+        from fraud_detection_project_spark.operators.sketches import (
+            count_min_estimate,
+        )
+
+        df = self._events(spark, {1: 5, 2: 7, 3: 9})
+        probes = spark.createDataFrame([(2,)], "user_id long")
+        got = count_min_estimate(df, "user_id", probes=probes, width=65536).collect()
+        assert len(got) == 1 and got[0]["cms_est"] == 7
+
+
+class TestHashFilter:
+    def test_no_false_negatives_even_at_tiny_width(self, spark):
+        from fraud_detection_project_spark.operators.sketches import (
+            hash_filter_semijoin,
+        )
+
+        fact = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+        dim = spark.createDataFrame([(i,) for i in range(0, 1000, 50)], "d long")
+        # 8 buckets guarantees heavy false positives; never negatives
+        filtered = hash_filter_semijoin(fact, "k", dim, "d", num_buckets=8)
+        kept = {r["k"] for r in filtered.collect()}
+        assert {i for i in range(0, 1000, 50)} <= kept
+
+    def test_prunes_most_nonmatches_at_sane_width(self, spark):
+        from fraud_detection_project_spark.operators.sketches import (
+            hash_filter_semijoin,
+        )
+
+        fact = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+        dim = spark.createDataFrame([(1,), (2,), (3,)], "d long")
+        filtered = hash_filter_semijoin(
+            fact, "k", dim, "d", num_buckets=1 << 16
+        )
+        n = filtered.count()
+        assert 3 <= n <= 3 + 2000 * 3 * 3 // (1 << 16) + 5
+
+    def test_multiplicity_preserved(self, spark):
+        from fraud_detection_project_spark.operators.sketches import (
+            hash_filter_semijoin,
+        )
+
+        fact = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+        dim = spark.createDataFrame([(1,)], "d long")
+        out = hash_filter_semijoin(fact, "k", dim, "d", num_buckets=1 << 16)
+        assert [r["k"] for r in out.collect()] == [1, 1]
+
+
+class TestAveragePrecision:
+    def _ap(self, spark, scored):
+        from fraud_detection_project_spark.ml.evaluate import average_precision
+
+        df = spark.createDataFrame(scored, "score double, y int")
+        return average_precision(df, "score", "y").first()
+
+    def test_hand_computed_interleaved(self, spark):
+        # thresholds desc: P=1 R=.5 | P=.5 | P=2/3 R=1 | P=.5
+        # AP = .5*1 + .5*(2/3) = 5/6
+        got = self._ap(
+            spark, [(0.9, 1), (0.8, 0), (0.7, 1), (0.6, 0)]
+        )
+        assert abs(got["average_precision"] - 5 / 6) < 1e-6
+        assert got["n_pos"] == 2 and got["n"] == 4
+
+    def test_perfect_ranking_is_one(self, spark):
+        got = self._ap(spark, [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)])
+        assert got["average_precision"] == 1.0
+
+    def test_constant_score_gives_prevalence(self, spark):
+        got = self._ap(spark, [(0.5, 1), (0.5, 0), (0.5, 0), (0.5, 0)])
+        assert abs(got["average_precision"] - 0.25) < 1e-6
