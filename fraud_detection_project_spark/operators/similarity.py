@@ -429,3 +429,45 @@ def quantize_int8(
     return df.select(F.col(id_col), packed.alias("_z")).select(
         id_col, "_z.scale", "_z.q", "_z.sum_q", "_z.n_sat", "_z.max_err"
     )
+
+
+def random_project(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson-Lindenstrauss Gaussian random projection:
+    ``y = R x / sqrt(out_dim)`` with R ~ N(0,1)^(out_dim x dim), seeded.
+
+    The JL lemma makes this the standard dimensionality crusher in
+    front of ANN / clustering at scale: pairwise distances survive to
+    within (1±ε) w.h.p. for out_dim = O(ε⁻² log n) — independent of the
+    input dimension. E[|y_a−y_b|²] = |x_a−x_b|² exactly, per-pair
+    squared-ratio variance 2/out_dim.
+
+    Arrow-batched gemm kernel (same shape as hyperplane_bucket: one
+    BLAS call per batch against the broadcast-by-closure plane matrix);
+    a narrow projection, no shuffle. ``dim`` is explicit so no driver
+    job runs to sniff the width. Replaces ``vec_col`` with the
+    projected array<double>, other columns pass through.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(out_dim, dim)) / np.sqrt(out_dim)
+
+    def kernel(vs):
+        res = [None] * len(vs)
+        valid = [i for i, v in enumerate(vs) if v is not None]
+        if valid:
+            m = np.asarray([list(vs.iloc[i]) for i in valid], dtype=np.float64)
+            y = m @ planes.T
+            for j, i in enumerate(valid):
+                res[i] = [float(t) for t in y[j]]
+        return pd.Series(res)
+
+    proj = pandas_udf(kernel, returnType="array<double>")(F.col(vec_col))
+    return df.withColumn(vec_col, proj)

@@ -5359,6 +5359,88 @@ def q_hash_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "jl_distortion_profile",
+    oracle="""
+    WITH s AS (SELECT vec_id FROM embeddings WHERE vec_id % 37 = 0)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_sampled,
+           CAST((SELECT COUNT(*) FROM s a JOIN s b ON a.vec_id < b.vec_id)
+                AS BIGINT) AS n_pairs,
+           TRUE AS mean_sq_ratio_tight,
+           TRUE AS tails_bounded
+    """,
+)
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss projection audit (operators/similarity.py:
+    random_project, 64 -> 16 dims): on a deterministic vector sample,
+    the mean squared distance ratio (projected/original) must sit in
+    [0.8, 1.2] (E=1 exactly, per-pair var 2/16, so the mean over the
+    pair set concentrates hard) and >= 90% of pairs must individually
+    stay within 2x squared distortion (chi-sq_16 tails put ~97% there).
+    Invariant-style oracle (hll_within_tolerance pattern) with exact
+    sample/pair counts. The sampled self-join broadcasts — the full
+    corpus never pairs."""
+    from .operators.similarity import random_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sampled = emb.filter(F.col("vec_id") % 37 == 0).select("vec_id", "embedding")
+    proj = random_project(sampled, dim=64, out_dim=16)
+    both = sampled.join(
+        proj.select(F.col("vec_id"), F.col("embedding").alias("proj")), "vec_id"
+    )
+    a = both.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("proj").alias("pa"),
+    )
+    b = both.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("proj").alias("pb"),
+    )
+
+    def sqdist(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: (u - v) * (u - v)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    pairs = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            sqdist(F.col("va"), F.col("vb")).alias("d_orig"),
+            sqdist(F.col("pa"), F.col("pb")).alias("d_proj"),
+        )
+        # zero-distance (duplicate) pairs have no defined ratio; they
+        # count toward n_pairs but not the distortion stats
+        .select(
+            F.when(F.col("d_orig") > 0, F.col("d_proj") / F.col("d_orig")).alias(
+                "r2"
+            )
+        )
+    )
+    stats = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg("r2").alias("__mean"),
+        F.avg(
+            ((F.col("r2") <= 2.0) & (F.col("r2") >= 0.5)).cast("double")
+        ).alias("__frac_2x"),
+    )
+    n_sampled = sampled.agg(F.count(F.lit(1)).alias("n_sampled"))
+    return (
+        n_sampled.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("n_sampled").cast("long").alias("n_sampled"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            ((F.col("__mean") >= 0.8) & (F.col("__mean") <= 1.2)).alias(
+                "mean_sq_ratio_tight"
+            ),
+            (F.col("__frac_2x") >= 0.9).alias("tails_bounded"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #

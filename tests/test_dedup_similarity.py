@@ -548,3 +548,60 @@ class TestFuzzyPairs1Edit:
         assert (min(ids["bolt"], ids["belts"]), max(ids["bolt"], ids["belts"])) not in {
             (a, b) for a, b, _ in got
         }
+
+
+class TestRandomProject:
+    def _vecs(self, spark, n=40, dim=32, seed=3):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_shape_and_determinism(self, spark):
+        from fraud_detection_project_spark.operators.similarity import (
+            random_project,
+        )
+
+        df = self._vecs(spark, n=5, dim=32)
+        a = random_project(df, dim=32, out_dim=8, seed=1).collect()
+        b = random_project(df, dim=32, out_dim=8, seed=1).collect()
+        assert all(len(r["embedding"]) == 8 for r in a)
+        assert [r["embedding"] for r in sorted(a, key=lambda r: r["vec_id"])] == [
+            r["embedding"] for r in sorted(b, key=lambda r: r["vec_id"])
+        ]
+
+    def test_distances_preserved_in_expectation(self, spark):
+        import numpy as np
+
+        from fraud_detection_project_spark.operators.similarity import (
+            random_project,
+        )
+
+        df = self._vecs(spark, n=40, dim=32)
+        orig = {r["vec_id"]: np.array(r["embedding"]) for r in df.collect()}
+        proj = {
+            r["vec_id"]: np.array(r["embedding"])
+            for r in random_project(df, dim=32, out_dim=16, seed=42).collect()
+        }
+        ratios = []
+        ids = sorted(orig)
+        for i in ids:
+            for j in ids:
+                if i < j:
+                    d0 = float(np.sum((orig[i] - orig[j]) ** 2))
+                    d1 = float(np.sum((proj[i] - proj[j]) ** 2))
+                    ratios.append(d1 / d0)
+        m = sum(ratios) / len(ratios)
+        assert 0.8 < m < 1.2
+
+    def test_null_vector_passthrough(self, spark):
+        from fraud_detection_project_spark.operators.similarity import (
+            random_project,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [1.0] * 4), (1, None)], "vec_id long, embedding array<double>"
+        )
+        got = {r["vec_id"]: r["embedding"] for r in random_project(df, dim=4, out_dim=2).collect()}
+        assert got[1] is None and len(got[0]) == 2
