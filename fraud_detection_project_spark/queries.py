@@ -5497,6 +5497,17 @@ DRIVER_PRIORITY: list[str] = [
     "ewma_value_user",
     "doc_perplexity_profile",
     "scd2_user_type_history",
+    # round-4 third wave: curation / sketch / eval / time-series
+    # families registered this session, no driver row yet
+    "boilerplate_removed_docs",
+    "dup_cluster_canonical",
+    "event_transition_probs",
+    "autocorr_lag1_users",
+    "referential_integrity_audit",
+    "model_eval_pr_auc",
+    "cms_heavy_hitters",
+    "hash_filter_prune",
+    "jl_distortion_profile",
 ]
 
 DRIVER_CANARIES: list[str] = [
@@ -5504,35 +5515,31 @@ DRIVER_CANARIES: list[str] = [
     # second driver row (all names below are exactly once hash-green)
     "interval_join_binned",
     "frame_sample_profile",
-    # round-3 priority cohort, rotated to canary after their first green
-    # row (r03); kept in-window for a second confirmation since each is
-    # the sole driver signal for its operator family
+    # family-critical r03-green anchors kept for a second confirmation:
+    # each is the sole driver signal for a whole machinery family
+    # (CC collapse, CDC merge, BM25 text stack, mapInPandas codecs,
+    # MinHash recall invariant)
     "dup_clusters",
     "cdc_merge_apply",
     "bm25_search_topk",
-    "doc_chunks_64_16",
-    "pack_sequences_512",
-    "user_sessions_30m",
-    "pivot_user_event_counts",
-    "grouping_sets_revenue",
-    "weekly_user_retention",
-    "sql_surface_top_nations",
-    "exists_big_spenders",
-    "monthly_revenue_gapfill",
     "wav_decode_profile",
     "minhash_recall_supercheck",
-    "embedding_lsh_precision_union",
-    "ivf_full_probe_topk",
-    # trimmed to fit the 32-name priority block: these r03-green names
-    # rotate out to make room for the round-4 second wave —
+    # trimmed to exactly fill the 50-slot window alongside the 43-name
+    # priority block: the other r03-green names rotate fully out —
+    # doc_chunks_64_16, pack_sequences_512, user_sessions_30m,
+    # pivot_user_event_counts, grouping_sets_revenue,
+    # weekly_user_retention, sql_surface_top_nations,
+    # exists_big_spenders, monthly_revenue_gapfill,
+    # embedding_lsh_precision_union, ivf_full_probe_topk,
     # hll_within_tolerance, contamination_13gram, tfidf_top_terms,
     # approx_percentile_tolerance, table_diff_summary,
     # feature_hash_conservation, winsorize_value_by_type,
     # target_encode_event_type, rolling_24h_user_sliced,
     # undersample_exact_counts (each family keeps in-window kin:
-    # sketches via minhash/ivf invariants, diff via cdc_merge_apply,
-    # clipping/encoding via the priority LOO encoder, windows via
-    # ewma/rank_distribution in priority).
+    # sketches via the minhash invariant + the new cms/hash-filter/jl
+    # audits, diff via cdc_merge_apply, chunking via the boilerplate
+    # chunker, clipping/encoding via the priority LOO encoder, windows
+    # via ewma/rank_distribution/autocorr in priority).
     # once-green names left OUTSIDE the window this round (still
     # verify_local-covered), each with an in-window kin running the
     # same machinery: ppm_decode_profile (wav_decode_profile, same
