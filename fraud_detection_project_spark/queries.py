@@ -5441,6 +5441,208 @@ def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kcore_decomposition_invariants",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    n AS (
+        SELECT COUNT(*) AS n_nodes
+        FROM (SELECT u AS node FROM e0 UNION SELECT v AS node FROM e0)
+    )
+    SELECT CAST(n.n_nodes AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+           TRUE AS core_le_degree,
+           TRUE AS core_property_holds
+    FROM n
+    """,
+)
+def q_kcore_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition audit (operators/graph.py:k_core, H-index
+    propagation) over the part co-purchase graph. The defining property
+    of the core numbering is checked distributedly: every node must
+    have (a) core <= degree and (b) at least core(v) neighbors whose
+    own core >= core(v) — the unique maximal such assignment IS the
+    core decomposition (exactness vs brute-force peeling is pytest-
+    covered on small graphs). Invariant-style oracle with exact
+    node/edge counts. Iterative rounds: one node-keyed shuffle each,
+    lineage-truncated."""
+    from .operators.graph import co_occurrence_edges, k_core
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    core = k_core(edges)
+
+    und = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    nb_core = (
+        und.join(core.select(F.col("id").alias("src"), "core"), "src")
+        .join(
+            core.select(
+                F.col("id").alias("dst"), F.col("core").alias("nb")
+            ),
+            "dst",
+        )
+        .groupBy("src", "core")
+        .agg(
+            F.sum((F.col("nb") >= F.col("core")).cast("long")).alias(
+                "n_strong"
+            )
+        )
+    )
+    checks = (
+        core.join(deg, "id")
+        .agg(F.min(F.col("core") <= F.col("deg")).alias("core_le_degree"))
+        .crossJoin(
+            F.broadcast(
+                nb_core.agg(
+                    F.min(F.col("n_strong") >= F.col("core")).alias(
+                        "core_property_holds"
+                    )
+                )
+            )
+        )
+    )
+    counts = core.agg(F.count(F.lit(1)).alias("n_nodes")).crossJoin(
+        F.broadcast(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+    )
+    return counts.crossJoin(F.broadcast(checks)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        "core_le_degree",
+        "core_property_holds",
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prior_channel
+        FROM events
+    )
+    SELECT COALESCE(prior_channel, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY channel
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent prior non-purchase event type ('direct' when the purchase
+    is the stream head). One window shuffle on user_id — the
+    ignore-nulls running last() carries the channel forward, so no
+    self-join against the event history. The purchase filter applies
+    AFTER the window (it needs full history) but the aggregate is
+    matrix-sized. Ties break on (ts_us, event_id) in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("prior_channel", prior)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("prior_channel"), F.lit("direct")).alias("channel")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_purchases"))
+        .orderBy("channel")
+    )
+
+
+@register(
+    "mixture_rebalance_weights",
+    oracle="""
+    WITH s AS (
+        SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    t AS (
+        SELECT source, n_docs,
+               n_docs / SUM(n_docs) OVER () AS share,
+               1.0 / COUNT(*) OVER () AS target
+        FROM s
+    ),
+    sc AS (SELECT MIN(share / target) AS scale FROM t)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           ROUND(share, 6) AS share,
+           ROUND(LEAST(target * (SELECT scale FROM sc) / share, 1.0), 6)
+               AS keep_prob,
+           CAST(FLOOR(n_docs * target * (SELECT scale FROM sc) / share)
+                AS BIGINT) AS expected_docs
+    FROM t ORDER BY source
+    """,
+)
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture rebalancing: per-source keep-probabilities
+    that turn the corpus's organic source mix into a UNIFORM target mix
+    by downsampling only (scale = min share/target caps every
+    keep_prob at 1, so the bottleneck source keeps everything and the
+    rest thin out proportionally). The output feeds a
+    deterministic-hash Bernoulli filter (stratified_sample_docs
+    machinery) — this query is the planning half every mixture run
+    needs. All arithmetic over the tiny per-source aggregate; one
+    grouped scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    wall = Window.partitionBy()
+    t = s.select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") / F.sum("n_docs").over(wall)).alias("share"),
+        (F.lit(1.0) / F.count(F.lit(1)).over(wall)).alias("target"),
+    )
+    scale = t.agg(F.min(F.col("share") / F.col("target")).alias("scale"))
+    return (
+        t.crossJoin(F.broadcast(scale))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.round("share", 6).alias("share"),
+            F.round(
+                F.least(
+                    F.col("target") * F.col("scale") / F.col("share"),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("keep_prob"),
+            F.floor(
+                F.col("n_docs") * F.col("target") * F.col("scale") / F.col("share")
+            )
+            .cast("long")
+            .alias("expected_docs"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #

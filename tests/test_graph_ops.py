@@ -90,3 +90,65 @@ class TestCoOccurrenceEdges:
             [(1, "a"), (1, "a"), (1, "b")], "g long, item string"
         )
         assert co_occurrence_edges(df, "g", "item").count() == 1
+
+
+class TestKCore:
+    @staticmethod
+    def _brute_core(edges):
+        """Reference peeling: repeatedly remove min-degree nodes."""
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in edges:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        core = {}
+        deg = {v: len(ns) for v, ns in adj.items()}
+        alive = set(adj)
+        k = 0
+        while alive:
+            k = max(k, min(deg[v] for v in alive))
+            peel = [v for v in alive if deg[v] <= k]
+            while peel:
+                v = peel.pop()
+                if v not in alive:
+                    continue
+                core[v] = k
+                alive.discard(v)
+                for u in adj[v]:
+                    if u in alive:
+                        deg[u] -= 1
+                        if deg[u] <= k:
+                            peel.append(u)
+        return core
+
+    def _run(self, spark, edges):
+        from fraud_detection_project_spark.operators.graph import k_core
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {r["id"]: r["core"] for r in k_core(df).collect()}
+
+    def test_clique_with_tail(self, spark):
+        # K4 on 0-3 (core 3) with a path 3-10-11 (core 1)
+        edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+        edges += [(3, 10), (10, 11)]
+        got = self._run(spark, edges)
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3, 10: 1, 11: 1}
+
+    def test_matches_brute_force_on_random_graph(self, spark):
+        import random
+
+        rng = random.Random(11)
+        edges = list({
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(30), rng.randrange(30)) for _ in range(120)
+            )
+            if a != b
+        })
+        assert self._run(spark, edges) == self._brute_core(edges)
+
+    def test_direction_and_duplicates_normalized(self, spark):
+        got = self._run(spark, [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1)])
+        assert got == {1: 2, 2: 2, 3: 2}
