@@ -5710,6 +5710,9 @@ DRIVER_PRIORITY: list[str] = [
     "cms_heavy_hitters",
     "hash_filter_prune",
     "jl_distortion_profile",
+    "kcore_decomposition_invariants",
+    "attribution_last_touch",
+    "mixture_rebalance_weights",
 ]
 
 DRIVER_CANARIES: list[str] = [
@@ -5717,17 +5720,13 @@ DRIVER_CANARIES: list[str] = [
     # second driver row (all names below are exactly once hash-green)
     "interval_join_binned",
     "frame_sample_profile",
-    # family-critical r03-green anchors kept for a second confirmation:
-    # each is the sole driver signal for a whole machinery family
-    # (CC collapse, CDC merge, BM25 text stack, mapInPandas codecs,
-    # MinHash recall invariant)
+    # family-critical r03-green anchors kept for a second confirmation
+    # (CC collapse, CDC merge machinery)
     "dup_clusters",
     "cdc_merge_apply",
-    "bm25_search_topk",
-    "wav_decode_profile",
-    "minhash_recall_supercheck",
-    # trimmed to exactly fill the 50-slot window alongside the 43-name
+    # trimmed to exactly fill the 50-slot window alongside the 46-name
     # priority block: the other r03-green names rotate fully out —
+    # bm25_search_topk, wav_decode_profile, minhash_recall_supercheck,
     # doc_chunks_64_16, pack_sequences_512, user_sessions_30m,
     # pivot_user_event_counts, grouping_sets_revenue,
     # weekly_user_retention, sql_surface_top_nations,
