@@ -130,3 +130,50 @@ def hash_filter_semijoin(
         on=bucket_of(fact_key) == F.col("__hf_bucket"),
         how="left_semi",
     )
+
+
+def count_min_inner_product(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    depth: int = 4,
+    width: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Equi-join cardinality estimate WITHOUT running the join — the
+    classic count-min inner product (Cormode & Muthukrishnan §4.2):
+
+        |A ⋈_k B| = Σ_k f_A(k)·f_B(k)  ≈  min_d Σ_b cntA[d,b]·cntB[d,b]
+
+    Always >= the true size (collisions only add mass); expected excess
+    <= |A|·|B| / width per row, minimized over ``depth`` rows. This is
+    the planning primitive for choosing join strategies (broadcast vs
+    shuffle vs skew-salt) when the optimizer's NDV stats are stale or
+    the join key is derived: two independent single-pass sketches meet
+    in a sketch-sized join, never touching the data again.
+
+    Returns one row ``(join_size_est)``. Each sketch build is bounded by
+    depth*width rows post-partial-agg; the meeting join is sketch ⋈
+    sketch on (d, bucket).
+    """
+    ta = count_min_table(df_a, key_a, depth=depth, width=width, seed=seed)
+    tb = count_min_table(df_b, key_b, depth=depth, width=width, seed=seed)
+    prod = (
+        ta.join(
+            tb.select(
+                "d", "bucket", F.col("cnt").alias("cnt_b")
+            ),
+            ["d", "bucket"],
+        )
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
+    )
+    # a depth-row whose buckets never intersect has inner product 0 —
+    # it just produces NO row out of the join, so fewer than ``depth``
+    # rows here means the tightest row already proves the join is empty
+    return prod.agg(
+        F.when(F.count(F.lit(1)) < depth, F.lit(0))
+        .otherwise(F.min("ip"))
+        .alias("join_size_est")
+    )

@@ -117,3 +117,29 @@ class TestAveragePrecision:
     def test_constant_score_gives_prevalence(self, spark):
         got = self._ap(spark, [(0.5, 1), (0.5, 0), (0.5, 0), (0.5, 0)])
         assert abs(got["average_precision"] - 0.25) < 1e-6
+
+
+class TestCmsInnerProduct:
+    def _est(self, spark, a, b, **kw):
+        from fraud_detection_project_spark.operators.sketches import (
+            count_min_inner_product,
+        )
+
+        da = spark.createDataFrame([(x,) for x in a], "k long")
+        db = spark.createDataFrame([(x,) for x in b], "k long")
+        return count_min_inner_product(da, "k", db, "k", **kw).first()[
+            "join_size_est"
+        ]
+
+    def test_exact_at_wide_width(self, spark):
+        # true size = sum of freq products: 2*1 (k=1) + 1*3 (k=2) = 5
+        got = self._est(spark, [1, 1, 2, 3], [1, 2, 2, 2], width=1 << 20)
+        assert got == 5
+
+    def test_disjoint_keys_estimate_zero(self, spark):
+        assert self._est(spark, [1, 2, 3], [10, 11], width=1 << 20) == 0
+
+    def test_never_underestimates_at_tiny_width(self, spark):
+        got = self._est(spark, list(range(100)) * 2, list(range(50, 150)), width=16)
+        # exact = 50 keys shared x 2 x 1 = 100
+        assert got >= 100

@@ -114,6 +114,20 @@ def _cc_alone(spark, sf_dir: str):
     return connected_components(edges)
 
 
+def _kcore_alone(spark, sf_dir: str):
+    """k-core decomposition in isolation (no invariant checks in
+    front): the part co-purchase graph — times the H-index frontier
+    loop's per-round shuffle+checkpoint scaling."""
+    from fraud_detection_project_spark.catalog import load_table
+    from fraud_detection_project_spark.operators.graph import (
+        co_occurrence_edges,
+        k_core,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return k_core(co_occurrence_edges(li, "l_orderkey", "l_partkey"))
+
+
 def _stream_join_batch_twin(spark, sf_dir: str):
     """Stream-stream interval join, batch twin (streaming/joins.py):
     purchases correlated to errors by the same user within [0, 1h] —
@@ -156,6 +170,15 @@ def run(spark, sf_dir: str) -> dict[str, float]:
         # round-3 scale-shaped additions
         "q15_global_index": lambda: QUERIES["global_index_events"](spark, sf_dir),
         "q16_interval_overlap": lambda: QUERIES["interval_overlap_sessions"](
+            spark, sf_dir
+        ),
+        # round-4 additions: corpus surgery, iterative graph, sketches
+        "q17_boilerplate": lambda: QUERIES["boilerplate_removed_docs"](
+            spark, sf_dir
+        ),
+        "q18_kcore_alone": lambda: _kcore_alone(spark, sf_dir),
+        "q19_cms": lambda: QUERIES["cms_heavy_hitters"](spark, sf_dir),
+        "q20_transitions": lambda: QUERIES["event_transition_probs"](
             spark, sf_dir
         ),
     }
@@ -202,8 +225,17 @@ def main() -> None:
             f"| {r:.2f}x | {math.log10(r):.2f} |"
         )
     lines += ["", f"(run: `python tools/bench_scale.py`, {time.strftime('%Y-%m-%d')})"]
-    with open(os.path.join(ROOT, "SCALING.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+    # preserve hand-written analysis sections ("## ..." and below) across
+    # regenerations — only the header + table are machine-owned
+    scaling_path = os.path.join(ROOT, "SCALING.md")
+    appendix = ""
+    if os.path.exists(scaling_path):
+        old = open(scaling_path).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            appendix = old[idx:]
+    with open(scaling_path, "w") as f:
+        f.write("\n".join(lines) + "\n" + appendix)
     payload = {
         "sf0.1": t_1x,
         "sf1": t_10x,
