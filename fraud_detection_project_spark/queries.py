@@ -5772,6 +5772,7 @@ DRIVER_PRIORITY: list[str] = [
     "kcore_decomposition_invariants",
     "attribution_last_touch",
     "mixture_rebalance_weights",
+    "cms_join_size_estimate",
 ]
 
 DRIVER_CANARIES: list[str] = [
@@ -5779,13 +5780,13 @@ DRIVER_CANARIES: list[str] = [
     # second driver row (all names below are exactly once hash-green)
     "interval_join_binned",
     "frame_sample_profile",
-    # family-critical r03-green anchors kept for a second confirmation
-    # (CC collapse, CDC merge machinery)
+    # family-critical r03-green anchor kept for a second confirmation
+    # (CC collapse machinery)
     "dup_clusters",
-    "cdc_merge_apply",
-    # trimmed to exactly fill the 50-slot window alongside the 46-name
+    # trimmed to exactly fill the 50-slot window alongside the 47-name
     # priority block: the other r03-green names rotate fully out —
-    # bm25_search_topk, wav_decode_profile, minhash_recall_supercheck,
+    # cdc_merge_apply, bm25_search_topk, wav_decode_profile,
+    # minhash_recall_supercheck,
     # doc_chunks_64_16, pack_sequences_512, user_sessions_30m,
     # pivot_user_event_counts, grouping_sets_revenue,
     # weekly_user_retention, sql_surface_top_nations,
