@@ -62,3 +62,45 @@ def merge_aggregate_state(
         for out, (_, fn) in specs.items()
     ]
     return merged.select(*keys, *cols)
+
+
+def moment_partials(
+    batch: DataFrame, keys: list[str], col: str
+) -> DataFrame:
+    """Mergeable second-moment partials per group: ``(n, s1, s2)`` =
+    count, Σx, Σx². Closes the documented gap above for mean/variance:
+    carried this way they ARE algebraic — the raw power sums add
+    component-wise across shards — so running stats can be maintained
+    incrementally without rescanning history. (Σx² accumulates in
+    float64: fine for telemetry-scale magnitudes; a catastrophic-
+    cancellation-sensitive domain would carry Chan's (mean, M2) pairs
+    instead, merged with the pairwise-update formula.)"""
+    c = F.col(col)
+    return batch.filter(c.isNotNull()).groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c.cast("double")).alias("s1"),
+        F.sum((c * c).cast("double")).alias("s2"),
+    )
+
+
+def merge_moments(
+    partials: DataFrame, keys: list[str], precision: int = 6
+) -> DataFrame:
+    """Combine ``moment_partials`` shards (component-wise sums over any
+    extra sharding columns NOT in ``keys``) and finalize to
+    ``(n, mean, var_pop, std_pop)``. Merge-then-finalize is exact —
+    identical to a single global pass."""
+    merged = partials.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    return merged.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, precision).alias("mean"),
+        F.round(var, precision).alias("var_pop"),
+        F.round(F.sqrt(F.greatest(var, F.lit(0.0))), precision).alias("std_pop"),
+    )

@@ -5702,6 +5702,46 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shard_merged_moments",
+    oracle="""
+    WITH p AS (
+        SELECT user_id % 4 AS shard, event_type,
+               COUNT(*) AS n, SUM(value) AS s1, SUM(value * value) AS s2
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, SUM(n) AS n, SUM(s1) AS s1, SUM(s2) AS s2
+        FROM p GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n,
+           ROUND(s1 / n, 6) AS mean,
+           ROUND(s2 / n - (s1 / n) * (s1 / n), 6) AS var_pop,
+           ROUND(SQRT(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)), 6)
+               AS std_pop
+    FROM m ORDER BY event_type
+    """,
+)
+def q_shard_merged_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-statistics pattern (operators/incremental.py:
+    moment_partials + merge_moments): per-shard (n, Σx, Σx²) power sums
+    merged to exact global mean/variance — the incremental-maintenance
+    answer for running stats (daily shards → monthly stats with no
+    history rescan), closing incremental.py's documented avg/variance
+    gap. The deliberate shard split (user_id % 4) stands in for
+    independently-aggregated partitions; merge-then-finalize is
+    checked exact against the single-pass oracle."""
+    from .operators.incremental import merge_moments, moment_partials
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "shard", F.col("user_id") % 4
+    )
+    partials = moment_partials(ev, ["shard", "event_type"], "value")
+    return merge_moments(partials, ["event_type"]).orderBy("event_type")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -5773,6 +5813,7 @@ DRIVER_PRIORITY: list[str] = [
     "attribution_last_touch",
     "mixture_rebalance_weights",
     "cms_join_size_estimate",
+    "shard_merged_moments",
 ]
 
 DRIVER_CANARIES: list[str] = [
@@ -5780,10 +5821,10 @@ DRIVER_CANARIES: list[str] = [
     # second driver row (all names below are exactly once hash-green)
     "interval_join_binned",
     "frame_sample_profile",
-    # family-critical r03-green anchor kept for a second confirmation
-    # (CC collapse machinery)
-    "dup_clusters",
-    # trimmed to exactly fill the 50-slot window alongside the 47-name
+    # trimmed to exactly fill the 50-slot window alongside the 48-name
+    # priority block (dup_clusters' second-confirmation slot yields to
+    # the new shard_merged_moments first run — its CC machinery is
+    # exercised harder by dup_cluster_canonical in priority);
     # priority block: the other r03-green names rotate fully out —
     # cdc_merge_apply, bm25_search_topk, wav_decode_profile,
     # minhash_recall_supercheck,

@@ -878,3 +878,41 @@ class TestScd2:
         assert [(r["attr"], r["valid_from"]) for r in out] == [
             (None, 10), ("a", 30)
         ]
+
+
+class TestMergeableMoments:
+    def test_shard_merge_equals_single_pass(self, spark):
+        import statistics
+
+        from fraud_detection_project_spark.operators.incremental import (
+            merge_moments,
+            moment_partials,
+        )
+
+        vals = [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]]
+        rows = [(i % 3, "a", v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "shard int, g string, x double")
+        got = merge_moments(
+            moment_partials(df, ["shard", "g"], "x"), ["g"], precision=9
+        ).first()
+        assert got["n"] == len(vals)
+        assert abs(got["mean"] - statistics.fmean(vals)) < 1e-9
+        assert abs(got["var_pop"] - statistics.pvariance(vals)) < 1e-6
+
+    def test_nulls_excluded_and_new_group_appears(self, spark):
+        from fraud_detection_project_spark.operators.incremental import (
+            merge_moments,
+            moment_partials,
+        )
+
+        df = spark.createDataFrame(
+            [(0, "a", 2.0), (1, "a", None), (1, "b", 7.0)],
+            "shard int, g string, x double",
+        )
+        got = {
+            r["g"]: (r["n"], r["mean"])
+            for r in merge_moments(
+                moment_partials(df, ["shard", "g"], "x"), ["g"]
+            ).collect()
+        }
+        assert got == {"a": (1, 2.0), "b": (1, 7.0)}

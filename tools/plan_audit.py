@@ -262,6 +262,35 @@ def audit(spark, sf_dir: str) -> list[str]:
           "FileScan parquet [l_orderkey#" in p
           and "FileScan parquet [o_custkey#" in p, p)
 
+    # ------------------------------------------------------------------
+    # Repo-wide lints over EVERY registered query's physical plan:
+    #   1. no CartesianProduct — a non-broadcast cartesian anywhere is a
+    #      100 TB landmine (broadcast 1-row stat frames plan as
+    #      BroadcastNestedLoopJoin, which is fine and not matched here);
+    #   2. no BatchEvalPython — row-at-a-time Python UDFs are banned;
+    #      the only sanctioned Python crossings are Arrow-batched
+    #      (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas).
+    # Iterative queries (k-core, CC, PageRank) execute jobs during
+    # plan construction; the lint still sees their final-plan shape.
+    # ------------------------------------------------------------------
+    cartesian_offenders, python_offenders, plan_errors = [], [], []
+    for qname in sorted(QUERIES):
+        try:
+            qp = plan_of(QUERIES[qname](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            plan_errors.append(f"{qname}: {exc}")
+            continue
+        if "CartesianProduct" in qp:
+            cartesian_offenders.append(qname)
+        if "BatchEvalPython" in qp:
+            python_offenders.append(qname)
+    check("ALL queries: no non-broadcast cartesian product",
+          not cartesian_offenders, str(cartesian_offenders))
+    check("ALL queries: no row-wise Python UDF (BatchEvalPython)",
+          not python_offenders, str(python_offenders))
+    check("ALL queries: plans build cleanly", not plan_errors,
+          str(plan_errors[:3]))
+
     # whole-stage codegen compiles for the scan→agg path ("codegen"
     # explain mode generates the code without executing). The adaptive
     # wrapper hides codegen subtrees pre-execution, so plan this one
