@@ -5742,6 +5742,67 @@ def q_shard_merged_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_moments(partials, ["event_type"]).orderBy("event_type")
 
 
+@register(
+    "zipf_slope_tokens",
+    oracle="""
+    WITH f AS (
+        SELECT word, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    ),
+    r AS (
+        SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word)
+                       AS DOUBLE) AS rnk
+        FROM f
+    )
+    SELECT CAST((SELECT COUNT(*) FROM f) AS BIGINT) AS vocab_size,
+           ROUND(regr_slope(LN(n), LN(rnk)), 6) AS zipf_slope,
+           ROUND(regr_intercept(LN(n), LN(rnk)), 6) AS zipf_intercept,
+           ROUND(regr_r2(LN(n), LN(rnk)), 6) AS r2
+    FROM r WHERE rnk <= 500
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token distribution: OLS slope of
+    ln(freq) on ln(rank) for the top-500 ranks (natural text ≈ -1;
+    far-off slopes flag synthetic/templated corpora — a cheap corpus-
+    health diagnostic). Exercises the regr_* aggregate family
+    (regr_slope/intercept/r2 — single-pass distributed OLS, codegen,
+    no UDF). Shuffle is vocab-bounded (map-side partial agg before the
+    frequency exchange); the rank window runs over the vocabulary
+    frame, not the token stream. Deterministic tie-break (n desc,
+    word) in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    freqs = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    ranked = freqs.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), "word"))
+        .cast("double")
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 500)
+    vocab = freqs.agg(F.count(F.lit(1)).alias("vocab_size"))
+    fit = ranked.agg(
+        F.round(F.regr_slope(F.log("n"), F.log("rnk")), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.log("n"), F.log("rnk")), 6).alias(
+            "zipf_intercept"
+        ),
+        F.round(F.regr_r2(F.log("n"), F.log("rnk")), 6).alias("r2"),
+    )
+    return vocab.crossJoin(F.broadcast(fit)).select(
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        "zipf_slope",
+        "zipf_intercept",
+        "r2",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -5814,11 +5875,14 @@ DRIVER_PRIORITY: list[str] = [
     "mixture_rebalance_weights",
     "cms_join_size_estimate",
     "shard_merged_moments",
+    "zipf_slope_tokens",
 ]
 
 DRIVER_CANARIES: list[str] = [
     # VERDICT r3 item 7: once-green high-value anchors earning their
-    # second driver row (all names below are exactly once hash-green)
+    # second driver row; with the 49-name priority block only
+    # interval_join_binned fits the 50-cut — frame_sample_profile
+    # stays listed and re-enters when priority thins next round
     "interval_join_binned",
     "frame_sample_profile",
     # trimmed to exactly fill the 50-slot window alongside the 48-name
