@@ -5803,6 +5803,127 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "label_centroid_separation",
+    oracle="""
+    WITH x AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    c AS (
+        SELECT label, pos, AVG(val) AS v
+        FROM x GROUP BY label, pos
+    ),
+    p AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               SUM(a.v * b.v) AS dot,
+               SQRT(SUM(a.v * a.v)) AS na,
+               SQRT(SUM(b.v * b.v)) AS nb
+        FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT label_a, label_b,
+           ROUND(dot / (na * nb), 6) AS centroid_cosine
+    FROM p ORDER BY label_a, label_b
+    """,
+)
+def q_label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding feature-space health: per-label centroids and their
+    pairwise cosine separation (labels whose centroids collapse
+    together predict classifier confusion; the cheap triage before
+    training). Scale shape: posexplode multiplies rows by dim, but the
+    map-side partial average collapses the shuffle to |labels|·dim
+    rows; the pairwise pass runs over the tiny centroid frame joined
+    position-wise (norms and dot in ONE aggregate — no array
+    materialization needed on either engine)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select("label", "pos", F.col("val").cast("double").alias("val"))
+    c = x.groupBy("label", "pos").agg(F.avg("val").alias("v"))
+    a = c.select(
+        F.col("label").alias("label_a"), "pos", F.col("v").alias("va")
+    )
+    b = c.select(
+        F.col("label").alias("label_b"), "pos", F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, ["pos"])
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("va") * F.col("vb")).alias("dot"),
+            F.sqrt(F.sum(F.col("va") * F.col("va"))).alias("na"),
+            F.sqrt(F.sum(F.col("vb") * F.col("vb"))).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+            "centroid_cosine"
+        ),
+    ).orderBy("label_a", "label_b")
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle="""
+    WITH w AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wf
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    ),
+    p AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair, wf
+        FROM (SELECT word, wf, unnest(range(1, len(word))) AS i FROM w)
+    )
+    SELECT pair, CAST(SUM(wf) AS BIGINT) AS cnt
+    FROM p GROUP BY pair
+    ORDER BY cnt DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, round-1 merge candidates: adjacent
+    character-pair counts weighted by word frequency, top-20 — the
+    argmax of this table IS the first BPE merge. The classic scale
+    design: pair extraction runs over the DISTINCT-word frequency
+    table (vocab-bounded — thousands of rows no matter the corpus
+    size), never the token stream; the corpus is touched exactly once
+    to build word counts with map-side partial agg. Subsequent merge
+    rounds re-segment the same vocab table (iterative driver loop, the
+    standard implementation) — round 1 proves the distributed shape.
+    Deterministic tie-break (count desc, pair asc) →
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    # filter BEFORE sequence(): Spark's sequence(1, 0) descends rather
+    # than returning empty, so a 1-char word would fabricate pairs
+    pairs = words.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wf",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -5876,6 +5997,8 @@ DRIVER_PRIORITY: list[str] = [
     "cms_join_size_estimate",
     "shard_merged_moments",
     "zipf_slope_tokens",
+    "label_centroid_separation",
+    "bpe_merge_candidates",
 ]
 
 DRIVER_CANARIES: list[str] = [
