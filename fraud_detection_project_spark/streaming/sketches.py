@@ -1,0 +1,105 @@
+"""Streaming count-min maintenance — a frequency sketch kept current
+over an event stream.
+
+North-star composition: the batch sketch
+(operators/sketches.py:count_min_table) is SUM-MERGEABLE — counters of
+two disjoint batches add cell-wise to exactly the counters of their
+union. That makes the streaming form trivial and exact: inside
+``foreachBatch``, sketch the micro-batch (bounded shuffle: at most
+depth*width rows) and cell-wise add it into the persisted sketch
+table. No state store, no watermark — the sketch IS the state, and it
+is bounded by depth*width forever, no matter how many events stream
+through. This is the streaming answer to "running heavy-hitters /
+rate estimates over an unbounded key domain" where exact per-key
+state would grow without bound.
+
+The persisted sketch uses the same atomic versioned-manifest contract
+as streaming/upsert.py: each micro-batch writes a new version
+directory and flips the manifest last, so readers never see a torn
+sketch and crash-replays of a micro-batch are idempotent per version.
+
+Stream ≡ batch exactness (cell-wise, hence estimate-wise) is the
+pytest oracle: tests/test_streaming.py::TestStreamingCountMin.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sketches import count_min_table
+
+_SCHEMA = "d INT, bucket BIGINT, cnt BIGINT"
+
+
+def read_sketch(spark, path: str) -> DataFrame:
+    """Current sketch state (empty frame before the first batch)."""
+    manifest = os.path.join(path, "MANIFEST.json")
+    if not os.path.exists(manifest):
+        return spark.createDataFrame([], _SCHEMA)
+    with open(manifest) as f:
+        version = json.load(f)["version"]
+    return spark.read.parquet(os.path.join(path, f"v={version}"))
+
+
+def merge_sketch_batch(
+    spark,
+    batch: DataFrame,
+    key: str,
+    path: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+) -> None:
+    """state' = state ⊕ sketch(batch): cell-wise counter addition via a
+    full-outer union-agg (both sides are sketch-sized). Atomic
+    version-flip commit."""
+    delta = count_min_table(batch, key, depth=depth, width=width, seed=seed)
+    merged = (
+        read_sketch(spark, path)
+        .unionByName(delta.select(
+            F.col("d").cast("int"), F.col("bucket"), F.col("cnt")
+        ))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    manifest = os.path.join(path, "MANIFEST.json")
+    version = 0
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            version = json.load(f)["version"] + 1
+    merged.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version}, f)
+    os.replace(tmp, manifest)
+
+
+def streaming_count_min(
+    stream: DataFrame,
+    key: str,
+    path: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: int = 42,
+):
+    """Maintain the sketch over a stream; returns the StreamingQuery.
+    ``read_sketch(spark, path)`` serves estimates at any time (probe
+    with operators/sketches.py machinery)."""
+    spark = stream.sparkSession
+
+    def _merge(batch: DataFrame, _epoch: int) -> None:
+        merge_sketch_batch(
+            spark, batch, key, path, depth=depth, width=width, seed=seed
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -710,3 +710,78 @@ def test_stream_enrich_against_versioned_snapshot(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert got == {100: "bronze", 101: "bronze", 200: "gold", 201: "bronze"}
+
+
+class TestStreamingCountMin:
+    def test_stream_sketch_equals_batch_sketch(self, spark, events_src, tmp_path):
+        """Sum-mergeability makes the streamed sketch EXACTLY the batch
+        sketch of the same rows — cell-wise, hence estimate-wise."""
+        from fraud_detection_project_spark.operators.sketches import (
+            count_min_table,
+        )
+        from fraud_detection_project_spark.streaming.sketches import (
+            read_sketch,
+            streaming_count_min,
+        )
+
+        src = spark.readStream.schema(
+            spark.read.parquet(events_src).schema
+        ).option("maxFilesPerTrigger", 1).parquet(events_src)
+        path = str(tmp_path / "cms_state")
+        q = streaming_count_min(
+            src,
+            "user_id",
+            path,
+            checkpoint=str(tmp_path / "ckpt"),
+            width=256,
+        )
+        q.awaitTermination(120) if q.isActive else None
+        # availableNow isn't used here (maxFilesPerTrigger exercises
+        # multi-batch merging); stop once the source drains
+        import time
+
+        deadline = time.time() + 120
+        while q.isActive and time.time() < deadline:
+            if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+
+        got = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in read_sketch(spark, path).collect()
+        }
+        want = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in count_min_table(
+                spark.read.parquet(events_src), "user_id", width=256
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_merge_is_idempotent_free_accumulation(self, spark, tmp_path):
+        """Two disjoint batches merged sequentially == one combined
+        batch sketched once."""
+        from fraud_detection_project_spark.operators.sketches import (
+            count_min_table,
+        )
+        from fraud_detection_project_spark.streaming.sketches import (
+            merge_sketch_batch,
+            read_sketch,
+        )
+
+        b1 = spark.createDataFrame([(i % 5,) for i in range(40)], "k long")
+        b2 = spark.createDataFrame([(i % 7,) for i in range(30)], "k long")
+        path = str(tmp_path / "state")
+        merge_sketch_batch(spark, b1, "k", path, width=64)
+        merge_sketch_batch(spark, b2, "k", path, width=64)
+        got = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in read_sketch(spark, path).collect()
+        }
+        want = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in count_min_table(b1.union(b2), "k", width=64).collect()
+        }
+        assert got == want
