@@ -5924,6 +5924,98 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kmeans_invariants",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE embedding IS NOT NULL) AS BIGINT) AS n_points,
+           CAST(8 AS BIGINT) AS k,
+           TRUE AS assignments_are_nearest,
+           TRUE AS cost_beats_k1,
+           TRUE AS partition_is_complete
+    """,
+)
+def q_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means audit (ml/clustering.py:kmeans_fit/assign — the sole
+    rows-only family without a SQL twin until now): after the seeded
+    fit, (a) every point's assigned centroid IS its nearest centroid
+    (checked distributedly by recomputing all k distances per point
+    against the broadcast centroid matrix — exact for MLlib's final
+    assignment step), (b) the k=8 within-cluster cost beats the k=1
+    cost (= total variance; Lloyd monotone in k for nested inits), and
+    (c) the assignment partitions the table (cluster counts sum to n).
+    Invariant-style oracle with exact n. Distances fold as codegen
+    column arithmetic over the centroid literal — no UDF."""
+    from .ml.clustering import kmeans_assign, kmeans_centroids, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    model = kmeans_fit(emb, k=8)
+    cents = kmeans_centroids(model)
+    assigned = kmeans_assign(emb, model)
+
+    def sqdist_to(c: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.array(*[F.lit(float(x)) for x in c]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    dists = assigned.select(
+        "cluster",
+        F.array(*[sqdist_to(c) for c in cents]).alias("ds"),
+    ).select(
+        "cluster",
+        F.element_at("ds", F.col("cluster") + 1).alias("d_assigned"),
+        F.array_min("ds").alias("d_best"),
+    )
+    checks = dists.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min(F.col("d_assigned") <= F.col("d_best") + 1e-9).alias(
+            "assignments_are_nearest"
+        ),
+        F.sum("d_assigned").alias("__cost_k"),
+    )
+    # k=1 cost = total variance about the global centroid, computed
+    # exactly via the power-sum identity Σ_pos[Σx² − (Σx)²/n]
+    # (MLlib refuses k=1, and no fit is needed for it anyway)
+    cost1 = (
+        emb.select(F.posexplode(F.col("embedding").cast("array<double>")))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.col("col") * F.col("col")).alias("s2"),
+            F.sum("col").alias("s1"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .agg(
+            F.sum(
+                F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
+            ).alias("__cost_1")
+        )
+    )
+    parts = assigned.groupBy("cluster").count().agg(
+        F.sum("count").alias("__n_parts")
+    )
+    return (
+        checks.crossJoin(F.broadcast(cost1))
+        .crossJoin(F.broadcast(parts))
+        .select(
+            F.col("n_points").cast("long").alias("n_points"),
+            F.lit(8).cast("long").alias("k"),
+            "assignments_are_nearest",
+            (F.col("__cost_k") < F.col("__cost_1")).alias("cost_beats_k1"),
+            (F.col("__n_parts") == F.col("n_points")).alias(
+                "partition_is_complete"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -5999,6 +6091,7 @@ DRIVER_PRIORITY: list[str] = [
     "zipf_slope_tokens",
     "label_centroid_separation",
     "bpe_merge_candidates",
+    "kmeans_invariants",
 ]
 
 DRIVER_CANARIES: list[str] = [
