@@ -6016,6 +6016,96 @@ def q_kmeans_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "value_time_trend_by_type",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(value, epoch_us(ts) / 3600000000.0), 6)
+               AS slope_per_hour,
+           ROUND(regr_r2(value, epoch_us(ts) / 3600000000.0), 6) AS r2
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_value_time_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS drift trend: per event type, the slope of value over
+    wall-clock hours (is the metric creeping?) — the regression twin of
+    the PSI/KS drift monitors, as a single-pass distributed aggregate
+    (regr_slope/regr_r2 partial-aggregate map-side like any algebraic
+    agg; no window, no sort). Time regressor derives from the exact µs
+    epoch so both engines feed identical doubles."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hours = (F.expr("ts_ns div 1000") / F.lit(3600000000.0)).alias("h")
+    return (
+        ev.select("event_type", "value", hours)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.regr_slope(F.col("value"), F.col("h")), 6).alias(
+                "slope_per_hour"
+            ),
+            F.round(F.regr_r2(F.col("value"), F.col("h")), 6).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "cusum_peak_by_type",
+    oracle="""
+    WITH m AS (
+        SELECT AVG(value) AS mu FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+        SELECT event_type,
+               SUM(value - (SELECT mu FROM m)) OVER (
+                   PARTITION BY event_type
+                   ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cusum
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           ROUND(MAX(ABS(cusum)), 4) AS peak_cusum,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM c GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_cusum_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint signal: per event type, the peak absolute
+    cumulative deviation from the global mean over the time-ordered
+    stream — the classic mean-shift detector (a large peak marks WHERE
+    the level changed). Two passes: a 1-row global mean broadcast, then
+    ONE window shuffle per type partition with the running sum and max
+    folding in the same pass. Ties break on (ts_us, event_id) in both
+    engines; sums round to 4dp to absorb accumulation-order float
+    noise."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    mu = ev.agg(F.avg("value").alias("mu"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.expr("ts_ns div 1000").alias("ts_us"),
+        )
+        .crossJoin(F.broadcast(mu))
+        .withColumn("cusum", F.sum(F.col("value") - F.col("mu")).over(w))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max(F.abs("cusum")), 4).alias("peak_cusum"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -6092,6 +6182,8 @@ DRIVER_PRIORITY: list[str] = [
     "label_centroid_separation",
     "bpe_merge_candidates",
     "kmeans_invariants",
+    "value_time_trend_by_type",
+    "cusum_peak_by_type",
 ]
 
 DRIVER_CANARIES: list[str] = [
