@@ -4093,7 +4093,7 @@ def q_expanding_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT f AS feature,
            ROUND(SUM(o * o / (rt * ct * 1.0 / n)) - MAX(n), 6) AS chi2,
            CAST((COUNT(DISTINCT v) - 1) * (COUNT(DISTINCT y) - 1) AS BIGINT) AS dof,
-           MAX(n) AS n
+           CAST(MAX(n) AS BIGINT) AS n
     FROM tot GROUP BY f
     ORDER BY chi2 DESC, feature
     """,
@@ -4177,7 +4177,7 @@ def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt AS (SELECT c, v, COUNT(*) AS n FROM m GROUP BY 1, 2)
     SELECT c AS column_name,
            COUNT(*) AS n_distinct,
-           SUM(n) AS n_rows,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
            ROUND(log2(SUM(n)) - SUM(n * log2(n)) / SUM(n), 6) AS entropy_bits
     FROM cnt GROUP BY c
     ORDER BY column_name
@@ -4459,7 +4459,8 @@ def q_model_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(CASE WHEN value < 50.0 AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS tn
         FROM events WHERE value IS NOT NULL
     )
-    SELECT tp, fp, fn, tn,
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
            ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision,
            ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall,
            ROUND(2 * (CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0)) * (CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0))
@@ -4555,8 +4556,8 @@ def q_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM binned
     )
     SELECT ROUND(SUM((fa - fe) * LN(fa / fe)), 6) AS psi,
-           SUM(ce) AS n_expected,
-           SUM(ca) AS n_actual
+           CAST(SUM(ce) AS BIGINT) AS n_expected,
+           CAST(SUM(ca) AS BIGINT) AS n_actual
     FROM f
     """,
 )
@@ -4599,8 +4600,8 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM u
     )
     SELECT ROUND(MAX(ABS(diff)), 6) AS ks,
-           MAX(na) AS n_a,
-           MAX(nb) AS n_b
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b
     FROM c
     """,
 )
