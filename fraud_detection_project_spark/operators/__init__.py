@@ -39,7 +39,7 @@ from .graph import co_occurrence_edges, pagerank, triangle_count
 from .scd import build_scd2
 from .curation import curation_funnel, remove_boilerplate_lines
 from .sketches import count_min_estimate, count_min_table, hash_filter_semijoin
-from .similarity import random_project
+from .similarity import random_project, semantic_dedup
 
 __all__ = [
     "handle_missing_values",
@@ -86,4 +86,5 @@ __all__ = [
     "count_min_table",
     "hash_filter_semijoin",
     "random_project",
+    "semantic_dedup",
 ]

@@ -134,6 +134,7 @@ def cosine_near_dup_pairs(
     bits: int = 12,
     seed: int = 42,
     dim: int | None = None,
+    bucket_col: str | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: exact cosine ≥ threshold among
     pairs sharing a hyperplane bucket (high-cosine pairs agree on sign
@@ -144,16 +145,26 @@ def cosine_near_dup_pairs(
     exists only inside buckets, and within a bucket the pairwise cosine
     is one BLAS product — the per-pair expression form was interpreted
     and ~10× slower. Per-group memory is O(bucket_size²); size buckets
-    via ``bits``."""
+    via ``bits``.
+
+    ``bucket_col``: use an existing partitioning column (e.g. a k-means
+    cluster id) as the candidate blocks instead of hyperplane buckets —
+    the SemDeDup composition (semantic_dedup below)."""
     import pandas as pd
     from pyspark.sql import types as T2
 
-    if dim is None:
-        dim = len(df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0])
+    if bucket_col is not None:
+        bucket = F.col(bucket_col)
+    else:
+        if dim is None:
+            dim = len(
+                df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
+            )
+        bucket = hyperplane_bucket(vec_col, dim, bits, seed)
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        hyperplane_bucket(vec_col, dim, bits, seed).alias("bucket"),
+        bucket.alias("bucket"),
     ).filter(F.col("v").isNotNull())
 
     thr = float(threshold)
@@ -471,3 +482,54 @@ def random_project(
 
     proj = pandas_udf(kernel, returnType="array<double>")(F.col(vec_col))
     return df.withColumn(vec_col, proj)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 32,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate removal
+    over an embedding column. Cluster with seeded k-means, find exact
+    cosine >= threshold pairs WITHIN clusters only (the cluster
+    assignment bounds the candidate product — the paper's trick for
+    web scale), collapse dup pairs to connected components, keep the
+    lowest-id member of each component plus every untouched vector.
+
+    Returns ``(id, cluster, keep)``. Cross-cluster near-dups are missed
+    by construction (same recall trade the paper makes); raise ``k``
+    for tighter clusters and cheaper pair blocks, lower it for recall.
+    Composition: ml/clustering.py:kmeans_assign → per-cluster blocked
+    gemm (cosine_near_dup_pairs bucket_col path) →
+    operators/dedup.py:connected_components.
+    """
+    from ..ml.clustering import kmeans_assign, kmeans_fit
+    from .dedup import connected_components
+
+    model = kmeans_fit(df, k=k, vec_col=vec_col, seed=seed)
+    assigned = kmeans_assign(df, model, vec_col=vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("cluster")
+    )
+    pairs = cosine_near_dup_pairs(
+        assigned,
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        bucket_col="cluster",
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    reps = cc.select(
+        F.col("id"), (F.col("id") == F.col("cluster_id")).alias("__keep_dup")
+    )
+    return (
+        assigned.select(F.col(id_col).alias("id"), "cluster")
+        .join(reps, "id", "left")
+        .select(
+            "id",
+            "cluster",
+            F.coalesce(F.col("__keep_dup"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -6107,6 +6107,87 @@ def q_cusum_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_invariants",
+    oracle="""
+    SELECT CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE embedding IS NOT NULL) AS BIGINT) AS n_vectors,
+           TRUE AS partition_complete,
+           TRUE AS no_kept_kept_pair,
+           TRUE AS every_dropped_has_dup_edge
+    """,
+)
+def q_semantic_dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup audit (operators/similarity.py:semantic_dedup — Abbas
+    et al. 2023): embedding-level near-dup removal where seeded k-means
+    clusters bound the candidate product and connected components pick
+    one survivor per dup group. Checked distributedly: the keep/drop
+    flags partition the table; no two KEPT vectors form a >= threshold
+    pair (survivors are independent); every DROPPED vector sits on at
+    least one dup edge (nothing is dropped without cause). Invariant-
+    style oracle with exact n. The pair recompute rides the same
+    seeded deterministic path as the dedup itself."""
+    from .operators.similarity import cosine_near_dup_pairs, semantic_dedup
+    from .ml.clustering import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    sd = semantic_dedup(emb, k=16, threshold=0.95)
+
+    model = kmeans_fit(emb, k=16)
+    assigned = kmeans_assign(emb, model).select("vec_id", "embedding", "cluster")
+    pairs = cosine_near_dup_pairs(
+        assigned, threshold=0.95, bucket_col="cluster"
+    ).select("id_a", "id_b")
+
+    keep_flags = sd.select("id", "keep")
+    p = (
+        pairs.join(
+            keep_flags.select(
+                F.col("id").alias("id_a"), F.col("keep").alias("keep_a")
+            ),
+            "id_a",
+        )
+        .join(
+            keep_flags.select(
+                F.col("id").alias("id_b"), F.col("keep").alias("keep_b")
+            ),
+            "id_b",
+        )
+    )
+    kept_kept = p.agg(
+        F.coalesce(
+            F.max(F.col("keep_a") & F.col("keep_b")), F.lit(False)
+        ).alias("__any_kept_kept")
+    )
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    orphan_drops = (
+        keep_flags.filter(~F.col("keep"))
+        .join(dup_ids, "id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("__orphans"))
+    )
+    counts = emb.agg(F.count(F.lit(1)).alias("n_vectors")).crossJoin(
+        F.broadcast(sd.agg(F.count(F.lit(1)).alias("__n_flags")))
+    )
+    return (
+        counts.crossJoin(F.broadcast(kept_kept))
+        .crossJoin(F.broadcast(orphan_drops))
+        .select(
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+            (F.col("__n_flags") == F.col("n_vectors")).alias(
+                "partition_complete"
+            ),
+            (~F.col("__any_kept_kept")).alias("no_kept_kept_pair"),
+            (F.col("__orphans") == 0).alias("every_dropped_has_dup_edge"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -6185,6 +6266,7 @@ DRIVER_PRIORITY: list[str] = [
     "kmeans_invariants",
     "value_time_trend_by_type",
     "cusum_peak_by_type",
+    "semantic_dedup_invariants",
 ]
 
 DRIVER_CANARIES: list[str] = [

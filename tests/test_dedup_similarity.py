@@ -605,3 +605,52 @@ class TestRandomProject:
         )
         got = {r["vec_id"]: r["embedding"] for r in random_project(df, dim=4, out_dim=2).collect()}
         assert got[1] is None and len(got[0]) == 2
+
+
+class TestSemanticDedup:
+    def test_groups_collapse_to_one_survivor(self, spark):
+        import numpy as np
+
+        from fraud_detection_project_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        rng = np.random.RandomState(5)
+        rows = []
+        vid = 0
+        # three far-apart anchor directions, each with 4 near-identical
+        # copies (tiny jitter), plus 6 isolated random vectors
+        for g in range(3):
+            base = np.zeros(16)
+            base[g * 5] = 10.0
+            for _ in range(4):
+                v = base + rng.normal(scale=0.01, size=16)
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
+        for _ in range(6):
+            v = rng.normal(size=16) * 3
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(df, k=4, threshold=0.99).collect()
+        kept = {r["id"] for r in out if r["keep"]}
+        dropped = {r["id"] for r in out if not r["keep"]}
+        # each 4-copy group keeps exactly its min id
+        assert {0, 4, 8} <= kept
+        assert dropped == {1, 2, 3, 5, 6, 7, 9, 10, 11}
+        assert len(out) == 18
+
+    def test_no_dups_keeps_everything(self, spark):
+        import numpy as np
+
+        from fraud_detection_project_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        rng = np.random.RandomState(9)
+        rows = [
+            (i, [float(x) for x in rng.normal(size=8)]) for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = semantic_dedup(df, k=3, threshold=0.999).collect()
+        assert all(r["keep"] for r in out) and len(out) == 20
