@@ -7,6 +7,7 @@ generators are broad (nulls, duplicates, extreme timestamps).
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -474,3 +475,116 @@ class TestChangesetClosure:
         s = diff_summary(left, right, ["k"]).first()
         n_min = s["n_only_left"] + s["n_only_right"] + s["n_differing"]
         assert len(ch) == n_min
+
+
+class TestBoilerplateProperties:
+    docs_strategy = st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+
+    @given(docs=docs_strategy)
+    @settings(**SETTINGS)
+    def test_removal_is_idempotent(self, spark, docs):
+        """Removing common lines cannot create new common lines, so a
+        second pass is a no-op on the survivors."""
+        from pyspark.sql import functions as F
+
+        from fraud_detection_project_spark.operators.curation import (
+            remove_boilerplate_lines,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "\n".join(lines)) for i, lines in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        once = remove_boilerplate_lines(
+            df, F.split("text", "\n"), min_docs=2
+        ).select(
+            "doc_id", F.array_join("kept_lines", "\n").alias("text")
+        )
+        twice = remove_boilerplate_lines(
+            once, F.split("text", "\n"), min_docs=2
+        )
+        # every doc survives with zero additional removals; empty docs
+        # split to [''] which stays below any min_docs>=2 only if not
+        # shared — shared empties are legitimately common lines, so
+        # compare against the brute-force python model instead
+        from collections import Counter
+
+        def brute(doc_lines):
+            freq = Counter()
+            for lines in doc_lines:
+                for line in set(lines):
+                    freq[line] += 1
+            return [
+                [l for l in lines if freq[l] < 2] for lines in doc_lines
+            ]
+
+        want_once = brute([lines for lines in docs])
+        got_once = {
+            r["doc_id"]: (r["text"].split("\n") if r["text"] else [])
+            for r in once.collect()
+        }
+        for i, lines in enumerate(want_once):
+            got = got_once[i]
+            if got == [""]:
+                got = []
+            assert got == lines, f"doc {i}: {got} != {lines}"
+        want_twice = brute([v if v else [""] for v in want_once])
+        got_twice = {
+            r["doc_id"]: [
+                l for l in r["kept_lines"]
+            ]
+            for r in twice.collect()
+        }
+        for i, lines in enumerate(want_twice):
+            assert got_twice[i] == lines
+
+
+class TestMomentsProperties:
+    vals_and_shards = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=2,
+        max_size=40,
+    )
+
+    @given(data=vals_and_shards)
+    @settings(**SETTINGS)
+    def test_any_sharding_matches_single_pass(self, spark, data):
+        """Shard-merge is invariant to HOW rows were sharded: any
+        assignment yields the single-pass global moments."""
+        import statistics
+
+        from fraud_detection_project_spark.operators.incremental import (
+            merge_moments,
+            moment_partials,
+        )
+
+        df = spark.createDataFrame(
+            [(s, "g", v) for s, v in data], "shard int, g string, x double"
+        )
+        got = merge_moments(
+            moment_partials(df, ["shard", "g"], "x"), ["g"], precision=6
+        ).first()
+        vals = [v for _, v in data]
+        assert got["n"] == len(vals)
+        assert got["mean"] == pytest.approx(
+            statistics.fmean(vals), rel=1e-4, abs=1e-4
+        )
+        assert got["var_pop"] == pytest.approx(
+            statistics.pvariance(vals), rel=1e-3, abs=1e-3
+        )
