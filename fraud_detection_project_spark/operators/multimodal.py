@@ -281,3 +281,88 @@ def frame_sample(
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame_feat": feats})
 
     return df.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+def read_tar_shards(
+    spark,
+    path: str,
+    suffixes: tuple[str, ...] = (),
+) -> DataFrame:
+    """WebDataset-style tar-shard ingestion: a directory of ``.tar``
+    files → one row per member ``(shard, member, suffix, payload,
+    payload_bytes)``.
+
+    Tar shards are the de-facto container for multimodal training
+    corpora (WebDataset/img2dataset lay out ``{key}.jpg`` +
+    ``{key}.txt`` + ``{key}.json`` members back-to-back): sequential
+    reads, object-store-friendly, one shard per task. Plan: Spark's
+    ``binaryFile`` source lists and assigns WHOLE shards to tasks
+    (locality + sequential IO), and a ``mapInPandas`` kernel unpacks
+    members with stdlib ``tarfile`` — payload bytes never leave the
+    executor except as the returned binary column. Downstream:
+    ``attach_media_meta`` / ``extract_features`` / ``media_repartition``
+    for byte-aware splits; group members by key prefix to reassemble
+    samples.
+
+    ``suffixes``: keep only members ending in one of these (e.g.
+    ``('.txt', '.json')``) — filtering inside the kernel avoids
+    materializing unwanted payloads in Arrow batches.
+
+    At 100 TB: shards are the parallelism unit (the standard contract —
+    shard count >> executor count); a pathologically large single shard
+    bounds a task exactly as it would any tar consumer, which is why
+    dataset builders cap shard sizes at write time.
+    """
+    import io
+    import tarfile
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select(
+            F.col("path").alias("shard"),
+            F.col("content").alias("__tar"),
+        )
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", T.StringType()),
+            T.StructField("member", T.StringType()),
+            T.StructField("suffix", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("payload_bytes", T.LongType()),
+        ]
+    )
+    keep = tuple(suffixes)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "shard": [],
+                "member": [],
+                "suffix": [],
+                "payload": [],
+                "payload_bytes": [],
+            }
+            for i in range(len(pdf)):
+                shard = pdf["shard"].iloc[i]
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(pdf["__tar"].iloc[i]))
+                ) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        dot = m.name.rfind(".")
+                        suffix = m.name[dot:] if dot >= 0 else ""
+                        if keep and suffix not in keep:
+                            continue
+                        payload = tf.extractfile(m).read()
+                        rows["shard"].append(shard)
+                        rows["member"].append(m.name)
+                        rows["suffix"].append(suffix)
+                        rows["payload"].append(payload)
+                        rows["payload_bytes"].append(len(payload))
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(kernel, out_schema)
