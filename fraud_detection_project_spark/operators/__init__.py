@@ -37,6 +37,7 @@ from .dedup import (
 from .search import bm25_search, tfidf_weights, feature_hash_vectors, lm_perplexity
 from .graph import co_occurrence_edges, pagerank, triangle_count
 from .scd import build_scd2
+from .skew import advise_join_strategy, salted_agg, salted_join_hot_keys, skew_report
 from .curation import curation_funnel, remove_boilerplate_lines
 from .sketches import count_min_estimate, count_min_table, hash_filter_semijoin
 from .similarity import random_project, semantic_dedup
@@ -87,4 +88,8 @@ __all__ = [
     "hash_filter_semijoin",
     "random_project",
     "semantic_dedup",
+    "advise_join_strategy",
+    "salted_agg",
+    "salted_join_hot_keys",
+    "skew_report",
 ]

@@ -117,3 +117,51 @@ def skew_report(df: DataFrame, keys: Sequence[str]) -> DataFrame:
             F.max("__n") / (F.sum("__n") / F.count(F.lit(1))), 4
         ).alias("skew_ratio"),
     )
+
+
+def advise_join_strategy(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    broadcast_threshold_rows: int = 100_000,
+    skew_ratio_threshold: float = 20.0,
+) -> DataFrame:
+    """Measurement-driven join-strategy recommendation — the decision
+    procedure this module's operators exist to feed:
+
+    1. ``dim`` small enough → **broadcast** (no fact shuffle at all);
+    2. else if the fact key distribution is skewed
+       (:func:`skew_report` ratio >= threshold) → **shuffle+salt**
+       (:func:`salted_join_hot_keys` / AQE skew join);
+    3. else plain **shuffle** hash join.
+
+    Returns ONE row: ``(fact_rows, dim_rows, skew_ratio,
+    recommendation)`` — the evidence plus the verdict, so the choice is
+    auditable. Cost: one count on the dim, one two-phase key-histogram
+    on the fact (both single aggregates); nothing collected. For join-
+    SIZE estimation (a different question: output volume, not
+    strategy), see operators/sketches.py:count_min_inner_product.
+    """
+    dim_n = dim.agg(F.count(F.lit(1)).alias("dim_rows"))
+    rep = skew_report(fact, [fact_key]).select(
+        F.col("n_rows").alias("fact_rows"), "skew_ratio"
+    )
+    return (
+        rep.crossJoin(F.broadcast(dim_n))
+        .select(
+            F.col("fact_rows").cast("long").alias("fact_rows"),
+            F.col("dim_rows").cast("long").alias("dim_rows"),
+            "skew_ratio",
+            F.when(
+                F.col("dim_rows") <= broadcast_threshold_rows,
+                F.lit("broadcast"),
+            )
+            .when(
+                F.col("skew_ratio") >= skew_ratio_threshold,
+                F.lit("shuffle+salt"),
+            )
+            .otherwise(F.lit("shuffle"))
+            .alias("recommendation"),
+        )
+    )

@@ -6188,6 +6188,43 @@ def q_semantic_dedup_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_advisor_events",
+    oracle="""
+    WITH pk AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    rep AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS fact_rows,
+               ROUND(MAX(n) / (SUM(n) * 1.0 / COUNT(*)), 4) AS skew_ratio
+        FROM pk
+    ),
+    d AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS dim_rows
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0)
+    )
+    SELECT fact_rows, dim_rows, skew_ratio,
+           CASE WHEN dim_rows <= 100000 THEN 'broadcast'
+                WHEN skew_ratio >= 20.0 THEN 'shuffle+salt'
+                ELSE 'shuffle' END AS recommendation
+    FROM rep, d
+    """,
+)
+def q_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy advisor (operators/skew.py:advise_join_strategy):
+    the measurement-driven decision procedure — broadcast when the dim
+    is small, salt when the fact key histogram is skewed, plain shuffle
+    otherwise — returned WITH its evidence so the choice is auditable.
+    The exact decision logic replays in SQL (deterministic thresholds
+    over exact aggregates). Cost: one dim count + one two-phase key
+    histogram; nothing collected."""
+    from .operators.skew import advise_join_strategy
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.filter(F.col("user_id") % 3 == 0).select("user_id").distinct()
+    return advise_join_strategy(ev, "user_id", dim, "user_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -6267,6 +6304,7 @@ DRIVER_PRIORITY: list[str] = [
     "value_time_trend_by_type",
     "cusum_peak_by_type",
     "semantic_dedup_invariants",
+    "join_advisor_events",
 ]
 
 DRIVER_CANARIES: list[str] = [
