@@ -6225,6 +6225,192 @@ def q_join_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return advise_join_strategy(ev, "user_id", dim, "user_id")
 
 
+@register(
+    "collapse_consecutive_events",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type, event_id,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (
+               prev_type IS NULL OR event_type <> prev_type
+           ) AS BIGINT) AS n_kept
+    FROM seq GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_collapse_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-duplicate collapse (telemetry run-length cleanup:
+    keep an event only when its type differs from the user's previous
+    event) — the lag-compare idiom, per-user counts before/after. One
+    window shuffle; the keep predicate is codegen. Ties break on
+    (ts_us, event_id) in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    keep = F.col("prev_type").isNull() | (
+        F.col("event_type") != F.col("prev_type")
+    )
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(keep.cast("long")).cast("long").alias("n_kept"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "dup_rate_by_source",
+    oracle="""
+    WITH h AS (
+        SELECT source, md5(text) AS th FROM documents
+    ),
+    g AS (
+        SELECT source, th, COUNT(*) AS n FROM h GROUP BY source, th
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant,
+           ROUND((SUM(n) - COUNT(*)) * 1.0 / SUM(n), 6) AS dup_rate
+    FROM g GROUP BY source ORDER BY source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation observability: per-source exact-duplicate rate
+    (redundant copies / docs) — the metric that tells you WHICH feed is
+    flooding the corpus before you pay for near-dup passes. Group on
+    (source, text-hash): the shuffle carries hashes, never text (the
+    exact_dedup_docs contract, segmented). n_redundant = copies beyond
+    the first per (source, hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select("source", F.md5("text").alias("th"))
+        .groupBy("source", "th")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_redundant"),
+            F.round(
+                (F.sum("n") - F.count(F.lit(1))) / F.sum("n"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "psi_quantile_bins",
+    oracle="""
+    WITH e AS (
+        SELECT value FROM events
+        WHERE event_type = 'view' AND value IS NOT NULL
+    ),
+    a AS (
+        SELECT value FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    b AS (
+        SELECT unnest(quantile_cont(value,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS cut
+        FROM e
+    ),
+    eb AS (
+        SELECT (SELECT COUNT(*) FROM b WHERE b.cut <= e.value) AS bin,
+               COUNT(*) AS ce
+        FROM e GROUP BY 1
+    ),
+    ab AS (
+        SELECT (SELECT COUNT(*) FROM b WHERE b.cut <= a.value) AS bin,
+               COUNT(*) AS ca
+        FROM a GROUP BY 1
+    ),
+    m AS (
+        SELECT COALESCE(eb.bin, ab.bin) AS bin,
+               COALESCE(ce, 0) AS ce, COALESCE(ca, 0) AS ca
+        FROM eb FULL OUTER JOIN ab ON eb.bin = ab.bin
+    ),
+    f AS (
+        SELECT GREATEST(ce * 1.0 / SUM(ce) OVER (), 1e-6) AS fe,
+               GREATEST(ca * 1.0 / SUM(ca) OVER (), 1e-6) AS fa
+        FROM m
+    )
+    SELECT ROUND(SUM((fa - fe) * LN(fa / fe)), 6) AS psi,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_expected,
+           CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_actual
+    FROM f
+    """,
+)
+def q_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-binned PSI — the production drift-monitor variant:
+    bins are the EXPECTED side's deciles (equal-frequency, so every
+    bin carries signal regardless of the distribution's shape), then
+    the same fold as psi_value_drift. The decile boundaries are one
+    exact-percentile aggregate broadcast as a 9-element literal; bin
+    assignment is a codegen count of boundaries <= value (identical
+    tie semantics in both engines); the PSI fold runs over <= 10
+    rows."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.filter(F.col("event_type") == "view").select("value")
+    a = ev.filter(F.col("event_type") == "purchase").select("value")
+    cuts_row = e.agg(
+        F.percentile(
+            "value",
+            F.array(*[F.lit(q / 10.0) for q in range(1, 10)]),
+        ).alias("cuts")
+    )
+    tagged = (
+        e.select("value", F.lit(1).alias("is_e"))
+        .unionAll(a.select("value", F.lit(0).alias("is_e")))
+        .crossJoin(F.broadcast(cuts_row))
+        .select(
+            "is_e",
+            F.size(
+                F.filter(F.col("cuts"), lambda c: c <= F.col("value"))
+            ).alias("bin"),
+        )
+    )
+    binned = tagged.groupBy("bin").agg(
+        F.sum("is_e").alias("ce"),
+        F.sum(1 - F.col("is_e")).alias("ca"),
+    )
+    wall = Window.partitionBy()
+    f = binned.select(
+        F.greatest(
+            F.col("ce") / F.sum("ce").over(wall), F.lit(1e-6)
+        ).alias("fe"),
+        F.greatest(
+            F.col("ca") / F.sum("ca").over(wall), F.lit(1e-6)
+        ).alias("fa"),
+    )
+    psi = f.agg(
+        F.round(
+            F.sum((F.col("fa") - F.col("fe")) * F.log(F.col("fa") / F.col("fe"))),
+            6,
+        ).alias("psi")
+    )
+    counts = e.agg(F.count(F.lit(1)).alias("n_expected")).crossJoin(
+        F.broadcast(a.agg(F.count(F.lit(1)).alias("n_actual")))
+    )
+    return psi.crossJoin(F.broadcast(counts)).select(
+        "psi",
+        F.col("n_expected").cast("long").alias("n_expected"),
+        F.col("n_actual").cast("long").alias("n_actual"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -6305,6 +6491,9 @@ DRIVER_PRIORITY: list[str] = [
     "cusum_peak_by_type",
     "semantic_dedup_invariants",
     "join_advisor_events",
+    "collapse_consecutive_events",
+    "dup_rate_by_source",
+    "psi_quantile_bins",
 ]
 
 DRIVER_CANARIES: list[str] = [
