@@ -6411,6 +6411,133 @@ def q_psi_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "funnel_within_1h",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    st AS (
+        SELECT user_id, event_type, event_id, ts_us,
+               last_value(CASE WHEN event_type = 'view' THEN ts_us END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING
+               ) AS view_us
+        FROM ev
+    ),
+    st2 AS (
+        SELECT user_id, event_type, event_id, ts_us,
+               last_value(CASE WHEN event_type = 'click'
+                               AND view_us IS NOT NULL THEN ts_us END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts_us
+                   RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING
+               ) AS click_us
+        FROM st
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM st2
+    WHERE event_type = 'purchase' AND click_us IS NOT NULL
+    """,
+)
+def q_funnel_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded conversion funnel: purchases preceded by a click
+    within 1h which was itself preceded by a view within 1h of the
+    click — the windowed form of funnel analysis (unbounded funnels
+    overcount stale intent). Two stacked ignore-nulls last_value
+    passes over RANGE frames keyed on the µs epoch; both share ONE
+    user_id shuffle (same partitioning, consecutive windows), no
+    self-joins against history. The carried click marker is only set
+    when a view already backs it, so the chain condition composes
+    without a third pass."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-hour_us, -1)
+    )
+    st = ev.withColumn(
+        "view_us",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("ts_us")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    st2 = st.withColumn(
+        "click_us",
+        F.last(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("view_us").isNotNull(),
+                F.col("ts_us"),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    conv = st2.filter(
+        (F.col("event_type") == "purchase") & F.col("click_us").isNotNull()
+    )
+    return conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@register(
+    "twap_value_by_user",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value, epoch_us(ts) AS ts_us,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS next_us
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           ROUND(SUM(value * (next_us - ts_us)) * 1.0
+                 / SUM(next_us - ts_us), 6) AS twap
+    FROM seq WHERE next_us IS NOT NULL AND next_us > ts_us
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation
+    weighted by how long it stayed current (until the next event) —
+    the correct average for irregularly-sampled series, where the
+    arithmetic mean over-weights bursts. lead() and the weighted
+    aggregate share ONE user_id shuffle; zero-duration interval pairs
+    (same-µs ties) are excluded identically in both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "user_id", "event_id", "value",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.withColumn("next_us", F.lead("ts_us").over(w)).filter(
+        F.col("next_us").isNotNull() & (F.col("next_us") > F.col("ts_us"))
+    )
+    dur = F.col("next_us") - F.col("ts_us")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.round(F.sum(F.col("value") * dur) / F.sum(dur), 6).alias(
+                "twap"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -6494,6 +6621,8 @@ DRIVER_PRIORITY: list[str] = [
     "collapse_consecutive_events",
     "dup_rate_by_source",
     "psi_quantile_bins",
+    "funnel_within_1h",
+    "twap_value_by_user",
 ]
 
 DRIVER_CANARIES: list[str] = [
