@@ -6538,6 +6538,137 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ohlc_6h_value",
+    oracle="""
+    SELECT event_type,
+           (epoch_us(ts) // 21600000000) * 21600000000 AS bucket_us,
+           ROUND(arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                        || lpad(CAST(event_id AS VARCHAR), 12, '0')), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                        || lpad(CAST(event_id AS VARCHAR), 12, '0')), 4) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2 ORDER BY event_type, bucket_us
+    """,
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (open/high/low/close per 6h bucket per type) — the
+    canonical downsampling for monitoring dashboards and market data.
+    open/close are min_by/max_by on the (ts, event_id) tie-broken time
+    key, so the whole bar is ONE hash aggregate — no window, no sort,
+    map-side partials bound the shuffle by bucket count."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type", "event_id", "value",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    bucket = (F.col("ts_us") - F.pmod("ts_us", F.lit(21_600_000_000))).alias(
+        "bucket_us"
+    )
+    return (
+        ev.groupBy("event_type", bucket)
+        .agg(
+            F.round(F.expr("min_by(value, struct(ts_us, event_id))"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.expr("max_by(value, struct(ts_us, event_id))"), 4).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type", "bucket_us")
+    )
+
+
+@register(
+    "resample_1h_ffill",
+    oracle="""
+    WITH obs AS (
+        SELECT user_id, value, epoch_us(ts) AS ts_us
+        FROM events WHERE value IS NOT NULL
+    ),
+    bounds AS (
+        SELECT user_id,
+               (MIN(ts_us) // 3600000000) * 3600000000 AS lo,
+               (MAX(ts_us) // 3600000000) * 3600000000 AS hi
+        FROM obs GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(range(lo, hi + 1, 3600000000)) AS grid_us
+        FROM bounds
+    ),
+    tagged AS (
+        SELECT user_id, grid_us AS ts_us, NULL AS value, 1 AS is_grid
+        FROM grid
+        UNION ALL
+        SELECT user_id, ts_us, value, 0 AS is_grid FROM obs
+    ),
+    filled AS (
+        SELECT user_id, ts_us, is_grid,
+               last_value(value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, is_grid
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS v
+        FROM tagged
+    )
+    SELECT user_id, ts_us AS grid_us, ROUND(v, 4) AS value_ffill
+    FROM filled WHERE is_grid = 1
+    ORDER BY user_id, grid_us
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample to a fixed 1h grid with last-observation-carried-forward
+    — the alignment step before any cross-series math on irregular
+    telemetry. Grid points generate per user from its own [min, max]
+    hour range (sequence + explode — no calendar table scan), union
+    with observations, ONE ignore-nulls running last per user orders
+    grid ticks AFTER same-µs observations (is_grid tie-break), then
+    the grid rows filter out. One window shuffle; grid cardinality =
+    active-range hours per user, not global span."""
+    hour = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("user_id", "value", F.expr("ts_ns div 1000").alias("ts_us"))
+    bounds = ev.groupBy("user_id").agg(
+        (F.min("ts_us") - F.pmod(F.min("ts_us"), F.lit(hour))).alias("lo"),
+        (F.max("ts_us") - F.pmod(F.max("ts_us"), F.lit(hour))).alias("hi"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.lit(hour))
+        ).alias("ts_us"),
+    ).select(
+        "user_id", "ts_us",
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("is_grid"),
+    )
+    tagged = grid.unionByName(
+        ev.select(
+            "user_id", "ts_us", "value", F.lit(0).alias("is_grid")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged.withColumn(
+        "v", F.last("value", ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter(F.col("is_grid") == 1)
+        .select(
+            "user_id",
+            F.col("ts_us").alias("grid_us"),
+            F.round("v", 4).alias("value_ffill"),
+        )
+        .orderBy("user_id", "grid_us")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -6623,6 +6754,8 @@ DRIVER_PRIORITY: list[str] = [
     "psi_quantile_bins",
     "funnel_within_1h",
     "twap_value_by_user",
+    "ohlc_6h_value",
+    "resample_1h_ffill",
 ]
 
 DRIVER_CANARIES: list[str] = [
