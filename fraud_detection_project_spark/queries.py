@@ -6669,6 +6669,84 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "top_event_trigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS t0,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT t0 || '>' || t1 || '>' || t2 AS trigram,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM seq WHERE t2 IS NOT NULL
+    GROUP BY 1 ORDER BY cnt DESC, trigram LIMIT 20
+    """,
+)
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clickstream pattern mining: top event-type trigrams over
+    per-user ordered streams — the sequence-level generalization of
+    event_transition_probs (first-order → third-order context). Both
+    lead() calls share ONE window shuffle; trigram counts partial-agg
+    map-side (shuffle bounded by |types|³); deterministic tie-break →
+    TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t2").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "t0", "t1", "t2").alias("trigram")
+        )
+        .groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "trigram")
+        .limit(20)
+    )
+
+
+@register(
+    "hourly_type_correlation",
+    oracle="""
+    WITH h AS (
+        SELECT (epoch_us(ts) // 3600000000) AS hour_id,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+           ROUND(corr(nv, np), 6) AS view_purchase_corr
+    FROM h
+    """,
+)
+def q_hourly_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series correlation after temporal alignment: hourly view
+    and purchase counts correlated over the shared hour grid — the
+    'do these metrics move together' question. The pivot is a
+    conditional-sum aggregate (no join between the two series, both
+    fold in ONE grouped pass over one scan); corr runs over the
+    hour-count frame."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        F.expr("(ts_ns div 1000) div 3600000000").alias("hour_id")
+    ).agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("nv"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("np"),
+    )
+    return h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.round(F.corr("nv", "np"), 6).alias("view_purchase_corr"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -6756,6 +6834,8 @@ DRIVER_PRIORITY: list[str] = [
     "twap_value_by_user",
     "ohlc_6h_value",
     "resample_1h_ffill",
+    "top_event_trigrams",
+    "hourly_type_correlation",
 ]
 
 DRIVER_CANARIES: list[str] = [
