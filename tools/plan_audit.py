@@ -262,6 +262,36 @@ def audit(spark, sf_dir: str) -> list[str]:
           "FileScan parquet [l_orderkey#" in p
           and "FileScan parquet [o_custkey#" in p, p)
 
+    # OHLC — the whole bar folds in ONE hash aggregate: no window, no
+    # sort before the aggregate (the orderBy is the final presentation)
+    p = plan_of(QUERIES["ohlc_6h_value"](spark, sf_dir))
+    check("ohlc: no window operator", "Window" not in p, p)
+    check("ohlc: map-side partial bar", "partial_" in p, p)
+
+    # resample+LOCF — union + one window shuffle; the grid generator is
+    # an explode, not a calendar-table join
+    p = plan_of(QUERIES["resample_1h_ffill"](spark, sf_dir))
+    check("resample: bounds-agg + window share the user_id key (2 exchanges)",
+          p.count("Exchange hashpartitioning(user_id") == 2, p)
+    check("resample: no join (grid generated, not joined)",
+          "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p)
+
+    # time-bounded funnel — both RANGE windows share one user shuffle
+    p = plan_of(QUERIES["funnel_within_1h"](spark, sf_dir))
+    check("funnel1h: windows share one shuffle",
+          p.count("Exchange hashpartitioning") == 1, p)
+    check("funnel1h: no history self-join", "Join" not in p, p)
+
+    # TWAP — lead + weighted agg in one shuffle
+    p = plan_of(QUERIES["twap_value_by_user"](spark, sf_dir))
+    check("twap: one shuffle", p.count("Exchange hashpartitioning") == 1, p)
+
+    # trigrams — both leads share one window shuffle, top-k tail
+    p = plan_of(QUERIES["top_event_trigrams"](spark, sf_dir))
+    check("trigrams: leads share one window shuffle",
+          p.count("Exchange hashpartitioning(user_id") == 1, p)
+    check("trigrams: TakeOrderedAndProject", "TakeOrderedAndProject" in p, p)
+
     # ------------------------------------------------------------------
     # Repo-wide lints over EVERY registered query's physical plan:
     #   1. no CartesianProduct — a non-broadcast cartesian anywhere is a
