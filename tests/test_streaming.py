@@ -27,6 +27,25 @@ def events_src(spark, tmp_path_factory):
     return path
 
 
+def _drain_stream(q, timeout=120):
+    """Stop a continuous-trigger query once >=1 batch has completed and
+    the source reports drained; robust to the pre-first-trigger window
+    where both status flags are already False."""
+    import time
+
+    deadline = time.time() + timeout
+    while q.isActive and time.time() < deadline:
+        if (
+            q.lastProgress is not None
+            and not q.status["isDataAvailable"]
+            and not q.status["isTriggerActive"]
+        ):
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(30)
+
+
 def _run_stream(spark, stream_df, checkpoint, name=None):
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     q = (
@@ -735,18 +754,11 @@ class TestStreamingCountMin:
             checkpoint=str(tmp_path / "ckpt"),
             width=256,
         )
-        q.awaitTermination(120) if q.isActive else None
         # availableNow isn't used here (maxFilesPerTrigger exercises
-        # multi-batch merging); stop once the source drains
-        import time
-
-        deadline = time.time() + 120
-        while q.isActive and time.time() < deadline:
-            if not q.status["isDataAvailable"] and not q.status["isTriggerActive"]:
-                break
-            time.sleep(0.5)
-        q.stop()
-        q.awaitTermination(30)
+        # multi-batch merging); stop once at least one batch has run AND
+        # the source has drained (the status flags alone race the first
+        # trigger)
+        _drain_stream(q)
 
         got = {
             (r["d"], r["bucket"]): r["cnt"]
@@ -785,3 +797,83 @@ class TestStreamingCountMin:
             for r in count_min_table(b1.union(b2), "k", width=64).collect()
         }
         assert got == want
+
+
+class TestStreamingAggMaintenance:
+    SPECS = {
+        "n": ("value", "count"),
+        "total": ("value", "sum"),
+        "vmax": ("value", "max"),
+    }
+    SCHEMA = "event_type string, n long, total double, vmax double"
+
+    def test_stream_state_equals_batch_aggregate(self, spark, events_src, tmp_path):
+        from pyspark.sql import functions as F
+
+        from fraud_detection_project_spark.operators.incremental import (
+            aggregate_delta,
+        )
+        from fraud_detection_project_spark.streaming.incremental import (
+            read_state,
+            streaming_aggregate,
+        )
+
+        src = (
+            spark.readStream.schema(spark.read.parquet(events_src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_src)
+            .filter(F.col("value").isNotNull())
+        )
+        path = str(tmp_path / "agg_state")
+        q = streaming_aggregate(
+            src,
+            ["event_type"],
+            self.SPECS,
+            path,
+            checkpoint=str(tmp_path / "ckpt"),
+            state_schema=self.SCHEMA,
+        )
+        _drain_stream(q)
+
+        got = {
+            r["event_type"]: (r["n"], round(r["total"], 6), r["vmax"])
+            for r in read_state(spark, path, self.SCHEMA).collect()
+        }
+        want = {
+            r["event_type"]: (r["n"], round(r["total"], 6), r["vmax"])
+            for r in aggregate_delta(
+                spark.read.parquet(events_src).filter(
+                    F.col("value").isNotNull()
+                ),
+                ["event_type"],
+                self.SPECS,
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+    def test_new_group_appears_mid_stream(self, spark, tmp_path):
+        from fraud_detection_project_spark.operators.incremental import (
+            merge_aggregate_state,
+        )
+        from fraud_detection_project_spark.streaming.incremental import (
+            _commit,
+            read_state,
+        )
+
+        path = str(tmp_path / "state")
+        b1 = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0)], "event_type string, value double"
+        )
+        b2 = spark.createDataFrame(
+            [("b", 5.0)], "event_type string, value double"
+        )
+        specs = self.SPECS
+        s0 = read_state(spark, path, self.SCHEMA)
+        _commit(merge_aggregate_state(s0, b1, ["event_type"], specs), path)
+        s1 = read_state(spark, path, self.SCHEMA)
+        _commit(merge_aggregate_state(s1, b2, ["event_type"], specs), path)
+        got = {
+            r["event_type"]: (r["n"], r["total"], r["vmax"])
+            for r in read_state(spark, path, self.SCHEMA).collect()
+        }
+        assert got == {"a": (2, 3.0, 2.0), "b": (1, 5.0, 5.0)}
