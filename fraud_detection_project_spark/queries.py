@@ -6747,6 +6747,145 @@ def q_hourly_type_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "calendar_dim_orders",
+    oracle="""
+    WITH b AS (
+        SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+    ),
+    d AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        FROM b
+    )
+    SELECT CAST(epoch_us(day::TIMESTAMP) AS BIGINT) AS day_us,
+           CAST(EXTRACT(year FROM day) AS BIGINT) AS year,
+           CAST(EXTRACT(quarter FROM day) AS BIGINT) AS quarter,
+           CAST(EXTRACT(month FROM day) AS BIGINT) AS month,
+           CAST(EXTRACT(isodow FROM day) - 1 AS BIGINT) AS weekday,
+           EXTRACT(isodow FROM day) >= 6 AS is_weekend
+    FROM d ORDER BY day_us
+    """,
+)
+def q_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension build — the warehouse utility every date-join
+    star schema needs, generated (sequence + explode over the fact
+    table's own date range), never loaded. Weekday uses the reference's
+    Mon=0 convention (F.weekday, SURVEY.md F3 watch-item; the oracle's
+    isodow-1 matches). All attributes are codegen date functions over
+    the exploded sequence — a dimension this small broadcasts
+    everywhere it's joined."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    days = b.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    return days.select(
+        F.unix_timestamp(F.col("day").cast("timestamp")).cast("long")
+        .alias("__s"),
+        F.year("day").cast("long").alias("year"),
+        F.quarter("day").cast("long").alias("quarter"),
+        F.month("day").cast("long").alias("month"),
+        F.weekday("day").cast("long").alias("weekday"),
+        (F.weekday("day") >= 5).alias("is_weekend"),
+    ).select(
+        (F.col("__s") * 1_000_000).alias("day_us"),
+        "year", "quarter", "month", "weekday", "is_weekend",
+    ).orderBy("day_us")
+
+
+@register(
+    "weekly_revenue_growth",
+    oracle="""
+    WITH w AS (
+        SELECT date_trunc('week', o_orderdate) AS week,
+               ROUND(SUM(o_totalprice), 4) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(epoch_us(week::TIMESTAMP) AS BIGINT) AS week_us,
+           rev,
+           ROUND(rev / lag(rev) OVER (ORDER BY week) - 1.0, 6) AS wow_growth
+    FROM w ORDER BY week_us
+    """,
+)
+def q_weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth — the reporting staple: weekly revenue and
+    its relative change vs the prior week. One grouped aggregate (map-
+    side partials bound the shuffle by week count) and a lag over the
+    tiny weekly frame. Monday-start weeks (date_trunc 'week') in both
+    engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.groupBy(
+        F.date_trunc("week", F.col("o_orderdate").cast("timestamp")).alias(
+            "week"
+        )
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    win = Window.orderBy("week")
+    return w.select(
+        F.unix_timestamp("week").cast("long").alias("__s"),
+        "rev",
+        F.round(F.col("rev") / F.lag("rev").over(win) - 1.0, 6).alias(
+            "wow_growth"
+        ),
+    ).select(
+        (F.col("__s") * 1_000_000).alias("week_us"), "rev", "wow_growth"
+    ).orderBy("week_us")
+
+
+@register(
+    "threshold_sweep_metrics",
+    oracle="""
+    WITH t AS (SELECT unnest([10.0, 20.0, 30.0, 40.0, 50.0,
+                              60.0, 70.0, 80.0, 90.0]) AS thr),
+    m AS (
+        SELECT thr,
+               SUM(CASE WHEN value >= thr AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN value >= thr AND event_type <> 'purchase'
+                        THEN 1 ELSE 0 END) AS fp,
+               SUM(CASE WHEN value < thr AND event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS fn
+        FROM events, t WHERE value IS NOT NULL
+        GROUP BY thr
+    )
+    SELECT thr,
+           CAST(tp AS BIGINT) AS tp,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision,
+           ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall
+    FROM m ORDER BY thr
+    """,
+)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point selection: precision/recall at nine score
+    thresholds in ONE pass — each row explodes against the 9-element
+    threshold literal (a broadcast-free constant; the 9x row
+    amplification collapses map-side into 9 partial rows per task).
+    The practical companion to model_eval_auc: AUC ranks models, this
+    table picks the deployment threshold."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    thr = F.explode(
+        F.array(*[F.lit(float(t)) for t in range(10, 100, 10)])
+    ).alias("thr")
+    lab = (F.col("event_type") == "purchase").cast("long")
+    m = (
+        ev.select("value", lab.alias("y"))
+        .select("value", "y", thr)
+        .groupBy("thr")
+        .agg(
+            F.sum(((F.col("value") >= F.col("thr")) & (F.col("y") == 1)).cast("long")).alias("tp"),
+            F.sum(((F.col("value") >= F.col("thr")) & (F.col("y") == 0)).cast("long")).alias("fp"),
+            F.sum(((F.col("value") < F.col("thr")) & (F.col("y") == 1)).cast("long")).alias("fn"),
+        )
+    )
+    return m.select(
+        "thr",
+        F.col("tp").cast("long").alias("tp"),
+        F.round(F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 6).alias("precision"),
+        F.round(F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6).alias("recall"),
+    ).orderBy("thr")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -6836,6 +6975,9 @@ DRIVER_PRIORITY: list[str] = [
     "resample_1h_ffill",
     "top_event_trigrams",
     "hourly_type_correlation",
+    "calendar_dim_orders",
+    "weekly_revenue_growth",
+    "threshold_sweep_metrics",
 ]
 
 DRIVER_CANARIES: list[str] = [
