@@ -6886,6 +6886,159 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("thr")
 
 
+@register(
+    "ab_test_value_by_split",
+    oracle="""
+    WITH g AS (
+        SELECT user_id % 2 AS grp,
+               COUNT(*) AS n,
+               AVG(value) AS mu,
+               var_samp(value) AS v
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN grp = 0 THEN n END) AS na,
+               MAX(CASE WHEN grp = 1 THEN n END) AS nb,
+               MAX(CASE WHEN grp = 0 THEN mu END) AS ma,
+               MAX(CASE WHEN grp = 1 THEN mu END) AS mb,
+               MAX(CASE WHEN grp = 0 THEN v END) AS va,
+               MAX(CASE WHEN grp = 1 THEN v END) AS vb
+        FROM g
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(ma - mb, 6) AS mean_diff,
+           ROUND((ma - mb) / SQRT(va / na + vb / nb), 6) AS welch_t
+    FROM w
+    """,
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's t-statistic for the value metric
+    between two deterministic user buckets (user_id parity stands in
+    for the assignment hash) — the unequal-variance test that
+    experimentation platforms run. Both arms' moments fold in ONE
+    grouped pass (no per-arm scan), the statistic assembles from the
+    2-row frame."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = ev.groupBy((F.col("user_id") % 2).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("v"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("grp") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("grp") == 0, F.col("mu"))).alias("ma"),
+        F.max(F.when(F.col("grp") == 1, F.col("mu"))).alias("mb"),
+        F.max(F.when(F.col("grp") == 0, F.col("v"))).alias("va"),
+        F.max(F.when(F.col("grp") == 1, F.col("v"))).alias("vb"),
+    )
+    return w.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round(
+            (F.col("ma") - F.col("mb"))
+            / F.sqrt(F.col("va") / F.col("na") + F.col("vb") / F.col("nb")),
+            6,
+        ).alias("welch_t"),
+    )
+
+
+@register(
+    "gini_revenue_by_customer",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+        SELECT rev,
+               ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(rev) OVER () AS tot
+        FROM c
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           ROUND(2.0 * SUM(i * rev) / (MAX(n) * MAX(tot))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM r
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: the Gini coefficient of per-customer
+    revenue via the rank identity G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n —
+    'how top-heavy is the customer base'. One grouped aggregate, then
+    one ordered pass over the per-customer frame (rank and the two
+    totals share it); deterministic tie-break on (rev, custkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    wrank = Window.orderBy("rev", "o_custkey")
+    wall = Window.partitionBy()
+    r = c.select(
+        "rev",
+        F.row_number().over(wrank).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("rev").over(wall).alias("tot"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("rev"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS tot FROM c)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / (SELECT tot FROM t), 6) AS observed,
+           ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_expected
+    FROM c ORDER BY digit
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    fraud/data-fabrication screen (organic financial magnitudes follow
+    log10(1+1/d); flat or spiky digit histograms flag synthetic or
+    tampered figures). Digit extraction is codegen string arithmetic on
+    the integer part; one 9-row aggregate. (TPC-H-ish uniform prices
+    will NOT follow Benford — the comparison columns make that
+    deviation visible, which is exactly the audit's purpose.)"""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    d = orders.select(
+        F.substring(
+            F.col("o_totalprice").cast("bigint").cast("string"), 1, 1
+        ).cast("long").alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    wall = Window.partitionBy()
+    return (
+        c.select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.sum("n").over(wall), 6).alias("observed"),
+            F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6)
+            .alias("benford_expected"),
+        )
+        .orderBy("digit")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -6978,6 +7131,9 @@ DRIVER_PRIORITY: list[str] = [
     "calendar_dim_orders",
     "weekly_revenue_growth",
     "threshold_sweep_metrics",
+    "ab_test_value_by_split",
+    "gini_revenue_by_customer",
+    "benford_first_digit",
 ]
 
 DRIVER_CANARIES: list[str] = [
