@@ -7039,6 +7039,172 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "peak_concurrent_sessions",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS s_us,
+               MAX(epoch_us(ts)) AS e_us
+        FROM events GROUP BY user_id
+    ),
+    pts AS (
+        SELECT s_us AS t, 1 AS delta FROM s
+        UNION ALL
+        SELECT e_us + 1, -1 FROM s
+    ),
+    sweep AS (
+        SELECT t, SUM(delta) AS d FROM pts GROUP BY t
+    ),
+    run AS (
+        SELECT t, SUM(d) OVER (ORDER BY t) AS concurrent FROM sweep
+    )
+    SELECT CAST(MAX(concurrent) AS BIGINT) AS peak_concurrent,
+           CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_sessions
+    FROM run
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the +1/−1 sweep: each user's [first, last]
+    activity interval contributes an open and a close point; the
+    running sum over time-ordered deltas is the live-interval count and
+    its max is the capacity answer. The classic interval-stabbing
+    rewrite — O(n log n) instead of the interval self-join's O(n²).
+    Same-instant deltas pre-aggregate per timestamp so the ordered
+    pass runs over distinct time points; close fires at e+1µs
+    (inclusive intervals)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    s = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us")
+    )
+    pts = s.select(F.col("s_us").alias("t"), F.lit(1).alias("delta")).unionAll(
+        s.select((F.col("e_us") + 1).alias("t"), F.lit(-1).alias("delta"))
+    )
+    sweep = pts.groupBy("t").agg(F.sum("delta").alias("d"))
+    run = sweep.select(
+        F.sum("d").over(
+            Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("concurrent")
+    )
+    n = s.agg(F.count(F.lit(1)).alias("n_sessions"))
+    return run.agg(
+        F.max("concurrent").cast("long").alias("peak_concurrent")
+    ).crossJoin(F.broadcast(n)).select(
+        "peak_concurrent", F.col("n_sessions").cast("long").alias("n_sessions")
+    )
+
+
+@register(
+    "kaplan_meier_conversion",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS t0,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   AS tp,
+               MAX(epoch_us(ts)) AS tlast
+        FROM events GROUP BY user_id
+    ),
+    obs AS (
+        SELECT CASE WHEN tp IS NOT NULL THEN (tp - t0) // 3600000000
+                    ELSE (tlast - t0) // 3600000000 END AS t_hours,
+               (tp IS NOT NULL)::INT AS converted
+        FROM u WHERE tp IS NULL OR tp > t0
+    ),
+    ev AS (
+        SELECT t_hours,
+               SUM(converted) AS d,
+               COUNT(*) AS leaving
+        FROM obs GROUP BY t_hours
+    ),
+    risk AS (
+        SELECT t_hours, d,
+               SUM(leaving) OVER (
+                   ORDER BY t_hours DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS n_at_risk
+        FROM ev
+    )
+    SELECT t_hours, CAST(d AS BIGINT) AS d,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           ROUND(EXP(SUM(LN(GREATEST(1.0 - d * 1.0 / n_at_risk, 1e-12))) OVER (
+               ORDER BY t_hours
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )), 6) AS survival
+    FROM risk WHERE d > 0
+    ORDER BY t_hours
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve with right-censoring:
+    hours from a user's first event to first purchase; users who never
+    purchase are censored at their last activity. S(t) = Π (1−d/n) over
+    event times folds as exp(Σ ln(·)) — a running product via two
+    window passes over the per-hour event frame (n_at_risk from a
+    reverse cumulative sum of everyone leaving the risk set). The
+    survival-analysis staple, exact, no UDF; per-user reduction is one
+    grouped pass."""
+    hour = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_us"))
+        ).alias("tp"),
+        F.max("ts_us").alias("tlast"),
+    )
+    obs = u.filter(F.col("tp").isNull() | (F.col("tp") > F.col("t0"))).select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.floor((F.col("tp") - F.col("t0")) / hour),
+        )
+        .otherwise(F.floor((F.col("tlast") - F.col("t0")) / hour))
+        .alias("t_hours"),
+        F.col("tp").isNotNull().cast("int").alias("converted"),
+    )
+    evt = obs.groupBy("t_hours").agg(
+        F.sum("converted").alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_desc = Window.orderBy(F.desc("t_hours")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = evt.withColumn("n_at_risk", F.sum("leaving").over(w_desc))
+    w_asc = Window.orderBy("t_hours").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    km = risk.withColumn(
+        "survival",
+        F.round(
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.greatest(
+                            F.lit(1.0) - F.col("d") / F.col("n_at_risk"),
+                            F.lit(1e-12),
+                        )
+                    )
+                ).over(w_asc)
+            ),
+            6,
+        ),
+    )
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            "t_hours",
+            F.col("d").cast("long").alias("d"),
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            "survival",
+        )
+        .orderBy("t_hours")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -7134,6 +7300,8 @@ DRIVER_PRIORITY: list[str] = [
     "ab_test_value_by_split",
     "gini_revenue_by_customer",
     "benford_first_digit",
+    "peak_concurrent_sessions",
+    "kaplan_meier_conversion",
 ]
 
 DRIVER_CANARIES: list[str] = [
