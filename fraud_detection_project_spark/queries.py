@@ -7205,6 +7205,116 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "token_budget_coverage",
+    oracle=r"""
+    WITH tk AS (
+        SELECT len(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS n_tokens
+        FROM documents
+    ),
+    b AS (SELECT unnest([32, 64, 128, 256, 512]) AS budget),
+    tot AS (SELECT COUNT(*) AS nd, SUM(n_tokens) AS nt FROM tk)
+    SELECT budget,
+           CAST(COUNT(*) FILTER (n_tokens <= budget) AS BIGINT)
+               AS docs_within,
+           ROUND(COUNT(*) FILTER (n_tokens <= budget) * 1.0
+                 / (SELECT nd FROM tot), 6) AS doc_share,
+           ROUND(SUM(LEAST(n_tokens, budget)) * 1.0
+                 / (SELECT nt FROM tot), 6) AS token_share_kept
+    FROM tk, b GROUP BY budget ORDER BY budget
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planning: at each candidate token budget, how
+    many documents fit whole, and what share of corpus tokens survives
+    truncation — the measurement behind choosing max_seq_len (the
+    doc_chunks/pack_sequences upstream decision). One tokenize pass;
+    the 5-budget explode collapses map-side (5 partial rows per task).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        F.size(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("n_tokens")
+    )
+    budgets = F.explode(
+        F.array(*[F.lit(b) for b in (32, 64, 128, 256, 512)])
+    ).alias("budget")
+    tot = tk.agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("n_tokens").alias("nt")
+    )
+    m = (
+        tk.select("n_tokens", budgets)
+        .groupBy("budget")
+        .agg(
+            F.sum((F.col("n_tokens") <= F.col("budget")).cast("long")).alias(
+                "docs_within"
+            ),
+            F.sum(F.least("n_tokens", "budget")).alias("__kept"),
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "budget",
+            F.col("docs_within").cast("long").alias("docs_within"),
+            F.round(F.col("docs_within") / F.col("nd"), 6).alias("doc_share"),
+            F.round(F.col("__kept") / F.col("nt"), 6).alias(
+                "token_share_kept"
+            ),
+        )
+        .orderBy("budget")
+    )
+
+
+@register(
+    "temperature_sampling_weights",
+    oracle="""
+    WITH s AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM documents GROUP BY lang
+    ),
+    p AS (
+        SELECT lang, n,
+               n / SUM(n) OVER () AS share,
+               POWER(n / SUM(n) OVER (), 1.0 / 0.7) AS unnorm
+        FROM s
+    )
+    SELECT lang,
+           CAST(n AS BIGINT) AS n_docs,
+           ROUND(share, 6) AS share,
+           ROUND(unnorm / SUM(unnorm) OVER (), 6) AS sample_prob
+    FROM p ORDER BY lang
+    """,
+)
+def q_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based sampling weights (the XLM-R multilingual
+    recipe): p_l ∝ share_l^(1/T) with T=0.7 — upweights tail languages
+    without drowning the head, the OTHER standard mixture scheme next
+    to mixture_rebalance_weights' uniform target. All arithmetic over
+    the per-language aggregate frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    wall = Window.partitionBy()
+    p = s.select(
+        "lang",
+        "n",
+        (F.col("n") / F.sum("n").over(wall)).alias("share"),
+        F.pow(F.col("n") / F.sum("n").over(wall), 1.0 / 0.7).alias("unnorm"),
+    )
+    return p.select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round("share", 6).alias("share"),
+        F.round(F.col("unnorm") / F.sum("unnorm").over(wall), 6).alias(
+            "sample_prob"
+        ),
+    ).orderBy("lang")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering (VERDICT r2 item 1)
 #
@@ -7302,6 +7412,8 @@ DRIVER_PRIORITY: list[str] = [
     "benford_first_digit",
     "peak_concurrent_sessions",
     "kaplan_meier_conversion",
+    "token_budget_coverage",
+    "temperature_sampling_weights",
 ]
 
 DRIVER_CANARIES: list[str] = [
