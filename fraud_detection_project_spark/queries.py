@@ -7387,13 +7387,13 @@ DRIVER_PRIORITY: list[str] = [
     "mixture_rebalance_weights",
     "cms_join_size_estimate",
     "shard_merged_moments",
+    "kmeans_invariants",
+    "semantic_dedup_invariants",
     "zipf_slope_tokens",
     "label_centroid_separation",
     "bpe_merge_candidates",
-    "kmeans_invariants",
     "value_time_trend_by_type",
     "cusum_peak_by_type",
-    "semantic_dedup_invariants",
     "join_advisor_events",
     "collapse_consecutive_events",
     "dup_rate_by_source",
