@@ -7473,6 +7473,21 @@ DRIVER_CANARIES: list[str] = [
 ]
 
 
+# Round-5 rotation queue: once the r04 artifact lands, drop its
+# hash-green names from DRIVER_PRIORITY and promote the oracle-backed
+# queries past the 50-cut (all verify_local-green at sf0.001/0.01/0.1
+# this round): bpe_merge_candidates, value_time_trend_by_type,
+# cusum_peak_by_type, join_advisor_events, collapse_consecutive_events,
+# dup_rate_by_source, psi_quantile_bins, funnel_within_1h,
+# twap_value_by_user, ohlc_6h_value, resample_1h_ffill,
+# top_event_trigrams, hourly_type_correlation, calendar_dim_orders,
+# weekly_revenue_growth, threshold_sweep_metrics, ab_test_value_by_split,
+# gini_revenue_by_customer, benford_first_digit,
+# peak_concurrent_sessions, kaplan_meier_conversion,
+# token_budget_coverage, temperature_sampling_weights,
+# zipf_slope_tokens / label_centroid_separation if they miss the cut.
+
+
 def driver_ordered(registry: dict) -> dict:
     """Return ``registry`` reordered so the driver's 50-entry window
     covers never-driver-verified queries first, then canaries, then the
