@@ -7414,6 +7414,7 @@ DRIVER_PRIORITY: list[str] = [
     "kaplan_meier_conversion",
     "token_budget_coverage",
     "temperature_sampling_weights",
+    "basket_lift_brand_pairs",
 ]
 
 DRIVER_CANARIES: list[str] = [
@@ -7471,6 +7472,85 @@ DRIVER_CANARIES: list[str] = [
     # 3x-green cleaning_chain/tumbling_counts_6h and all 2x-green
     # round-1/2 anchors rotate fully out (r01+r02 rows stand).
 ]
+
+
+@register(
+    "basket_lift_brand_pairs",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+    sb AS (SELECT brand, COUNT(*) AS nb FROM ob GROUP BY brand),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS nab
+        FROM ob a JOIN ob b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b,
+           CAST(nab AS BIGINT) AS n_both,
+           ROUND(nab * 1.0 / (SELECT n_orders FROM n), 6) AS support,
+           ROUND(nab * 1.0 / sa.nb, 6) AS confidence,
+           ROUND(nab * 1.0 * (SELECT n_orders FROM n) / (sa.nb * sb2.nb), 6)
+               AS lift
+    FROM pairs
+    JOIN sb sa ON sa.brand = pairs.brand_a
+    JOIN sb sb2 ON sb2.brand = pairs.brand_b
+    WHERE nab >= 5
+    ORDER BY lift DESC, brand_a, brand_b LIMIT 20
+    """,
+)
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: support / confidence / lift for
+    part-brand pairs co-occurring in an order, top-20 by lift at
+    min-support 5 — the recommender/affinity staple. The candidate
+    product exists only WITHIN baskets (self-equi-join on the order
+    key, the co_occurrence_edges shape — bounded by basket size, never
+    all-pairs over the catalog); brand marginals broadcast onto the
+    pair frame; deterministic tie-break → TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = ob.agg(F.count_distinct("okey").alias("n_orders"))
+    sb = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("nb"))
+    a = ob.select("okey", F.col("brand").alias("brand_a"))
+    b = ob.select("okey", F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("nab"))
+        .filter(F.col("nab") >= 5)
+    )
+    out = (
+        pairs.join(
+            F.broadcast(sb.select(F.col("brand").alias("brand_a"),
+                                  F.col("nb").alias("na"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(sb.select(F.col("brand").alias("brand_b"),
+                                  F.col("nb").alias("nb"))),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "brand_a",
+        "brand_b",
+        F.col("nab").cast("long").alias("n_both"),
+        F.round(F.col("nab") / F.col("n_orders"), 6).alias("support"),
+        F.round(F.col("nab") / F.col("na"), 6).alias("confidence"),
+        F.round(
+            F.col("nab") * F.col("n_orders") / (F.col("na") * F.col("nb")), 6
+        ).alias("lift"),
+    ).orderBy(F.desc("lift"), "brand_a", "brand_b").limit(20)
 
 
 # Round-5 rotation queue: once the r04 artifact lands, drop its
