@@ -71,3 +71,30 @@ def contamination_scores(
         F.col(id_col),
         F.size(F.array_intersect(hashes, probe)).alias(out_col),
     )
+
+
+def hash_filter_gate(
+    stream: DataFrame,
+    stream_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    num_buckets: int = 1 << 20,
+    seed: int = 7,
+) -> DataFrame:
+    """Streaming ingestion gate: keep only stream rows whose key MIGHT
+    exist in a static dimension — the stream-side twin of
+    operators/sketches.py:hash_filter_semijoin, and the same stateless
+    broadcast shape as ``contamination_scores`` above. The dim's
+    distinct bucket set broadcasts once per micro-batch plan; no state
+    store, no watermark, no shuffle on the stream side; false negatives
+    impossible, false positives bounded by |dim keys|/num_buckets.
+    Use in front of an expensive stateful stage (join, dedup,
+    aggregation) to cut its input volume.
+    Stream ≡ batch on the same rows (pytest oracle)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sketches import hash_filter_semijoin
+
+    return hash_filter_semijoin(
+        stream, stream_key, dim, dim_key, num_buckets=num_buckets, seed=seed
+    )

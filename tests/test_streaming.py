@@ -877,3 +877,45 @@ class TestStreamingAggMaintenance:
             for r in read_state(spark, path, self.SCHEMA).collect()
         }
         assert got == {"a": (2, 3.0, 2.0), "b": (1, 5.0, 5.0)}
+
+
+def test_hash_filter_gate_stream_equals_batch(spark, events_src, tmp_path):
+    """Stream-side pruning gate == the batch hash filter on the same
+    rows, and every true match survives."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_project_spark.operators.sketches import (
+        hash_filter_semijoin,
+    )
+    from fraud_detection_project_spark.streaming.decontam import (
+        hash_filter_gate,
+    )
+
+    batch = spark.read.parquet(events_src)
+    dim = batch.filter(F.col("user_id") % 7 == 0).select("user_id").distinct()
+    src = spark.readStream.schema(batch.schema).parquet(events_src)
+    gated = hash_filter_gate(src, "user_id", dim, "user_id", num_buckets=1 << 12)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("hfgate")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        r["event_id"] for r in spark.sql("SELECT event_id FROM hfgate").collect()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in hash_filter_semijoin(
+            batch, "user_id", dim, "user_id", num_buckets=1 << 12
+        ).collect()
+    )
+    assert got == want
+    exact = sorted(
+        r["event_id"]
+        for r in batch.join(F.broadcast(dim), "user_id", "left_semi").collect()
+    )
+    assert set(exact) <= set(got)
