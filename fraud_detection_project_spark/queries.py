@@ -7415,6 +7415,7 @@ DRIVER_PRIORITY: list[str] = [
     "token_budget_coverage",
     "temperature_sampling_weights",
     "basket_lift_brand_pairs",
+    "session_entry_conversion",
 ]
 
 DRIVER_CANARIES: list[str] = [
@@ -7551,6 +7552,86 @@ def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nab") * F.col("n_orders") / (F.col("na") * F.col("nb")), 6
         ).alias("lift"),
     ).orderBy(F.desc("lift"), "brand_a", "brand_b").limit(20)
+
+
+@register(
+    "session_entry_conversion",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    ), flagged AS (
+        SELECT *,
+               CASE WHEN ts_us - LAG(ts_us) OVER (
+                        PARTITION BY user_id ORDER BY ts_us, event_id)
+                         > 1800000000 THEN 1 ELSE 0 END AS new_s
+        FROM t
+    ), s AS (
+        SELECT *,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ), per AS (
+        SELECT user_id, session_id,
+               arg_min(event_type,
+                       lpad(CAST(ts_us AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                   AS entry_type,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM s GROUP BY user_id, session_id
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(SUM(converted) * 1.0 / COUNT(*), 6) AS conversion_rate
+    FROM per GROUP BY entry_type ORDER BY entry_type
+    """,
+)
+def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session analytics: conversion rate by ENTRY channel — does the
+    event type that opens a session predict a purchase inside it? The
+    gaps-and-islands session assignment, the tie-broken first event
+    (min_by on the composite time key), and the conversion flag all
+    share ONE user_id window/aggregation chain; the final frame is
+    |entry types| rows. Sessions that OPEN with a purchase count as
+    converted trivially — visible in the output, which is the point of
+    the breakdown."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = ev.withColumn(
+        "new_s",
+        (
+            (F.col("ts_us") - F.lag("ts_us").over(w)) > 1_800_000_000
+        ).cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum(F.coalesce(F.col("new_s"), F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per = flagged.groupBy("user_id", "session_id").agg(
+        F.expr("min_by(event_type, struct(ts_us, event_id))").alias(
+            "entry_type"
+        ),
+        F.max(
+            (F.col("event_type") == "purchase").cast("int")
+        ).alias("converted"),
+    )
+    return (
+        per.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            F.round(F.sum("converted") / F.count(F.lit(1)), 6).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("entry_type")
+    )
 
 
 # Round-5 rotation queue: once the r04 artifact lands, drop its
