@@ -251,3 +251,57 @@ def calibration_bins(
         )
         .orderBy("bin")
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str | Column,
+    rater_b: str | Column,
+    precision: int = 6,
+) -> DataFrame:
+    """Cohen's κ — chance-corrected agreement between two categorical
+    raters (Cohen 1960): ``κ = (p_o − p_e) / (1 − p_e)`` with observed
+    agreement ``p_o = P[a == b]`` and chance agreement
+    ``p_e = Σ_k P[a=k]·P[b=k]``.
+
+    The label-quality staple for LLM data work: two annotators (human
+    pools, model-as-judge runs, heuristic labelers) are only usable
+    when they agree beyond what their marginal label distributions force.
+
+    Scale design: one conditional-sum scan yields ``n`` and the
+    agreement count; each marginal is a ``groupBy(category)`` whose
+    output is |categories| rows; the chance term is an inner join of the
+    two tiny marginal frames on the category. Nothing holistic, no
+    sort — three small aggregates and a broadcast-sized join, valid at
+    any row count. Rows where either rater is NULL are excluded
+    (pairwise deletion), matching ``sklearn.metrics.cohen_kappa_score``
+    over the non-null subset.
+
+    Returns one row: ``(n, po, pe, kappa)``.
+    """
+    a, b = _as_col(rater_a), _as_col(rater_b)
+    obs = df.filter(a.isNotNull() & b.isNotNull()).select(
+        a.cast("string").alias("a"), b.cast("string").alias("b")
+    )
+    base = obs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("a") == F.col("b")).cast("long")).alias("n_agree"),
+    )
+    ma = obs.groupBy("a").agg(F.count(F.lit(1)).alias("na"))
+    mb = obs.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    chance = (
+        ma.join(mb, ma["a"] == mb["b"])
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("prod_sum"))
+    )
+    po = F.col("n_agree") / F.col("n")
+    pe = F.coalesce(F.col("prod_sum"), F.lit(0)) / (F.col("n") * F.col("n"))
+    kappa = F.when(pe < 1.0, (po - pe) / (1 - pe)).otherwise(F.lit(1.0))
+    return (
+        base.crossJoin(F.broadcast(chance))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.round(po, precision).alias("po"),
+            F.round(pe, precision).alias("pe"),
+            F.round(kappa, precision).alias("kappa"),
+        )
+    )

@@ -116,3 +116,96 @@ def weighted_sample(
         .limit(k)
         .drop("__wkey")
     )
+
+
+# second multiplicative mixing constant (Knuth TAOCP vol 3, 16-bit
+# golden-ratio analogue); distinct from _KNUTH so the bucket and the
+# ranking hash decorrelate.
+_MIX = 40503
+# modulus for the affine-then-remultiply mixing rounds (largest prime
+# below 10⁶ — keeps every intermediate product under 2⁵²).
+_HASH_PRIME = 999983
+
+
+def sample_negatives(
+    anchors: DataFrame,
+    pool: DataFrame,
+    anchor_id: str = "anchor_id",
+    pool_id: str = "pool_id",
+    k: int = 5,
+    n_buckets: int = 64,
+    probe_buckets: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic contrastive negative sampling: for every anchor,
+    ``k`` pseudo-random negatives from ``pool``, WITHOUT an
+    anchors×pool product.
+
+    The contrastive-training staple (in-batch/global negatives for
+    embedding models, DPO rejected-pair mining). A naive implementation
+    is a cross join — quadratic and dead at corpus scale. Here the pool
+    is hashed into ``n_buckets`` pseudo-random buckets and each anchor
+    probes only ``probe_buckets`` of them (its own hash walk), so the
+    candidate product is bounded by
+    ``|anchors| · probe_buckets · |pool| / n_buckets`` — a tunable
+    constant factor over the output size, executed as ONE equi-join on
+    the bucket key. Within the candidates, rank = mixed hash of
+    (anchor, candidate); ``row_number`` keeps the top ``k`` (ties
+    impossible: the tie-break is the candidate id itself).
+
+    Hashing is affine-mod-prime THEN remultiplied
+    (``((x·c₁ + seed) mod P) · c₂ mod m`` with P = 999983): a purely
+    affine hash would let the seed cancel out of every relative
+    comparison (same draw for every seed); the inner mod-P wrap makes
+    the seed genuinely reshuffle buckets and ranks. Ids are pre-reduced
+    mod P so no intermediate exceeds ~2⁵² — identical arithmetic in any
+    engine's 64-bit integers, no overflow wrap to depend on.
+
+    Self-pairs (anchor == candidate) are excluded. Fully deterministic
+    for a fixed seed — every engine and every cluster size derives the
+    identical sample, which is what makes the op oracle-checkable and
+    re-runnable without persisting the draw. All integer arithmetic —
+    no engine-specific hash in the contract.
+
+    Returns ``(anchor_id, pool_id, neg_rank)`` with ``neg_rank`` ∈
+    [1, k]. Anchors whose probed buckets hold fewer than ``k``
+    candidates return fewer rows (raise ``probe_buckets`` if that
+    matters).
+    """
+    from pyspark.sql import Window
+
+    P = _HASH_PRIME
+    a = anchors.select(F.col(anchor_id).cast("long").alias("__aid")).distinct()
+    p = pool.select(F.col(pool_id).cast("long").alias("__pid")).distinct()
+    am = F.pmod(F.col("__aid"), F.lit(P))
+    pm = F.pmod(F.col("__pid"), F.lit(P))
+    pb = p.withColumn(
+        "__bucket",
+        F.pmod(F.pmod(pm * _MIX + seed, F.lit(P)) * _KNUTH, F.lit(n_buckets)),
+    )
+    probes = a.select(
+        "__aid",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(probe_buckets - 1))
+        ).alias("__j"),
+    ).select(
+        "__aid",
+        F.pmod(
+            F.pmod(am * _KNUTH + seed, F.lit(P)) * _MIX + F.col("__j"),
+            F.lit(n_buckets),
+        ).alias("__bucket"),
+    ).distinct()
+    cands = probes.join(pb, "__bucket").filter(F.col("__aid") != F.col("__pid"))
+    rank_key = F.pmod(
+        F.pmod(am * _MIX + pm * _KNUTH + seed, F.lit(P)) * _KNUTH, F.lit(P)
+    )
+    w = Window.partitionBy("__aid").orderBy(rank_key.asc(), F.col("__pid").asc())
+    return (
+        cands.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            F.col("__aid").alias(anchor_id),
+            F.col("__pid").alias(pool_id),
+            "neg_rank",
+        )
+    )

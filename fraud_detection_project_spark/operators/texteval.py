@@ -1,0 +1,157 @@
+"""Pairwise text-overlap evaluation (ROUGE-N).
+
+The reference pipeline has no text surface at all (446-line tabular
+pandas, ``src/preprocessing/transform_data.py``); this module belongs to
+the LLM-data-pipeline extension families: scoring generated/candidate
+text against references is the evaluation staple (summarization eval,
+dedup explanation, distillation QA), and at corpus scale it must run as
+a distributed join over n-gram count frames — never a per-pair Python
+loop.
+
+ROUGE-N (Lin 2004, "ROUGE: A Package for Automatic Evaluation of
+Summaries") with *clipped* counts: for a (candidate, reference) pair the
+overlap of an n-gram is ``min(count_cand, count_ref)``;
+
+    recall    = overlap_total / ref_total
+    precision = overlap_total / cand_total
+    f1        = 2PR / (P + R)
+
+Scale design
+------------
+One tokenize+explode pass builds the per-document n-gram count frame
+``(doc_id, gram, c)`` — a single ``groupBy(doc_id, gram)`` shuffle over
+docs that actually participate in a pair (semi-join pruned). The pair
+table then joins that frame twice (keyed on the candidate id, then the
+reference id) and the clipped overlap is an inner join on
+``(pair_id, gram)`` — the n-gram frames are partitioned by pair id
+before the gram match, so a globally hot gram ("the") never concentrates
+on one task: its rows are already spread across pair-id partitions.
+Totals are plain per-doc sums reusing the same count frame. No UDFs;
+everything is codegen ``split``/``slice``/``explode`` + joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ngram_counts", "rouge_n"]
+
+_TOKEN_CLEAN = "[^a-zA-Z0-9]+"
+
+
+def ngram_counts(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 1
+) -> DataFrame:
+    """Per-document n-gram multiset: ``(id_col, gram, c)``.
+
+    Tokenization: lowercase, non-alphanumeric runs → single space, trim,
+    whitespace split — byte-identical to the DuckDB oracle expression
+    ``string_split_regex(trim(lower(regexp_replace(text,
+    '[^a-zA-Z0-9]+', ' ', 'g'))), '\\s+')`` used throughout the query
+    corpus (e.g. the 13-gram decontamination oracle). Documents shorter
+    than ``n`` tokens contribute no grams.
+    """
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), _TOKEN_CLEAN, " ")),
+        r"\s+",
+    )
+    d = docs.select(F.col(id_col), toks.alias("toks")).filter(
+        F.size("toks") >= n
+    )
+    if n == 1:
+        gram = F.explode("toks").alias("gram")
+        exploded = d.select(id_col, gram)
+    else:
+        # slice is 1-indexed; i ∈ [1, len-n+1]
+        idx = F.explode(
+            F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1))
+        ).alias("i")
+        exploded = d.select(id_col, "toks", idx).select(
+            id_col,
+            F.array_join(F.slice("toks", F.col("i"), n), " ").alias("gram"),
+        )
+    return exploded.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def rouge_n(
+    pairs: DataFrame,
+    docs: DataFrame,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cand_col: str = "cand_id",
+    ref_col: str = "ref_id",
+) -> DataFrame:
+    """Clipped-count ROUGE-N for every row of ``pairs``.
+
+    Returns ``(cand_col, ref_col, overlap, cand_total, ref_total,
+    precision, recall, f1)`` — one row per input pair, metrics NULL when
+    the corresponding side has no n-grams (doc shorter than ``n``).
+    """
+    participant = (
+        pairs.select(F.col(cand_col).alias(id_col))
+        .union(pairs.select(F.col(ref_col).alias(id_col)))
+        .distinct()
+    )
+    counts = ngram_counts(
+        docs.join(participant, id_col, "left_semi"), id_col, text_col, n
+    )
+    totals = counts.groupBy(id_col).agg(F.sum("c").alias("total"))
+
+    p = pairs.select(cand_col, ref_col)
+    cgrams = p.join(
+        counts.withColumnRenamed(id_col, cand_col), cand_col
+    ).select(cand_col, ref_col, "gram", F.col("c").alias("c_cand"))
+    rgrams = p.join(
+        counts.withColumnRenamed(id_col, ref_col), ref_col
+    ).select(cand_col, ref_col, "gram", F.col("c").alias("c_ref"))
+    overlap = (
+        cgrams.join(rgrams, [cand_col, ref_col, "gram"])
+        .groupBy(cand_col, ref_col)
+        .agg(F.sum(F.least("c_cand", "c_ref")).alias("overlap"))
+    )
+    out = (
+        p.join(
+            totals.withColumnRenamed(id_col, cand_col).withColumnRenamed(
+                "total", "cand_total"
+            ),
+            cand_col,
+            "left",
+        )
+        .join(
+            totals.withColumnRenamed(id_col, ref_col).withColumnRenamed(
+                "total", "ref_total"
+            ),
+            ref_col,
+            "left",
+        )
+        .join(overlap, [cand_col, ref_col], "left")
+        .withColumn(
+            "overlap",
+            F.when(
+                F.col("cand_total").isNotNull()
+                & F.col("ref_total").isNotNull(),
+                F.coalesce("overlap", F.lit(0)),
+            ),
+        )
+    )
+    prec = F.col("overlap") / F.col("cand_total")
+    rec = F.col("overlap") / F.col("ref_total")
+    f1 = F.when(
+        (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(
+        F.when(prec.isNotNull() & rec.isNotNull(), F.lit(0.0))
+    )
+    return out.select(
+        cand_col,
+        ref_col,
+        "overlap",
+        "cand_total",
+        "ref_total",
+        prec.alias("precision"),
+        rec.alias("recall"),
+        f1.alias("f1"),
+    )

@@ -7646,6 +7646,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gini_revenue_by_customer, benford_first_digit,
 # peak_concurrent_sessions, kaplan_meier_conversion,
 # token_budget_coverage, temperature_sampling_weights,
+# rouge2_adjacent_docs, kappa_agreement_raters, contrastive_negatives,
 # zipf_slope_tokens / label_centroid_separation if they miss the cut.
 
 
@@ -7662,3 +7663,201 @@ def driver_ordered(registry: dict) -> dict:
     ordered = {n: registry[n] for n in front}
     ordered.update({n: v for n, v in registry.items() if n not in seen})
     return ordered
+
+
+@register(
+    "rouge2_adjacent_docs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, list_aggregate(toks[i:i+1], 'string_agg', ' ') AS gram
+        FROM (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+              FROM t WHERE len(toks) >= 2)
+    ),
+    c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(c) AS total FROM c GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS cand_id, b.doc_id AS ref_id
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 100
+        WHERE a.doc_id < 200
+    ),
+    ov AS (
+        SELECT p.cand_id, p.ref_id, SUM(LEAST(cc.c, rc.c)) AS overlap
+        FROM pairs p
+        JOIN c cc ON cc.doc_id = p.cand_id
+        JOIN c rc ON rc.doc_id = p.ref_id AND rc.gram = cc.gram
+        GROUP BY 1, 2
+    )
+    SELECT p.cand_id, p.ref_id,
+           CAST(CASE WHEN tc.total IS NOT NULL AND tr.total IS NOT NULL
+                     THEN COALESCE(ov.overlap, 0) END AS BIGINT) AS overlap,
+           CAST(tc.total AS BIGINT) AS cand_total,
+           CAST(tr.total AS BIGINT) AS ref_total,
+           ROUND(CASE WHEN tc.total IS NOT NULL AND tr.total IS NOT NULL
+                      THEN COALESCE(ov.overlap, 0) * 1.0 / tc.total END, 6)
+               AS precision,
+           ROUND(CASE WHEN tc.total IS NOT NULL AND tr.total IS NOT NULL
+                      THEN COALESCE(ov.overlap, 0) * 1.0 / tr.total END, 6)
+               AS recall,
+           ROUND(CASE
+                     WHEN tc.total IS NULL OR tr.total IS NULL THEN NULL
+                     WHEN COALESCE(ov.overlap, 0) = 0 THEN 0.0
+                     ELSE 2.0 * (ov.overlap * 1.0 / tc.total)
+                              * (ov.overlap * 1.0 / tr.total)
+                          / (ov.overlap * 1.0 / tc.total
+                             + ov.overlap * 1.0 / tr.total)
+                 END, 6) AS f1
+    FROM pairs p
+    LEFT JOIN tot tc ON tc.doc_id = p.cand_id
+    LEFT JOIN tot tr ON tr.doc_id = p.ref_id
+    LEFT JOIN ov ON ov.cand_id = p.cand_id AND ov.ref_id = p.ref_id
+    ORDER BY p.cand_id
+    """,
+)
+def q_rouge2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (clipped bigram overlap, Lin 2004) scoring each doc
+    against a pseudo-reference 100 ids ahead —
+    operators/texteval.py:rouge_n. The summarization/distillation eval
+    staple as a distributed join over n-gram count frames: one
+    tokenize+explode pass over participating docs, per-pair clipped
+    overlap via an inner gram join keyed by (pair, gram) — a hot gram
+    spreads across pair partitions, no per-pair Python loop anywhere.
+    No reference counterpart (the 446-line pandas pipeline has no text
+    surface); LLM-pipeline evaluation family."""
+    from .operators.texteval import rouge_n
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("cand_id")).filter(
+        F.col("cand_id") < 200
+    )
+    b = docs.select(F.col("doc_id").alias("ref_id"))
+    pairs = a.join(
+        b, F.col("ref_id") == F.col("cand_id") + 100
+    )
+    r = rouge_n(pairs, docs, n=2)
+    return r.select(
+        "cand_id",
+        "ref_id",
+        F.col("overlap").cast("long").alias("overlap"),
+        F.col("cand_total").cast("long").alias("cand_total"),
+        F.col("ref_total").cast("long").alias("ref_total"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    ).orderBy("cand_id")
+
+
+@register(
+    "kappa_agreement_raters",
+    oracle="""
+    WITH obs AS (
+        SELECT CASE WHEN value > 50 THEN 'hi'
+                    WHEN value > 10 THEN 'mid' ELSE 'lo' END AS a,
+               CASE WHEN value + 3 * (user_id % 7) > 50 THEN 'hi'
+                    WHEN value + 3 * (user_id % 7) > 10 THEN 'mid'
+                    ELSE 'lo' END AS b
+        FROM events WHERE value IS NOT NULL
+    ),
+    base AS (
+        SELECT COUNT(*) AS n,
+               SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS n_agree
+        FROM obs
+    ),
+    ma AS (SELECT a, COUNT(*) AS na FROM obs GROUP BY a),
+    mb AS (SELECT b, COUNT(*) AS nb FROM obs GROUP BY b),
+    chance AS (
+        SELECT SUM(na * nb) AS prod_sum FROM ma JOIN mb ON ma.a = mb.b
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(n_agree * 1.0 / n, 6) AS po,
+           ROUND(prod_sum * 1.0 / (n * n), 6) AS pe,
+           ROUND((n_agree * 1.0 / n - prod_sum * 1.0 / (n * n))
+                 / (1 - prod_sum * 1.0 / (n * n)), 6) AS kappa
+    FROM base, chance
+    """,
+)
+def q_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between two heuristic raters (ml/evaluate.py:
+    cohens_kappa): a value-threshold tier rater vs the same rule over a
+    user-perturbed value — the annotation-quality gate for label
+    pipelines (rater pools, model-as-judge audits). Three tiny
+    aggregates + a |categories|² marginal join; no sort, no holistic
+    state — the 1-row answer is valid at any corpus size."""
+    from .ml.evaluate import cohens_kappa
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.when(F.col("value") > 50, "hi")
+            .when(F.col("value") > 10, "mid")
+            .otherwise("lo")
+            .alias("rater_a"),
+            F.when(F.col("value") + 3 * F.pmod(F.col("user_id"), F.lit(7)) > 50, "hi")
+            .when(F.col("value") + 3 * F.pmod(F.col("user_id"), F.lit(7)) > 10, "mid")
+            .otherwise("lo")
+            .alias("rater_b"),
+        )
+    )
+    return cohens_kappa(ev, "rater_a", "rater_b")
+
+
+@register(
+    "contrastive_negatives",
+    oracle="""
+    WITH a AS (SELECT doc_id AS aid FROM documents WHERE doc_id % 100 = 0),
+    p AS (SELECT doc_id AS pid,
+                 ((doc_id % 999983) * 40503 + 7) % 999983 * 2654435761 % 32
+                     AS bucket
+          FROM documents),
+    probes AS (
+        SELECT DISTINCT aid,
+               (((aid % 999983) * 2654435761 + 7) % 999983 * 40503 + j.j) % 32
+                   AS bucket
+        FROM a CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j
+    ),
+    cands AS (
+        SELECT aid, pid FROM probes JOIN p USING (bucket) WHERE aid <> pid
+    ),
+    ranked AS (
+        SELECT aid, pid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY aid
+                   ORDER BY ((aid % 999983) * 40503
+                             + (pid % 999983) * 2654435761 + 7)
+                            % 999983 * 2654435761 % 999983,
+                            pid
+               ) AS neg_rank
+        FROM cands
+    )
+    SELECT aid AS anchor_id, pid AS pool_id,
+           CAST(neg_rank AS BIGINT) AS neg_rank
+    FROM ranked WHERE neg_rank <= 3
+    ORDER BY anchor_id, neg_rank
+    """,
+)
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative mining (ml/split.py:
+    sample_negatives): 3 pseudo-random pool negatives per anchor via
+    hash-bucket probing — candidate product bounded to
+    |anchors|·probe/|buckets|·|pool|, ONE equi-join on the bucket key,
+    never anchors×pool. Pure integer multiplicative hashing, so the
+    oracle replays the draw exactly; embedding-training data-prep
+    family."""
+    from .ml.split import sample_negatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    anchors = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("anchor_id")
+    )
+    pool = docs.select(F.col("doc_id").alias("pool_id"))
+    out = sample_negatives(
+        anchors, pool, k=3, n_buckets=32, probe_buckets=4, seed=7
+    )
+    return out.select(
+        "anchor_id", "pool_id", F.col("neg_rank").cast("long").alias("neg_rank")
+    ).orderBy("anchor_id", "neg_rank")
