@@ -305,3 +305,116 @@ def cohens_kappa(
             F.round(kappa, precision).alias("kappa"),
         )
     )
+
+
+# deterministic-hash constants shared with ml/split.py (Knuth
+# multiplicative mixing; affine-mod-prime then remultiply so seed and
+# replicate index genuinely reshuffle the draw)
+_KNUTH = 2654435761
+_MIX = 40503
+_HASH_PRIME = 999983
+
+# Poisson(1) CDF prefix: P[X <= k] for k = 0..4; mass above 5 (~0.06%)
+# is clamped to 5 — bias far below bootstrap Monte-Carlo noise.
+_POISSON1_CDF = (
+    0.367879441171442,
+    0.735758882342885,
+    0.919698602928606,
+    0.981011843123846,
+    0.996340153172656,
+)
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    value: str | Column,
+    id_col: str,
+    n_replicates: int = 50,
+    lo_rank: int | None = None,
+    hi_rank: int | None = None,
+    seed: int = 0,
+    precision: int = 6,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean via the
+    POISSON bootstrap (Chamandy et al. 2012, "Estimating Uncertainty
+    for Massive Data Streams" — the Google large-scale recipe; also
+    Kleiner et al.'s BLB lineage): classical resampling needs the row
+    count up front and a global shuffle per replicate; the Poisson
+    bootstrap instead gives every row an independent Poisson(1) weight
+    per replicate, which matches multinomial resampling to O(1/n) and
+    runs in ONE pass.
+
+    Each (row, replicate) weight is derived from a deterministic
+    integer hash of ``(id_col, replicate, seed)`` inverted through the
+    Poisson(1) CDF (clamped at 5) — no RNG state, so any engine and any
+    partitioning reproduces the identical draw, making the whole
+    resampling procedure oracle-checkable. The CI is read off the
+    ORDER STATISTICS of the replicate means (ranks ``lo_rank`` /
+    ``hi_rank``, 1-indexed; defaults to the 2.5%/97.5% ranks) — no
+    interpolation, so engines can't disagree on quantile definitions.
+
+    Scale design: rows × replicates is a map-side ``explode`` (no
+    shuffle); the only exchange is ``groupBy(group, replicate)`` →
+    ``|groups|·R`` rows; the rank pick is a window over R rows per
+    group. Weighted sums, never materialized resamples.
+
+    Returns ``(group_cols..., mean_value, ci_lo, ci_hi, n_replicates)``.
+    """
+    v = _as_col(value)
+    if lo_rank is None:
+        lo_rank = max(1, int(round(0.025 * n_replicates)))
+    if hi_rank is None:
+        hi_rank = min(n_replicates, int(round(0.975 * n_replicates)) + 1)
+    P = _HASH_PRIME
+    base = df.filter(v.isNotNull()).select(
+        *group_cols,
+        v.alias("__v"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(P)).alias("__idm"),
+    )
+    rep = base.withColumn(
+        "__r", F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1)))
+    )
+    u = (
+        F.pmod(
+            F.pmod(
+                F.col("__idm") * _KNUTH + F.col("__r") * _MIX + seed, F.lit(P)
+            )
+            * _KNUTH,
+            F.lit(P),
+        ).cast("double")
+        / F.lit(float(P))
+    )
+    w = F.lit(5)
+    for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(_POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    means = (
+        rep.withColumn("__w", w)
+        .groupBy(*group_cols, "__r")
+        .agg(
+            (F.sum(F.col("__w") * F.col("__v")) / F.sum("__w")).alias("__rm")
+        )
+        # a replicate whose weights all landed 0 (only plausible for
+        # tiny groups) has no mean; drop it so NULL-ordering dialect
+        # differences can never reach the rank pick
+        .filter(F.col("__rm").isNotNull())
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy(*group_cols).orderBy(F.col("__rm").asc(), F.col("__r").asc())
+    )
+    picked = means.withColumn("__rk", rk).filter(
+        F.col("__rk").isin(lo_rank, hi_rank)
+    )
+    ci = picked.groupBy(*group_cols).agg(
+        F.min("__rm").alias("__lo"), F.max("__rm").alias("__hi")
+    )
+    overall = base.groupBy(*group_cols).agg(F.avg("__v").alias("__mean"))
+    return overall.join(ci, group_cols).select(
+        *group_cols,
+        F.round("__mean", precision).alias("mean_value"),
+        F.round("__lo", precision).alias("ci_lo"),
+        F.round("__hi", precision).alias("ci_hi"),
+        F.lit(n_replicates).cast("long").alias("n_replicates"),
+    )

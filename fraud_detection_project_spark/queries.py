@@ -7647,6 +7647,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # peak_concurrent_sessions, kaplan_meier_conversion,
 # token_budget_coverage, temperature_sampling_weights,
 # rouge2_adjacent_docs, kappa_agreement_raters, contrastive_negatives,
+# bootstrap_ci_value_by_type, split_leakage_audit,
 # zipf_slope_tokens / label_centroid_separation if they miss the cut.
 
 
@@ -7861,3 +7862,135 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "anchor_id", "pool_id", F.col("neg_rank").cast("long").alias("neg_rank")
     ).orderBy("anchor_id", "neg_rank")
+
+
+@register(
+    "bootstrap_ci_value_by_type",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, value, event_id % 999983 AS idm
+        FROM events WHERE value IS NOT NULL
+    ),
+    rep AS (
+        SELECT event_type, value, idm, j.r
+        FROM base CROSS JOIN (SELECT unnest(range(0, 50)) AS r) j
+    ),
+    weighted AS (
+        SELECT event_type, value, r,
+               CASE
+                   WHEN u < 0.367879441171442 THEN 0
+                   WHEN u < 0.735758882342885 THEN 1
+                   WHEN u < 0.919698602928606 THEN 2
+                   WHEN u < 0.981011843123846 THEN 3
+                   WHEN u < 0.996340153172656 THEN 4
+                   ELSE 5
+               END AS w
+        FROM (SELECT event_type, value, r,
+                     ((idm * 2654435761 + r * 40503 + 11) % 999983)
+                         * 2654435761 % 999983 * 1.0 / 999983 AS u
+              FROM rep)
+    ),
+    means AS (
+        SELECT event_type, r, SUM(w * value) / SUM(w) AS rm
+        FROM weighted GROUP BY event_type, r
+        HAVING SUM(w) > 0
+    ),
+    ranked AS (
+        SELECT event_type, rm,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY rm ASC, r ASC) AS rk
+        FROM means
+    ),
+    ci AS (
+        SELECT event_type, MIN(rm) AS lo, MAX(rm) AS hi
+        FROM ranked WHERE rk IN (1, 49) GROUP BY event_type
+    )
+    SELECT b.event_type,
+           ROUND(AVG(b.value), 6) AS mean_value,
+           ROUND(MAX(ci.lo), 6) AS ci_lo,
+           ROUND(MAX(ci.hi), 6) AS ci_hi,
+           CAST(50 AS BIGINT) AS n_replicates
+    FROM base b JOIN ci ON ci.event_type = b.event_type
+    GROUP BY b.event_type
+    ORDER BY b.event_type
+    """,
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95%-ish CI (ranks 1/49 of 50 replicate means)
+    for mean(value) per event_type — ml/evaluate.py:
+    poisson_bootstrap_mean_ci, the one-pass massive-data resampling
+    recipe (Chamandy 2012): per-(row, replicate) Poisson(1) weights
+    from a deterministic integer hash, replicate means via ONE
+    groupBy(type, replicate), CI read off order statistics so no
+    quantile-interpolation dialect can disagree. Rows×50 is map-side
+    explode; the exchange is |types|·50 rows."""
+    from .ml.evaluate import poisson_bootstrap_mean_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    return poisson_bootstrap_mean_ci(
+        ev,
+        ["event_type"],
+        "value",
+        "event_id",
+        n_replicates=50,
+        lo_rank=1,
+        hi_rank=49,
+        seed=11,
+    ).orderBy("event_type")
+
+
+@register(
+    "split_leakage_audit",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id, event_id,
+               CASE WHEN (user_id * 2654435761 + 0) % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id, COUNT(DISTINCT split) AS n_splits FROM assigned
+        GROUP BY user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM per_user WHERE n_splits > 1) AS BIGINT)
+               AS n_leaky_users,
+           (SELECT COUNT(*) FROM per_user WHERE n_splits > 1) = 0
+               AS group_disjoint,
+           CAST((SELECT COUNT(*) FROM assigned) AS BIGINT) AS n_events,
+           ROUND((SELECT SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                         * 1.0 / COUNT(*) FROM assigned), 6)
+               AS train_event_frac
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-leakage audit for entity-keyed splits: hash-split on
+    user_id (ml/split.py:id_hash_split — the GROUP split: every event
+    of a user lands one side, the guard against a user's events
+    straddling train/test and leaking identity features), then PROVE
+    disjointness — n_leaky_users must be 0 by construction since the
+    assignment is a pure function of user_id — plus the realized
+    event-level train fraction, which drifts from 80% exactly as far
+    as per-user event counts are skewed. The audit is one groupBy per
+    claim; nothing holistic."""
+    from .ml.split import id_hash_split
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    s = id_hash_split(ev, "user_id", 0.8)
+    per_user = s.groupBy("user_id").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    leaky = per_user.agg(
+        F.sum((F.col("n_splits") > 1).cast("long")).alias("n_leaky_users")
+    )
+    ev_stats = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(
+            F.avg((F.col("split") == "train").cast("double")), 6
+        ).alias("train_event_frac"),
+    )
+    return leaky.crossJoin(F.broadcast(ev_stats)).select(
+        F.col("n_leaky_users").cast("long").alias("n_leaky_users"),
+        (F.col("n_leaky_users") == 0).alias("group_disjoint"),
+        "n_events",
+        "train_event_frac",
+    )
