@@ -76,6 +76,20 @@ class TestRouge:
         assert row.overlap is None and row.f1 is None
         assert row.ref_total is None and row.cand_total == 5
 
+    def test_swap_transposes_precision_recall(self, spark):
+        # ROUGE is direction-sensitive: swapping cand/ref must swap
+        # P and R exactly and preserve F1 (harmonic mean is symmetric)
+        docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        fwd = rouge_n(
+            spark.createDataFrame([(1, 3)], ["cand_id", "ref_id"]), docs, n=1
+        ).collect()[0]
+        rev = rouge_n(
+            spark.createDataFrame([(3, 1)], ["cand_id", "ref_id"]), docs, n=1
+        ).collect()[0]
+        assert fwd.precision == rev.recall and fwd.recall == rev.precision
+        assert math.isclose(fwd.f1, rev.f1, rel_tol=1e-12)
+        assert fwd.overlap == rev.overlap
+
     def test_ngram_counts_clip_basis(self, spark):
         docs = spark.createDataFrame(DOCS[:1], ["doc_id", "text"])
         got = {
@@ -116,6 +130,14 @@ class TestKappa:
         )
         row = cohens_kappa(df, "a", "b").collect()[0]
         assert row.n == 2 and row.po == 0.5
+
+    def test_rater_swap_symmetric(self, spark):
+        a = ["x", "y", "x", "z", "y", "x", "z", "z", "y"]
+        b = ["y", "y", "x", "x", "y", "z", "z", "x", "x"]
+        df = spark.createDataFrame(list(zip(a, b)), ["a", "b"])
+        fwd = cohens_kappa(df, "a", "b").collect()[0]
+        rev = cohens_kappa(df, "b", "a").collect()[0]
+        assert fwd == rev  # kappa is symmetric in the raters
 
     def test_single_category_degenerate(self, spark):
         # pe == 1 → kappa defined as 1.0 (agreement is forced)

@@ -146,6 +146,57 @@ def _stream_join_batch_twin(spark, sf_dir: str):
     ).select("l_user_id", "l_ts", "r_ts")
 
 
+def _rouge2_all_pairs(spark, sf_dir: str):
+    """ROUGE-2 over EVERY (doc, doc+100) pair — |docs| pairs, the
+    gram-count join shape at full width."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_project_spark.catalog import load_table
+    from fraud_detection_project_spark.operators.texteval import rouge_n
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(F.col("doc_id").alias("cand_id")).join(
+        docs.select(F.col("doc_id").alias("ref_id")),
+        F.col("ref_id") == F.col("cand_id") + 100,
+    )
+    return rouge_n(pairs, docs, n=2)
+
+
+def _bootstrap_all(spark, sf_dir: str):
+    """Poisson bootstrap, 50 replicates over all events — rows×50
+    map-side explode, |types|·50 exchange."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_project_spark.catalog import load_table
+    from fraud_detection_project_spark.ml.evaluate import (
+        poisson_bootstrap_mean_ci,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return poisson_bootstrap_mean_ci(
+        ev, ["event_type"], "value", "event_id", n_replicates=50, seed=11
+    )
+
+
+def _negatives_all(spark, sf_dir: str):
+    """Negative mining with EVERY doc as an anchor — the bucket-join
+    candidate product at its widest (|docs|·probe/|buckets|·|docs|)."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_project_spark.catalog import load_table
+    from fraud_detection_project_spark.ml.split import sample_negatives
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_negatives(
+        docs.select(F.col("doc_id").alias("anchor_id")),
+        docs.select(F.col("doc_id").alias("pool_id")),
+        k=5,
+        n_buckets=256,
+        probe_buckets=8,
+        seed=7,
+    )
+
+
 def run(spark, sf_dir: str) -> dict[str, float]:
     from fraud_detection_project_spark.queries import QUERIES
 
@@ -181,6 +232,13 @@ def run(spark, sf_dir: str) -> dict[str, float]:
         "q20_transitions": lambda: QUERIES["event_transition_probs"](
             spark, sf_dir
         ),
+        # round-4 continuation: text eval, resampling inference,
+        # negative mining — scale-growing forms (the registered queries
+        # cap output for the oracle; these pair/bootstrap over the
+        # whole table so the decade exponent is meaningful)
+        "q21_rouge2": lambda: _rouge2_all_pairs(spark, sf_dir),
+        "q22_bootstrap": lambda: _bootstrap_all(spark, sf_dir),
+        "q23_negatives": lambda: _negatives_all(spark, sf_dir),
     }
     consume(QUERIES["cleaning_chain"](spark, sf_dir))  # warm listing/JIT
     out = {}
