@@ -133,7 +133,7 @@ def sample_negatives(
     anchor_id: str = "anchor_id",
     pool_id: str = "pool_id",
     k: int = 5,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     probe_buckets: int = 8,
     seed: int = 0,
 ) -> DataFrame:
@@ -147,11 +147,20 @@ def sample_negatives(
     is hashed into ``n_buckets`` pseudo-random buckets and each anchor
     probes only ``probe_buckets`` of them (its own hash walk), so the
     candidate product is bounded by
-    ``|anchors| · probe_buckets · |pool| / n_buckets`` — a tunable
-    constant factor over the output size, executed as ONE equi-join on
-    the bucket key. Within the candidates, rank = mixed hash of
-    (anchor, candidate); ``row_number`` keeps the top ``k`` (ties
-    impossible: the tie-break is the candidate id itself).
+    ``|anchors| · probe_buckets · |pool| / n_buckets``, executed as ONE
+    equi-join on the bucket key. Within the candidates, rank = mixed
+    hash of (anchor, candidate); ``row_number`` keeps the top ``k``
+    (ties impossible: the tie-break is the candidate id itself).
+
+    ``n_buckets`` defaults to AUTO-SIZING from the measured pool count
+    so each anchor sees ≈ ``max(8k, 2·probe_buckets)`` candidates
+    REGARDLESS of pool size — with a fixed bucket count the per-anchor
+    candidate set grows linearly with the pool and an
+    all-docs-as-anchors run goes quadratic (measured: decade exponent
+    2.2 before auto-sizing, see SCALING.md). Auto-sizing costs one
+    ``count()`` job and makes the draw a function of |pool|; pass an
+    explicit ``n_buckets`` when the draw must stay fixed across
+    growing-pool reruns (e.g. the oracle-checked query pins 32).
 
     Hashing is affine-mod-prime THEN remultiplied
     (``((x·c₁ + seed) mod P) · c₂ mod m`` with P = 999983): a purely
@@ -177,6 +186,10 @@ def sample_negatives(
     P = _HASH_PRIME
     a = anchors.select(F.col(anchor_id).cast("long").alias("__aid")).distinct()
     p = pool.select(F.col(pool_id).cast("long").alias("__pid")).distinct()
+    if n_buckets is None:
+        target = max(8 * k, 2 * probe_buckets)
+        pool_n = p.count()
+        n_buckets = max(probe_buckets, -(-probe_buckets * pool_n // target))
     am = F.pmod(F.col("__aid"), F.lit(P))
     pm = F.pmod(F.col("__pid"), F.lit(P))
     pb = p.withColumn(

@@ -175,6 +175,16 @@ class TestSampleNegatives:
         b = sorted(map(tuple, sample_negatives(anchors, pool, k=4, seed=2).collect()))
         assert a != b
 
+    def test_auto_sizing_holds_k_across_pool_scales(self, spark):
+        # auto-sized n_buckets keeps per-anchor candidates ~constant:
+        # 10x the pool must still fill k for every anchor (and not
+        # blow up the candidate product — the SCALING.md q23 quadratic)
+        for n_pool in (300, 3000):
+            anchors, pool = self._frames(spark, n_pool=n_pool)
+            out = sample_negatives(anchors, pool, k=5, seed=3).collect()
+            per = Counter(r.anchor_id for r in out)
+            assert len(per) == 10 and all(c == 5 for c in per.values())
+
     def test_candidates_bounded_by_probed_buckets(self, spark):
         # every sampled negative must come from a bucket the anchor probes
         anchors, pool = self._frames(spark)

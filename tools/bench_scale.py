@@ -191,7 +191,6 @@ def _negatives_all(spark, sf_dir: str):
         docs.select(F.col("doc_id").alias("anchor_id")),
         docs.select(F.col("doc_id").alias("pool_id")),
         k=5,
-        n_buckets=256,
         probe_buckets=8,
         seed=7,
     )
