@@ -7648,6 +7648,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token_budget_coverage, temperature_sampling_weights,
 # rouge2_adjacent_docs, kappa_agreement_raters, contrastive_negatives,
 # bootstrap_ci_value_by_type, split_leakage_audit,
+# isotonic_calibration_invariants,
 # zipf_slope_tokens / label_centroid_separation if they miss the cut.
 
 
@@ -7994,3 +7995,60 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "train_event_frac",
     )
+
+
+@register(
+    "isotonic_calibration_invariants",
+    oracle="""
+    WITH base AS (
+        SELECT LEAST(GREATEST(FLOOR(LEAST(value / 130, 1.0) / (1.0 / 20)), 0),
+                     19) AS bin
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins_used,
+           TRUE AS is_monotone,
+           TRUE AS mass_preserved,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM base
+    """,
+)
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned isotonic calibration (ml/calibration.py:isotonic_bins —
+    PAV over ≤ n_bins bin summaries, the scale form of
+    sklearn.isotonic): fit a 20-bin monotone mapping from a clipped
+    value score to P[value > 60], then PROVE the PAV contract as a
+    constant-TRUE invariant twin (hll_within_tolerance pattern):
+    calibrated probabilities non-decreasing across bins, and pooling
+    preserves the weighted mean exactly. The oracle independently
+    recomputes bin occupancy and row count with the same IEEE-double
+    bin arithmetic."""
+    from .ml.calibration import isotonic_bins
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    scored = ev.select(
+        F.least(F.col("value") / 130, F.lit(1.0)).alias("s"),
+        (F.col("value") > 60).alias("y"),
+    )
+    mapping = isotonic_bins(scored, "s", "y", 0.0, 1.0, n_bins=20)
+    w = Window.orderBy("bin")
+    checks = mapping.select(
+        "bin",
+        "n",
+        "frac_pos",
+        "calibrated",
+        (F.col("calibrated") >= F.coalesce(F.lag("calibrated").over(w), F.lit(-1.0))).alias(
+            "mono_ok"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.min("mono_ok").alias("is_monotone"),
+        (
+            F.abs(
+                F.sum(F.col("n") * F.col("calibrated"))
+                - F.sum(F.col("n") * F.col("frac_pos"))
+            )
+            < 1e-6
+        ).alias("mass_preserved"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return checks
