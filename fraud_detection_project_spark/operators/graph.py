@@ -275,3 +275,52 @@ def k_core(
         if not changed:
             break
     return core.select(F.col("u").alias("id"), F.col("c").alias("core"))
+
+
+def adamic_adar(
+    edges: DataFrame,
+    left: str = "src",
+    right: str = "dst",
+    max_degree: int | None = None,
+) -> DataFrame:
+    """Adamic–Adar link prediction over a bipartite edge list: score
+    every left-node pair sharing ≥ 1 right-neighbor by
+    ``Σ_shared 1 / ln(degree(neighbor))`` (Adamic & Adar 2003,
+    "Friends and neighbors on the Web") — rare shared neighbors weigh
+    more than ubiquitous ones. The link-prediction /
+    candidate-generation staple (who-to-connect, related-items).
+
+    Scale design: candidate pairs materialize only WITHIN a shared
+    neighbor (self-equi-join keyed on the right node — the
+    ``co_occurrence_edges`` shape), so work is Σ_n deg(n)², never an
+    all-pairs product. That sum is exactly where a hot neighbor
+    explodes quadratically, so ``max_degree`` prunes right-nodes with
+    more than that many neighbors BEFORE the join — the standard recipe
+    (a neighbor shared by thousands contributes ~1/ln(deg) ≈ nothing to
+    ranking while dominating the join; dropping it trades negligible
+    score mass for a hard quadratic bound, mirroring the stop-shingle
+    document-frequency cutoff in the Jaccard dedup operator). Degrees
+    are computed with one ``groupBy(right)``; a shared neighbor always
+    has degree ≥ 2, so ``ln`` never sees 1.
+
+    Returns ``(node_a, node_b, n_common, aa_score)`` with
+    ``node_a < node_b``.
+    """
+    e = edges.select(left, right).distinct()
+    deg = e.groupBy(right).agg(F.count(F.lit(1)).alias("__deg"))
+    if max_degree is not None:
+        deg = deg.filter(F.col("__deg") <= max_degree)
+    ed = e.join(deg, right)  # inner join drops pruned hot neighbors
+    pairs = (
+        ed.select(F.col(left).alias("node_a"), F.col(right).alias("__n"),
+                  "__deg")
+        .join(
+            ed.select(F.col(left).alias("node_b"), F.col(right).alias("__n")),
+            "__n",
+        )
+        .filter(F.col("node_a") < F.col("node_b"))
+    )
+    return pairs.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.sum(F.lit(1.0) / F.log(F.col("__deg"))).alias("aa_score"),
+    )

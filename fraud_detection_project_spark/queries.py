@@ -7648,7 +7648,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token_budget_coverage, temperature_sampling_weights,
 # rouge2_adjacent_docs, kappa_agreement_raters, contrastive_negatives,
 # bootstrap_ci_value_by_type, split_leakage_audit,
-# isotonic_calibration_invariants,
+# isotonic_calibration_invariants, adamic_adar_order_links,
 # zipf_slope_tokens / label_centroid_separation if they miss the cut.
 
 
@@ -8052,3 +8052,53 @@ def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").cast("long").alias("n_total"),
     )
     return checks
+
+
+@register(
+    "adamic_adar_order_links",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS pkey FROM lineitem
+    ),
+    deg AS (
+        SELECT pkey, COUNT(*) AS d FROM e GROUP BY pkey HAVING COUNT(*) <= 40
+    ),
+    ed AS (SELECT e.okey, e.pkey, deg.d FROM e JOIN deg USING (pkey)),
+    pairs AS (
+        SELECT a.okey AS node_a, b.okey AS node_b,
+               COUNT(*) AS n_common,
+               SUM(1.0 / LN(a.d)) AS aa
+        FROM ed a JOIN ed b ON a.pkey = b.pkey AND a.okey < b.okey
+        GROUP BY 1, 2
+    )
+    SELECT node_a, node_b, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(aa, 6) AS aa_score
+    FROM pairs
+    ORDER BY aa_score DESC, node_a, node_b
+    LIMIT 20
+    """,
+)
+def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (operators/graph.py:adamic_adar):
+    top-20 order pairs by shared-part affinity, rare parts weighted
+    1/ln(degree). Candidate pairs exist only within a shared part
+    (self-equi-join on the part key); parts in > 40 orders are pruned
+    before the join — the hot-neighbor quadratic guard, same recipe as
+    the stop-shingle cutoff in Jaccard dedup. Deterministic tie-break →
+    TakeOrderedAndProject."""
+    from .operators.graph import adamic_adar
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pkey")
+    )
+    out = adamic_adar(li, "okey", "pkey", max_degree=40)
+    return (
+        out.select(
+            "node_a",
+            "node_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round("aa_score", 6).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), "node_a", "node_b")
+        .limit(20)
+    )

@@ -152,3 +152,54 @@ class TestKCore:
     def test_direction_and_duplicates_normalized(self, spark):
         got = self._run(spark, [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1)])
         assert got == {1: 2, 2: 2, 3: 2}
+
+
+class TestAdamicAdar:
+    def _brute(self, edges, max_degree=None):
+        import math
+        from collections import defaultdict
+
+        nbrs = defaultdict(set)  # right-node -> left-nodes
+        for l, r in set(edges):
+            nbrs[r].add(l)
+        scores = defaultdict(lambda: [0, 0.0])
+        for r, ls in nbrs.items():
+            d = len(ls)
+            if max_degree is not None and d > max_degree:
+                continue
+            for a, b in combinations(sorted(ls), 2):
+                scores[(a, b)][0] += 1
+                scores[(a, b)][1] += 1.0 / math.log(d)
+        return {
+            k: (v[0], round(v[1], 9)) for k, v in scores.items()
+        }
+
+    def _run(self, spark, edges, max_degree=None):
+        from fraud_detection_project_spark.operators.graph import adamic_adar
+
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        return {
+            (r.node_a, r.node_b): (r.n_common, round(r.aa_score, 9))
+            for r in adamic_adar(df, max_degree=max_degree).collect()
+        }
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(5)
+        edges = [(rng.randrange(12), rng.randrange(100, 108)) for _ in range(80)]
+        assert self._run(spark, edges) == self._brute(edges)
+
+    def test_hot_neighbor_pruned(self, spark):
+        # neighbor 100 is shared by everyone; pruning drops its pairs
+        edges = [(i, 100) for i in range(10)] + [(0, 101), (1, 101)]
+        full = self._run(spark, edges)
+        pruned = self._run(spark, edges, max_degree=5)
+        assert len(full) == 45 + 0  # C(10,2); (0,1) pair merged into it
+        assert set(pruned) == {(0, 1)}  # only the rare neighbor survives
+        assert pruned[(0, 1)][0] == 1
+
+    def test_duplicate_edges_ignored(self, spark):
+        edges = [(1, 100), (1, 100), (2, 100), (2, 100)]
+        got = self._run(spark, edges)
+        assert got == {(1, 2): (1, round(1.0 / __import__("math").log(2), 9))}
