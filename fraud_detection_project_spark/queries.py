@@ -7649,6 +7649,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rouge2_adjacent_docs, kappa_agreement_raters, contrastive_negatives,
 # bootstrap_ci_value_by_type, split_leakage_audit,
 # isotonic_calibration_invariants, adamic_adar_order_links,
+# rfm_segments_customers, dow_seasonality_value,
 # zipf_slope_tokens / label_centroid_separation if they miss the cut.
 
 
@@ -8101,4 +8102,122 @@ def q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("aa_score"), "node_a", "node_b")
         .limit(20)
+    )
+
+
+@register(
+    "rfm_segments_customers",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(o_orderdate), TIMESTAMP '2001-09-01')
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT *,
+               NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+        FROM per
+    )
+    SELECT CASE
+               WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+               WHEN r_score <= 2 THEN 'recent'
+               WHEN f_score <= 2 THEN 'loyal_lapsing'
+               ELSE 'hibernating'
+           END AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(recency_days), 4) AS avg_recency_days,
+           ROUND(AVG(frequency), 4) AS avg_frequency,
+           ROUND(AVG(monetary), 4) AS avg_monetary
+    FROM scored GROUP BY segment ORDER BY segment
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency / frequency /
+    monetary, quintile scores (NTILE with a deterministic customer-key
+    tie-break so both engines cut identically), and a rule-based
+    segment rollup. One orders scan + one customer groupBy; the
+    quintile windows are global sorts over the |customers| frame — at
+    100 TB replace with approx-percentile cut points (the
+    quantile_discretize_value pattern) to avoid the single-partition
+    window; both forms are in the corpus. Classic lifecycle-marketing
+    analytics over the reference's transactional schema."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("2001-09-01").cast("timestamp"), F.max("o_orderdate")
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = per.select(
+        "*",
+        F.ntile(5).over(Window.orderBy("recency_days", "o_custkey")).alias("r_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.desc("frequency"), "o_custkey")
+        ).alias("f_score"),
+        F.ntile(5).over(
+            Window.orderBy(F.desc("monetary"), "o_custkey")
+        ).alias("m_score"),
+    )
+    seg = F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion").when(
+        F.col("r_score") <= 2, "recent"
+    ).when(F.col("f_score") <= 2, "loyal_lapsing").otherwise("hibernating")
+    return (
+        scored.groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.avg("recency_days"), 4).alias("avg_recency_days"),
+            F.round(F.avg("frequency"), 4).alias("avg_frequency"),
+            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
+
+
+@register(
+    "dow_seasonality_value",
+    oracle="""
+    WITH base AS (
+        SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT AVG(value) AS grand FROM base)
+    SELECT dow,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 6) AS dow_mean,
+           ROUND(AVG(value) - MAX(g.grand), 6) AS seasonal_component,
+           ROUND(AVG(value) / MAX(g.grand), 6) AS seasonal_index
+    FROM base, g
+    GROUP BY dow ORDER BY dow
+    """,
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive + multiplicative day-of-week seasonal profile of the
+    value series: per-weekday mean vs the grand mean (classical
+    seasonal-index decomposition, the de-seasonalization input).
+    One scan for the 7-row weekday frame + a 1-row broadcast grand
+    mean; weekday via DuckDB ``dayofweek`` (Sunday=0) matched with
+    ``F.dayofweek - 1`` (Spark Sunday=1)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"), "value"
+    )
+    grand = base.agg(F.avg("value").alias("grand"))
+    return (
+        base.crossJoin(F.broadcast(grand))
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 6).alias("dow_mean"),
+            F.round(F.avg("value") - F.max("grand"), 6).alias(
+                "seasonal_component"
+            ),
+            F.round(F.avg("value") / F.max("grand"), 6).alias("seasonal_index"),
+        )
+        .orderBy("dow")
     )
