@@ -7650,6 +7650,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bootstrap_ci_value_by_type, split_leakage_audit,
 # isotonic_calibration_invariants, adamic_adar_order_links,
 # rfm_segments_customers, dow_seasonality_value,
+# effective_sample_size_weights,
 # zipf_slope_tokens / label_centroid_separation if they miss the cut.
 
 
@@ -8220,4 +8221,61 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value") / F.max("grand"), 6).alias("seasonal_index"),
         )
         .orderBy("dow")
+    )
+
+
+@register(
+    "effective_sample_size_weights",
+    oracle="""
+    WITH share AS (
+        SELECT lang, COUNT(*) * 1.0 AS n FROM documents GROUP BY lang
+    ),
+    w AS (
+        SELECT d.doc_id, d.lang,
+               POW(s.n / (SELECT SUM(n) FROM share), 1.0 / 0.7) / s.n AS wt
+        FROM documents d JOIN share s USING (lang)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(POW(SUM(wt), 2) / SUM(wt * wt), 4) AS ess,
+           ROUND(POW(SUM(wt), 2) / SUM(wt * wt) / COUNT(*), 6) AS ess_ratio,
+           ROUND(MAX(wt) / MIN(wt), 4) AS weight_spread
+    FROM w
+    """,
+)
+def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-sampling health check: effective sample size
+    ``ESS = (Σw)² / Σw²`` (Kong 1992) of the per-document weights the
+    T=0.7 temperature mixture implies (per-language target share spread
+    over that language's docs). ESS/n near 1 means the reweighting
+    wastes little data; a tiny ratio means a few documents dominate —
+    the standard go/no-go before training on a weighted corpus. One
+    groupBy for shares + one broadcast join + one conditional-sum scan;
+    1-row output at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    share = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    total = share.agg(F.sum("n").alias("tot"))
+    wts = (
+        docs.select("doc_id", "lang")
+        .join(F.broadcast(share), "lang")
+        .crossJoin(F.broadcast(total))
+        .select(
+            (
+                F.pow(F.col("n") / F.col("tot"), 1.0 / 0.7) / F.col("n")
+            ).alias("wt")
+        )
+    )
+    return wts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.pow(F.sum("wt"), 2) / F.sum(F.col("wt") * F.col("wt")), 4
+        ).alias("ess"),
+        F.round(
+            F.pow(F.sum("wt"), 2)
+            / F.sum(F.col("wt") * F.col("wt"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("ess_ratio"),
+        F.round(F.max("wt") / F.min("wt"), 4).alias("weight_spread"),
     )
