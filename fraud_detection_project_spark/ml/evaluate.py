@@ -29,6 +29,8 @@ up to within-bin ordering (error ≤ the bin's pos·neg overlap mass).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -362,10 +364,14 @@ def poisson_bootstrap_mean_ci(
     Returns ``(group_cols..., mean_value, ci_lo, ci_hi, n_replicates)``.
     """
     v = _as_col(value)
+    # default ranks bracket the 2.5%/97.5% quantiles from the outside
+    # without degenerating to the extreme order statistics: ceil on the
+    # upper rank (NOT round(·)+1, which hits R itself for R=50 — the
+    # 100th percentile; ADVICE r4) and floor-with-min-1 on the lower
     if lo_rank is None:
-        lo_rank = max(1, int(round(0.025 * n_replicates)))
+        lo_rank = max(1, int(math.floor(0.025 * n_replicates)))
     if hi_rank is None:
-        hi_rank = min(n_replicates, int(round(0.975 * n_replicates)) + 1)
+        hi_rank = min(n_replicates, int(math.ceil(0.975 * n_replicates)))
     P = _HASH_PRIME
     base = df.filter(v.isNotNull()).select(
         *group_cols,

@@ -101,7 +101,11 @@ def rouge_n(
     )
     totals = counts.groupBy(id_col).agg(F.sum("c").alias("total"))
 
-    p = pairs.select(cand_col, ref_col)
+    # a duplicated (cand, ref) row would fan out BOTH gram frames, so
+    # the clipped overlap join inflates quadratically per duplicate
+    # while the totals join inflates linearly — silently wrong metrics;
+    # dedup the pair key up front (ADVICE r4)
+    p = pairs.select(cand_col, ref_col).distinct()
     cgrams = p.join(
         counts.withColumnRenamed(id_col, cand_col), cand_col
     ).select(cand_col, ref_col, "gram", F.col("c").alias("c_cand"))

@@ -40,6 +40,22 @@ class TestPoissonBootstrap:
         )
         assert a == b
 
+    def test_default_ranks_not_extreme_order_stats(self, spark):
+        # ADVICE r4: with R=50 the old default upper rank was R itself
+        # (the max replicate). Defaults must match explicit
+        # floor(0.025R)/ceil(0.975R) ranks: 1 and 49 for R=50.
+        df = _frame(spark, 300)
+        dflt = poisson_bootstrap_mean_ci(
+            df, ["grp"], "v", "rid", n_replicates=50, seed=7
+        ).collect()[0]
+        explicit = poisson_bootstrap_mean_ci(
+            df, ["grp"], "v", "rid", n_replicates=50, seed=7,
+            lo_rank=1, hi_rank=49,
+        ).collect()[0]
+        assert (dflt["ci_lo"], dflt["ci_hi"]) == (
+            explicit["ci_lo"], explicit["ci_hi"],
+        )
+
     def test_ci_brackets_mean(self, spark):
         df = _frame(spark, 500)
         row = poisson_bootstrap_mean_ci(

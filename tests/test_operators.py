@@ -749,6 +749,40 @@ class TestDenseGlobalIndex:
         assert idxs == list(range(3000))
 
 
+class TestPartitionedPrefixSum:
+    def test_matches_window_cumsum_long(self, spark):
+        import random
+
+        from fraud_detection_project_spark.operators.indexing import (
+            partitioned_prefix_sum,
+        )
+
+        rng = random.Random(11)
+        rows = [(i, rng.randint(-5, 20)) for i in range(4000)]
+        df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+        out = partitioned_prefix_sum(df, ["k"], "v", out_col="cs")
+        got = {r["k"]: r["cs"] for r in out.collect()}
+        acc, want = 0, {}
+        for k, v in sorted(rows):
+            acc += v
+            want[k] = acc
+        assert got == want
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+    def test_double_values_and_nulls(self, spark):
+        from fraud_detection_project_spark.operators.indexing import (
+            partitioned_prefix_sum,
+        )
+
+        rows = [(0, 1.5), (1, None), (2, 2.25), (3, None), (4, -1.0)]
+        df = spark.createDataFrame(rows, "k long, v double").repartition(4)
+        out = partitioned_prefix_sum(df, ["k"], "v", out_col="cs")
+        got = {r["k"]: r["cs"] for r in out.collect()}
+        # NULL contributes 0 to the running total
+        assert got == {0: 1.5, 1: 1.5, 2: 3.75, 3: 3.75, 4: 2.75}
+
+
 class TestIntervalOverlapJoin:
     def test_matches_bruteforce_crossjoin(self, spark):
         import random

@@ -63,6 +63,24 @@ class TestRouge:
                 assert math.isclose(row.recall, exp[2], rel_tol=1e-9)
                 assert math.isclose(row.f1, exp[3], rel_tol=1e-9)
 
+    def test_duplicate_pairs_do_not_inflate(self, spark):
+        # a duplicated (cand, ref) input row must not change the metric
+        # (the gram join would otherwise fan out quadratically per
+        # duplicate — ADVICE r4)
+        docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+        once = rouge_n(
+            spark.createDataFrame([(1, 2)], ["cand_id", "ref_id"]), docs, n=1
+        ).collect()
+        dup = rouge_n(
+            spark.createDataFrame(
+                [(1, 2), (1, 2), (1, 2)], ["cand_id", "ref_id"]
+            ),
+            docs,
+            n=1,
+        ).collect()
+        assert len(dup) == 1
+        assert tuple(dup[0]) == tuple(once[0])
+
     def test_identical_docs_give_f1_one(self, spark):
         docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
         pairs = spark.createDataFrame([(1, 1)], ["cand_id", "ref_id"])
