@@ -324,3 +324,46 @@ def adamic_adar(
         F.count(F.lit(1)).alias("n_common"),
         F.sum(F.lit(1.0) / F.log(F.col("__deg"))).alias("aa_score"),
     )
+
+
+def bfs_min_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Multi-source breadth-first search → ``(node, hop)`` with ``hop``
+    = the MINIMUM number of edges from any seed, limited to
+    ``max_hops``. Seeds get hop 0; unreachable nodes are absent.
+
+    Level-synchronous frontier expansion — the scalable BFS shape: each
+    level is ONE distributed join (frontier ⋈ edges on src, both
+    shuffle-partitioned on the node key) plus an anti-join against the
+    visited set to keep the frontier minimal (a node is expanded exactly
+    once, at its first — i.e. minimum — hop). ``localCheckpoint``
+    truncates lineage each level so plan depth stays O(1); the loop is
+    driver-side but bounded by ``max_hops`` levels, and the early-exit
+    ``isEmpty`` probe touches only the (already materialized) frontier.
+    """
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+    frontier = (
+        seeds.select(F.col(node).alias(node)).distinct().localCheckpoint()
+    )
+    visited = frontier.withColumn("hop", F.lit(0)).localCheckpoint()
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier[node] == e["__s"])
+            .select(F.col("__d").alias(node))
+            .distinct()
+            .join(visited.select(node), node, "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(
+            nxt.withColumn("hop", F.lit(h))
+        ).localCheckpoint()
+        frontier = nxt
+    return visited.select(node, F.col("hop").cast("long").alias("hop"))

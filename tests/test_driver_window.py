@@ -43,6 +43,7 @@ def test_no_window_slot_wasted_on_verified_query():
         "CORRECTNESS_r01.json",
         "CORRECTNESS_r02.json",
         "CORRECTNESS_r03.json",
+        "CORRECTNESS_r04.json",
     ):
         p = os.path.join(REPO, art)
         if os.path.exists(p):
@@ -76,6 +77,16 @@ def test_oracle_ordering_is_subset_of_query_ordering():
     pos = {n: i for i, n in enumerate(qs)}
     assert all(n in pos for n in os_)
     assert os_ == sorted(os_, key=pos.__getitem__)
+
+
+def test_canaries_inside_window():
+    """ADVICE r4: the round-4 priority block silently displaced both
+    canaries past the 50-cut. Pin the budget: the priority block must
+    leave room for every canary inside the window."""
+    assert len(q.DRIVER_PRIORITY) <= WINDOW - len(q.DRIVER_CANARIES)
+    window = set(_window_names())
+    for name in q.DRIVER_CANARIES:
+        assert name in window, f"canary {name} displaced past the 50-cut"
 
 
 def test_entry_module_uses_ordering():

@@ -203,3 +203,47 @@ class TestAdamicAdar:
         edges = [(1, 100), (1, 100), (2, 100), (2, 100)]
         got = self._run(spark, edges)
         assert got == {(1, 2): (1, round(1.0 / __import__("math").log(2), 9))}
+
+
+class TestBfsMinHops:
+    def test_chain_graph_min_hops(self, spark):
+        from fraud_detection_project_spark.operators.graph import bfs_min_hops
+
+        # chain 1-2-3-4-5 plus a shortcut 1->4: min-hop must win
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], ["src", "dst"]
+        )
+        seeds = spark.createDataFrame([(1,)], ["node"])
+        got = {
+            r["node"]: r["hop"]
+            for r in bfs_min_hops(edges, seeds, max_hops=4).collect()
+        }
+        assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+
+    def test_max_hops_truncates_and_unreachable_absent(self, spark):
+        from fraud_detection_project_spark.operators.graph import bfs_min_hops
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+        )
+        seeds = spark.createDataFrame([(1,)], ["node"])
+        got = {
+            r["node"]: r["hop"]
+            for r in bfs_min_hops(edges, seeds, max_hops=2).collect()
+        }
+        # node 4 is 3 hops out (past the cap); 10/11 are a separate
+        # component — both absent
+        assert got == {1: 0, 2: 1, 3: 2}
+
+    def test_multi_seed_takes_closest(self, spark):
+        from fraud_detection_project_spark.operators.graph import bfs_min_hops
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (9, 4)], ["src", "dst"]
+        )
+        seeds = spark.createDataFrame([(1,), (9,)], ["node"])
+        got = {
+            r["node"]: r["hop"]
+            for r in bfs_min_hops(edges, seeds, max_hops=3).collect()
+        }
+        assert got == {1: 0, 9: 0, 2: 1, 4: 1, 3: 2}

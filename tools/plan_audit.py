@@ -269,10 +269,12 @@ def audit(spark, sf_dir: str) -> list[str]:
     check("ohlc: map-side partial bar", "partial_" in p, p)
 
     # resample+LOCF — union + one window shuffle; the grid generator is
-    # an explode, not a calendar-table join
+    # an explode, not a calendar-table join. Three user_id-prefixed
+    # exchanges: the same-µs max_by dedup on (user_id, ts_us) (ADVICE
+    # r4 determinism fix), the bounds agg, and the LOCF window.
     p = plan_of(QUERIES["resample_1h_ffill"](spark, sf_dir))
-    check("resample: bounds-agg + window share the user_id key (2 exchanges)",
-          p.count("Exchange hashpartitioning(user_id") == 2, p)
+    check("resample: dedup + bounds-agg + window keyed on user_id (3 exchanges)",
+          p.count("Exchange hashpartitioning(user_id") == 3, p)
     check("resample: no join (grid generated, not joined)",
           "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, p)
 
