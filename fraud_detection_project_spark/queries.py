@@ -8905,3 +8905,215 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "dsir_importance_weights",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, lang, unnest(string_split_regex(
+                   trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ',
+                                             'g'))), '\\s+')) AS w
+        FROM documents
+    ),
+    tgt AS (
+        SELECT w, COUNT(*) AS c FROM toks WHERE lang = 'en' GROUP BY w
+    ),
+    corp AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+    v AS (
+        SELECT (SELECT COUNT(*) FROM corp) AS vocab,
+               (SELECT SUM(c) FROM tgt) AS tot_t,
+               (SELECT SUM(c) FROM corp) AS tot_c
+    ),
+    ratio AS (
+        SELECT corp.w,
+               LN((COALESCE(tgt.c, 0) + 1.0) / (v.tot_t + v.vocab))
+               - LN((corp.c + 1.0) / (v.tot_c + v.vocab)) AS llr
+        FROM corp LEFT JOIN tgt ON tgt.w = corp.w CROSS JOIN v
+    ),
+    doc_w AS (
+        SELECT t.doc_id, t.source, SUM(r.llr) AS log_weight
+        FROM toks t JOIN ratio r ON r.w = t.w
+        GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(log_weight), 6) AS avg_log_weight,
+           ROUND(MAX(log_weight), 6) AS max_log_weight
+    FROM doc_w GROUP BY source ORDER BY source
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score each
+    document by the log-likelihood ratio of a target unigram LM (here:
+    the 'en' slice as the target domain) vs the raw-corpus LM, add-1
+    smoothed over the shared vocabulary — the standard recipe for
+    tilting a pretraining mixture toward a target domain. Token
+    explode is map-side; both LMs and the ratio table are
+    VOCAB-bounded frames (at 100 TB DSIR hashes words into ~10k
+    buckets — same plan, smaller ratio table, which then BROADCASTS
+    into the per-doc scoring join exactly as here). Per-source
+    summary keeps the output driver-hashable."""
+    from .functions.text import normalized_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", "lang",
+        F.explode(tokens(normalized_text("text"))).alias("w"),
+    )
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    corp = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cc"))
+    totals = corp.join(tgt, "w", "left").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.coalesce("ct", F.lit(0))).alias("tot_t"),
+        F.sum("cc").alias("tot_c"),
+    )
+    ratio = (
+        corp.join(tgt, "w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w",
+            (
+                F.log(
+                    (F.coalesce("ct", F.lit(0)) + 1.0)
+                    / (F.col("tot_t") + F.col("vocab"))
+                )
+                - F.log((F.col("cc") + 1.0) / (F.col("tot_c") + F.col("vocab")))
+            ).alias("llr"),
+        )
+    )
+    doc_w = (
+        toks.join(F.broadcast(ratio), "w")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("llr").alias("log_weight"))
+    )
+    return (
+        doc_w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("log_weight"), 6).alias("avg_log_weight"),
+            F.round(F.max("log_weight"), 6).alias("max_log_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "cohort_ltv_accumulation",
+    oracle="""
+    WITH first_m AS (
+        SELECT o_custkey,
+               strftime(date_trunc('month', MIN(o_orderdate)), '%Y-%m')
+                   AS cohort
+        FROM orders GROUP BY 1
+    ),
+    rev AS (
+        SELECT f.cohort,
+               date_diff('month',
+                         date_trunc('month', strptime(f.cohort, '%Y-%m')),
+                         date_trunc('month', o.o_orderdate)) AS age_months,
+               SUM(o.o_totalprice) AS m_rev
+        FROM orders o JOIN first_m f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT cohort, CAST(age_months AS BIGINT) AS age_months,
+           ROUND(m_rev, 2) AS month_revenue,
+           ROUND(SUM(m_rev) OVER (
+                     PARTITION BY cohort ORDER BY age_months
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ), 2) AS cum_revenue
+    FROM rev
+    WHERE age_months <= 6
+    ORDER BY cohort, age_months
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value accumulation: customers cohorted by
+    first-order month, revenue bucketed by months-since-acquisition,
+    cumulative LTV per cohort (first 6 ages) — the retention-economics
+    matrix behind payback-period decisions. Cohort assignment and the
+    revenue rollup shuffle on o_custkey / (cohort, age) respectively;
+    the cumulative window runs over ≤7 rows per cohort (bounded
+    frame)."""
+    o = load_table(spark, sf_dir, "orders")
+    first_m = o.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM").alias("cohort")
+    )
+    rev = (
+        o.join(first_m, "o_custkey")
+        .groupBy(
+            "cohort",
+            (
+                (F.year("o_orderdate") - F.split("cohort", "-")[0].cast("int"))
+                * 12
+                + (F.month("o_orderdate") - F.split("cohort", "-")[1].cast("int"))
+            ).alias("age_months"),
+        )
+        .agg(F.sum("o_totalprice").alias("m_rev"))
+        .filter(F.col("age_months") <= 6)
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.select(
+            "cohort",
+            F.col("age_months").cast("long").alias("age_months"),
+            F.round("m_rev", 2).alias("month_revenue"),
+            F.round(F.sum("m_rev").over(wcum), 2).alias("cum_revenue"),
+        )
+        .orderBy("cohort", "age_months")
+    )
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    span AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM du),
+    cover AS (
+        SELECT du.user_id,
+               du.day + to_days(CAST(g.o AS INTEGER)) AS wday
+        FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS o) g
+    )
+    SELECT strftime(c.wday, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_7d
+    FROM cover c CROSS JOIN span s
+    WHERE c.wday BETWEEN s.lo AND s.hi
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day via the COVERAGE
+    EXPLODE trick: a user active on day d counts toward windows ending
+    on d..d+6, so each distinct (day, user) emits its 7 covered window
+    ends map-side and the answer is a per-day distinct count — NO
+    7-way self-join, NO re-scan per window, work linear in |active
+    pairs|×7. Clipped to the observed day span so edge windows match
+    the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    span = du.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    cover = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("o"),
+        "day",
+    ).select("user_id", F.date_add("day", F.col("o")).alias("wday"))
+    return (
+        cover.crossJoin(F.broadcast(span))
+        .filter(F.col("wday").between(F.col("lo"), F.col("hi")))
+        .groupBy(F.date_format("wday", "yyyy-MM-dd").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("active_7d"))
+        .orderBy("day")
+    )
