@@ -177,3 +177,91 @@ def count_min_inner_product(
         .otherwise(F.min("ip"))
         .alias("join_size_est")
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    col: str,
+    n_bins: int = 256,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Fixed-range equal-width histogram — the simplest MERGEABLE
+    quantile sketch: per-partition bin counts combine by addition (the
+    groupBy's partial aggregation IS the shard merge), so shards /
+    days / clusters union by summing counts per bin. Returns one row
+    per non-empty bin: ``(bin, cnt, lo, hi, n_bins)`` with bin ∈
+    [0, n_bins) clamped at the range edges.
+
+    When ``lo``/``hi`` are omitted they come from one min/max
+    aggregate (two passes total — callers that maintain the sketch
+    incrementally should pin the range instead). Shuffle is bounded by
+    ``n_bins`` rows forever, like the CMS/HLL contracts in this
+    module."""
+    d = df.select(F.col(col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    if lo is None or hi is None:
+        r = d.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).first()
+        lo = float(r["lo"]) if lo is None else lo
+        hi = float(r["hi"]) if hi is None else hi
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+    bin_ = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col("__v") - F.lit(lo)) / F.lit(width))
+        ),
+    ).cast("int")
+    return (
+        d.groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("lo", F.lit(float(lo)))
+        .withColumn("hi", F.lit(float(hi)))
+        .withColumn("n_bins", F.lit(n_bins))
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame, probs: list[float]
+) -> DataFrame:
+    """Quantile estimates off a :func:`histogram_sketch` frame (or a
+    sum-merged union of several): for each probability, walk the
+    cumulative counts to the crossing bin and interpolate linearly
+    inside it. Returns ``(prob, est)``. The estimate sits within ONE
+    bin width of the exact quantile by construction — the guarantee
+    the tolerance oracle checks. All windows run over ≤ n_bins rows."""
+    from pyspark.sql.window import Window as W
+
+    wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    c = hist.select(
+        "bin", "cnt", "lo", "n_bins",
+        ((F.col("hi") - F.col("lo")) / F.col("n_bins")).alias("w"),
+        F.sum("cnt").over(wcum).alias("cum"),
+    )
+    total = hist.agg(F.sum("cnt").alias("n"))
+    out = None
+    for p in probs:
+        target = F.col("n") * F.lit(p)
+        # first bin whose cumulative count reaches the target rank
+        cross = (
+            c.crossJoin(F.broadcast(total))
+            .filter(F.col("cum") >= target)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(float(p)).alias("prob"),
+                (
+                    F.col("lo")
+                    + F.col("w")
+                    * (
+                        F.col("bin")
+                        + (
+                            (target - (F.col("cum") - F.col("cnt")))
+                            / F.col("cnt")
+                        )
+                    )
+                ).alias("est"),
+            )
+        )
+        out = cross if out is None else out.unionByName(cross)
+    return out

@@ -9117,3 +9117,215 @@ def q_rolling_7d_active(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("long").alias("active_7d"))
         .orderBy("day")
     )
+
+
+@register(
+    "histogram_quantile_tolerance",
+    oracle="""
+    WITH v AS (SELECT value FROM events WHERE value IS NOT NULL)
+    SELECT 0.25 AS prob, ROUND(quantile_cont(value, 0.25), 6) AS exact_q,
+           TRUE AS within_tol FROM v
+    UNION ALL
+    SELECT 0.5, ROUND(quantile_cont(value, 0.5), 6), TRUE FROM v
+    UNION ALL
+    SELECT 0.9, ROUND(quantile_cont(value, 0.9), 6), TRUE FROM v
+    UNION ALL
+    SELECT 0.99, ROUND(quantile_cont(value, 0.99), 6), TRUE FROM v
+    ORDER BY prob
+    """,
+)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile sketch, tolerance-checked (the
+    hll_within_tolerance pattern): a 512-bin equal-width histogram
+    (operators/sketches.py:histogram_sketch — per-partition counts ARE
+    the shard merge, shuffle bounded by n_bins forever) estimates
+    p25/p50/p90/p99; each estimate must sit within ONE bin width of
+    the exact quantile — the sketch's constructive guarantee. The
+    oracle pins the exact quantiles and constant-TRUE flags; an
+    out-of-bound estimate reddens the row."""
+    from .operators.sketches import histogram_sketch, quantiles_from_histogram
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+    probs = [0.25, 0.5, 0.9, 0.99]
+    hist = histogram_sketch(ev, "value", n_bins=512)
+    est = quantiles_from_histogram(hist, probs)
+    exact = ev.filter(F.col("value").isNotNull()).agg(
+        *[
+            F.percentile("value", F.lit(p)).alias(f"q{i}")
+            for i, p in enumerate(probs)
+        ],
+        ((F.max("value") - F.min("value")) / 512).alias("w"),
+    )
+    ex = exact.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(p)).alias("prob"),
+                        F.col(f"q{i}").alias("exact"),
+                        F.col("w").alias("w"),
+                    )
+                    for i, p in enumerate(probs)
+                ]
+            )
+        ).alias("s")
+    ).select("s.prob", "s.exact", "s.w")
+    return (
+        est.join(F.broadcast(ex), "prob")
+        .select(
+            "prob",
+            F.round("exact", 6).alias("exact_q"),
+            (F.abs(F.col("est") - F.col("exact")) <= F.col("w")).alias(
+                "within_tol"
+            ),
+        )
+        .orderBy("prob")
+    )
+
+
+@register(
+    "attribution_time_decay",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t_us
+        FROM events WHERE event_type <> 'purchase'
+    ),
+    c AS (
+        SELECT user_id, event_id AS cid, epoch_us(ts) AS c_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT c.cid, t.event_type,
+               POWER(0.5, (c.c_us - t.t_us) / 86400000000.0) AS w
+        FROM c JOIN t ON t.user_id = c.user_id
+                      AND t.t_us < c.c_us
+                      AND c.c_us - t.t_us <= 604800000000
+    ),
+    norm AS (
+        SELECT cid, event_type,
+               w / SUM(w) OVER (PARTITION BY cid) AS share
+        FROM j
+    )
+    SELECT event_type,
+           CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_conversions,
+           ROUND(SUM(share), 6) AS total_credit
+    FROM norm GROUP BY 1 ORDER BY event_type
+    """,
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch time-decay attribution (half-life 1 day, 7-day
+    lookback): every touch before a purchase earns 0.5^(Δdays),
+    normalized per conversion so each purchase distributes exactly one
+    credit — the standard alternative to attribution_last_touch's
+    winner-take-all. The touch⋈conversion join is PER-USER and
+    time-bounded (7-day band); at 100 TB the same band maps onto the
+    binned interval-join machinery (operators/joins.py) — never a
+    cross product. Normalization partitions by conversion id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts_ns div 1000").alias("t_us"),
+    )
+    day_us = 86_400_000_000
+    week_us = 7 * day_us
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "t_us"
+    )
+    c = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("cid"),
+        F.col("t_us").alias("c_us"),
+    )
+    j = c.join(t, "user_id").filter(
+        (F.col("t_us") < F.col("c_us"))
+        & (F.col("c_us") - F.col("t_us") <= week_us)
+    ).select(
+        "cid", "event_type",
+        F.pow(
+            F.lit(0.5), (F.col("c_us") - F.col("t_us")) / F.lit(float(day_us))
+        ).alias("w"),
+    )
+    wconv = Window.partitionBy("cid")
+    norm = j.select(
+        "cid", "event_type",
+        (F.col("w") / F.sum("w").over(wconv)).alias("share"),
+    )
+    return (
+        norm.groupBy("event_type")
+        .agg(
+            F.countDistinct("cid").cast("long").alias("n_conversions"),
+            F.round(F.sum("share"), 6).alias("total_credit"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "elasticity_brand_ols",
+    oracle="""
+    WITH d AS (
+        SELECT p.p_brand,
+               LN(l.l_extendedprice / l.l_quantity) AS x,
+               LN(l.l_quantity) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+    ),
+    s AS (
+        SELECT p_brand, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        FROM d GROUP BY 1
+    )
+    SELECT p_brand,
+           CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS elasticity,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           ROUND(POWER(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s ORDER BY p_brand
+    """,
+)
+def q_elasticity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: grouped closed-form OLS of
+    ln(quantity) on ln(unit price) — slope = elasticity, plus intercept
+    and R². Grouped model fitting as pure aggregate algebra: the five
+    sufficient statistics fold map-side in ONE hash aggregate (the
+    shard_merged_moments contract — they merge across shards by
+    addition), part dim broadcasts. No per-group solver, no collect."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("x"),
+        F.log("l_quantity").alias("y"),
+    )
+    s = d.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        s.select(
+            "p_brand",
+            F.col("n").cast("long").alias("n"),
+            F.round(slope, 6).alias("elasticity"),
+            F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+            .alias("intercept"),
+            F.round(
+                F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+                / (
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                ),
+                6,
+            ).alias("r2"),
+        )
+        .orderBy("p_brand")
+    )

@@ -588,3 +588,87 @@ class TestMomentsProperties:
         assert got["var_pop"] == pytest.approx(
             statistics.pvariance(vals), rel=1e-3, abs=1e-3
         )
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # order key
+            st.integers(min_value=-100, max_value=100),  # value
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    n_parts=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_partitioned_prefix_sum_matches_sequential(spark, vals, n_parts):
+    from fraud_detection_project_spark.operators.indexing import (
+        partitioned_prefix_sum,
+    )
+
+    df = spark.createDataFrame(vals, "k long, v long").repartition(4)
+    out = partitioned_prefix_sum(
+        df, ["k"], "v", out_col="cs", num_partitions=n_parts
+    )
+    got = {r["k"]: r["cs"] for r in out.collect()}
+    acc, want = 0, {}
+    for k, v in sorted(vals):
+        acc += v
+        want[k] = acc
+    assert got == want
+
+
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=200),  # start
+            st.integers(min_value=1, max_value=50),  # length
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_interval_union_sweep_matches_point_cover(spark, iv):
+    """The prior-running-max merge must equal brute-force point
+    coverage: covered integer length == |{x : some [s, e) covers x}|
+    per user (intervals here are half-open via e = s + len)."""
+    rows = [(u, s, s + ln) for u, s, ln in iv]
+    df = spark.createDataFrame(rows, "user_id long, s long, e long")
+    from pyspark.sql.window import Window as W
+
+    wprior = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wrun = (
+        W.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    new_seg = F.when(
+        F.col("prior_end").isNull() | (F.col("s") > F.col("prior_end")), 1
+    ).otherwise(0)
+    seg = df.withColumn("prior_end", F.max("e").over(wprior)).withColumn(
+        "seg_id", F.sum(new_seg).over(wrun)
+    )
+    got = {
+        r["user_id"]: r["cov"]
+        for r in seg.groupBy("user_id", "seg_id")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("user_id")
+        .agg(F.sum(F.col("e") - F.col("s")).alias("cov"))
+        .collect()
+    }
+    want = {}
+    for u in {t[0] for t in rows}:
+        pts = set()
+        for uu, s, e in rows:
+            if uu == u:
+                pts.update(range(s, e))
+        want[u] = len(pts)
+    assert got == want

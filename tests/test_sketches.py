@@ -143,3 +143,59 @@ class TestCmsInnerProduct:
         got = self._est(spark, list(range(100)) * 2, list(range(50, 150)), width=16)
         # exact = 50 keys shared x 2 x 1 = 100
         assert got >= 100
+
+
+class TestHistogramSketch:
+    def test_shard_merge_equals_full_build(self, spark):
+        from pyspark.sql import functions as F
+
+        from fraud_detection_project_spark.operators.sketches import (
+            histogram_sketch,
+        )
+
+        base = spark.range(0, 2000).select(
+            "id", (F.col("id") % 977 * 1.5).alias("v")
+        )
+        lo, hi = 0.0, 977 * 1.5
+        h_full = histogram_sketch(base, "v", n_bins=64, lo=lo, hi=hi)
+        h_a = histogram_sketch(
+            base.filter(F.col("id") % 2 == 0), "v", n_bins=64, lo=lo, hi=hi
+        )
+        h_b = histogram_sketch(
+            base.filter(F.col("id") % 2 == 1), "v", n_bins=64, lo=lo, hi=hi
+        )
+        merged = (
+            h_a.unionByName(h_b)
+            .groupBy("bin", "lo", "hi", "n_bins")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        want = {r["bin"]: r["cnt"] for r in h_full.collect()}
+        got = {r["bin"]: r["cnt"] for r in merged.collect()}
+        assert got == want
+
+    def test_quantile_estimates_within_one_bin_width(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from fraud_detection_project_spark.operators.sketches import (
+            histogram_sketch,
+            quantiles_from_histogram,
+        )
+
+        rng = random.Random(3)
+        vals = [rng.gauss(50, 12) for _ in range(5000)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        n_bins = 128
+        hist = histogram_sketch(df, "v", n_bins=n_bins)
+        est = {
+            r["prob"]: r["est"]
+            for r in quantiles_from_histogram(
+                hist, [0.1, 0.5, 0.9]
+            ).collect()
+        }
+        width = (max(vals) - min(vals)) / n_bins
+        sv = sorted(vals)
+        for p in (0.1, 0.5, 0.9):
+            exact = sv[min(len(sv) - 1, int(p * len(sv)))]
+            assert abs(est[p] - exact) <= width + 1e-9, (p, est[p], exact)
