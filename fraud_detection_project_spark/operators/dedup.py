@@ -633,3 +633,61 @@ def substring_contamination(
         .filter(F.size("__hits") > 0)
         .select(F.col(id_col), F.explode("__hits").alias("probe"))
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT for pairs: ``common / |A|`` and
+    ``common / |B|`` — the quote/subset detector Jaccard misses when
+    sizes differ (a 50-shingle doc fully inside a 5000-shingle doc has
+    Jaccard ≈ 0.01 but containment 1.0; Broder's resemblance-vs-
+    containment distinction). Returns pairs whose MAX directional
+    containment ≥ ``threshold``.
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` — distinct
+    shingles explode once, stop-shingle df guard bounds the self-join
+    fanout, pair counts aggregate on (id_a, id_b). Candidate space is
+    bounded by shared-shingle collisions, never the corpus product.
+    """
+    sh = spread_input(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    exploded = sh.select(
+        "id", "n_sh", F.explode("shingles").alias("shingle")
+    ).localCheckpoint(eager=True)
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") > max_shingle_df)
+        .select("shingle")
+    )
+    pruned = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    cont_a = F.col("common") / F.col("n_a")
+    cont_b = F.col("common") / F.col("n_b")
+    return common.select(
+        "id_a", "id_b",
+        cont_a.alias("containment_a"),
+        cont_b.alias("containment_b"),
+    ).filter(F.greatest(cont_a, cont_b) >= threshold)

@@ -9329,3 +9329,96 @@ def q_elasticity_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@register(
+    "containment_near_dup_docs",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))), '\s+') AS toks
+        FROM documents
+    ),
+    s AS (SELECT doc_id, unnest(range(1, len(toks) - 1)) AS i, toks
+          FROM t WHERE len(toks) >= 3),
+    d AS (SELECT DISTINCT doc_id,
+                 toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+          FROM s),
+    n AS (SELECT doc_id, COUNT(*) AS ns FROM d GROUP BY doc_id),
+    p AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+        FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           ROUND(c * 1.0 / na.ns, 6) AS containment_a,
+           ROUND(c * 1.0 / nb.ns, 6) AS containment_b
+    FROM p JOIN n na ON na.doc_id = p.ia JOIN n nb ON nb.doc_id = p.ib
+    WHERE GREATEST(c * 1.0 / na.ns, c * 1.0 / nb.ns) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+)
+def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric 3-gram containment pairs ≥ 0.6
+    (operators/dedup.py:ngram_containment_pairs) — catches
+    quote/subset duplication that symmetric Jaccard dilutes when doc
+    sizes differ (Broder's resemblance-vs-containment). Same
+    stop-shingle-guarded inverted-index plan as ngram_jaccard_dups."""
+    from .operators.dedup import ngram_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_containment_pairs(docs, threshold=0.6)
+    return out.select(
+        "id_a", "id_b",
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+    ).orderBy("id_a", "id_b")
+
+
+@register(
+    "spearman_value_props",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT RANK() OVER (ORDER BY value) AS rv,
+               RANK() OVER (ORDER BY k) AS rk
+        FROM base
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CORR(rv, rk), 6) AS spearman_rho
+    FROM r
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between the value column and the JSON
+    payload field — the monotonic-association complement of Pearson
+    (stats_corr_by_type family). Tie-aware RANK() comes from the
+    two-phase distributed machinery: rows sort by (key, event_id) via
+    dense_global_index, then rank = min index per key via a per-key
+    aggregate join — no single-partition window anywhere; the final
+    CORR over ranks is one scan."""
+    from .operators.indexing import dense_global_index
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_id", "value",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+    def rank_of(df, col, out):
+        idx = dense_global_index(df, [col, "event_id"], out_col="__i")
+        # RANK() semantics: every tie takes the MINIMUM index + 1
+        mins = idx.groupBy(col).agg((F.min("__i") + 1).alias(out))
+        return idx.join(mins, col).select("event_id", out)
+
+    rv = rank_of(ev.select("event_id", "value"), "value", "rv")
+    rk = rank_of(ev.select("event_id", "k"), "k", "rk")
+    return rv.join(rk, "event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.corr("rv", "rk"), 6).alias("spearman_rho"),
+    )

@@ -737,3 +737,75 @@ class TestTarShards:
         ).collect()
         assert len(feats) == 2
         assert all(len(r["feat"]) > 0 for r in feats)
+
+
+class TestContainmentPairs:
+    def test_subset_doc_high_containment_low_jaccard(self, spark):
+        from fraud_detection_project_spark.operators.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        # doc 2 is a verbatim excerpt of doc 1 but much shorter:
+        # containment must fire while Jaccard stays low
+        big = " ".join(f"tok{i}" for i in range(200))
+        small = " ".join(f"tok{i}" for i in range(40, 60))
+        docs = spark.createDataFrame(
+            [(1, big), (2, small), (3, "совсем unrelated text entirely")],
+            ["doc_id", "text"],
+        )
+        cont = {
+            (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+            for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+        }
+        assert (1, 2) in cont
+        ca, cb = cont[(1, 2)]
+        assert cb == 1.0  # the excerpt is fully contained
+        assert ca < 0.2
+        jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        assert not any(
+            (r["id_a"], r["id_b"]) == (1, 2) for r in jac
+        )  # Jaccard dilutes the subset signal
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        from fraud_detection_project_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 30))))
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r["id_a"], r["id_b"]): (
+                round(r["containment_a"], 9),
+                round(r["containment_b"], 9),
+            )
+            for r in ngram_containment_pairs(df, threshold=0.3).collect()
+        }
+
+        def shingles(t):
+            toks = t.split()
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+
+        want = {}
+        for i, ta in docs:
+            for j, tb in docs:
+                if i >= j:
+                    continue
+                sa, sb = shingles(ta), shingles(tb)
+                if not sa or not sb:
+                    continue
+                c = len(sa & sb)
+                if c and max(c / len(sa), c / len(sb)) >= 0.3:
+                    want[(i, j)] = (
+                        round(c / len(sa), 9), round(c / len(sb), 9)
+                    )
+        assert got == want
