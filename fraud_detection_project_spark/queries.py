@@ -9422,3 +9422,138 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.corr("rv", "rk"), 6).alias("spearman_rho"),
     )
+
+
+@register(
+    "rolling_origin_folds",
+    oracle="""
+    WITH b AS (
+        SELECT epoch_us(MIN(ts)) AS lo,
+               epoch_us(MAX(ts)) AS hi
+        FROM events
+    ),
+    f AS (
+        SELECT e.event_id, e.user_id, epoch_us(e.ts) AS t_us,
+               g.fold,
+               b.lo + (g.fold + 1) * (b.hi - b.lo) / 5 AS cutoff,
+               b.lo + (g.fold + 2) * (b.hi - b.lo) / 5 AS test_end
+        FROM events e
+        CROSS JOIN b
+        CROSS JOIN (SELECT unnest(range(0, 3)) AS fold) g
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(SUM(CASE WHEN t_us <= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+           CAST(SUM(CASE WHEN t_us > cutoff AND t_us <= test_end
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+           CAST(COUNT(DISTINCT CASE WHEN t_us > cutoff AND t_us <= test_end
+                                    THEN user_id END) AS BIGINT)
+               AS test_users
+    FROM f GROUP BY fold ORDER BY fold
+    """,
+)
+def q_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (forward-chaining) time-series cross-validation —
+    the temporally-sound alternative to random k-fold for fraud models
+    (training on the future of the test window leaks): fold k trains
+    on everything up to cutoff_k and tests on the next span, cutoffs
+    at equal fractions of the observed time range. The fold axis is a
+    3-way map-side explode against broadcast bounds; one grouped
+    aggregate — no shuffle beyond the 3-row agg. Complements
+    kfold_assignment_invariants (random) and split_leakage_audit
+    (group disjointness)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts_ns div 1000").alias("t_us")
+    )
+    b = ev.agg(F.min("t_us").alias("lo"), F.max("t_us").alias("hi"))
+    f = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            "event_id", "user_id", "t_us", "lo", "hi",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("fold"),
+        )
+        .select(
+            "event_id", "user_id", "t_us", "fold",
+            (
+                F.col("lo")
+                + (F.col("fold") + 1) * (F.col("hi") - F.col("lo")) / 5
+            ).alias("cutoff"),
+            (
+                F.col("lo")
+                + (F.col("fold") + 2) * (F.col("hi") - F.col("lo")) / 5
+            ).alias("test_end"),
+        )
+    )
+    in_test = (F.col("t_us") > F.col("cutoff")) & (
+        F.col("t_us") <= F.col("test_end")
+    )
+    return (
+        f.groupBy("fold")
+        .agg(
+            F.sum(F.when(F.col("t_us") <= F.col("cutoff"), 1).otherwise(0))
+            .cast("long").alias("n_train"),
+            F.sum(F.when(in_test, 1).otherwise(0)).cast("long").alias("n_test"),
+            F.countDistinct(F.when(in_test, F.col("user_id")))
+            .cast("long").alias("test_users"),
+        )
+        .select(F.col("fold").cast("long").alias("fold"), "n_train",
+                "n_test", "test_users")
+        .orderBy("fold")
+    )
+
+
+@register(
+    "region_nation_revenue_share",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(o.o_totalprice) AS rev
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           ROUND(rev, 2) AS revenue,
+           ROUND(rev / SUM(rev) OVER (PARTITION BY region), 6)
+               AS share_of_region,
+           ROUND(rev / SUM(rev) OVER (), 6) AS share_of_total
+    FROM rev ORDER BY region, nation
+    """,
+)
+def q_region_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy share-of-parent rollup: nation revenue as a share of
+    its region and of the grand total — the drill-down ratio view on
+    the reference's region⋈nation⋈customer⋈orders chain. Dims all
+    BROADCAST (orders never shuffles before the agg); both share
+    windows run over the 25-row nation frame (bounded — dim-sized,
+    not fact-sized)."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wreg = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return (
+        rev.select(
+            "region", "nation",
+            F.round("rev", 2).alias("revenue"),
+            F.round(F.col("rev") / F.sum("rev").over(wreg), 6).alias(
+                "share_of_region"
+            ),
+            F.round(F.col("rev") / F.sum("rev").over(wall), 6).alias(
+                "share_of_total"
+            ),
+        )
+        .orderBy("region", "nation")
+    )
