@@ -103,3 +103,87 @@ def streaming_count_min(
         .outputMode("update")
         .start()
     )
+
+
+_HIST_SCHEMA = "bin INT, cnt BIGINT, lo DOUBLE, hi DOUBLE, n_bins INT"
+
+
+def read_histogram(spark, path: str) -> DataFrame:
+    """Current histogram-sketch state (empty before the first batch)."""
+    manifest = os.path.join(path, "HIST_MANIFEST.json")
+    if not os.path.exists(manifest):
+        return spark.createDataFrame([], _HIST_SCHEMA)
+    with open(manifest) as f:
+        version = json.load(f)["version"]
+    return spark.read.parquet(os.path.join(path, f"hv={version}"))
+
+
+def merge_histogram_batch(
+    spark,
+    batch: DataFrame,
+    col: str,
+    path: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> None:
+    """state' = state ⊕ histogram(batch): bin counts add — the same
+    sum-mergeability contract as the count-min path above, so the
+    streaming histogram is EXACT (cell-wise equal to the batch build
+    over all data seen). The range must be pinned up front — quantile
+    serving at any time via
+    ``operators.sketches.quantiles_from_histogram``. Atomic
+    version-flip commit, idempotent per version."""
+    from ..operators.sketches import histogram_sketch
+
+    delta = histogram_sketch(batch, col, n_bins=n_bins, lo=lo, hi=hi)
+    merged = (
+        read_histogram(spark, path)
+        .unionByName(
+            delta.select(
+                F.col("bin").cast("int"),
+                F.col("cnt").cast("long"),
+                "lo", "hi",
+                F.col("n_bins").cast("int"),
+            )
+        )
+        .groupBy("bin", "lo", "hi", "n_bins")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("bin", "cnt", "lo", "hi", "n_bins")
+    )
+    manifest = os.path.join(path, "HIST_MANIFEST.json")
+    version = 0
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            version = json.load(f)["version"] + 1
+    merged.write.mode("overwrite").parquet(os.path.join(path, f"hv={version}"))
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version}, f)
+    os.replace(tmp, manifest)
+
+
+def streaming_histogram(
+    stream: DataFrame,
+    col: str,
+    path: str,
+    checkpoint: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+):
+    """Maintain a quantile-serving histogram sketch over a stream;
+    state is bounded by ``n_bins`` rows forever."""
+    spark = stream.sparkSession
+
+    def _merge(batch: DataFrame, _epoch: int) -> None:
+        merge_histogram_batch(
+            spark, batch, col, path, lo=lo, hi=hi, n_bins=n_bins
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -919,3 +919,64 @@ def test_hash_filter_gate_stream_equals_batch(spark, events_src, tmp_path):
         for r in batch.join(F.broadcast(dim), "user_id", "left_semi").collect()
     )
     assert set(exact) <= set(got)
+
+
+class TestStreamingHistogram:
+    def test_stream_histogram_equals_batch_and_serves_quantiles(
+        self, spark, events_src, tmp_path
+    ):
+        """Bin-count sum-mergeability: the streamed histogram is
+        cell-wise identical to the batch build over the same rows, so
+        quantile estimates served off the state match the batch sketch
+        exactly."""
+        from fraud_detection_project_spark.operators.sketches import (
+            histogram_sketch,
+            quantiles_from_histogram,
+        )
+        from fraud_detection_project_spark.streaming.sketches import (
+            read_histogram,
+            streaming_histogram,
+        )
+
+        batch_df = spark.read.parquet(events_src)
+        r = batch_df.selectExpr(
+            "min(value) AS lo", "max(value) AS hi"
+        ).first()
+        lo, hi = float(r["lo"]), float(r["hi"])
+        src = spark.readStream.schema(batch_df.schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(events_src)
+        path = str(tmp_path / "hist_state")
+        q = streaming_histogram(
+            src, "value", path,
+            checkpoint=str(tmp_path / "hckpt"),
+            lo=lo, hi=hi, n_bins=64,
+        )
+        _drain_stream(q)
+
+        got = {
+            r["bin"]: r["cnt"]
+            for r in read_histogram(spark, path).collect()
+        }
+        want = {
+            r["bin"]: r["cnt"]
+            for r in histogram_sketch(
+                batch_df, "value", n_bins=64, lo=lo, hi=hi
+            ).collect()
+        }
+        assert got == want and len(got) > 0
+
+        est_stream = {
+            r["prob"]: r["est"]
+            for r in quantiles_from_histogram(
+                read_histogram(spark, path), [0.5, 0.9]
+            ).collect()
+        }
+        est_batch = {
+            r["prob"]: r["est"]
+            for r in quantiles_from_histogram(
+                histogram_sketch(batch_df, "value", n_bins=64, lo=lo, hi=hi),
+                [0.5, 0.9],
+            ).collect()
+        }
+        assert est_stream == est_batch
