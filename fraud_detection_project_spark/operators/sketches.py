@@ -203,6 +203,10 @@ def histogram_sketch(
     )
     if lo is None or hi is None:
         r = d.agg(F.min("__v").alias("lo"), F.max("__v").alias("hi")).first()
+        if r["lo"] is None:  # no non-null values: empty sketch
+            return df.sparkSession.createDataFrame(
+                [], "bin int, cnt bigint, lo double, hi double, n_bins int"
+            )
         lo = float(r["lo"]) if lo is None else lo
         hi = float(r["hi"]) if hi is None else hi
     width = (hi - lo) / n_bins if hi > lo else 1.0
@@ -229,9 +233,19 @@ def quantiles_from_histogram(
     cumulative counts to the crossing bin and interpolate linearly
     inside it. Returns ``(prob, est)``. The estimate sits within ONE
     bin width of the exact quantile by construction — the guarantee
-    the tolerance oracle checks. All windows run over ≤ n_bins rows."""
+    the tolerance oracle checks. All windows run over ≤ n_bins rows.
+
+    Raises if the frame mixes (lo, hi, n_bins) configurations — shards
+    built with different pinned ranges do NOT merge by bin addition
+    and would silently interleave here."""
     from pyspark.sql.window import Window as W
 
+    n_cfg = hist.select("lo", "hi", "n_bins").distinct().count()
+    if n_cfg > 1:
+        raise ValueError(
+            "histogram frame mixes (lo, hi, n_bins) configurations; "
+            "rebuild shards with one pinned range before merging"
+        )
     wcum = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
     c = hist.select(
         "bin", "cnt", "lo", "n_bins",

@@ -199,3 +199,32 @@ class TestHistogramSketch:
         for p in (0.1, 0.5, 0.9):
             exact = sv[min(len(sv) - 1, int(p * len(sv)))]
             assert abs(est[p] - exact) <= width + 1e-9, (p, est[p], exact)
+
+    def test_empty_input_yields_empty_sketch(self, spark):
+        from pyspark.sql import functions as F
+
+        from fraud_detection_project_spark.operators.sketches import (
+            histogram_sketch,
+        )
+
+        df = spark.createDataFrame([], "v double")
+        assert histogram_sketch(df, "v").count() == 0
+        # all-null column behaves the same
+        dn = spark.createDataFrame([(None,), (None,)], "v double")
+        assert histogram_sketch(dn, "v").count() == 0
+
+    def test_mixed_range_merge_rejected(self, spark):
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from fraud_detection_project_spark.operators.sketches import (
+            histogram_sketch,
+            quantiles_from_histogram,
+        )
+
+        df = spark.range(0, 100).select(F.col("id").cast("double").alias("v"))
+        a = histogram_sketch(df, "v", n_bins=8, lo=0.0, hi=100.0)
+        b = histogram_sketch(df, "v", n_bins=8, lo=0.0, hi=50.0)
+        with _pytest.raises(ValueError, match="configurations"):
+            quantiles_from_histogram(a.unionByName(b), [0.5])
