@@ -367,3 +367,85 @@ def bfs_min_hops(
         ).localCheckpoint()
         frontier = nxt
     return visited.select(node, F.col("hop").cast("long").alias("hop"))
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation and local clustering coefficient
+    ``2·T(v) / (deg(v)·(deg(v)−1))`` — the node-level refinement of
+    :func:`triangle_count` (same degree-ordered orientation, so the
+    wedge join stays O(m^1.5) with no hub blowup). Each closed wedge
+    credits ALL THREE corners via a 3-way explode of the triangle's
+    node array — one extra bounded shuffle (3 rows per triangle) over
+    the global count. Degree-1 nodes report coefficient 0.0.
+
+    Returns ``(node, deg, triangles, coeff)``.
+    """
+    u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e = (
+        und.join(
+            deg.select(F.col("node").alias("u"), F.col("deg").alias("ud")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("vd")),
+            "v",
+        )
+    )
+    low_first = (F.col("ud") < F.col("vd")) | (
+        (F.col("ud") == F.col("vd")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(low_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(low_first, F.col("v")).otherwise(F.col("u")).alias("d"),
+        F.when(low_first, F.col("vd")).otherwise(F.col("ud")).alias("dd"),
+    )
+    rank_lt = (F.col("e1.dd") < F.col("e2.dd")) | (
+        (F.col("e1.dd") == F.col("e2.dd")) & (F.col("e1.d") < F.col("e2.d"))
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2"),
+            (F.col("e1.s") == F.col("e2.s")) & rank_lt,
+        )
+        .select(
+            F.col("e1.s").alias("apex"),
+            F.col("e1.d").alias("a"),
+            F.col("e2.d").alias("b"),
+        )
+    )
+    closing = oriented.select(F.col("s").alias("a"), F.col("d").alias("b"))
+    tri_nodes = (
+        wedges.join(closing, ["a", "b"])
+        .select(
+            F.explode(F.array("apex", "a", "b")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(tri_nodes, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            2.0
+            * F.coalesce("triangles", F.lit(0))
+            / (F.col("deg") * (F.col("deg") - 1)),
+        )
+        .otherwise(0.0)
+        .alias("coeff"),
+    )

@@ -9557,3 +9557,144 @@ def q_region_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+@register(
+    "seasonal_naive_backtest",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    l AS (
+        SELECT a.event_type, a.n, b.n AS f7, c.n AS f1
+        FROM d a
+        LEFT JOIN d b ON b.event_type = a.event_type
+                      AND b.day = a.day - 7
+        LEFT JOIN d c ON c.event_type = a.event_type
+                      AND c.day = a.day - 1
+    )
+    SELECT event_type,
+           CAST(COUNT(CASE WHEN f7 IS NOT NULL AND f1 IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS n_eval,
+           ROUND(AVG(CASE WHEN f7 IS NOT NULL AND f1 IS NOT NULL
+                          THEN ABS(n - f7) * 1.0 / n END), 6)
+               AS mape_snaive,
+           ROUND(AVG(CASE WHEN f7 IS NOT NULL AND f1 IS NOT NULL
+                          THEN ABS(n - f1) * 1.0 / n END), 6)
+               AS mape_naive1
+    FROM l GROUP BY 1 ORDER BY event_type
+    """,
+)
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest: seasonal-naive (same weekday last
+    week) vs naive-1 (yesterday) for daily event counts per type,
+    scored by MAPE on the days where both forecasts exist — the
+    sanity floor every demand-forecasting model must beat, and the
+    calendar-aligned join form (day−7 / day−1 equi-joins on the
+    bounded per-type daily frame, co-partitioned on event_type) rather
+    than a row-lag, so date gaps can't silently misalign the
+    comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a, b, c = d.alias("a"), d.alias("b"), d.alias("c")
+    l = (
+        a.join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (F.col("b.day") == F.date_sub(F.col("a.day"), 7)),
+            "left",
+        )
+        .join(
+            c,
+            (F.col("c.event_type") == F.col("a.event_type"))
+            & (F.col("c.day") == F.date_sub(F.col("a.day"), 1)),
+            "left",
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.n").alias("n"),
+            F.col("b.n").alias("f7"),
+            F.col("c.n").alias("f1"),
+        )
+    )
+    both = F.col("f7").isNotNull() & F.col("f1").isNotNull()
+    return (
+        l.groupBy("event_type")
+        .agg(
+            F.count(F.when(both, 1)).cast("long").alias("n_eval"),
+            F.round(
+                F.avg(
+                    F.when(both, F.abs(F.col("n") - F.col("f7")) / F.col("n"))
+                ),
+                6,
+            ).alias("mape_snaive"),
+            F.round(
+                F.avg(
+                    F.when(both, F.abs(F.col("n") - F.col("f1")) / F.col("n"))
+                ),
+                6,
+            ).alias("mape_naive1"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "clustering_coefficient_parts",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+        ) GROUP BY 1
+    ),
+    tri AS (
+        SELECT node, COUNT(*) AS triangles FROM (
+            SELECT unnest([e1.u, e1.v, e2.v]) AS node
+            FROM e0 e1
+            JOIN e0 e2 ON e2.u = e1.v
+            JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v
+        ) GROUP BY 1
+    )
+    SELECT d.node AS part, CAST(d.deg AS BIGINT) AS deg,
+           CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+           ROUND(CASE WHEN d.deg >= 2
+                      THEN 2.0 * COALESCE(t.triangles, 0)
+                           / (d.deg * (d.deg - 1))
+                      ELSE 0.0 END, 6) AS coeff
+    FROM deg d LEFT JOIN tri t ON t.node = d.node
+    ORDER BY coeff DESC, deg DESC, part LIMIT 25
+    """,
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part
+    (operators/graph.py:clustering_coefficient) over the co-purchase
+    graph — 'how clique-like is each node's neighborhood', the
+    node-level fraud-ring/community signal refining the global
+    triangle count. Same degree-ordered O(m^1.5) wedge join; corner
+    credit is one bounded 3-rows-per-triangle explode. Oracle is the
+    naive 3-way self-join, viable only at test scale."""
+    from .operators.graph import clustering_coefficient, co_occurrence_edges
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    out = clustering_coefficient(edges)
+    return (
+        out.select(
+            F.col("node").alias("part"),
+            F.col("deg").cast("long").alias("deg"),
+            F.col("triangles").cast("long").alias("triangles"),
+            F.round("coeff", 6).alias("coeff"),
+        )
+        .orderBy(F.desc("coeff"), F.desc("deg"), "part")
+        .limit(25)
+    )

@@ -247,3 +247,61 @@ class TestBfsMinHops:
             for r in bfs_min_hops(edges, seeds, max_hops=3).collect()
         }
         assert got == {1: 0, 9: 0, 2: 1, 4: 1, 3: 2}
+
+
+class TestClusteringCoefficient:
+    def test_triangle_with_pendant(self, spark):
+        from fraud_detection_project_spark.operators.graph import (
+            clustering_coefficient,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+        )
+        got = {
+            r["node"]: (r["deg"], r["triangles"], round(r["coeff"], 6))
+            for r in clustering_coefficient(edges).collect()
+        }
+        assert got == {
+            1: (2, 1, 1.0),
+            2: (2, 1, 1.0),
+            3: (3, 1, round(1 / 3, 6)),
+            4: (1, 0, 0.0),
+        }
+
+    def test_matches_brute_force_random(self, spark):
+        import itertools
+        import random
+
+        from fraud_detection_project_spark.operators.graph import (
+            clustering_coefficient,
+        )
+
+        rng = random.Random(13)
+        nodes = list(range(12))
+        und = {
+            (a, b)
+            for a, b in itertools.combinations(nodes, 2)
+            if rng.random() < 0.35
+        }
+        edges = spark.createDataFrame(list(und), ["src", "dst"])
+        got = {
+            r["node"]: (r["deg"], r["triangles"], round(r["coeff"], 9))
+            for r in clustering_coefficient(edges).collect()
+        }
+        adj = {n: set() for n in nodes}
+        for a, b in und:
+            adj[a].add(b)
+            adj[b].add(a)
+        for n in nodes:
+            d = len(adj[n])
+            if d == 0:
+                assert n not in got  # isolated nodes have no edges/rows
+                continue
+            t = sum(
+                1
+                for x, y in itertools.combinations(sorted(adj[n]), 2)
+                if y in adj[x]
+            )
+            coeff = round(2 * t / (d * (d - 1)), 9) if d >= 2 else 0.0
+            assert got[n] == (d, t, coeff), n
