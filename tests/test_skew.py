@@ -160,3 +160,43 @@ class TestJoinAdvisor:
         got = self._advise(spark, list(range(200)), 1000,
                            broadcast_threshold_rows=10)
         assert got["recommendation"] == "shuffle"
+
+
+class TestCapacityPlan:
+    def test_plan_shapes_and_spill_guard(self):
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        from capacity_plan import plan
+
+        p = plan(
+            "/root/testdata/sf0.01",
+            target_mult=1000.0,
+            executors=1000,
+            cores=4,
+            task_mem_mb=1024,
+        )
+        rec = p["recommendations"]
+        # snapped to a power of two, at least the slot count
+        n = rec["spark.sql.shuffle.partitions"]
+        assert n >= 4000 and (n & (n - 1)) == 0
+        # per-partition share must be consistent with the guard verdict
+        share = p["spill_check"]["bytes_per_partition_at_recommendation"]
+        assert p["spill_check"]["fits_task_memory"] == (
+            share <= 1024 * 1024 * 1024
+        )
+        assert p["tables"]["lineitem"]["rows"] > p["tables"]["nation"]["rows"]
+
+    def test_undersized_memory_flags_spill(self):
+        import sys, os
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+        from capacity_plan import plan
+
+        p = plan(
+            "/root/testdata/sf0.01",
+            target_mult=10**7,  # absurd scale, tiny cluster
+            executors=2,
+            cores=1,
+            task_mem_mb=64,
+        )
+        assert not p["spill_check"]["fits_task_memory"]
+        assert "raise" in p["spill_check"]["note"]
