@@ -9698,3 +9698,117 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("coeff"), F.desc("deg"), "part")
         .limit(25)
     )
+
+
+@register(
+    "hill_alpha_degree_distribution",
+    oracle="""
+    WITH e0 AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+        ) GROUP BY 1
+    ),
+    t AS (SELECT d FROM deg WHERE d >= 5)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_tail,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           ROUND(1.0 + COUNT(*) / SUM(LN(d / 5.0)), 6) AS hill_alpha
+    FROM t
+    """,
+)
+def q_hill_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law tail exponent of the co-purchase degree distribution
+    via the Hill estimator α = 1 + n/Σ ln(d/d_min) over degrees ≥
+    d_min=5 — the graph-shape diagnostic that decides whether
+    skew-hardened plans (salting, degree-ordered orientation) are
+    needed at scale, the graph-side sibling of zipf_slope_tokens. One
+    degree aggregate + one 1-row tail fold; never materializes more
+    than the degree frame."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    from .operators.graph import co_occurrence_edges
+
+    edges = co_occurrence_edges(li, "l_orderkey", "l_partkey")
+    deg = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    tail = deg.filter(F.col("d") >= 5)
+    return (
+        tail.agg(
+            F.count(F.lit(1)).cast("long").alias("n_tail"),
+            F.max("d").cast("long").alias("max_degree"),
+            F.round(
+                1.0 + F.count(F.lit(1)) / F.sum(F.log(F.col("d") / 5.0)), 6
+            ).alias("hill_alpha"),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            "n_tail", "max_degree", "hill_alpha",
+        )
+    )
+
+
+@register(
+    "shipping_latency_by_priority",
+    oracle="""
+    WITH lat AS (
+        SELECT o.o_orderpriority,
+               date_diff('day', o.o_orderdate, MIN(l.l_shipdate)) AS lag_days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(lag_days), 6) AS mean_lag_days,
+           ROUND(quantile_cont(lag_days, 0.5), 6) AS p50_lag_days,
+           ROUND(quantile_cont(lag_days, 0.9), 6) AS p90_lag_days
+    FROM lat GROUP BY 1 ORDER BY o_orderpriority
+    """,
+)
+def q_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment-latency SLA view: days from order to FIRST shipment
+    per order, p50/p90 per order priority — 'are urgent orders
+    actually shipped faster'. The order⋈lineitem join and the
+    first-ship reduction share the o_orderkey key (AQE co-partitions);
+    the holistic percentile runs per priority group (5 groups). Exact
+    percentile ≡ quantile_cont on both engines."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    lat = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff("first_ship", "o_orderdate").alias("lag_days"),
+        )
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.avg("lag_days"), 6).alias("mean_lag_days"),
+            F.round(F.percentile("lag_days", F.lit(0.5)), 6).alias(
+                "p50_lag_days"
+            ),
+            F.round(F.percentile("lag_days", F.lit(0.9)), 6).alias(
+                "p90_lag_days"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
