@@ -9812,3 +9812,167 @@ def q_shipping_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "cuped_ab_adjustment",
+    oracle="""
+    WITH b AS (
+        SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+        FROM events
+    ),
+    u AS (
+        SELECT user_id % 2 AS arm, user_id,
+               AVG(CASE WHEN epoch_us(ts) < b.mid THEN value END) AS x,
+               AVG(CASE WHEN epoch_us(ts) >= b.mid THEN value END) AS y
+        FROM events, b WHERE value IS NOT NULL
+        GROUP BY 1, 2, b.mid
+    ),
+    p AS (SELECT * FROM u WHERE x IS NOT NULL AND y IS NOT NULL),
+    th AS (
+        SELECT covar_pop(x, y) / var_pop(x) AS theta, AVG(x) AS xbar
+        FROM p
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(AVG(y), 6) AS mean_raw,
+           ROUND(AVG(y - th.theta * (x - th.xbar)), 6) AS mean_cuped,
+           ROUND(1 - var_pop(y - th.theta * (x - th.xbar)) / var_pop(y), 6)
+               AS var_reduction
+    FROM p, th GROUP BY arm, th.theta, th.xbar ORDER BY arm
+    """,
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, 'Improving the
+    Sensitivity of Online Controlled Experiments'): per-user pre-period
+    mean as the covariate, y* = y − θ(x − x̄) with the pooled
+    θ = cov(x,y)/var(x) — the experimentation-platform standard that
+    shrinks metric variance without biasing the treatment contrast
+    (θ is arm-agnostic). Pre/post split at the time midpoint; hash
+    arms (user_id parity) as in ab_test_value_by_split. One per-user
+    aggregate, one 1-row θ frame broadcast back, per-arm rollup —
+    every stage keys on user_id or the 2-row arm frame."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("user_id", "value", F.expr("ts_ns div 1000").alias("t_us"))
+    b = ev.agg(
+        F.floor((F.min("t_us") + F.max("t_us")) / 2).cast("long").alias("mid")
+    )
+    u = (
+        ev.crossJoin(F.broadcast(b))
+        .groupBy((F.col("user_id") % 2).alias("arm"), "user_id")
+        .agg(
+            F.avg(F.when(F.col("t_us") < F.col("mid"), F.col("value"))).alias(
+                "x"
+            ),
+            F.avg(
+                F.when(F.col("t_us") >= F.col("mid"), F.col("value"))
+            ).alias("y"),
+        )
+        .filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    th = u.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("theta"),
+        F.avg("x").alias("xbar"),
+    )
+    adj = u.crossJoin(F.broadcast(th)).select(
+        "arm", "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))).alias(
+            "ystar"
+        ),
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.round(F.avg("y"), 6).alias("mean_raw"),
+            F.round(F.avg("ystar"), 6).alias("mean_cuped"),
+            F.round(1 - F.var_pop("ystar") / F.var_pop("y"), 6).alias(
+                "var_reduction"
+            ),
+        )
+        .select(F.col("arm").cast("long").alias("arm"), "n_users",
+                "mean_raw", "mean_cuped", "var_reduction")
+        .orderBy("arm")
+    )
+
+
+@register(
+    "data_contract_audit",
+    oracle="""
+    SELECT 'customer_fk_nation' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS violations
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                      WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'documents_nonempty_text',
+           CAST(COUNT(*) AS BIGINT)
+    FROM documents WHERE text IS NULL OR trim(text) = ''
+    UNION ALL
+    SELECT 'events_ts_not_null', CAST(COUNT(*) AS BIGINT)
+    FROM events WHERE ts IS NULL
+    UNION ALL
+    SELECT 'lineitem_fk_orders', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    ORDER BY check_name
+    """,
+)
+def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table data-contract audit in one result set: primary-key
+    uniqueness, two foreign-key closures (anti-join form — the
+    scalable NOT EXISTS), null guards, empty-text rate — the
+    ingestion gate a warehouse runs before promoting a batch,
+    generalizing referential_integrity_audit to a multi-check
+    contract. FK anti-joins broadcast the dim side where small; each
+    check is one aggregate row, unioned."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def one(name, df):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("long").alias("violations"),
+        )
+
+    checks = [
+        one(
+            "customer_fk_nation",
+            c.join(
+                F.broadcast(n),
+                c.c_nationkey == n.n_nationkey,
+                "left_anti",
+            ),
+        ),
+        one(
+            "documents_nonempty_text",
+            docs.filter(
+                F.col("text").isNull() | (F.trim("text") == "")
+            ),
+        ),
+        one("events_ts_not_null", ev.filter(F.col("ts").isNull())),
+        one(
+            "lineitem_fk_orders",
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+        ),
+        o.agg(
+            F.lit("orders_pk_unique").alias("check_name"),
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+            .cast("long")
+            .alias("violations"),
+        ),
+    ]
+    out = checks[0]
+    for chk in checks[1:]:
+        out = out.unionByName(chk)
+    return out.orderBy("check_name")
