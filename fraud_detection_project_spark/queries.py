@@ -7585,10 +7585,20 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # names left DRIVER_PRIORITY; every remaining oracle-backed rowless
 # query (37 carried) plus the 11 round-5 registrations now fill the
 # 48-slot priority budget exactly, with both canaries inside the cut.
-# Round-6 queue: drop whatever CORRECTNESS_r05 turns green and promote
-# any round-6 registrations; if the priority block thins below 48,
-# re-promote once-green anchors (dup_clusters, cleaning_chain) for
-# second confirmations.
+# Round-6 queue (oracle-backed, registered past this round's 50-cut,
+# all verify_local-green at sf0.01 AND sf0.1 this session):
+# dsir_importance_weights, cohort_ltv_accumulation,
+# rolling_7d_active_users, histogram_quantile_tolerance,
+# attribution_time_decay, elasticity_brand_ols,
+# containment_near_dup_docs, spearman_value_props,
+# rolling_origin_folds, region_nation_revenue_share,
+# seasonal_naive_backtest, clustering_coefficient_parts,
+# hill_alpha_degree_distribution, shipping_latency_by_priority,
+# cuped_ab_adjustment, data_contract_audit.
+# Round-6 rotation: drop whatever CORRECTNESS_r05 turns green, promote
+# the 16 names above + round-6 registrations; if the priority block
+# thins below 48, re-promote once-green anchors (dup_clusters,
+# cleaning_chain) for second confirmations.
 
 
 def driver_ordered(registry: dict) -> dict:
@@ -9976,3 +9986,85 @@ def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     for chk in checks[1:]:
         out = out.unionByName(chk)
     return out.orderBy("check_name")
+
+
+@register(
+    "quantile_map_error_to_purchase",
+    oracle="""
+    WITH e AS (SELECT value FROM events
+               WHERE event_type = 'error' AND value IS NOT NULL),
+    p AS (SELECT value FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
+    ce AS (
+        SELECT quantile_cont(value, [0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.1, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.2, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26, 0.27, 0.28, 0.29, 0.3, 0.31, 0.32, 0.33, 0.34, 0.35, 0.36, 0.37, 0.38, 0.39, 0.4, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46, 0.47, 0.48, 0.49, 0.5, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58, 0.59, 0.6, 0.61, 0.62, 0.63, 0.64, 0.65, 0.66, 0.67, 0.68, 0.69, 0.7, 0.71, 0.72, 0.73, 0.74, 0.75, 0.76, 0.77, 0.78, 0.79, 0.8, 0.81, 0.82, 0.83, 0.84, 0.85, 0.86, 0.87, 0.88, 0.89, 0.9, 0.91, 0.92, 0.93, 0.94, 0.95, 0.96, 0.97, 0.98, 0.99]) AS cs
+        FROM e
+    ),
+    cp AS (
+        SELECT quantile_cont(value, [0.01, 0.02, 0.03, 0.04, 0.05, 0.06, 0.07, 0.08, 0.09, 0.1, 0.11, 0.12, 0.13, 0.14, 0.15, 0.16, 0.17, 0.18, 0.19, 0.2, 0.21, 0.22, 0.23, 0.24, 0.25, 0.26, 0.27, 0.28, 0.29, 0.3, 0.31, 0.32, 0.33, 0.34, 0.35, 0.36, 0.37, 0.38, 0.39, 0.4, 0.41, 0.42, 0.43, 0.44, 0.45, 0.46, 0.47, 0.48, 0.49, 0.5, 0.51, 0.52, 0.53, 0.54, 0.55, 0.56, 0.57, 0.58, 0.59, 0.6, 0.61, 0.62, 0.63, 0.64, 0.65, 0.66, 0.67, 0.68, 0.69, 0.7, 0.71, 0.72, 0.73, 0.74, 0.75, 0.76, 0.77, 0.78, 0.79, 0.8, 0.81, 0.82, 0.83, 0.84, 0.85, 0.86, 0.87, 0.88, 0.89, 0.9, 0.91, 0.92, 0.93, 0.94, 0.95, 0.96, 0.97, 0.98, 0.99]) AS cs
+        FROM p
+    ),
+    m AS (
+        SELECT e.value,
+               len(list_filter(ce.cs, c -> c < e.value)) AS b
+        FROM e CROSS JOIN ce
+    ),
+    mapped AS (
+        SELECT value, b,
+               cp.cs[LEAST(b + 1, 99)] AS v_mapped
+        FROM m CROSS JOIN cp
+    )
+    SELECT CAST(b // 10 AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(value), 6) AS mean_original,
+           ROUND(AVG(v_mapped), 6) AS mean_mapped
+    FROM mapped GROUP BY 1 ORDER BY decile
+    """,
+)
+def q_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile mapping (CDF matching): re-express the 'error' value
+    distribution on the 'purchase' distribution's scale — the
+    batch-effect / domain-shift correction that aligns two
+    populations rank-for-rank (quantile normalization in
+    bioinformatics, bias correction in forecasting). Both quantile
+    functions fit as 99-cut EXACT percentile arrays in ONE aggregate
+    each, broadcast; per-row work is a fold over the cut array —
+    no per-group rank window, no sort. Decile rollup keeps the output
+    driver-hashable."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    e = ev.filter(F.col("event_type") == "error").select("value")
+    p = ev.filter(F.col("event_type") == "purchase").select("value")
+    fr = [i / 100.0 for i in range(1, 100)]
+    ce = e.agg(
+        F.array(*[F.percentile("value", F.lit(q)) for q in fr]).alias("ce")
+    )
+    cp = p.agg(
+        F.array(*[F.percentile("value", F.lit(q)) for q in fr]).alias("cp")
+    )
+    m = (
+        e.crossJoin(F.broadcast(ce))
+        .crossJoin(F.broadcast(cp))
+        .select(
+            "value",
+            F.size(F.filter(F.col("ce"), lambda c: c < F.col("value"))).alias(
+                "b"
+            ),
+            "cp",
+        )
+        .select(
+            "value", "b",
+            F.col("cp")[F.least(F.col("b"), F.lit(98))].alias("v_mapped"),
+        )
+    )
+    return (
+        m.groupBy((F.col("b") / 10).cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("value"), 6).alias("mean_original"),
+            F.round(F.avg("v_mapped"), 6).alias("mean_mapped"),
+        )
+        .select(F.col("decile").cast("long").alias("decile"), "n",
+                "mean_original", "mean_mapped")
+        .orderBy("decile")
+    )
