@@ -10004,8 +10004,11 @@ def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM p
     ),
     m AS (
+        -- epsilon guard: interpolated cuts frequently land EXACTLY on
+        -- data values; 1e-9 dwarfs cross-engine interpolation ulps so
+        -- on-cut values bucket identically in both engines
         SELECT e.value,
-               len(list_filter(ce.cs, c -> c < e.value)) AS b
+               len(list_filter(ce.cs, c -> c < e.value - 1e-9)) AS b
         FROM e CROSS JOIN ce
     ),
     mapped AS (
@@ -10047,9 +10050,9 @@ def q_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(cp))
         .select(
             "value",
-            F.size(F.filter(F.col("ce"), lambda c: c < F.col("value"))).alias(
-                "b"
-            ),
+            F.size(
+                F.filter(F.col("ce"), lambda c: c < F.col("value") - 1e-9)
+            ).alias("b"),
             "cp",
         )
         .select(
