@@ -10071,3 +10071,155 @@ def q_quantile_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_original", "mean_mapped")
         .orderBy("decile")
     )
+
+
+@register(
+    "grouped_histogram_quantiles",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    r AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM v),
+    h AS (
+        SELECT event_type,
+               LEAST(127, GREATEST(0, CAST(FLOOR(
+                   (value - r.lo) / ((r.hi - r.lo) / 128)) AS INTEGER)))
+                   AS bin,
+               COUNT(*) AS cnt
+        FROM v CROSS JOIN r GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+               SUM(cnt) OVER (PARTITION BY event_type) AS n_t
+        FROM h
+    ),
+    probs AS (SELECT unnest([0.5, 0.95]) AS prob),
+    x AS (
+        SELECT c.event_type, p.prob, c.bin, c.cnt, c.cum, c.n_t,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.event_type, p.prob ORDER BY c.bin
+               ) AS rn
+        FROM c JOIN probs p ON c.cum >= p.prob * c.n_t
+    ),
+    est AS (
+        SELECT x.event_type, x.prob,
+               r.lo + ((r.hi - r.lo) / 128) *
+                   (x.bin + (x.prob * x.n_t - (x.cum - x.cnt)) / x.cnt)
+                   AS est
+        FROM x CROSS JOIN r WHERE x.rn = 1
+    ),
+    exact AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS q50,
+               quantile_cont(value, 0.95) AS q95
+        FROM v GROUP BY 1
+    )
+    SELECT e.event_type AS event_type, e.prob,
+           ROUND(CASE WHEN e.prob = 0.5 THEN x.q50 ELSE x.q95 END, 6)
+               AS exact_q,
+           TRUE AS within_tol
+    FROM est e JOIN exact x ON x.event_type = e.event_type
+    ORDER BY e.event_type, e.prob
+    """,
+)
+def q_grouped_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group histogram-sketch quantile serving — the per-tenant /
+    per-endpoint latency-percentile production shape: ONE 128-bin
+    grouped histogram (shuffle bounded by |types|·n_bins rows forever)
+    serves p50/p95 for every event type; each estimate must sit within
+    one bin width of that group's exact quantile (constant-TRUE
+    tolerance oracle, the hll_within_tolerance pattern). The cumsum
+    and crossing-bin windows run over ≤ n_bins rows per group —
+    bounded frames, parallel across groups."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("event_type", "value")
+    n_bins = 128
+    r = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    withr = ev.crossJoin(F.broadcast(r))
+    w = (F.col("hi") - F.col("lo")) / n_bins
+    h = (
+        withr.select(
+            "event_type", "lo", "hi",
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("value") - F.col("lo")) / w).cast("int"),
+                ),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "lo", "hi", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("event_type")
+    c = h.select(
+        "event_type", "lo", "hi", "bin", "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n_t"),
+    )
+    ests = None
+    for p in (0.5, 0.95):
+        target = F.col("n_t") * F.lit(p)
+        cross = (
+            c.filter(F.col("cum") >= target)
+            .groupBy("event_type")
+            .agg(
+                F.min_by(
+                    F.struct("lo", "hi", "bin", "cnt", "cum", "n_t"), "bin"
+                ).alias("s")
+            )
+            .select(
+                "event_type",
+                F.lit(float(p)).alias("prob"),
+                (
+                    F.col("s.lo")
+                    + (F.col("s.hi") - F.col("s.lo")) / n_bins
+                    * (
+                        F.col("s.bin")
+                        + (
+                            F.col("s.n_t") * F.lit(p)
+                            - (F.col("s.cum") - F.col("s.cnt"))
+                        )
+                        / F.col("s.cnt")
+                    )
+                ).alias("est"),
+            )
+        )
+        ests = cross if ests is None else ests.unionByName(cross)
+    exact = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("q50"),
+        F.percentile("value", F.lit(0.95)).alias("q95"),
+    )
+    width = r.select(((F.col("hi") - F.col("lo")) / n_bins).alias("w"))
+    return (
+        ests.join(F.broadcast(exact), "event_type")
+        .crossJoin(F.broadcast(width))
+        .select(
+            "event_type", "prob",
+            F.round(
+                F.when(F.col("prob") == 0.5, F.col("q50")).otherwise(
+                    F.col("q95")
+                ),
+                6,
+            ).alias("exact_q"),
+            (
+                F.abs(
+                    F.col("est")
+                    - F.when(F.col("prob") == 0.5, F.col("q50")).otherwise(
+                        F.col("q95")
+                    )
+                )
+                <= F.col("w")
+            ).alias("within_tol"),
+        )
+        .orderBy("event_type", "prob")
+    )
