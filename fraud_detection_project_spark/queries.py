@@ -10223,3 +10223,68 @@ def q_grouped_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "prob")
     )
+
+
+@register(
+    "max_drawdown_user_value",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, value, epoch_us(ts) AS t_us
+        FROM events WHERE value IS NOT NULL
+    ),
+    c0 AS (
+        SELECT user_id, event_id, t_us,
+               SUM(value) OVER (
+                   PARTITION BY user_id ORDER BY t_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM s
+    ),
+    c AS (
+        SELECT user_id, cum,
+               MAX(cum) OVER (
+                   PARTITION BY user_id ORDER BY t_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS peak
+        FROM c0
+    )
+    SELECT user_id,
+           ROUND(MAX(peak - cum), 6) AS max_drawdown,
+           ROUND(MAX(peak), 6) AS peak_cum
+    FROM c GROUP BY 1
+    ORDER BY max_drawdown DESC, user_id LIMIT 20
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative value series (peak-
+    to-trough fall of the running total — the finance risk metric,
+    here 'worst sustained negative run per account', a fraud-burnout
+    signal). Running sum, running peak, and the drawdown max all ride
+    ONE per-user window partitioning (ordered by time with event_id
+    tie-break); per-user frames parallelize at any scale.
+    Deterministic top-20."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "user_id", "event_id", "value",
+        F.expr("ts_ns div 1000").alias("t_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = ev.withColumn("cum", F.sum("value").over(w)).withColumn(
+        "peak", F.max("cum").over(w)
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.round(F.max(F.col("peak") - F.col("cum")), 6).alias(
+                "max_drawdown"
+            ),
+            F.round(F.max("peak"), 6).alias("peak_cum"),
+        )
+        .orderBy(F.desc("max_drawdown"), "user_id")
+        .limit(20)
+    )
