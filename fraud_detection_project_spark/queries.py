@@ -10288,3 +10288,135 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_drawdown"), "user_id")
         .limit(20)
     )
+
+
+@register(
+    "skipgram_pairs_window2",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(regexp_replace(text,
+                   '[^a-zA-Z0-9]+', ' ', 'g'))), '\s+') AS toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, unnest(toks) AS w,
+               generate_subscripts(toks, 1) AS p
+        FROM t
+    ),
+    pairs AS (
+        SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n
+        FROM pos a JOIN pos b
+          ON b.doc_id = a.doc_id
+         AND b.p BETWEEN a.p + 1 AND a.p + 2
+         AND a.w < b.w
+        GROUP BY 1, 2
+    )
+    SELECT w1, w2, CAST(n AS BIGINT) AS n
+    FROM pairs ORDER BY n DESC, w1, w2 LIMIT 25
+    """,
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counting (the word2vec/GloVe input):
+    unordered token pairs within a forward window of 2 positions,
+    counted corpus-wide. The position-band self-join keys on doc_id
+    with a ±2 band — per-token fanout is the window width (LINEAR in
+    corpus size, never doc²); pair counts partial-agg map-side into a
+    vocab²-bounded (practically co-occurrence-sparse) frame.
+    Deterministic top-25. Complements pmi_term_pairs (document-level
+    co-occurrence) with the position-window form embeddings actually
+    train on."""
+    from .functions.text import normalized_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokens(normalized_text("text"))).alias("p", "w"),
+    )
+    a, b = pos.alias("a"), pos.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.p") > F.col("a.p"))
+            & (F.col("b.p") <= F.col("a.p") + 2)
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return pairs.orderBy(F.desc("n"), "w1", "w2").limit(25)
+
+
+@register(
+    "self_duplicated_ngrams",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(regexp_replace(text,
+                   '[^a-zA-Z0-9]+', ' ', 'g'))), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+               toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' ||
+               toks[i+6] || ' ' || toks[i+7] AS gram
+        FROM (SELECT doc_id, unnest(range(1, len(toks) - 6)) AS i, toks
+              FROM t WHERE len(toks) >= 8)
+    ),
+    d AS (SELECT DISTINCT doc_id, gram FROM g),
+    dup AS (
+        SELECT gram, COUNT(*) AS n_docs FROM d
+        GROUP BY gram HAVING COUNT(*) >= 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+           CAST(MAX(n_docs) AS BIGINT) AS max_docs_sharing,
+           CAST((SELECT COUNT(DISTINCT d2.doc_id)
+                 FROM d d2 JOIN dup ON dup.gram = d2.gram) AS BIGINT)
+               AS n_docs_affected
+    FROM dup
+    """,
+)
+def q_self_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self exact substring duplication audit (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better' — the
+    ExactSubstr criterion at 8-token granularity): word-8-grams that
+    appear verbatim in ≥2 distinct documents, how many documents they
+    touch, and the widest share. The corpus-self sibling of
+    contamination_13gram (probe-vs-corpus): grams explode map-side
+    (linear in tokens), the duplicate reduction is one hash aggregate
+    keyed by gram — the corpus never self-joins; affected docs come
+    from a semi-join against the (small) duplicated-gram set."""
+    from .functions.text import normalized_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens(normalized_text("text")).alias("tk")
+    ).filter(F.size("tk") >= 8)
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - 8),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, 8)),
+            )
+        ).alias("gram"),
+    ).distinct()
+    dup = g.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).filter(F.col("n_docs") >= 2)
+    affected = g.join(dup.select("gram"), "gram", "left_semi").agg(
+        F.countDistinct("doc_id").alias("n_docs_affected")
+    )
+    return (
+        dup.agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_grams"),
+            F.max("n_docs").cast("long").alias("max_docs_sharing"),
+        )
+        .crossJoin(F.broadcast(affected))
+        .select(
+            "n_dup_grams", "max_docs_sharing",
+            F.col("n_docs_affected").cast("long").alias("n_docs_affected"),
+        )
+    )
