@@ -10420,3 +10420,133 @@ def q_self_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs_affected").cast("long").alias("n_docs_affected"),
         )
     )
+
+
+@register(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               (b.n - a.n) * 1.0
+               / date_diff('day', a.day, b.day) AS slope
+        FROM d a JOIN d b
+          ON b.event_type = a.event_type AND b.day > a.day
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(quantile_cont(slope, 0.5), 6) AS theil_sen_slope
+    FROM slopes GROUP BY 1 ORDER BY event_type
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event counts per type: the
+    MEDIAN of all pairwise day-slopes — a 29%-breakdown-point
+    alternative to OLS (value_time_trend / elasticity family) that a
+    single anomalous day cannot drag. The pairwise join runs inside
+    each type's DAILY frame — |days|² pairs per type with |days|
+    bounded by the calendar, not the event volume, so the quadratic
+    is over an aggregate frame that stays tiny at any data scale;
+    exact median ≡ quantile_cont."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a, b = d.alias("a"), d.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.day") > F.col("a.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.n") - F.col("a.n"))
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        ).alias("slope"),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.percentile("slope", F.lit(0.5)), 6).alias(
+                "theil_sen_slope"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "hll_set_intersection_estimate",
+    oracle="""
+    WITH v AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'view'),
+    p AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase'),
+    x AS (SELECT COUNT(*) AS n_exact
+          FROM v JOIN p ON p.user_id = v.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase,
+           CAST(x.n_exact AS BIGINT) AS n_intersection_exact,
+           TRUE AS within_tol
+    FROM x
+    """,
+)
+def q_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: estimate |view ∩ purchase| users by
+    inclusion–exclusion over THREE HLL sketches (|A| + |B| − |A∪B|,
+    the union being HLL's native merge) and require the estimate
+    within 10% of the exact semi-join count (error compounds across
+    three ±1.6% RSE estimates — the tolerance oracle pins the exact
+    number and a constant-TRUE flag). The pattern that answers
+    audience-overlap questions at 100 TB where exact distinct
+    intersection needs a full shuffle: three bounded sketches, no
+    row-level join."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    v = ev.filter(F.col("event_type") == "view")
+    p = ev.filter(F.col("event_type") == "purchase")
+    sk = (
+        v.agg(F.hll_sketch_agg("user_id").alias("s"))
+        .unionByName(p.agg(F.hll_sketch_agg("user_id").alias("s")))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("s")).alias("est_union")
+        )
+    )
+    counts = (
+        v.agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_v"),
+            F.countDistinct("user_id").alias("n_view"),
+        )
+        .crossJoin(
+            F.broadcast(
+                p.agg(
+                    F.hll_sketch_estimate(
+                        F.hll_sketch_agg("user_id")
+                    ).alias("est_p"),
+                    F.countDistinct("user_id").alias("n_purchase"),
+                )
+            )
+        )
+        .crossJoin(F.broadcast(sk))
+    )
+    exact = v.select("user_id").distinct().join(
+        p.select("user_id").distinct(), "user_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        counts.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("n_view").cast("long").alias("n_view"),
+            F.col("n_purchase").cast("long").alias("n_purchase"),
+            F.col("n_exact").cast("long").alias("n_intersection_exact"),
+            (
+                F.abs(
+                    (F.col("est_v") + F.col("est_p") - F.col("est_union"))
+                    - F.col("n_exact")
+                )
+                <= 0.10 * F.col("n_exact")
+            ).alias("within_tol"),
+        )
+    )
