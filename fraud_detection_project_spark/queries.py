@@ -10550,75 +10550,3 @@ def q_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tol"),
         )
     )
-
-
-@register(
-    "user_props_cosine_topk",
-    oracle="""
-    WITH f AS (
-        SELECT user_id,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-               COUNT(*) AS c
-        FROM events GROUP BY 1, 2
-    ),
-    nrm AS (
-        SELECT user_id, SQRT(SUM(c * c)) AS nn FROM f GROUP BY 1
-    ),
-    dots AS (
-        SELECT a.user_id AS u1, b.user_id AS u2,
-               SUM(a.c * b.c) AS dot
-        FROM f a JOIN f b ON b.k = a.k AND a.user_id < b.user_id
-        GROUP BY 1, 2
-    )
-    SELECT d.u1, d.u2,
-           ROUND(d.dot / (na.nn * nb.nn), 6) AS cosine
-    FROM dots d
-    JOIN nrm na ON na.user_id = d.u1
-    JOIN nrm nb ON nb.user_id = d.u2
-    ORDER BY cosine DESC, u1, u2 LIMIT 20
-    """,
-)
-def q_user_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Behavioral user-user similarity: each user's sparse feature
-    vector is their count histogram over the JSON payload field
-    (~100-dim), cosine top-20 pairs via the SPARSE inverted-index
-    plan — the dot-product join keys on the feature id, so candidate
-    pairs are bounded by per-feature user-list collisions (the
-    standard sparse-cosine strategy; at 100 TB add the df-prune /
-    LSH-bucket guards from operators/similarity.py rather than
-    densifying). Norms are one per-user aggregate; deterministic
-    top-20."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
-    )
-    f = ev.groupBy("user_id", "k").agg(F.count(F.lit(1)).alias("c"))
-    nrm = f.groupBy("user_id").agg(
-        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nn")
-    )
-    a, b = f.alias("a"), f.alias("b")
-    dots = (
-        a.join(
-            b,
-            (F.col("b.k") == F.col("a.k"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
-        )
-        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
-    )
-    return (
-        dots.join(nrm.select(F.col("user_id").alias("u1"),
-                             F.col("nn").alias("na")), "u1")
-        .join(nrm.select(F.col("user_id").alias("u2"),
-                         F.col("nn").alias("nb")), "u2")
-        .select(
-            "u1", "u2",
-            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
-                "cosine"
-            ),
-        )
-        .orderBy(F.desc("cosine"), "u1", "u2")
-        .limit(20)
-    )
