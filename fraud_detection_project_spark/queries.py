@@ -10550,3 +10550,138 @@ def q_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tol"),
         )
     )
+
+
+@register(
+    "daily_audience_jaccard",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    n AS (SELECT day, COUNT(*) AS nu FROM du GROUP BY 1),
+    inter AS (
+        SELECT a.day AS day, COUNT(*) AS ni
+        FROM du a JOIN du b
+          ON b.user_id = a.user_id AND b.day = a.day + 1
+        GROUP BY 1
+    )
+    SELECT strftime(na.day, '%Y-%m-%d') AS day,
+           CAST(na.nu AS BIGINT) AS users_today,
+           CAST(nb.nu AS BIGINT) AS users_next,
+           CAST(COALESCE(i.ni, 0) AS BIGINT) AS overlap,
+           ROUND(COALESCE(i.ni, 0) * 1.0
+                 / (na.nu + nb.nu - COALESCE(i.ni, 0)), 6) AS jaccard
+    FROM n na
+    JOIN n nb ON nb.day = na.day + 1
+    LEFT JOIN inter i ON i.day = na.day
+    ORDER BY day
+    """,
+)
+def q_daily_audience_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day audience stability: exact Jaccard of consecutive
+    days' active-user sets — 'how much of today's audience returns
+    tomorrow', the set-similarity view of churn that complements
+    new_vs_returning_daily's flow view. The intersection join keys on
+    user_id over the distinct (day, user) frame (linear in active
+    pairs); set sizes and the union come free from per-day counts —
+    the day axis never fans out."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    n = du.groupBy("day").agg(F.count(F.lit(1)).alias("nu"))
+    a, b = du.alias("a"), du.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("b.day") == F.date_add(F.col("a.day"), 1)),
+        )
+        .groupBy(F.col("a.day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    na, nb = n.alias("na"), n.alias("nb")
+    return (
+        na.join(nb, F.col("nb.day") == F.date_add(F.col("na.day"), 1))
+        .join(inter, F.col("na.day") == inter.day, "left")
+        .select(
+            F.date_format(F.col("na.day"), "yyyy-MM-dd").alias("day"),
+            F.col("na.nu").cast("long").alias("users_today"),
+            F.col("nb.nu").cast("long").alias("users_next"),
+            F.coalesce("ni", F.lit(0)).cast("long").alias("overlap"),
+            F.round(
+                F.coalesce("ni", F.lit(0))
+                / (F.col("na.nu") + F.col("nb.nu") - F.coalesce("ni", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "acf_daily_revenue_k7",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    m AS (SELECT AVG(rev) AS mu, var_pop(rev) AS v, COUNT(*) AS n FROM d),
+    lags AS (SELECT unnest(range(1, 8)) AS k),
+    x AS (
+        SELECT l.k,
+               COUNT(*) AS n_pairs,
+               SUM((a.rev - m.mu) * (b.rev - m.mu)) AS cov_s
+        FROM d a
+        CROSS JOIN lags l
+        JOIN d b ON b.day = a.day + to_days(CAST(l.k AS INTEGER))
+        CROSS JOIN m
+        GROUP BY l.k, m.v, m.n
+    )
+    SELECT CAST(x.k AS BIGINT) AS k,
+           CAST(x.n_pairs AS BIGINT) AS n_pairs,
+           ROUND(x.cov_s / m.n / m.v, 6) AS acf
+    FROM x CROSS JOIN m ORDER BY k
+    """,
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..7 — the
+    weekly-seasonality fingerprint (a lag-7 spike confirms day-of-week
+    structure; the standard Box-Jenkins normalization Σ(x_t−μ)(x_{t+k}
+    −μ)/(n·σ²) so estimates shrink with lag). The k-lag pairing is a
+    calendar-shifted equi-join over the bounded DAILY frame crossed
+    with 7 lag rows — volume-independent after the one orders
+    rollup; generalizes autocorr_lag1_users to the full ACF."""
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    m = d.agg(
+        F.avg("rev").alias("mu"),
+        F.var_pop("rev").alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("k"))
+    a, b = d.alias("a"), d.alias("b")
+    x = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("b.day") == F.expr("date_add(a.day, k)"),
+        )
+        .crossJoin(F.broadcast(m))
+        .groupBy("k", "v", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                (F.col("a.rev") - F.col("mu")) * (F.col("b.rev") - F.col("mu"))
+            ).alias("cov_s"),
+        )
+    )
+    return (
+        x.select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.round(F.col("cov_s") / F.col("n") / F.col("v"), 6).alias("acf"),
+        )
+        .orderBy("k")
+    )
