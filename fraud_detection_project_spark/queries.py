@@ -10685,3 +10685,65 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "retention_triangle_weekly",
+    oracle="""
+    WITH wu AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('week', TIMESTAMP '1970-01-05', date_trunc('week', ts)) AS BIGINT) AS wk
+        FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(wk) AS c0 FROM wu GROUP BY 1),
+    sizes AS (SELECT c0, COUNT(*) AS n0 FROM cohort GROUP BY 1),
+    act AS (
+        SELECT c.c0, wu.wk - c.c0 AS offset_w,
+               COUNT(DISTINCT wu.user_id) AS n_active
+        FROM wu JOIN cohort c ON c.user_id = wu.user_id
+        GROUP BY 1, 2
+    )
+    SELECT a.c0 AS cohort_week, CAST(a.offset_w AS BIGINT) AS offset_w,
+           CAST(a.n_active AS BIGINT) AS n_active,
+           ROUND(a.n_active * 1.0 / s.n0, 6) AS retained_pct
+    FROM act a JOIN sizes s ON s.c0 = a.c0
+    WHERE a.offset_w <= 4
+    ORDER BY cohort_week, offset_w
+    """,
+)
+def q_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention triangle: users cohorted by first
+    active week (epoch-anchored Monday week index so both engines
+    agree on week identity), % of each cohort still active at week
+    offsets 0..4 — the matrix behind every retention chart, the
+    stock-based complement of weekly_user_retention's adjacent-week
+    rate. Distinct (user, week) reduction first, so all joins run on
+    the per-user week frame (bounded by users x weeks), never raw
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    # Monday-anchored week index from the epoch Monday 1970-01-05,
+    # matching DuckDB's date_trunc('week') Monday convention
+    wu = ev.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-05")) / 7
+        ).cast("long").alias("wk"),
+    ).distinct()
+    cohort = wu.groupBy("user_id").agg(F.min("wk").alias("c0"))
+    sizes = cohort.groupBy("c0").agg(F.count(F.lit(1)).alias("n0"))
+    act = (
+        wu.join(cohort, "user_id")
+        .groupBy("c0", (F.col("wk") - F.col("c0")).alias("offset_w"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .filter(F.col("offset_w") <= 4)
+    )
+    return (
+        act.join(F.broadcast(sizes), "c0")
+        .select(
+            F.col("c0").alias("cohort_week"),
+            F.col("offset_w").cast("long").alias("offset_w"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(F.col("n_active") / F.col("n0"), 6).alias("retained_pct"),
+        )
+        .orderBy("cohort_week", "offset_w")
+    )

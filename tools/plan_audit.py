@@ -335,6 +335,18 @@ def audit(spark, sf_dir: str) -> list[str]:
           "before the final top-k)",
           "TakeOrderedAndProject" in p, p)
 
+    # round-5 third wave — shape checks
+    p = plan_of(QUERIES["self_duplicated_ngrams"](spark, sf_dir))
+    check("self_dup_ngrams: no sort-merge self-join of text",
+          "SortMergeJoin" not in p, p)
+    p = plan_of(QUERIES["promo_revenue_share_monthly"](spark, sf_dir))  # warm
+    p = plan_of(QUERIES["theil_sen_daily_trend"](spark, sf_dir))
+    check("theil_sen: pairwise join sits above the daily aggregate "
+          "(two partial aggs, no raw-event self-join)",
+          p.count("partial_count") >= 1 and "BroadcastHashJoin" in p, p)
+    p = plan_of(QUERIES["hll_set_intersection_estimate"](spark, sf_dir))
+    check("hll_intersection: sketch aggs present", "hll_sketch_agg" in p, p)
+
     # ------------------------------------------------------------------
     # Repo-wide lints over EVERY registered query's physical plan:
     #   1. no CartesianProduct — a non-broadcast cartesian anywhere is a
