@@ -10747,3 +10747,118 @@ def q_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "offset_w")
     )
+
+
+@register(
+    "pareto_fraction_80",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT rev,
+               ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS i,
+               SUM(rev) OVER () AS tot,
+               COUNT(*) OVER () AS n
+        FROM c
+    ),
+    cum AS (
+        SELECT i, n, tot,
+               SUM(rev) OVER (ORDER BY i
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS running
+        FROM r
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_customers,
+           CAST(MIN(i) AS BIGINT) AS n_for_80pct,
+           ROUND(MIN(i) * 1.0 / MIN(n), 6) AS fraction_of_customers
+    FROM cum WHERE running >= 0.8 * tot
+    """,
+)
+def q_pareto_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 scalar: how many top customers cover 80% of revenue.
+    Composes BOTH round-5 scale primitives — ``dense_global_index``
+    ranks customers by revenue descending (range partition +
+    broadcast offsets), ``partitioned_prefix_sum`` runs the revenue
+    accumulation over that rank order — so neither the rank nor the
+    running sum ever funnels through one task (the oracle's window
+    form is the test-scale shorthand). One filtered 1-row aggregate
+    reads off the crossing rank."""
+    from .operators.indexing import dense_global_index, partitioned_prefix_sum
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    ranked = dense_global_index(
+        c.withColumn("neg_rev", -F.col("rev")),
+        ["neg_rev", "o_custkey"],
+        out_col="i0",
+    )
+    cum = partitioned_prefix_sum(ranked, ["i0"], "rev", out_col="running")
+    tot = c.agg(
+        F.sum("rev").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("running") >= 0.8 * F.col("tot"))
+        .agg(
+            F.min("n").cast("long").alias("n_customers"),
+            (F.min("i0") + 1).cast("long").alias("n_for_80pct"),
+            F.round((F.min("i0") + 1) / F.min("n"), 6).alias(
+                "fraction_of_customers"
+            ),
+        )
+    )
+
+
+@register(
+    "interarrival_fit_by_type",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY epoch_us(ts), event_id
+               ) AS gap_us
+        FROM events
+    ),
+    g AS (SELECT event_type, gap_us / 1000000.0 AS gap_s
+          FROM s WHERE gap_us IS NOT NULL AND gap_us > 0)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap_s), 6) AS mean_gap_s,
+           ROUND(1.0 / AVG(gap_s), 6) AS lambda_per_s,
+           ROUND(var_pop(gap_s) / (AVG(gap_s) * AVG(gap_s)), 6) AS cv2
+    FROM g GROUP BY 1 ORDER BY event_type
+    """,
+)
+def q_interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-process fit per event type: per-user interarrival gaps
+    (one partitioned lag window), exponential MLE rate λ = 1/mean,
+    and the squared coefficient of variation — the Poissonness
+    dial (cv² ≈ 1 memoryless, > 1 bursty/clustered, < 1 regular)
+    that decides whether rate-based alerting thresholds are valid.
+    Zero-gaps excluded (same-µs duplicates are not process
+    arrivals); everything after the lag is one grouped aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "event_id",
+        F.expr("ts_ns div 1000").alias("t_us"),
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("t_us", "event_id")
+    g = (
+        ev.withColumn("gap_us", F.col("t_us") - F.lag("t_us").over(w))
+        .filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+        .select("event_type", (F.col("gap_us") / 1000000.0).alias("gap_s"))
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+            F.round(1.0 / F.avg("gap_s"), 6).alias("lambda_per_s"),
+            F.round(
+                F.var_pop("gap_s") / (F.avg("gap_s") * F.avg("gap_s")), 6
+            ).alias("cv2"),
+        )
+        .orderBy("event_type")
+    )
