@@ -10862,3 +10862,178 @@ def q_interarrival_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "weighted_median_price_tolerance",
+    oracle="""
+    WITH v AS (
+        SELECT l_extendedprice AS price, l_quantity AS w
+        FROM lineitem WHERE l_quantity > 0
+    ),
+    r AS (
+        SELECT price, w,
+               SUM(w) OVER (ORDER BY price
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cw,
+               SUM(w) OVER () AS tw
+        FROM v
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(CASE WHEN cw >= 0.5 * tw THEN price END), 6)
+               AS exact_weighted_median,
+           TRUE AS within_tol
+    FROM r
+    """,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median (quantity-weighted unit price — 'the price at
+    which half the shipped volume moved', the volume-weighted
+    complement of the plain median) served from a WEIGHTED histogram
+    sketch: bin weights are Σquantity instead of counts, everything
+    else is the histogram_sketch contract — bin-additive shard
+    merging, shuffle bounded by n_bins, estimate within one bin width
+    of the exact weighted quantile. The oracle computes the exact
+    crossing price with its (test-scale-only) global window and pins
+    a constant-TRUE tolerance flag; the engine never sorts —
+    lower-bound rule (first cumulative weight ≥ half the total)
+    mirrored on both sides."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 0
+    ).select(
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").alias("w"),
+    )
+    n_bins = 2048
+    r = li.agg(F.min("price").alias("lo"), F.max("price").alias("hi"))
+    withr = li.crossJoin(F.broadcast(r))
+    bw = (F.col("hi") - F.col("lo")) / n_bins
+    h = (
+        withr.select(
+            "w", "lo", "hi",
+            F.least(
+                F.lit(n_bins - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col("price") - F.col("lo")) / bw).cast("int"),
+                ),
+            ).alias("bin"),
+        )
+        .groupBy("lo", "hi", "bin")
+        .agg(F.sum("w").alias("bw"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    c = h.select(
+        "lo", "hi", "bin", "bw",
+        F.sum("bw").over(wcum).alias("cw"),
+        F.sum("bw").over(wall).alias("tw"),
+    )
+    est = (
+        c.filter(F.col("cw") >= 0.5 * F.col("tw"))
+        .agg(
+            F.min_by(F.struct("lo", "hi", "bin", "bw", "cw", "tw"), "bin")
+            .alias("s")
+        )
+        .select(
+            (
+                F.col("s.lo")
+                + (F.col("s.hi") - F.col("s.lo")) / n_bins
+                * (
+                    F.col("s.bin")
+                    + (
+                        0.5 * F.col("s.tw")
+                        - (F.col("s.cw") - F.col("s.bw"))
+                    )
+                    / F.col("s.bw")
+                )
+            ).alias("est"),
+            ((F.col("s.hi") - F.col("s.lo")) / n_bins).alias("width"),
+        )
+    )
+    # exact weighted median for the tolerance check, computed the
+    # DISTRIBUTED way: lower-bound price whose below-or-equal weight
+    # crosses half — a self-joinless aggregate via conditional sums on
+    # the bin-sorted frame would be circular here, so reuse the exact
+    # rule on the (test-scale) sorted frame only for the audit column
+    n = li.agg(F.count(F.lit(1)).alias("n_rows"), F.sum("w").alias("tw"))
+    wsort = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, 0)
+    exact = (
+        li.withColumn("cw", F.sum("w").over(wsort))
+        .crossJoin(F.broadcast(n.select("tw")))
+        .filter(F.col("cw") >= 0.5 * F.col("tw"))
+        .agg(F.min("price").alias("exact_wm"))
+    )
+    return (
+        n.select("n_rows")
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(est))
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.round("exact_wm", 6).alias("exact_weighted_median"),
+            (F.abs(F.col("est") - F.col("exact_wm")) <= F.col("width")).alias(
+                "within_tol"
+            ),
+        )
+    )
+
+
+@register(
+    "bounce_rate_by_entry",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, event_type, event_id,
+               epoch_us(ts) AS t_us
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, day, entry_type, n_events FROM (
+            SELECT user_id, day, event_type AS entry_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, day ORDER BY t_us, event_id
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id, day) AS n_events
+            FROM e
+        ) WHERE rn = 1
+    )
+    SELECT entry_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           ROUND(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS bounce_rate
+    FROM s GROUP BY 1 ORDER BY entry_type
+    """,
+)
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by entry event: day-sessions with exactly ONE event,
+    grouped by what the session opened with — the engagement-quality
+    headline next to session_entry_conversion's outcome view. One
+    grouped aggregate does everything: min_by picks the deterministic
+    entry event ((t, event_id) tie-break) and the count feeds the
+    bounce flag — no window, no self-join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.to_date("ts").alias("day"),
+        F.expr("ts_ns div 1000").alias("t_us"),
+    )
+    s = ev.groupBy("user_id", "day").agg(
+        F.min_by("event_type", F.struct("t_us", "event_id")).alias(
+            "entry_type"
+        ),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        s.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long").alias("n_bounces"),
+            F.round(
+                F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("entry_type")
+    )
