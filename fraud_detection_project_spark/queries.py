@@ -11037,3 +11037,94 @@ def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+@register(
+    "split_conformal_coverage",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, value,
+               (event_id * 2654435761) % 100 AS bucket
+        FROM events WHERE value IS NOT NULL
+    ),
+    mu AS (
+        SELECT event_type, AVG(value) AS m
+        FROM e WHERE bucket < 60 GROUP BY 1
+    ),
+    cal AS (
+        SELECT e.event_type,
+               quantile_cont(ABS(e.value - mu.m), 0.9) AS q90
+        FROM e JOIN mu ON mu.event_type = e.event_type
+        WHERE e.bucket >= 60 AND e.bucket < 80
+        GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_holdout,
+           ROUND(cal.q90, 6) AS q90_resid,
+           ROUND(AVG(CASE WHEN ABS(e.value - mu.m) <= cal.q90
+                          THEN 1.0 ELSE 0.0 END), 6) AS coverage
+    FROM e
+    JOIN mu ON mu.event_type = e.event_type
+    JOIN cal ON cal.event_type = e.event_type
+    WHERE e.bucket >= 80
+    GROUP BY e.event_type, cal.q90 ORDER BY e.event_type
+    """,
+)
+def q_split_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; the
+    distribution-free UQ recipe): deterministic 60/20/20 hash split
+    (the id_hash_split arithmetic — engine-independent, so the oracle
+    reproduces the exact assignment), per-type mean fit on train, 90%
+    residual quantile on calibration, empirical coverage audited on
+    holdout — the guarantee says coverage ≈ 0.9 regardless of the
+    value distribution. Three conditional aggregates off ONE scan
+    shape, calibration quantile is the only holistic agg; mean and
+    q90 frames broadcast into the holdout pass."""
+    knuth = 2654435761
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select(
+        "event_type", "value",
+        F.pmod(F.col("event_id").cast("long") * knuth, F.lit(100)).alias(
+            "bucket"
+        ),
+    )
+    mu = (
+        ev.filter(F.col("bucket") < 60)
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("m"))
+    )
+    cal = (
+        ev.filter((F.col("bucket") >= 60) & (F.col("bucket") < 80))
+        .join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.9))
+            .alias("q90")
+        )
+    )
+    hold = (
+        ev.filter(F.col("bucket") >= 80)
+        .join(F.broadcast(mu), "event_type")
+        .join(F.broadcast(cal), "event_type")
+    )
+    return (
+        hold.groupBy("event_type", "q90")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_holdout"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.abs(F.col("value") - F.col("m")) <= F.col("q90"),
+                        1.0,
+                    ).otherwise(0.0)
+                ),
+                6,
+            ).alias("coverage"),
+        )
+        .select(
+            "event_type", "n_holdout",
+            F.round("q90", 6).alias("q90_resid"), "coverage",
+        )
+        .orderBy("event_type")
+    )
