@@ -11128,3 +11128,145 @@ def q_split_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "diff_in_diff_value",
+    oracle="""
+    WITH b AS (
+        SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+        FROM events
+    ),
+    g AS (
+        SELECT user_id % 2 AS arm,
+               CASE WHEN epoch_us(ts) >= b.mid THEN 1 ELSE 0 END AS post,
+               value
+        FROM events, b WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT arm, post, AVG(value) AS mu,
+               var_samp(value) / COUNT(*) AS se2
+        FROM g GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN arm = 1 AND post = 1 THEN mu END) AS t_post,
+               MAX(CASE WHEN arm = 1 AND post = 0 THEN mu END) AS t_pre,
+               MAX(CASE WHEN arm = 0 AND post = 1 THEN mu END) AS c_post,
+               MAX(CASE WHEN arm = 0 AND post = 0 THEN mu END) AS c_pre,
+               SUM(se2) AS se2
+        FROM m
+    )
+    SELECT ROUND(t_post - t_pre, 6) AS delta_treated,
+           ROUND(c_post - c_pre, 6) AS delta_control,
+           ROUND((t_post - t_pre) - (c_post - c_pre), 6) AS did_estimate,
+           ROUND(((t_post - t_pre) - (c_post - c_pre)) / SQRT(se2), 6)
+               AS did_z
+    FROM w
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: treated-vs-control change across the
+    pre/post midpoint — the causal-inference workhorse when treatment
+    wasn't randomized per-unit (here: the same parity arms and time
+    split as cuped_ab_adjustment, so the three experiment-analysis
+    estimators share one harness). Four cell means + pooled standard
+    error from ONE grouped aggregate; the z-statistic uses the
+    independent-cells variance sum. Volume-independent after the
+    4-row cell frame."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("user_id", "value", F.expr("ts_ns div 1000").alias("t_us"))
+    b = ev.agg(
+        F.floor((F.min("t_us") + F.max("t_us")) / 2).cast("long").alias("mid")
+    )
+    g = ev.crossJoin(F.broadcast(b)).select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("t_us") >= F.col("mid"), 1).otherwise(0).alias("post"),
+        "value",
+    )
+    m = g.groupBy("arm", "post").agg(
+        F.avg("value").alias("mu"),
+        (F.var_samp("value") / F.count(F.lit(1))).alias("se2"),
+    )
+    w = m.agg(
+        F.max(F.when((F.col("arm") == 1) & (F.col("post") == 1), F.col("mu"))).alias("t_post"),
+        F.max(F.when((F.col("arm") == 1) & (F.col("post") == 0), F.col("mu"))).alias("t_pre"),
+        F.max(F.when((F.col("arm") == 0) & (F.col("post") == 1), F.col("mu"))).alias("c_post"),
+        F.max(F.when((F.col("arm") == 0) & (F.col("post") == 0), F.col("mu"))).alias("c_pre"),
+        F.sum("se2").alias("se2"),
+    )
+    did = (F.col("t_post") - F.col("t_pre")) - (
+        F.col("c_post") - F.col("c_pre")
+    )
+    return w.select(
+        F.round(F.col("t_post") - F.col("t_pre"), 6).alias("delta_treated"),
+        F.round(F.col("c_post") - F.col("c_pre"), 6).alias("delta_control"),
+        F.round(did, 6).alias("did_estimate"),
+        F.round(did / F.sqrt(F.col("se2")), 6).alias("did_z"),
+    )
+
+
+@register(
+    "embedding_isotropy_audit",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id,
+               unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, SQRT(SUM(CAST(x AS DOUBLE) * x)) AS nrm
+        FROM d GROUP BY 1
+    ),
+    dims AS (
+        SELECT dim, AVG(CAST(x AS DOUBLE)) AS mx FROM d GROUP BY 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM norms) AS BIGINT) AS n_vecs,
+           CAST((SELECT COUNT(*) FROM dims) AS BIGINT) AS n_dims,
+           ROUND((SELECT AVG(nrm) FROM norms), 6) AS mean_norm,
+           ROUND((SELECT SQRT(SUM(mx * mx)) FROM dims), 6)
+               AS norm_of_mean,
+           ROUND((SELECT SQRT(SUM(mx * mx)) FROM dims)
+                 / (SELECT AVG(nrm) FROM norms), 6) AS anisotropy
+    FROM (SELECT 1)
+    """,
+)
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy audit (Ethayarajh 2019 — contextual
+    embeddings are anisotropic; Mu & Viswanath's all-but-the-top
+    correction needs exactly this diagnostic): ‖mean vector‖ vs mean
+    ‖vector‖ — a ratio near 0 means directions cancel (isotropic,
+    cosine is trustworthy), near 1 means a dominant common direction
+    (cosine similarities inflate). Per-dim sums fold map-side into a
+    |dims|-row frame (posexplode is the test-scale form; at 100 TB
+    the same sums come from an Arrow kernel over array batches —
+    operators/similarity.py's quantize path); norms are one grouped
+    aggregate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "dim", F.col("x").cast("double").alias("x"))
+    norms = d.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    dims = d.groupBy("dim").agg(F.avg("x").alias("mx"))
+    a = norms.agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.avg("nrm").alias("mean_norm")
+    )
+    b = dims.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sqrt(F.sum(F.col("mx") * F.col("mx"))).alias("norm_of_mean"),
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("n_dims").cast("long").alias("n_dims"),
+            F.round("mean_norm", 6).alias("mean_norm"),
+            F.round("norm_of_mean", 6).alias("norm_of_mean"),
+            F.round(F.col("norm_of_mean") / F.col("mean_norm"), 6).alias(
+                "anisotropy"
+            ),
+        )
+    )
