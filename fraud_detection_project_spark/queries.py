@@ -11270,3 +11270,83 @@ def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "heaps_law_vocab_growth",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(lower(
+                   regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g'))),
+                   '\s+')) AS w
+        FROM documents
+    ),
+    n AS (SELECT MAX(doc_id) AS mx, MIN(doc_id) AS mn FROM tok),
+    dec AS (
+        SELECT t.doc_id, t.w,
+               LEAST(9, CAST(FLOOR(10 * (t.doc_id - n.mn)
+                             / (n.mx - n.mn + 1)) AS BIGINT)) AS decile
+        FROM tok t CROSS JOIN n
+    ),
+    first_seen AS (
+        SELECT w, MIN(decile) AS d0 FROM dec GROUP BY 1
+    ),
+    tokens_per AS (
+        SELECT decile, COUNT(*) AS n_tokens FROM dec GROUP BY 1
+    ),
+    new_per AS (
+        SELECT d0 AS decile, COUNT(*) AS n_new FROM first_seen GROUP BY 1
+    )
+    SELECT t.decile,
+           CAST(SUM(t2.n_tokens) AS BIGINT) AS cum_tokens,
+           CAST(SUM(COALESCE(nw.n_new, 0)) AS BIGINT) AS cum_vocab
+    FROM tokens_per t
+    JOIN tokens_per t2 ON t2.decile <= t.decile
+    LEFT JOIN new_per nw ON nw.decile = t2.decile
+    GROUP BY t.decile ORDER BY t.decile
+    """,
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct tokens
+    vs cumulative token count across corpus deciles (by doc id) — the
+    sublinear V ∝ N^β fingerprint that says whether a corpus keeps
+    contributing new vocabulary or has saturated (the
+    keep-crawling-or-stop signal, dual of zipf_slope_tokens). The
+    first-occurrence reduction is one hash aggregate per token;
+    cumulative rollups run over the TEN decile rows."""
+    from .functions.text import normalized_text, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(normalized_text("text"))).alias("w")
+    )
+    n = tok.agg(F.max("doc_id").alias("mx"), F.min("doc_id").alias("mn"))
+    dec = tok.crossJoin(F.broadcast(n)).select(
+        "w",
+        F.least(
+            F.lit(9),
+            (
+                10
+                * (F.col("doc_id") - F.col("mn"))
+                / (F.col("mx") - F.col("mn") + 1)
+            ).cast("long"),
+        ).alias("decile"),
+    )
+    first_seen = dec.groupBy("w").agg(F.min("decile").alias("d0"))
+    tokens_per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    new_per = first_seen.groupBy("d0").agg(F.count(F.lit(1)).alias("n_new"))
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    joined = tokens_per.join(
+        new_per.withColumnRenamed("d0", "decile"), "decile", "left"
+    )
+    return (
+        joined.select(
+            "decile",
+            F.sum("n_tokens").over(wcum).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0)))
+            .over(wcum).cast("long").alias("cum_vocab"),
+        )
+        .orderBy("decile")
+    )
