@@ -11350,3 +11350,89 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "knn_label_noise_audit",
+    oracle="""
+    WITH probes AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id % 20 = 0
+    ),
+    nn AS (
+        SELECT p.vec_id AS pid, p.label AS plabel, e.label AS nlabel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY ROUND(list_distance(p.embedding, e.embedding),
+                                  6), e.vec_id
+               ) AS rn
+        FROM probes p JOIN embeddings e ON e.vec_id <> p.vec_id
+    ),
+    agr AS (
+        SELECT pid, plabel,
+               AVG(CASE WHEN nlabel = plabel THEN 1.0 ELSE 0.0 END)
+                   AS agreement
+        FROM nn WHERE rn <= 5 GROUP BY 1, 2
+    )
+    SELECT CAST(plabel AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           ROUND(AVG(agreement), 6) AS mean_agreement,
+           CAST(SUM(CASE WHEN agreement <= 0.4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_suspect
+    FROM agr GROUP BY 1 ORDER BY label
+    """,
+)
+def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screening by neighborhood agreement (the confident-
+    learning / Deep-kNN heuristic): for a deterministic 5% probe
+    slice, the fraction of each probe's 5 nearest embeddings sharing
+    its label — probes whose neighborhoods disagree (≤ 0.4) are
+    mislabeling suspects to route to review. Distances rank on a
+    6-dp-rounded euclidean with a vec_id tie-break so both engines
+    order identically at float boundaries. This registers the
+    brute-force BASELINE (probes broadcast across the pool scan —
+    bounded by |probes|·|pool|); the scale path is the IVF/bucketed
+    kNN machinery already in ml/imbalance.py and
+    operators/similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("pid"),
+        F.col("embedding").alias("pemb"),
+        F.col("label").alias("plabel"),
+    )
+    j = emb.crossJoin(F.broadcast(probes)).filter(
+        F.col("vec_id") != F.col("pid")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "pemb", "embedding",
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    w = Window.partitionBy("pid").orderBy(F.round(dist, 6), F.col("vec_id"))
+    nn = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("pid", "plabel", F.col("label").alias("nlabel"))
+    )
+    agr = nn.groupBy("pid", "plabel").agg(
+        F.avg(
+            F.when(F.col("nlabel") == F.col("plabel"), 1.0).otherwise(0.0)
+        ).alias("agreement")
+    )
+    return (
+        agr.groupBy(F.col("plabel").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.round(F.avg("agreement"), 6).alias("mean_agreement"),
+            F.sum(
+                F.when(F.col("agreement") <= 0.4, 1).otherwise(0)
+            ).cast("long").alias("n_suspect"),
+        )
+        .orderBy("label")
+    )
