@@ -11436,3 +11436,76 @@ def q_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "cms_error_bound_audit",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, COUNT(*) AS exact_n
+        FROM events GROUP BY 1
+        ORDER BY exact_n DESC, user_id LIMIT 10
+    ),
+    n AS (SELECT COUNT(*) AS total FROM events)
+    SELECT c.user_id,
+           CAST(c.exact_n AS BIGINT) AS exact_n,
+           TRUE AS never_underestimates_w64,
+           TRUE AS never_underestimates_w1024,
+           TRUE AS narrow_width_not_tighter,
+           TRUE AS wide_width_within_bound
+    FROM c CROSS JOIN n ORDER BY exact_n DESC, user_id
+    """,
+)
+def q_cms_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min width/accuracy tradeoff audited for the top-10 heavy
+    hitters: estimates at width 64 and width 1024 must both never
+    underestimate (structural CMS property — collisions only add);
+    the wide sketch must land within 4x the e·N/width error bound
+    (P[excess > e·N/w] < e^-depth per row — at depth 4 the 4x-slack
+    check cannot flake on fixed data yet fails on any real
+    regression); and the narrow sketch should not be strictly tighter
+    than the wide one (not a theorem — different bucket maps — but
+    deterministic on fixed data/seed, where the 16x collision-mass gap
+    makes it hold; it documents the practitioner's width dial). The
+    oracle pins exact counts + constant-TRUE flags; any violated
+    guarantee reddens its row."""
+    from .operators.sketches import count_min_estimate
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    e64 = count_min_estimate(
+        ev, "user_id", probes=top.select("user_id"), width=64
+    ).withColumnRenamed("cms_est", "est64")
+    e1024 = count_min_estimate(
+        ev, "user_id", probes=top.select("user_id"), width=1024
+    ).withColumnRenamed("cms_est", "est1024")
+    bound = 4.0 * 2.718281828 / 1024.0
+    return (
+        top.join(F.broadcast(e64), "user_id")
+        .join(F.broadcast(e1024), "user_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            F.col("exact_n").cast("long").alias("exact_n"),
+            (F.col("est64") >= F.col("exact_n")).alias(
+                "never_underestimates_w64"
+            ),
+            (F.col("est1024") >= F.col("exact_n")).alias(
+                "never_underestimates_w1024"
+            ),
+            (F.col("est64") >= F.col("est1024") - 0).alias(
+                "narrow_width_not_tighter"
+            ),
+            (
+                F.col("est1024") - F.col("exact_n")
+                <= F.lit(bound) * F.col("total")
+            ).alias("wide_width_within_bound"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+    )
