@@ -11509,3 +11509,79 @@ def q_cms_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_n"), "user_id")
     )
+
+
+@register(
+    "watermark_recommendation",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               MAX(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prior_max
+        FROM events
+    ),
+    late AS (
+        SELECT (prior_max - ts_us) / 1000000.0 AS late_s
+        FROM o WHERE ts_us < prior_max
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n_late,
+               quantile_cont(late_s, 0.99) AS p99_late_s,
+               MAX(late_s) AS max_late_s,
+               (SELECT COUNT(*) FROM o) AS n_events
+        FROM late
+    )
+    SELECT CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_late AS BIGINT) AS n_late,
+           ROUND(n_late * 1.0 / n_events, 6) AS late_rate,
+           ROUND(p99_late_s, 6) AS p99_late_s,
+           ROUND(max_late_s, 6) AS max_late_s,
+           CAST(CEIL(p99_late_s * 1.2 / 60) AS BIGINT)
+               AS recommended_watermark_min
+    FROM agg
+    """,
+)
+def q_watermark_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing from measured disorder — the number every
+    `withWatermark` call needs but nobody measures: global p99 of
+    observed out-of-order lateness (arrival order = event_id, the
+    event_lateness_profile convention), padded 20% and rounded up to
+    whole minutes. A p99-based watermark drops ~1% of late events as
+    the price of 99% state eviction; max_late_s shows the
+    zero-loss alternative's cost. One per-user window + one holistic
+    percentile over the (small) late-event subset."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = ev.withColumn("prior_max", F.max("ts_us").over(w))
+    n_events = o.agg(F.count(F.lit(1)).alias("n_events"))
+    late = o.filter(F.col("ts_us") < F.col("prior_max")).select(
+        ((F.col("prior_max") - F.col("ts_us")) / 1000000.0).alias("late_s")
+    )
+    agg = late.agg(
+        F.count(F.lit(1)).alias("n_late"),
+        F.percentile("late_s", F.lit(0.99)).alias("p99_late_s"),
+        F.max("late_s").alias("max_late_s"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_events))
+        .select(
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_late").cast("long").alias("n_late"),
+            F.round(F.col("n_late") / F.col("n_events"), 6).alias(
+                "late_rate"
+            ),
+            F.round("p99_late_s", 6).alias("p99_late_s"),
+            F.round("max_late_s", 6).alias("max_late_s"),
+            F.ceil(F.col("p99_late_s") * 1.2 / 60).cast("long").alias(
+                "recommended_watermark_min"
+            ),
+        )
+    )
