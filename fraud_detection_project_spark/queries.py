@@ -7585,16 +7585,23 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # names left DRIVER_PRIORITY; every remaining oracle-backed rowless
 # query (37 carried) plus the 11 round-5 registrations now fill the
 # 48-slot priority budget exactly, with both canaries inside the cut.
-# Round-6 queue (oracle-backed, registered past this round's 50-cut,
-# all verify_local-green at sf0.01 AND sf0.1 this session):
-# dsir_importance_weights, cohort_ltv_accumulation,
-# rolling_7d_active_users, histogram_quantile_tolerance,
-# attribution_time_decay, elasticity_brand_ols,
-# containment_near_dup_docs, spearman_value_props,
+# Round-6 queue (37 oracle-backed queries registered past this
+# round's 50-cut, every one verify_local-green at sf0.01 AND sf0.1):
+# dsir_importance_weights, cohort_ltv_accumulation, rolling_7d_active_users,
+# histogram_quantile_tolerance, attribution_time_decay,
+# elasticity_brand_ols, containment_near_dup_docs, spearman_value_props,
 # rolling_origin_folds, region_nation_revenue_share,
 # seasonal_naive_backtest, clustering_coefficient_parts,
 # hill_alpha_degree_distribution, shipping_latency_by_priority,
-# cuped_ab_adjustment, data_contract_audit.
+# cuped_ab_adjustment, data_contract_audit, quantile_map_error_to_purchase,
+# grouped_histogram_quantiles, max_drawdown_user_value,
+# skipgram_pairs_window2, self_duplicated_ngrams, theil_sen_daily_trend,
+# hll_set_intersection_estimate, daily_audience_jaccard,
+# acf_daily_revenue_k7, retention_triangle_weekly, pareto_fraction_80,
+# interarrival_fit_by_type, weighted_median_price_tolerance,
+# bounce_rate_by_entry, split_conformal_coverage, diff_in_diff_value,
+# embedding_isotropy_audit, heaps_law_vocab_growth, knn_label_noise_audit,
+# cms_error_bound_audit, watermark_recommendation.
 # Round-6 rotation: drop whatever CORRECTNESS_r05 turns green, promote
 # the 16 names above + round-6 registrations; if the priority block
 # thins below 48, re-promote once-green anchors (dup_clusters,
