@@ -11592,3 +11592,44 @@ def q_watermark_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "supplier_variety_by_parttype",
+    oracle="""
+    SELECT p.p_type,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT p.p_partkey) AS BIGINT) AS n_parts,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+               AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'BRAND#1'
+    GROUP BY 1 ORDER BY n_suppliers DESC, p_type
+    """,
+)
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supply-base diversity per part type (excluding
+    one brand) — 'how many distinct suppliers back each product line',
+    the sourcing-risk view. Part dim BROADCASTS with the brand filter
+    pushed into its scan; the two COUNT(DISTINCT)s expand into one
+    grouped aggregate pass (Spark's expand-based multi-distinct —
+    shuffle keyed on type × distinct-source, no join reshuffle)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "BRAND#1"
+    ).select("p_partkey", "p_type")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long").alias("n_suppliers"),
+            F.countDistinct("p_partkey").cast("long").alias("n_parts"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy(F.desc("n_suppliers"), "p_type")
+    )
