@@ -7585,7 +7585,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # names left DRIVER_PRIORITY; every remaining oracle-backed rowless
 # query (37 carried) plus the 11 round-5 registrations now fill the
 # 48-slot priority budget exactly, with both canaries inside the cut.
-# Round-6 queue (37 oracle-backed queries registered past this
+# Round-6 queue (38 oracle-backed queries registered past this
 # round's 50-cut, every one verify_local-green at sf0.01 AND sf0.1):
 # dsir_importance_weights, cohort_ltv_accumulation, rolling_7d_active_users,
 # histogram_quantile_tolerance, attribution_time_decay,
@@ -7601,9 +7601,10 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # interarrival_fit_by_type, weighted_median_price_tolerance,
 # bounce_rate_by_entry, split_conformal_coverage, diff_in_diff_value,
 # embedding_isotropy_audit, heaps_law_vocab_growth, knn_label_noise_audit,
-# cms_error_bound_audit, watermark_recommendation.
+# cms_error_bound_audit, watermark_recommendation,
+# supplier_variety_by_parttype.
 # Round-6 rotation: drop whatever CORRECTNESS_r05 turns green, promote
-# the 16 names above + round-6 registrations; if the priority block
+# the names above + round-6 registrations; if the priority block
 # thins below 48, re-promote once-green anchors (dup_clusters,
 # cleaning_chain) for second confirmations.
 
