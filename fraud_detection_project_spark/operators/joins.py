@@ -145,10 +145,21 @@ def as_of_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
+    # Deterministic tie-break on duplicate (key, time) right rows: append
+    # the payload columns to the window ordering so the carried row is the
+    # MAX payload tuple (backward) / MIN payload tuple (forward) — the
+    # same convention as DuckDB's arg_max / arg_min and the engine-wide
+    # max_by rule for same-timestamp carries. Without this, two right
+    # rows at the same (k, t) have no defined order and last() carries
+    # whichever duplicate the shuffle ordered last (round-5 VERDICT #1).
     if direction == "backward":
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.col("__t").asc(), F.col("__side").asc())
+            .orderBy(
+                F.col("__t").asc(),
+                F.col("__side").asc(),
+                *[F.col(f"__p_{p}").asc_nulls_first() for p in payload],
+            )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         filled = [
@@ -157,7 +168,11 @@ def as_of_join(
     else:
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.col("__t").desc(), F.col("__side").asc())
+            .orderBy(
+                F.col("__t").desc(),
+                F.col("__side").asc(),
+                *[F.col(f"__p_{p}").desc_nulls_last() for p in payload],
+            )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         filled = [
