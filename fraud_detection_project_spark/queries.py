@@ -3939,11 +3939,11 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: revenue per supplier then keep the max — the
-    scalar-subquery-against-an-aggregate pattern. Expressed as a rank
-    window over the aggregated (small) relation so the fact table is
-    scanned ONCE; ties all surface, matching the SQL semantics."""
-    from pyspark.sql.window import Window
-
+    scalar-subquery-against-an-aggregate pattern. The max is a one-row
+    aggregate broadcast back onto the per-supplier frame (ties all
+    surface, matching the SQL semantics) — NOT a global rank window,
+    which would funnel every supplier through one WindowExec task
+    (round-5 VERDICT #4)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")
     )
@@ -3952,9 +3952,10 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_rev"
         )
     )
-    top = rev.withColumn(
-        "__rk", F.rank().over(Window.orderBy(F.desc("total_rev")))
-    ).filter(F.col("__rk") == 1)
+    mx = rev.agg(F.max("total_rev").alias("__mx"))
+    top = rev.join(
+        F.broadcast(mx), rev.total_rev == F.col("__mx"), "inner"
+    ).drop("__mx")
     s = load_table(spark, sf_dir, "supplier")
     return (
         top.join(s, top.l_suppkey == s.s_suppkey)
@@ -5771,9 +5772,9 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     health diagnostic). Exercises the regr_* aggregate family
     (regr_slope/intercept/r2 — single-pass distributed OLS, codegen,
     no UDF). Shuffle is vocab-bounded (map-side partial agg before the
-    frequency exchange); the rank window runs over the vocabulary
-    frame, not the token stream. Deterministic tie-break (n desc,
-    word) in both engines."""
+    frequency exchange); the rank window runs over the top-500 frame
+    only (orderBy+limit heap-select first). Deterministic tie-break
+    (n desc, word) in both engines."""
     docs = load_table(spark, sf_dir, "documents")
     freqs = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
@@ -5781,13 +5782,19 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("double").alias("n"))
     )
-    ranked = freqs.select(
+    # top-500 via orderBy+limit (TakeOrderedAndProject: per-partition
+    # heaps, driver merge of 32×500 rows) — NOT row_number over the full
+    # vocabulary, which funnels 10⁷–10⁸ words through one WindowExec
+    # task at web scale (round-5 VERDICT #3). The rank window then runs
+    # over the bounded 500-row frame only.
+    top500 = freqs.orderBy(F.desc("n"), "word").limit(500)
+    ranked = top500.select(
         "n",
         F.row_number()
         .over(Window.orderBy(F.desc("n"), "word"))
         .cast("double")
         .alias("rnk"),
-    ).filter(F.col("rnk") <= 500)
+    )
     vocab = freqs.agg(F.count(F.lit(1)).alias("vocab_size"))
     fit = ranked.agg(
         F.round(F.regr_slope(F.log("n"), F.log("rnk")), 6).alias("zipf_slope"),
@@ -10960,14 +10967,18 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # exact weighted median for the tolerance check, computed the
-    # DISTRIBUTED way: lower-bound price whose below-or-equal weight
-    # crosses half — a self-joinless aggregate via conditional sums on
-    # the bin-sorted frame would be circular here, so reuse the exact
-    # rule on the (test-scale) sorted frame only for the audit column
+    # DISTRIBUTED way: range-partitioned two-phase running sum
+    # (operators/indexing.py:partitioned_prefix_sum) instead of the
+    # one-task Window.orderBy scan (round-5 VERDICT #2). Equal prices
+    # may split across range partitions — the crossing price is
+    # tie-order-invariant (if the total weight through price p crosses
+    # half, the last tied row's cumsum crosses too), so price alone is
+    # a sufficient order here.
+    from .operators.indexing import partitioned_prefix_sum
+
     n = li.agg(F.count(F.lit(1)).alias("n_rows"), F.sum("w").alias("tw"))
-    wsort = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, 0)
     exact = (
-        li.withColumn("cw", F.sum("w").over(wsort))
+        partitioned_prefix_sum(li, ["price"], "w", out_col="cw")
         .crossJoin(F.broadcast(n.select("tw")))
         .filter(F.col("cw") >= 0.5 * F.col("tw"))
         .agg(F.min("price").alias("exact_wm"))

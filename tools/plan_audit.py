@@ -22,6 +22,92 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# ---------------------------------------------------------------------------
+# Unpartitioned-WindowExec detector (round-5 VERDICT "Next round" #5).
+#
+# A Window with no PARTITION BY funnels its whole input through ONE task —
+# the textbook scale cliff. It is only acceptable when the input frame is
+# structurally bounded: an aggregate / top-k / limit / local relation sits
+# between the data source and the window, so the window sees group-count
+# rows (deciles, bins, weeks, top-500), not the raw stream.
+# ---------------------------------------------------------------------------
+
+_TREE_PREFIX = " :+-"
+_BOUNDED_OPS = (
+    "HashAggregate", "ObjectHashAggregate", "SortAggregate",
+    "TakeOrderedAndProject", "GlobalLimit", "CollectLimit",
+    "LocalTableScan", "Scan ExistingRDD", "ReusedExchange",
+    "BroadcastExchange",  # broadcast inputs are bounded by definition
+)
+
+
+def _node(line: str) -> tuple[int, str]:
+    """(tree depth, operator text) for one physical-plan line."""
+    i = 0
+    while i < len(line) and line[i] in _TREE_PREFIX:
+        i += 1
+    op = line[i:]
+    if op.startswith("*("):  # whole-stage-codegen marker *(3)
+        op = op.split(" ", 1)[1] if " " in op else op
+    return i, op
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Top-level [...] bracket group contents in a Window operator line."""
+    depth = 0
+    groups: list[str] = []
+    start = -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start:i])
+    return groups
+
+
+def _is_unpartitioned(window_op: str) -> bool:
+    """True when a physical Window line has an ORDER BY but no PARTITION
+    BY. Formats: 3 groups = [exprs], [partition], [order] (partitioned);
+    2 groups = either [exprs], [partition] (unordered — fine) or
+    [exprs], [order] (UNPARTITIONED global sort — the scale cliff).
+    Sort orders always print ASC/DESC NULLS markers; partition specs
+    never do."""
+    groups = _top_level_groups(window_op)
+    if len(groups) >= 3:
+        return False
+    if len(groups) == 2:
+        g = groups[1]
+        return " ASC" in g or " DESC" in g or "NULLS" in g
+    return False
+
+
+def unbounded_global_windows(plan: str) -> list[str]:
+    """Window operators with NO partition spec whose subtree does not
+    contain a bounding operator. Returns the offending Window lines."""
+    lines = plan.splitlines()
+    nodes = [_node(ln) for ln in lines]
+    offenders = []
+    for i, (depth, op) in enumerate(nodes):
+        if not (op.startswith("Window ") or op == "Window"):
+            continue
+        if not _is_unpartitioned(op):
+            continue
+        bounded = False
+        for d2, op2 in nodes[i + 1:]:
+            if d2 <= depth and op2.strip():
+                break  # left the Window's subtree
+            if any(op2.startswith(b) for b in _BOUNDED_OPS):
+                bounded = True
+                break
+        if not bounded:
+            offenders.append(op.strip()[:120])
+    return offenders
+
+
 def audit(spark, sf_dir: str) -> list[str]:
     from pyspark.sql import functions as F
 
@@ -327,7 +413,7 @@ def audit(spark, sf_dir: str) -> list[str]:
     # rolling-7d actives — coverage explode, no self-join
     p = plan_of(QUERIES["rolling_7d_active_users"](spark, sf_dir))
     check("rolling_7d: explode coverage, no sort-merge self-join",
-          "SortMergeJoin" not in p and "Explode" in p or "Generate" in p, p)
+          "SortMergeJoin" not in p and ("Explode" in p or "Generate" in p), p)
 
     # session paths — per-(user,day) window partitioned + ordered topk
     p = plan_of(QUERIES["top_session_paths"](spark, sf_dir))
@@ -359,6 +445,7 @@ def audit(spark, sf_dir: str) -> list[str]:
     # plan construction; the lint still sees their final-plan shape.
     # ------------------------------------------------------------------
     cartesian_offenders, python_offenders, plan_errors = [], [], []
+    window_offenders = []
     for qname in sorted(QUERIES):
         try:
             qp = plan_of(QUERIES[qname](spark, sf_dir))
@@ -369,12 +456,39 @@ def audit(spark, sf_dir: str) -> list[str]:
             cartesian_offenders.append(qname)
         if "BatchEvalPython" in qp:
             python_offenders.append(qname)
+        bad_windows = unbounded_global_windows(qp)
+        if bad_windows:
+            window_offenders.append(f"{qname}: {bad_windows[0]}")
     check("ALL queries: no non-broadcast cartesian product",
           not cartesian_offenders, str(cartesian_offenders))
     check("ALL queries: no row-wise Python UDF (BatchEvalPython)",
           not python_offenders, str(python_offenders))
+    check("ALL queries: no unpartitioned Window over an unbounded frame",
+          not window_offenders, str(window_offenders[:5]))
     check("ALL queries: plans build cleanly", not plan_errors,
           str(plan_errors[:3]))
+
+    # Detector self-test: a deliberately planted Window.orderBy over the
+    # raw events scan MUST be flagged (guards the detector itself against
+    # plan-format drift making it silently vacuous).
+    from pyspark.sql.window import Window as W
+
+    planted = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .withColumn("rn", F.row_number().over(W.orderBy("event_id")))
+    )
+    check("detector self-test: planted global-rank window is flagged",
+          bool(unbounded_global_windows(plan_of(planted))),
+          plan_of(planted)[:400])
+    bounded_probe = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .groupBy("event_type").count()
+        .orderBy(F.desc("count")).limit(10)
+        .withColumn("rn", F.row_number().over(W.orderBy(F.desc("count"))))
+    )
+    check("detector self-test: post-limit window is NOT flagged",
+          not unbounded_global_windows(plan_of(bounded_probe)),
+          plan_of(bounded_probe)[:400])
 
     # whole-stage codegen compiles for the scan→agg path ("codegen"
     # explain mode generates the code without executing). The adaptive
