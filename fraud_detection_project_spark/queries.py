@@ -7356,76 +7356,79 @@ def q_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: list[str] = [
-    # Round-5 window: every oracle-backed query with NO hash-green
-    # driver row across r01-r04 (38 names — the r04 50-cut landed
-    # exactly at semantic_dedup_invariants; everything after it in the
-    # r04 priority list plus the round-4 third-wave tail re-enters
-    # here), followed by this round's new registrations.  All names
-    # below are verify_local-green at sf0.01.  The 9 rows-only
-    # (no-oracle) surfaces stay OUTSIDE the window by design — each has
-    # a hash-green SQL invariant twin on record (VERDICT r4).
-    "zipf_slope_tokens",
-    "label_centroid_separation",
-    "bpe_merge_candidates",
-    "value_time_trend_by_type",
-    "cusum_peak_by_type",
-    "join_advisor_events",
-    "collapse_consecutive_events",
-    "dup_rate_by_source",
-    "psi_quantile_bins",
-    "funnel_within_1h",
-    "twap_value_by_user",
-    "ohlc_6h_value",
-    "resample_1h_ffill",
-    "top_event_trigrams",
-    "hourly_type_correlation",
-    "calendar_dim_orders",
-    "weekly_revenue_growth",
-    "threshold_sweep_metrics",
-    "ab_test_value_by_split",
-    "gini_revenue_by_customer",
-    "benford_first_digit",
-    "peak_concurrent_sessions",
-    "kaplan_meier_conversion",
-    "token_budget_coverage",
-    "temperature_sampling_weights",
-    "basket_lift_brand_pairs",
-    "session_entry_conversion",
-    "rouge2_adjacent_docs",
-    "kappa_agreement_raters",
-    "contrastive_negatives",
-    "bootstrap_ci_value_by_type",
-    "split_leakage_audit",
-    "isotonic_calibration_invariants",
-    "adamic_adar_order_links",
-    "rfm_segments_customers",
-    "dow_seasonality_value",
-    "effective_sample_size_weights",
-    # round-5 registrations (scale-path twin of the NTILE RFM form +
-    # the new operator families added this round) — 10 names, filling
-    # the priority block to exactly the 48-slot budget
-    "rfm_segments_scalable",
-    "lorenz_deciles_revenue",
-    "custdist_order_counts",
-    "promo_revenue_share_monthly",
-    "new_vs_returning_daily",
-    "event_lateness_profile",
-    "props_json_profile",
-    "top_session_paths",
-    "interval_union_coverage",
-    "bfs_hops_supplier_graph",
-    "decile_lift_table",
+    # Round-6 window: CORRECTNESS_r05 turned all 50 of the round-5
+    # window hash-green, so every r05 name leaves the block.  The
+    # round-6 queue (38 oracle-backed queries registered past the r05
+    # 50-cut, each verify_local-green at sf0.01 AND sf0.1) enters,
+    # followed by two once-green anchors re-promoted for second
+    # confirmations (the queue comment's plan for a thin block), then
+    # this round's new registrations.  The 9 rows-only (no-oracle)
+    # surfaces stay OUTSIDE the window by design — each has a
+    # hash-green SQL invariant twin on record (VERDICT r4).
+    "dsir_importance_weights",
+    "cohort_ltv_accumulation",
+    "rolling_7d_active_users",
+    "histogram_quantile_tolerance",
+    "attribution_time_decay",
+    "elasticity_brand_ols",
+    "containment_near_dup_docs",
+    "spearman_value_props",
+    "rolling_origin_folds",
+    "region_nation_revenue_share",
+    "seasonal_naive_backtest",
+    "clustering_coefficient_parts",
+    "hill_alpha_degree_distribution",
+    "shipping_latency_by_priority",
+    "cuped_ab_adjustment",
+    "data_contract_audit",
+    "quantile_map_error_to_purchase",
+    "grouped_histogram_quantiles",
+    "max_drawdown_user_value",
+    "skipgram_pairs_window2",
+    "self_duplicated_ngrams",
+    "theil_sen_daily_trend",
+    "hll_set_intersection_estimate",
+    "daily_audience_jaccard",
+    "acf_daily_revenue_k7",
+    "retention_triangle_weekly",
+    "pareto_fraction_80",
+    "interarrival_fit_by_type",
+    "weighted_median_price_tolerance",
+    "bounce_rate_by_entry",
+    "split_conformal_coverage",
+    "diff_in_diff_value",
+    "embedding_isotropy_audit",
+    "heaps_law_vocab_growth",
+    "knn_label_noise_audit",
+    "cms_error_bound_audit",
+    "watermark_recommendation",
+    "supplier_variety_by_parttype",
+    # round-6 registrations (8 names, filling the block to exactly the
+    # 46-slot budget — 50 minus the four canaries — so every canary
+    # stays inside the 50-cut; tests/test_driver_window.py pins this)
+    "sleeping_customers_q22",
+    "supplier_revenue_hhi",
+    "doc_length_gini_by_source",
+    "trigram_novelty_halves",
+    "embedding_norm_outlier_topk",
+    "readability_proxy_by_lang",
+    "degree_assortativity_orders",
+    "unigram_kl_by_source",
 ]
 
 DRIVER_CANARIES: list[str] = [
-    # Once-green high-value anchors earning a second driver row
-    # (VERDICT r3 item 7).  Round-5 accounting: the priority block
-    # above holds 38 carried + round-5 names; both canaries fit inside
-    # the 50-cut as long as the priority block stays <= 48 names —
-    # tests/test_driver_window.py pins that budget so a silent
-    # displacement (the ADVICE r4 finding) can't recur.
+    # Once-green high-value anchors earning a repeat driver row
+    # (VERDICT r3 item 7).  Round-6 accounting: every canary fits
+    # inside the 50-cut as long as the priority block stays
+    # <= 50 - len(canaries) — tests/test_driver_window.py pins that
+    # budget so a silent displacement (the ADVICE r4 finding) can't
+    # recur.  dup_clusters and cleaning_chain join this round for
+    # second confirmations (VERDICT r5 item 9: the priority block
+    # thinned below budget after the r05 50/50 sweep).
     "interval_join_binned",
     "frame_sample_profile",
+    "dup_clusters",
+    "cleaning_chain",
 ]
 
 
@@ -7588,32 +7591,14 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Round-5 rotation DONE (this round): the r04 artifact's 50 hash-green
-# names left DRIVER_PRIORITY; every remaining oracle-backed rowless
-# query (37 carried) plus the 11 round-5 registrations now fill the
-# 48-slot priority budget exactly, with both canaries inside the cut.
-# Round-6 queue (38 oracle-backed queries registered past this
-# round's 50-cut, every one verify_local-green at sf0.01 AND sf0.1):
-# dsir_importance_weights, cohort_ltv_accumulation, rolling_7d_active_users,
-# histogram_quantile_tolerance, attribution_time_decay,
-# elasticity_brand_ols, containment_near_dup_docs, spearman_value_props,
-# rolling_origin_folds, region_nation_revenue_share,
-# seasonal_naive_backtest, clustering_coefficient_parts,
-# hill_alpha_degree_distribution, shipping_latency_by_priority,
-# cuped_ab_adjustment, data_contract_audit, quantile_map_error_to_purchase,
-# grouped_histogram_quantiles, max_drawdown_user_value,
-# skipgram_pairs_window2, self_duplicated_ngrams, theil_sen_daily_trend,
-# hll_set_intersection_estimate, daily_audience_jaccard,
-# acf_daily_revenue_k7, retention_triangle_weekly, pareto_fraction_80,
-# interarrival_fit_by_type, weighted_median_price_tolerance,
-# bounce_rate_by_entry, split_conformal_coverage, diff_in_diff_value,
-# embedding_isotropy_audit, heaps_law_vocab_growth, knn_label_noise_audit,
-# cms_error_bound_audit, watermark_recommendation,
-# supplier_variety_by_parttype.
-# Round-6 rotation: drop whatever CORRECTNESS_r05 turns green, promote
-# the names above + round-6 registrations; if the priority block
-# thins below 48, re-promote once-green anchors (dup_clusters,
-# cleaning_chain) for second confirmations.
+# Round-6 rotation DONE (this round): CORRECTNESS_r05's 50 hash-green
+# names left DRIVER_PRIORITY; the 38-query round-6 queue entered, plus
+# the two re-promoted anchors (dup_clusters, cleaning_chain) and this
+# round's registrations, keeping the priority block ≤ 48 so both
+# canaries sit inside the 50-cut.
+# Round-7 queue: whatever round-6 registrations exceed the 48-slot
+# budget, plus any r06 non-green retries; enumerate here at round-6
+# close once the registration set is final.
 
 
 def driver_ordered(registry: dict) -> dict:
@@ -11644,4 +11629,469 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
         .orderBy(F.desc("n_suppliers"), "p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 registrations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sleeping_customers_q22",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c.c_acctbal), 4) AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (SELECT ab FROM avg_bal)
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY 1 ORDER BY n_name
+    """,
+)
+def q_sleeping_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers gone dormant (no order
+    since 2000-01-01) — the scalar-aggregate subquery (avg positive
+    balance, one row, broadcast) combined with a date-filtered
+    anti-join against the fact table. The date predicate pushes into
+    the orders scan before the anti-join shuffles both sides on
+    custkey (orders is far too big to broadcast at scale); the nation
+    dim broadcasts onto the surviving handful."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    ab = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = c.crossJoin(F.broadcast(ab)).filter(F.col("c_acctbal") > F.col("ab"))
+    sleeping = rich.join(
+        o, rich.c_custkey == o.o_custkey, "left_anti"
+    )
+    return (
+        sleeping.join(
+            F.broadcast(nation), sleeping.c_nationkey == nation.n_nationkey
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "supplier_revenue_hhi",
+    oracle="""
+    WITH rs AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT s_nationkey, SUM(rev) AS t FROM rs GROUP BY 1)
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(POWER(rs.rev / tot.t, 2)), 6) AS hhi
+    FROM rs JOIN tot USING (s_nationkey)
+    JOIN nation n ON n.n_nationkey = rs.s_nationkey
+    GROUP BY 1 ORDER BY n_name
+    """,
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-concentration audit: Herfindahl-Hirschman index of
+    supplier revenue shares within each nation (1/n = perfect
+    competition, 1.0 = monopoly). Supplier dim broadcasts onto the
+    fact scan; the share denominator is a |nations|-row aggregate
+    broadcast back — no window, two grouped passes, shuffle bounded by
+    |suppliers|."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    rs = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    tot = rs.groupBy("s_nationkey").agg(F.sum("rev").alias("t"))
+    return (
+        rs.join(F.broadcast(tot), "s_nationkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.round(F.sum(F.pow(F.col("rev") / F.col("t"), 2)), 6).alias(
+                "hhi"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "doc_length_gini_by_source",
+    oracle="""
+    WITH r AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id) AS i,
+               COUNT(*) OVER (PARTITION BY source) AS n,
+               SUM(n_chars) OVER (PARTITION BY source) AS s
+        FROM documents
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           ROUND(2.0 * SUM(CAST(i * n_chars AS DOUBLE))
+                     / (CAST(MAX(n) AS DOUBLE) * MAX(s))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def q_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-balance audit: Gini coefficient of document lengths per
+    source (0 = uniform lengths; → 1 = a few giant docs dominate the
+    token budget — the classic web-crawl pathology that skews training
+    mixes). The rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n runs on a
+    window PARTITIONED by source, so no task ever holds more than one
+    source's docs; Σ(i·x) accumulates exactly in int64 before the one
+    double division (tie order over equal lengths provably cancels)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ws = Window.partitionBy("source")
+    r = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+        F.sum("n_chars").over(ws).alias("s"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.round(
+                2.0
+                * F.sum((F.col("i") * F.col("n_chars")).cast("double"))
+                / (F.max("n").cast("double") * F.max("s"))
+                - (F.max("n") + 1.0) / F.max("n"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "trigram_novelty_halves",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(regexp_replace(text,
+                   '[^a-zA-Z0-9]+', ' ', 'g'))), '\s+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id % 2 AS half,
+               list_aggregate(toks[i:i+2], 'string_agg', ' ') AS gram
+        FROM (SELECT doc_id, unnest(range(1, len(toks) - 1)) AS i, toks
+              FROM t WHERE len(toks) >= 3)
+    ),
+    train AS (SELECT DISTINCT gram FROM g WHERE half = 0),
+    test AS (SELECT DISTINCT gram FROM g WHERE half = 1)
+    SELECT CAST((SELECT COUNT(*) FROM test) AS BIGINT) AS n_test_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_novel,
+           ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM test), 6)
+               AS novelty_rate
+    FROM test WHERE gram NOT IN (SELECT gram FROM train)
+    """,
+)
+def q_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit, inverted: what fraction of the
+    held-out half's distinct word trigrams never occur in the training
+    half? (Low novelty → the split leaks heavily templated text; the
+    complement of the 13-gram decontamination check.) Tokenization is
+    the corpus-wide convention (texteval.ngram_counts). Both gram sets
+    are distinct-collapsed BEFORE the anti-join, so the join carries
+    vocabulary-bounded frames, never raw text positions."""
+    from .operators.texteval import ngram_counts
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "half", F.col("doc_id") % 2
+    )
+    grams = ngram_counts(docs, "half", "text", n=3)
+    train = grams.filter(F.col("half") == 0).select("gram").distinct()
+    test = grams.filter(F.col("half") == 1).select("gram").distinct()
+    n_test = test.agg(F.count(F.lit(1)).alias("n_test_grams"))
+    novel = test.join(train, "gram", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    return (
+        n_test.crossJoin(F.broadcast(novel))
+        .select(
+            F.col("n_test_grams").cast("long").alias("n_test_grams"),
+            F.col("n_novel").cast("long").alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_test_grams"), 6).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "embedding_norm_outlier_topk",
+    oracle="""
+    WITH n AS (
+        SELECT vec_id,
+               SQRT(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+        FROM embeddings
+    ),
+    s AS (SELECT AVG(l2) AS mu, stddev_pop(l2) AS sd FROM n)
+    SELECT vec_id,
+           ROUND(l2, 6) AS l2_norm,
+           ROUND(ABS((l2 - s.mu) / s.sd), 6) AS z_abs
+    FROM n, s
+    ORDER BY z_abs DESC, vec_id LIMIT 20
+    """,
+)
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health: the 20 vectors whose L2 norm deviates
+    most from the population (|z-score|) — norm outliers predict
+    degenerate/corrupt embeddings and poison cosine ANN buckets. The
+    norm folds JVM-side (aggregate over the array, no Python); the
+    (mu, sd) frame is one broadcast row; top-k is
+    TakeOrderedAndProject on the rounded key with a vec_id tie-break
+    so the cut is cross-engine deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("l2"),
+    )
+    s = n.agg(F.avg("l2").alias("mu"), F.stddev_pop("l2").alias("sd"))
+    return (
+        n.crossJoin(F.broadcast(s))
+        .select(
+            "vec_id",
+            F.round("l2", 6).alias("l2_norm"),
+            F.round(F.abs((F.col("l2") - F.col("mu")) / F.col("sd")), 6).alias(
+                "z_abs"
+            ),
+        )
+        .orderBy(F.desc("z_abs"), "vec_id")
+        .limit(20)
+    )
+
+
+@register(
+    "readability_proxy_by_lang",
+    oracle=r"""
+    WITH d AS (
+        SELECT lang,
+               len(string_split_regex(trim(lower(regexp_replace(text,
+                   '[^a-zA-Z0-9]+', ' ', 'g'))), '\s+')) AS n_words,
+               GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sents,
+               len(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                   AS n_alpha
+        FROM documents
+        WHERE trim(lower(regexp_replace(text, '[^a-zA-Z0-9]+', ' ', 'g')))
+              <> ''
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(n_words * 1.0 / n_sents), 6) AS words_per_sentence,
+           ROUND(AVG(n_alpha * 1.0 / n_words), 6) AS chars_per_word,
+           ROUND(AVG(206.835 - 1.015 * (n_words * 1.0 / n_sents)
+                     - 84.6 * (n_alpha * 1.0 / n_words) / 4.7), 6)
+               AS readability
+    FROM d GROUP BY lang ORDER BY lang
+    """,
+)
+def q_readability_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality scoring: per-language Flesch-style readability
+    proxy (chars-per-word / 4.7 stands in for syllables-per-word —
+    the standard ASCII approximation). Every per-doc statistic is an
+    integer count, so the per-doc ratios are bit-identical across
+    engines before the one averaging pass; everything is codegen
+    regexp/length expressions, one scan, one grouped aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-zA-Z0-9]+", " ")
+    )
+    d = docs.select(
+        "lang",
+        F.size(F.split(norm, r"\s+")).alias("n_words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        ).alias("n_sents"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z0-9]", "")).alias(
+            "n_alpha"
+        ),
+    ).where(norm != "")
+    wps = F.col("n_words") / F.col("n_sents")
+    cpw = F.col("n_alpha") / F.col("n_words")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg(wps), 6).alias("words_per_sentence"),
+            F.round(F.avg(cpw), 6).alias("chars_per_word"),
+            F.round(
+                F.avg(206.835 - 1.015 * wps - 84.6 * cpw / 4.7), 6
+            ).alias("readability"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "degree_assortativity_orders",
+    oracle="""
+    WITH ob AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM ob a JOIN ob b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS DOUBLE) AS d
+            FROM und GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           ROUND(corr(du.d, dv.d), 6) AS assortativity
+    FROM und
+    JOIN deg du ON du.node = und.u
+    JOIN deg dv ON dv.node = und.v
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-structure metric: degree assortativity of the part
+    co-purchase graph — Pearson correlation of endpoint degrees over
+    directed edge copies (positive = hubs link hubs; heavy-tailed
+    retail graphs are typically disassortative). The candidate product
+    exists only WITHIN an order (basket-bounded self-join, the
+    basket_lift shape — never all-pairs over the catalog); degrees are
+    a node-bounded aggregate joined back onto edges co-keyed on the
+    endpoint; the correlation is one single-pass co-moment aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    ob = li.distinct()
+    a = ob.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("u"))
+    b = ob.select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "okey")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    joined = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    r = joined.agg(F.round(F.corr("du", "dv"), 6).alias("assortativity"))
+    return n_edges.crossJoin(F.broadcast(r)).select(
+        F.col("n_edges").cast("long").alias("n_edges"), "assortativity"
+    )
+
+
+@register(
+    "unigram_kl_by_source",
+    oracle=r"""
+    WITH w AS (
+        SELECT source, word FROM (
+            SELECT source,
+                   unnest(string_split_regex(trim(lower(regexp_replace(
+                       text, '[^a-zA-Z0-9]+', ' ', 'g'))), '\s+')) AS word
+            FROM documents)
+        WHERE word <> ''
+    ),
+    sc AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+    st AS (SELECT source, SUM(c) AS t FROM sc GROUP BY 1),
+    cc AS (SELECT word, SUM(c) AS c FROM sc GROUP BY 1),
+    ct AS (SELECT SUM(c) AS t FROM cc)
+    SELECT sc.source,
+           CAST(MAX(st.t) AS BIGINT) AS n_tokens,
+           ROUND(SUM((sc.c * 1.0 / st.t)
+                     * LN((sc.c * 1.0 / st.t)
+                          / (cc.c * 1.0 / (SELECT t FROM ct)))), 6)
+               AS kl_vs_corpus
+    FROM sc JOIN st USING (source) JOIN cc USING (word)
+    GROUP BY sc.source ORDER BY sc.source
+    """,
+)
+def q_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-shift audit: KL divergence of each source's unigram
+    distribution from the whole-corpus distribution — the standard
+    mixture-weighting diagnostic before blending training sources
+    (DSIR's denominator view). The corpus tokenizes ONCE into
+    per-(source, word) counts; everything downstream is
+    vocabulary-bounded: totals broadcast, the corpus LM is a second
+    grouped pass over the count frame, the join is co-keyed on word.
+    KL ≥ 0 and finite by construction (corpus support ⊇ source
+    support)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-zA-Z0-9]+", " ")),
+        r"\s+",
+    )
+    w = docs.select("source", F.explode(toks).alias("word")).filter(
+        F.col("word") != ""
+    )
+    sc = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("c"))
+    sc = sc.localCheckpoint(eager=False)
+    st = sc.groupBy("source").agg(F.sum("c").alias("t"))
+    cc = sc.groupBy("word").agg(F.sum("c").alias("cw"))
+    ct = cc.agg(F.sum("cw").alias("tc"))
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(cc, "word")
+        .crossJoin(F.broadcast(ct))
+        .groupBy("source")
+        .agg(
+            F.max("t").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    (F.col("c") / F.col("t"))
+                    * F.log(
+                        (F.col("c") / F.col("t"))
+                        / (F.col("cw") / F.col("tc"))
+                    )
+                ),
+                6,
+            ).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
     )
