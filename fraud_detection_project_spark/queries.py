@@ -9391,7 +9391,9 @@ def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT event_id, value,
                CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        FROM events WHERE value IS NOT NULL
+        FROM events
+        WHERE value IS NOT NULL
+          AND json_extract_string(props, '$.k') IS NOT NULL
     ),
     r AS (
         SELECT RANK() OVER (ORDER BY value) AS rv,
@@ -9410,11 +9412,16 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase distributed machinery: rows sort by (key, event_id) via
     dense_global_index, then rank = min index per key via a per-key
     aggregate join — no single-partition window anywhere; the final
-    CORR over ranks is one scan."""
+    CORR over ranks is one scan. Rows with a missing ``$.k`` are
+    excluded on BOTH sides (Spearman over null ranks is meaningless,
+    and Spark's range partitioner sorts NULLS FIRST while DuckDB's
+    RANK() puts them last — a latent divergence otherwise; ADVICE
+    r5)."""
     from .operators.indexing import dense_global_index
 
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull()
+        & F.get_json_object("props", "$.k").isNotNull()
     ).select(
         "event_id", "value",
         F.get_json_object("props", "$.k").cast("long").alias("k"),

@@ -16,7 +16,11 @@ state would grow without bound.
 The persisted sketch uses the same atomic versioned-manifest contract
 as streaming/upsert.py: each micro-batch writes a new version
 directory and flips the manifest last, so readers never see a torn
-sketch and crash-replays of a micro-batch are idempotent per version.
+sketch. foreachBatch is AT-LEAST-ONCE: a crash between the manifest
+flip and the streaming checkpoint commit replays the same micro-batch
+under the same epoch id — the manifest therefore also records the
+last-applied epoch, and a merge with ``epoch <= last_applied`` is a
+no-op, making replays idempotent (ADVICE r5).
 
 Stream ≡ batch exactness (cell-wise, hence estimate-wise) is the
 pytest oracle: tests/test_streaming.py::TestStreamingCountMin.
@@ -45,6 +49,22 @@ def read_sketch(spark, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, f"v={version}"))
 
 
+def _manifest_state(manifest: str) -> dict:
+    if not os.path.exists(manifest):
+        return {"version": -1, "epoch": -1}
+    with open(manifest) as f:
+        m = json.load(f)
+    m.setdefault("epoch", -1)  # pre-epoch manifests
+    return m
+
+
+def _commit_manifest(manifest: str, version: int, epoch: int | None) -> None:
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"version": version, "epoch": epoch}, f)
+    os.replace(tmp, manifest)
+
+
 def merge_sketch_batch(
     spark,
     batch: DataFrame,
@@ -53,10 +73,18 @@ def merge_sketch_batch(
     depth: int = 4,
     width: int = 1024,
     seed: int = 42,
+    epoch: int | None = None,
 ) -> None:
     """state' = state ⊕ sketch(batch): cell-wise counter addition via a
     full-outer union-agg (both sides are sketch-sized). Atomic
-    version-flip commit."""
+    version-flip commit; when ``epoch`` is given (the foreachBatch
+    epoch id), a batch already recorded in the manifest is a NO-OP —
+    at-least-once replays after a crash between manifest flip and
+    checkpoint commit must not double-count."""
+    manifest = os.path.join(path, "MANIFEST.json")
+    state = _manifest_state(manifest)
+    if epoch is not None and epoch <= state["epoch"]:
+        return
     delta = count_min_table(batch, key, depth=depth, width=width, seed=seed)
     merged = (
         read_sketch(spark, path)
@@ -66,16 +94,9 @@ def merge_sketch_batch(
         .groupBy("d", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
-    manifest = os.path.join(path, "MANIFEST.json")
-    version = 0
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            version = json.load(f)["version"] + 1
+    version = state["version"] + 1
     merged.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"version": version}, f)
-    os.replace(tmp, manifest)
+    _commit_manifest(manifest, version, epoch)
 
 
 def streaming_count_min(
@@ -92,9 +113,10 @@ def streaming_count_min(
     with operators/sketches.py machinery)."""
     spark = stream.sparkSession
 
-    def _merge(batch: DataFrame, _epoch: int) -> None:
+    def _merge(batch: DataFrame, epoch: int) -> None:
         merge_sketch_batch(
-            spark, batch, key, path, depth=depth, width=width, seed=seed
+            spark, batch, key, path,
+            depth=depth, width=width, seed=seed, epoch=epoch,
         )
 
     return (
@@ -126,6 +148,7 @@ def merge_histogram_batch(
     lo: float,
     hi: float,
     n_bins: int = 256,
+    epoch: int | None = None,
 ) -> None:
     """state' = state ⊕ histogram(batch): bin counts add — the same
     sum-mergeability contract as the count-min path above, so the
@@ -133,9 +156,15 @@ def merge_histogram_batch(
     over all data seen). The range must be pinned up front — quantile
     serving at any time via
     ``operators.sketches.quantiles_from_histogram``. Atomic
-    version-flip commit, idempotent per version."""
+    version-flip commit; a replayed foreachBatch epoch (``epoch <=``
+    the manifest's last applied) is a NO-OP, so at-least-once replays
+    never double-count bins."""
     from ..operators.sketches import histogram_sketch
 
+    manifest = os.path.join(path, "HIST_MANIFEST.json")
+    state = _manifest_state(manifest)
+    if epoch is not None and epoch <= state["epoch"]:
+        return
     delta = histogram_sketch(batch, col, n_bins=n_bins, lo=lo, hi=hi)
     merged = (
         read_histogram(spark, path)
@@ -151,16 +180,9 @@ def merge_histogram_batch(
         .agg(F.sum("cnt").alias("cnt"))
         .select("bin", "cnt", "lo", "hi", "n_bins")
     )
-    manifest = os.path.join(path, "HIST_MANIFEST.json")
-    version = 0
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            version = json.load(f)["version"] + 1
+    version = state["version"] + 1
     merged.write.mode("overwrite").parquet(os.path.join(path, f"hv={version}"))
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"version": version}, f)
-    os.replace(tmp, manifest)
+    _commit_manifest(manifest, version, epoch)
 
 
 def streaming_histogram(
@@ -176,9 +198,9 @@ def streaming_histogram(
     state is bounded by ``n_bins`` rows forever."""
     spark = stream.sparkSession
 
-    def _merge(batch: DataFrame, _epoch: int) -> None:
+    def _merge(batch: DataFrame, epoch: int) -> None:
         merge_histogram_batch(
-            spark, batch, col, path, lo=lo, hi=hi, n_bins=n_bins
+            spark, batch, col, path, lo=lo, hi=hi, n_bins=n_bins, epoch=epoch
         )
 
     return (

@@ -798,6 +798,48 @@ class TestStreamingCountMin:
         }
         assert got == want
 
+    def test_replayed_epoch_is_noop(self, spark, tmp_path):
+        """foreachBatch is at-least-once: a crash between the manifest
+        flip and the checkpoint commit replays the SAME epoch id — the
+        merge must detect it via the manifest and not double-count
+        (ADVICE r5). Covers the count-min and histogram paths."""
+        from fraud_detection_project_spark.streaming.sketches import (
+            merge_histogram_batch,
+            merge_sketch_batch,
+            read_histogram,
+            read_sketch,
+        )
+
+        b1 = spark.createDataFrame([(i % 5,) for i in range(40)], "k long")
+        b2 = spark.createDataFrame([(i % 7,) for i in range(30)], "k long")
+        path = str(tmp_path / "state")
+        merge_sketch_batch(spark, b1, "k", path, width=64, epoch=0)
+        merge_sketch_batch(spark, b2, "k", path, width=64, epoch=1)
+        before = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in read_sketch(spark, path).collect()
+        }
+        merge_sketch_batch(spark, b2, "k", path, width=64, epoch=1)  # replay
+        merge_sketch_batch(spark, b1, "k", path, width=64, epoch=0)  # older
+        after = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in read_sketch(spark, path).collect()
+        }
+        assert after == before
+
+        hb = spark.createDataFrame([(float(i % 10),) for i in range(50)],
+                                   "v double")
+        hpath = str(tmp_path / "hstate")
+        merge_histogram_batch(spark, hb, "v", hpath, lo=0.0, hi=10.0,
+                              n_bins=16, epoch=0)
+        hbefore = {r["bin"]: r["cnt"]
+                   for r in read_histogram(spark, hpath).collect()}
+        merge_histogram_batch(spark, hb, "v", hpath, lo=0.0, hi=10.0,
+                              n_bins=16, epoch=0)  # replay
+        hafter = {r["bin"]: r["cnt"]
+                  for r in read_histogram(spark, hpath).collect()}
+        assert hafter == hbefore and sum(hbefore.values()) == 50
+
 
 class TestStreamingAggMaintenance:
     SPECS = {

@@ -118,6 +118,18 @@ def plan(
     scan_rows_per_128mb = (
         int(TARGET_PARTITION_BYTES / widest_row) if widest_row else 0
     )
+    # Wide-row adjustment (the docstring's maxPartitionBytes promise,
+    # ADVICE r5): a 128 MiB scan partition decodes to ~INFLATION x that
+    # in memory. If that inflated width exceeds the task memory share,
+    # lower maxPartitionBytes so the decoded partition still fits,
+    # snapped down to a power-of-two MiB (min 8 MiB) so splits stay
+    # row-group-aligned in practice.
+    max_partition_bytes = TARGET_PARTITION_BYTES
+    inflated_scan = TARGET_PARTITION_BYTES * INFLATION
+    if inflated_scan > task_mem:
+        fit = int(task_mem / INFLATION)
+        mib = max(8, 1 << int(math.log2(max(1, fit // (1024 * 1024)))))
+        max_partition_bytes = mib * 1024 * 1024
     return {
         "reference_sf_dir": sf_dir,
         "target_multiplier": target_mult,
@@ -129,10 +141,19 @@ def plan(
         },
         "recommendations": {
             "spark.sql.shuffle.partitions": shuffle_partitions,
-            "spark.sql.files.maxPartitionBytes": TARGET_PARTITION_BYTES,
+            "spark.sql.files.maxPartitionBytes": max_partition_bytes,
             "spark.sql.adaptive.enabled": True,
             "spark.sql.adaptive.advisoryPartitionSizeInBytes":
-                TARGET_PARTITION_BYTES,
+                min(TARGET_PARTITION_BYTES, max_partition_bytes),
+        },
+        "scan_width_check": {
+            "widest_inflated_bytes_per_row": round(widest_row, 2),
+            "scan_rows_per_128mb_partition": scan_rows_per_128mb,
+            "decoded_128mb_scan_bytes": int(TARGET_PARTITION_BYTES
+                                            * INFLATION),
+            "max_partition_bytes_lowered": bool(
+                max_partition_bytes < TARGET_PARTITION_BYTES
+            ),
         },
         "spill_check": {
             "worst_single_table_shuffle_bytes": int(worst_shuffle),
