@@ -184,38 +184,99 @@ def triangle_count(
     )
 
 
+def _peel_cores_numpy(us, vs):
+    """Exact Batagelj–Žaveršnik bucket peeling over a DISTINCT,
+    BOTH-DIRECTIONS, self-loop-free edge array — vectorized numpy, no
+    per-edge Python loop. Returns ``(node_ids_sorted, core_numbers)``.
+
+    Repeatedly peel every node whose residual degree <= k (cascading),
+    then raise k to the minimum surviving degree. Each node is peeled
+    exactly once and each edge's adjacency slice is gathered exactly
+    once (CSR multi-range gather), so total work is O(V + E) plus a
+    ``subtract.at`` scatter per cascade round.
+    """
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([us, vs]), return_inverse=True)
+    ui = inv[: len(us)]
+    vi = inv[len(us):]
+    n = len(nodes)
+    deg0 = np.bincount(ui, minlength=n)
+    order = np.argsort(ui, kind="stable")
+    adj = vi[order]
+    starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(deg0, out=starts[1:])
+    deg = deg0.astype(np.int64)
+    core = np.zeros(n, dtype=np.int64)
+    alive = np.ones(n, dtype=bool)
+    k = 0
+    while alive.any():
+        k = max(k, int(deg[alive].min()))
+        peel = np.flatnonzero(alive & (deg <= k))
+        while peel.size:
+            core[peel] = k
+            alive[peel] = False
+            cnt = starts[peel + 1] - starts[peel]
+            tot = int(cnt.sum())
+            if tot:
+                base = np.repeat(starts[peel], cnt)
+                offs = np.arange(tot) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                nbrs = adj[base + offs]
+                nbrs = nbrs[alive[nbrs]]
+                np.subtract.at(deg, nbrs, 1)
+            peel = np.flatnonzero(alive & (deg <= k))
+    return nodes, core
+
+
 def k_core(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 100,
+    local_threshold_edges: int = 32_000_000,
 ) -> DataFrame:
-    """Exact k-core decomposition → ``(id, core)`` per node, via
-    distributed H-index propagation (Montresor et al., "Distributed
-    k-core decomposition"): initialize every estimate to the degree,
-    then repeatedly set ``c(v) = H-index of neighbors' estimates``
-    (the largest h such that >= h neighbors have estimate >= h).
-    Estimates only decrease and the fixpoint is exactly the core
-    number; rounds needed are bounded by the longest chain of
-    dependent decrements (small for real graphs — power-law graphs
-    converge in tens of rounds).
+    """Exact k-core decomposition → ``(id, core)`` per node. Hybrid
+    execution, chosen by the MEASURED directed-edge count:
 
-    Per round: ONE shuffle keyed on node id (neighbor-estimate gather),
-    the H-index computed as a codegen HOF over the gathered estimate
-    array, convergence detected by a 1-row changed-count fingerprint,
-    ``localCheckpoint`` truncating lineage (same contract as pagerank /
-    connected_components). After the first full round, only the
-    FRONTIER recomputes — nodes adjacent to an estimate that just
-    dropped (a node's H-index can only fall when a neighbor's estimate
-    fell, so this is exact, per Montresor's async-correctness
-    argument). Convergence telemetry on the co-purchase graph at ~sf1:
-    the frontier collapses from ~20k to <100 nodes within a dozen
-    rounds and the remaining ~25 rounds each touch a vanishing slice —
-    full recompute there costs edge-count work per round; frontier
-    recompute costs only the active neighborhoods. The gathered array
-    per node is its degree — a hyper-hot node at 100 TB makes a wide
-    row; cap or pre-filter such nodes upstream (same call as
-    co_occurrence_edges documents).
+    **Local path** (edge list fits one task): when the deduplicated
+    both-directions edge list has <= ``local_threshold_edges`` rows
+    (default 32M rows ≈ 512 MB at 16 B/row — comfortably one
+    executor-task's Arrow group), shuffle it into a single
+    ``applyInPandas`` group and run exact Batagelj–Žaveršnik bucket
+    peeling fully vectorized in numpy (O(V+E), no Python-per-edge
+    loop). Rationale, measured round 6 at sf0.1/sf1 (2.39M directed
+    edges, 38 H-index rounds): the distributed loop's wall-clock is
+    ~1.2 s/round of pure driver-synchronization fixed cost — 44-60 s
+    regardless of data size — while a single-task peel of the same
+    graph is sub-second. Batching multiple lazy H-index sweeps per
+    checkpoint was measured WORSE (60-88 s: the recompute set expands
+    to 2-hop neighborhoods while per-stage overhead stays), so the
+    fix is to not run a driver-synchronized loop at all when the
+    graph fits one task. This is the standard endgame for iterative
+    graph algorithms (finish small residuals locally instead of
+    paying per-round latency); the threshold is an explicit,
+    documented task-memory budget, not a hidden assumption.
+
+    **Distributed path** (above threshold): H-index propagation
+    (Montresor et al., "Distributed k-core decomposition") —
+    initialize every estimate to the degree, then repeatedly set
+    ``c(v) = H-index of neighbors' estimates`` (the largest h such
+    that >= h neighbors have estimate >= h). Estimates only decrease
+    and the fixpoint is exactly the core number. Per round: ONE
+    shuffle keyed on node id (neighbor-estimate gather), the H-index
+    computed as a codegen HOF over the gathered estimate array,
+    convergence detected by a 1-row changed-count fingerprint,
+    ``localCheckpoint`` truncating lineage (same contract as
+    pagerank / connected_components). After the first full round,
+    only the FRONTIER recomputes — nodes adjacent to an estimate that
+    just dropped (exact, per Montresor's async-correctness argument).
+    Iteration shuffles are sized from the measured edge count
+    (~600k rows/partition, the measured local[32] optimum — 44 s vs
+    59 s at the default 32 partitions on 2.39M edges) rather than
+    inheriting ``spark.sql.shuffle.partitions`` sized for the scan
+    workload. The gathered array per node is its degree — a hyper-hot
+    node at 100 TB makes a wide row; cap or pre-filter such nodes
+    upstream (same call as co_occurrence_edges documents).
     """
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     und = (
@@ -224,56 +285,100 @@ def k_core(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    core = und.groupBy("u").agg(F.count(F.lit(1)).cast("int").alias("c"))
-    frontier = None  # None = first round, recompute everyone
-    for _ in range(max_iter):
-        if frontier is None:
-            base = und
-        else:
-            affected = (
-                und.join(
-                    frontier.select(F.col("u").alias("v")), "v", "left_semi"
-                )
-                .select("u")
-                .distinct()
-            )
-            base = und.join(affected, "u", "left_semi")
-        nbc = base.join(
-            core.select(F.col("u").alias("v"), F.col("c").alias("cv")), "v"
+    n_edges = und.count()  # cheap: post-checkpoint partition counts
+
+    if n_edges <= local_threshold_edges:
+        import pandas as pd  # noqa: F401  (applyInPandas contract)
+        from pyspark.sql import types as T
+
+        id_type = und.schema["u"].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("id", id_type),
+                T.StructField("core", T.IntegerType()),
+            ]
         )
-        # H-index: with estimates sorted desc, the indicator
-        # cs[i] >= i+1 is a prefix; its length is the H-index
-        upd = (
-            nbc.groupBy("u")
-            .agg(F.sort_array(F.collect_list("cv"), asc=False).alias("cs"))
-            .select(
-                "u",
-                F.size(
-                    F.filter(
-                        F.transform("cs", lambda x, i: x >= i + F.lit(1)),
-                        lambda b: b,
+
+        def _peel(pdf):
+            import pandas as pd
+
+            nodes, core = _peel_cores_numpy(
+                pdf["u"].to_numpy(), pdf["v"].to_numpy()
+            )
+            return pd.DataFrame(
+                {"id": nodes, "core": core.astype("int32")}
+            )
+
+        return (
+            und.withColumn("__g", F.lit(0))
+            .groupBy("__g")
+            .applyInPandas(lambda pdf: _peel(pdf), out_schema)
+        )
+
+    spark = und.sparkSession
+    default_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    nparts = max(4, min(4096, -(-n_edges // 600_000)))
+    core = None
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+        und = und.repartition(nparts, "u").localCheckpoint(eager=True)
+        core = und.groupBy("u").agg(
+            F.count(F.lit(1)).cast("int").alias("c")
+        )
+        frontier = None  # None = first round, recompute everyone
+        for _ in range(max_iter):
+            if frontier is None:
+                base = und
+            else:
+                affected = (
+                    und.join(
+                        frontier.select(F.col("u").alias("v")),
+                        "v",
+                        "left_semi",
                     )
-                ).alias("h"),
+                    .select("u")
+                    .distinct()
+                )
+                base = und.join(affected, "u", "left_semi")
+            nbc = base.join(
+                core.select(F.col("u").alias("v"), F.col("c").alias("cv")),
+                "v",
             )
-        )
-        merged = (
-            core.join(upd, "u", "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("c"), F.coalesce(F.col("h"), F.col("c"))
-                ).alias("c"),
-                (F.coalesce(F.col("h"), F.col("c")) < F.col("c")).alias(
-                    "chg"
-                ),
+            # H-index: with estimates sorted desc, the indicator
+            # cs[i] >= i+1 is a prefix; its length is the H-index
+            upd = (
+                nbc.groupBy("u")
+                .agg(F.sort_array(F.collect_list("cv"), asc=False).alias("cs"))
+                .select(
+                    "u",
+                    F.size(
+                        F.filter(
+                            F.transform("cs", lambda x, i: x >= i + F.lit(1)),
+                            lambda b: b,
+                        )
+                    ).alias("h"),
+                )
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = merged.agg(F.sum(F.col("chg").cast("long"))).first()[0]
-        frontier = merged.filter(F.col("chg")).select("u")
-        core = merged.select("u", "c")
-        if not changed:
-            break
+            merged = (
+                core.join(upd, "u", "left")
+                .select(
+                    "u",
+                    F.least(
+                        F.col("c"), F.coalesce(F.col("h"), F.col("c"))
+                    ).alias("c"),
+                    (F.coalesce(F.col("h"), F.col("c")) < F.col("c")).alias(
+                        "chg"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            core = merged.select("u", "c")
+            changed = merged.agg(F.sum(F.col("chg").cast("long"))).first()[0]
+            frontier = merged.filter(F.col("chg")).select("u")
+            if not changed:
+                break
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default_parts)
     return core.select(F.col("u").alias("id"), F.col("c").alias("core"))
 
 

@@ -149,6 +149,29 @@ class TestKCore:
         })
         assert self._run(spark, edges) == self._brute_core(edges)
 
+    def test_distributed_path_matches_local_path(self, spark):
+        # local_threshold_edges=0 forces the H-index frontier loop (the
+        # 100 TB path); it must agree exactly with the single-task
+        # Batagelj-Zaversnik peel used below the threshold.
+        import random
+
+        from fraud_detection_project_spark.operators.graph import k_core
+
+        rng = random.Random(23)
+        edges = list({
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(40), rng.randrange(40)) for _ in range(200)
+            )
+            if a != b
+        })
+        df = spark.createDataFrame(edges, "src long, dst long")
+        dist = {
+            r["id"]: r["core"]
+            for r in k_core(df, local_threshold_edges=0).collect()
+        }
+        assert dist == self._brute_core(edges)
+
     def test_direction_and_duplicates_normalized(self, spark):
         got = self._run(spark, [(1, 2), (2, 1), (1, 2), (2, 3), (3, 1)])
         assert got == {1: 2, 2: 2, 3: 2}
