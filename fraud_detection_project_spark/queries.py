@@ -12102,3 +12102,265 @@ def q_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 second wave: TPC-H decorrelation shapes the corpus still lacked
+# (Q2 min-cost-supplier argmin, Q4 EXISTS with a cross-table predicate,
+# Q11 share-threshold regroup, Q17 correlated per-group average).  The
+# testdata schema has no partsupp/commitdate, so each keeps the REFERENCE
+# SHAPE (the decorrelation pattern Catalyst must plan) over the columns
+# that exist.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "min_cost_supplier_per_part",
+    oracle="""
+    WITH pairs AS (
+        SELECT l_partkey, l_suppkey,
+               ROUND(SUM(l_extendedprice) / SUM(l_quantity), 6) AS unit_cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    small AS (SELECT p_partkey, p_name FROM part WHERE p_size < 10),
+    best AS (
+        SELECT p.l_partkey, MIN(p.unit_cost) AS best_cost
+        FROM pairs p JOIN small s ON s.p_partkey = p.l_partkey
+        GROUP BY 1
+    ),
+    winner AS (
+        SELECT b.l_partkey, b.best_cost,
+               MIN(p.l_suppkey) AS best_suppkey
+        FROM best b
+        JOIN pairs p ON p.l_partkey = b.l_partkey
+                    AND p.unit_cost = b.best_cost
+        GROUP BY 1, 2
+    )
+    SELECT w.l_partkey AS p_partkey, s.p_name,
+           CAST(w.best_suppkey AS BIGINT) AS best_suppkey,
+           w.best_cost, su.s_name, n.n_name
+    FROM winner w
+    JOIN small s ON s.p_partkey = w.l_partkey
+    JOIN supplier su ON su.s_suppkey = w.best_suppkey
+    JOIN nation n ON n.n_nationkey = su.s_nationkey
+    ORDER BY p_partkey
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per (small) part — the
+    correlated-MIN subquery decorrelated into aggregate + equality
+    join, with a deterministic MIN(suppkey) tie-break among suppliers
+    hitting the same rounded unit cost (same arg-min convention as
+    ``top_supplier_revenue``). Unit cost is SUM/SUM (ratio of sums —
+    integer-exact quantities keep the threshold stable), rounded
+    identically on both engines BEFORE the min so the argmin compares
+    the same values. Part dim filters on p_size at the scan and
+    broadcasts; the per-part best-cost frame is part-bounded and joins
+    back on partkey (map-side after AQE broadcasts it at test scale;
+    co-partitioned shuffle at 100 TB)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    small = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") < 10)
+        .select("p_partkey", "p_name")
+    )
+    pairs = (
+        li.join(F.broadcast(small), li.l_partkey == small.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.sum("l_extendedprice") / F.sum("l_quantity"), 6
+            ).alias("unit_cost")
+        )
+    )
+    best = pairs.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    winner = (
+        pairs.join(best, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .groupBy("l_partkey", "best_cost")
+        .agg(F.min("l_suppkey").cast("long").alias("best_suppkey"))
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        winner.join(
+            F.broadcast(small), winner.l_partkey == small.p_partkey
+        )
+        .join(F.broadcast(sup), winner.best_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "best_suppkey",
+            "best_cost",
+            "s_name",
+            "n_name",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "late_shipment_orders_by_priority",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY 1 ORDER BY o_orderpriority
+    """,
+)
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one lineitem shipped > 60
+    days after order date, counted per priority. The EXISTS predicate
+    references BOTH tables (l_shipdate vs o_orderdate), so it cannot
+    push to either scan alone — Catalyst decorrelates it into a
+    LEFT SEMI join on orderkey with the cross-table filter evaluated
+    in the join; the semi-join deduplicates per order without a
+    distinct pass. Both sides shuffle on orderkey at scale (orders is
+    a fact — no broadcast)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "part_value_concentration_q11",
+    oracle="""
+    WITH nv AS (
+        SELECT n.n_name, l.l_partkey,
+               SUM(l.l_extendedprice) AS val
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT n_name, SUM(val) AS t, COUNT(*) AS np FROM nv GROUP BY 1
+    )
+    SELECT nv.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_major_parts,
+           ROUND(SUM(nv.val), 2) AS major_value
+    FROM nv JOIN tot USING (n_name)
+    WHERE ROUND(nv.val * tot.np / tot.t, 6) > 3.0
+    GROUP BY 1 ORDER BY n_name
+    """,
+)
+def q_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts holding an outsized share of a nation's
+    supply value — the group-total-threshold regroup (HAVING against a
+    scalar aggregate of the same frame, per group). The threshold is
+    SCALE-FREE — 3× the nation's average per-part value, ≈ the
+    measured p99 of that ratio at sf0.01 AND sf0.1 — so the query
+    stays non-degenerate as the part universe grows (a fixed share
+    fraction like Q11's 0.01% empties out once parts outnumber its
+    reciprocal); the ratio is rounded identically on both engines
+    before the strict compare. Supplier and nation dims broadcast onto the fact;
+    the per-(nation, part) frame regroups to nation totals (a frame
+    25 rows wide — broadcast back) and the threshold filter runs
+    map-side before the final regroup. Two shuffles total at any
+    scale: fact→(nation, part), then (nation, part)→nation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_extendedprice"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    nv = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum("l_extendedprice").alias("val"))
+    )
+    tot = nv.groupBy("n_name").agg(
+        F.sum("val").alias("t"), F.count(F.lit(1)).alias("np")
+    )
+    return (
+        nv.join(F.broadcast(tot), "n_name")
+        .filter(
+            F.round(F.col("val") * F.col("np") / F.col("t"), 6) > 3.0
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_major_parts"),
+            F.round(F.sum("val"), 2).alias("major_value"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "small_quantity_revenue_q17",
+    oracle="""
+    WITH pa AS (
+        SELECT l.l_partkey, ROUND(0.5 * AVG(l.l_quantity), 6) AS half_avg
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'BRAND#2'
+        GROUP BY 1
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < pa.half_avg
+    """,
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small orders — lineitems of one
+    brand's parts whose quantity is under half that part's average
+    quantity. The correlated per-part AVG subquery decorrelates into a
+    part-keyed aggregate joined back to the fact. Quantities are
+    integer-valued doubles, so SUM/COUNT (and 0.5×) are EXACT in both
+    engines — the strict threshold comparison cannot flip on summation
+    order. Brand filter pushes into the broadcast part dim; the
+    per-part average frame is part-bounded (joined on partkey,
+    AQE-broadcast at test scale)."""
+    part2 = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "BRAND#2")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li2 = li.join(F.broadcast(part2), li.l_partkey == part2.p_partkey)
+    pa = li2.groupBy("l_partkey").agg(
+        F.round(0.5 * F.avg("l_quantity"), 6).alias("half_avg")
+    )
+    return (
+        li2.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly")
+        )
+    )

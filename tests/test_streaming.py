@@ -324,8 +324,12 @@ def test_streaming_velocity_tws_matches_batch_window(spark, events_src, tmp_path
     The TWS state-server protocol needs the ``protobuf`` package
     (pyspark/sql/streaming/proto/StateMessage_pb2.py) — absent in this
     container (re-checked round 3: ``import google.protobuf`` fails and
-    installs are disallowed), so the test skips; applyInPandasWithState
-    covers the identical semantics above.
+    installs are disallowed; re-checked round 6 per VERDICT #7: a
+    full-disk search finds no protobuf wheel or site-packages copy to
+    vendor — only typeshed stubs — and the generated pb2 needs the real
+    descriptor-pool runtime, which cannot be meaningfully stubbed), so
+    the test skips; applyInPandasWithState covers the identical
+    semantics above.
     """
     pytest.importorskip("google.protobuf")
     from fraud_detection_project_spark.streaming.velocity import streaming_velocity_tws
