@@ -12364,3 +12364,258 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 third wave: classical test statistics the corpus lacked —
+# chi-square independence, Mann-Whitney U (rank-sum with tie
+# correction), pinball loss at an exact quantile, and a Markov
+# transition matrix over per-user event sequences.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chi2_type_hour_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type, hour(ts) AS hr, CAST(COUNT(*) AS DOUBLE) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, SUM(o) AS r FROM obs GROUP BY 1),
+    ct AS (SELECT hr, SUM(o) AS c FROM obs GROUP BY 1),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+        SELECT rt.event_type, ct.hr, rt.r * ct.c / n.n AS e,
+               COALESCE(obs.o, 0.0) AS o
+        FROM rt CROSS JOIN ct CROSS JOIN n
+        LEFT JOIN obs ON obs.event_type = rt.event_type
+                     AND obs.hr = ct.hr
+    )
+    SELECT ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT hr) - 1) AS BIGINT) AS dof,
+           CAST(SUM(o) AS BIGINT) AS n
+    FROM cells
+    """,
+)
+def q_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of the event_type ×
+    hour-of-day contingency table — 'does activity mix shift across
+    the day'. One fact shuffle builds the observed cells; margins are
+    tiny aggregates of the cell frame (|types| and 24 rows) that CROSS
+    into the full r×c expected grid BROADCAST-side, so zero-observed
+    cells contribute their expectation exactly as scipy would. Scale:
+    everything after the first groupBy is margin-bounded."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    obs = (
+        ev.select("event_type", F.hour("ts").alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    rt = obs.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("hr").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(obs), ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            (F.col("r") * F.col("c") / F.col("n")).alias("e"),
+            F.coalesce(F.col("o"), F.lit(0.0)).alias("o"),
+        )
+    )
+    return cells.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 4
+        ).alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1)
+            * (F.countDistinct("hr") - 1)
+        )
+        .cast("long")
+        .alias("dof"),
+        F.sum("o").cast("long").alias("n"),
+    )
+
+
+@register(
+    "mann_whitney_purchase_vs_view",
+    oracle="""
+    WITH base AS (
+        SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END a
+        FROM events
+        WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL
+    ),
+    vals AS (
+        SELECT value, SUM(a) AS ca, COUNT(*) - SUM(a) AS cb,
+               COUNT(*) AS cnt
+        FROM base GROUP BY 1
+    ),
+    ranked AS (
+        SELECT *, SUM(cnt) OVER (ORDER BY value) AS cum FROM vals
+    ),
+    agg AS (
+        SELECT SUM(ca * (cum - (cnt - 1) / 2.0)) AS ra,
+               SUM(ca) AS na, SUM(cb) AS nb,
+               SUM(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS ties
+        FROM ranked
+    )
+    SELECT ROUND(ra - na * (na + 1) / 2.0, 4) AS u_stat,
+           ROUND((ra - na * (na + 1) / 2.0 - na * nb / 2.0)
+                 / SQRT(na * nb / 12.0
+                        * ((na + nb + 1.0)
+                           - ties / ((na + nb) * (na + nb - 1.0)))),
+                 4) AS z_score,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+    FROM agg
+    """,
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (purchase vs view event values),
+    with average ranks for ties and the tie-corrected normal
+    approximation — the nonparametric 'are these two distributions
+    shifted' workhorse. Scale path: ranks are NEVER materialized
+    per row — the distinct-value frame carries (count_a, count_b) per
+    value and the average rank falls out of a DISTRIBUTED running sum
+    (``partitioned_prefix_sum``, range-partitioned on value; the
+    unique-value frame makes it a total order), so no single-task
+    WindowExec anywhere (the repo-wide plan lint enforces it)."""
+    from .operators.indexing import partitioned_prefix_sum
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+        & F.col("value").isNotNull()
+    )
+    vals = (
+        ev.select(
+            "value",
+            (F.col("event_type") == "purchase").cast("long").alias("a"),
+        )
+        .groupBy("value")
+        .agg(
+            F.sum("a").alias("ca"),
+            (F.count(F.lit(1)) - F.sum("a")).alias("cb"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    ranked = partitioned_prefix_sum(vals, ["value"], "cnt", out_col="cum")
+    agg = ranked.agg(
+        F.sum(
+            F.col("ca") * (F.col("cum") - (F.col("cnt") - 1) / 2.0)
+        ).alias("ra"),
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("ties"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u = F.col("ra") - na * (na + 1) / 2.0
+    sigma = F.sqrt(
+        na * nb / 12.0
+        * ((na + nb + 1.0) - F.col("ties") / ((na + nb) * (na + nb - 1.0)))
+    )
+    return agg.select(
+        F.round(u, 4).alias("u_stat"),
+        F.round((u - na * nb / 2.0) / sigma, 4).alias("z_score"),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+    )
+
+
+@register(
+    "pinball_loss_q90_by_type",
+    oracle="""
+    WITH q AS (
+        SELECT event_type, quantile_cont(value, 0.9) AS q90
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_type, ROUND(q.q90, 6) AS q90,
+           ROUND(AVG(CASE WHEN e.value >= q.q90
+                          THEN 0.9 * (e.value - q.q90)
+                          ELSE 0.1 * (q.q90 - e.value) END), 6)
+               AS pinball
+    FROM events e JOIN q USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY 1, 2 ORDER BY event_type
+    """,
+)
+def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the per-type exact q90 as a constant
+    forecaster — the quantile-regression evaluation metric; by
+    construction the true quantile minimizes it, so this doubles as a
+    quantile-correctness audit. Spark's exact ``F.percentile`` ≡
+    DuckDB ``quantile_cont`` (same linear interpolation). Two passes
+    over the fact: per-type quantile (type-bounded frame, broadcast
+    back), then one loss aggregation — no per-row rank, no window."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.9)).alias("q90")
+    )
+    j = ev.join(F.broadcast(q), "event_type")
+    loss = F.when(
+        F.col("value") >= F.col("q90"),
+        0.9 * (F.col("value") - F.col("q90")),
+    ).otherwise(0.1 * (F.col("q90") - F.col("value")))
+    return (
+        j.groupBy("event_type", F.round("q90", 6).alias("q90"))
+        .agg(F.round(F.avg(loss), 6).alias("pinball"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    t AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           ROUND(n / CAST(SUM(n) OVER (PARTITION BY from_type)
+                          AS DOUBLE), 6) AS p
+    FROM t ORDER BY from_type, to_type
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — P(next event type | current type), the session-model /
+    next-action-prediction baseline. The LEAD window is partitioned by
+    user (parallel, no global sort); ordering ties on (ts, event_id)
+    per the repo's same-microsecond determinism convention. The
+    transition frame is |types|² rows, so the per-row normalization
+    window is bounded."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(tot).cast("double"), 6
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
