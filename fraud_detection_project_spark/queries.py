@@ -12619,3 +12619,108 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") / F.sum("n").over(tot).cast("double"), 6
         ).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+@register(
+    "pca_spectrum_invariants",
+    oracle="""
+    WITH x AS (
+        SELECT generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    pv AS (SELECT i, AVG(v * v) - AVG(v) * AVG(v) AS var FROM x GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM embeddings
+                 WHERE embedding IS NOT NULL) AS BIGINT) AS n_points,
+           CAST(COUNT(*) AS BIGINT) AS dim,
+           ROUND(SUM(var), 4) AS trace,
+           TRUE AS spectrum_sums_to_trace,
+           TRUE AS shares_nonincreasing,
+           TRUE AS eigvals_nonnegative
+    FROM pv
+    """,
+)
+def q_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA spectrum audit (ml/pca.py:covariance_spectrum): the
+    population-covariance eigenvalues of the embedding column,
+    accumulated GEMM-style from per-partition ``(n, Σx, ΣxxT)``
+    Arrow partials (raw vectors never shuffle; driver work is the
+    64×64 eigendecomposition). The SQL twin recomputes the TRACE
+    independently (per-dim population variances via unnest — trace ==
+    Σ eigenvalues is the exact linear-algebra invariant), and the
+    Spark side asserts the spectrum's defining properties: sums to the
+    trace, nonincreasing shares, PSD up to float tolerance."""
+    from .ml.pca import covariance_spectrum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, trace, eig = covariance_spectrum(emb, "embedding")
+    if eig is None:
+        sums_ok = dec_ok = psd_ok = False
+        dim = 0
+    else:
+        dim = len(eig)
+        sums_ok = bool(abs(float(eig.sum()) - trace) <= 1e-9 * max(1.0, abs(trace)))
+        dec_ok = bool((eig[:-1] >= eig[1:] - 1e-12).all())
+        psd_ok = bool((eig >= -1e-9).all())
+    return spark.createDataFrame(
+        [(n, dim, round(trace, 4), sums_ok, dec_ok, psd_ok)],
+        "n_points long, dim long, trace double, "
+        "spectrum_sums_to_trace boolean, shares_nonincreasing boolean, "
+        "eigvals_nonnegative boolean",
+    )
+
+
+@register(
+    "asof_view_value_at_purchase",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase'
+    ),
+    views AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    ),
+    latest AS (
+        SELECT p.event_id, p.user_id, MAX(v.ts) AS vt
+        FROM purchases p
+        LEFT JOIN views v
+          ON v.user_id = p.user_id AND v.ts <= p.ts
+        GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id,
+           MAX(v2.value) AS view_value
+    FROM latest l
+    LEFT JOIN views v2
+      ON v2.user_id = l.user_id AND v2.ts = l.vt
+    GROUP BY 1, 2 ORDER BY event_id
+    """,
+)
+def q_asof_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward) carrying a NON-timestamp payload: each
+    purchase picks up the most recent prior 'view' event's VALUE for
+    the same user. Unlike ``asof_last_signup`` (whose payload IS the
+    timestamp, so duplicate-(key,ts) ties carry equal values and can't
+    expose ordering), this row pins the round-6 tie-break fix in the
+    driver artifact: at equal view timestamps the operator carries the
+    MAX payload tuple, mirrored by the oracle's max-over-latest-ts
+    two-step. Same single user-keyed shuffle union-carry plan — no
+    O(n·m) product, unlike the oracle's join-aggregate formulation."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = as_of_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload=["view_value"],
+        direction="backward",
+    )
+    return out.select("event_id", "user_id", "view_value").orderBy(
+        "event_id"
+    )

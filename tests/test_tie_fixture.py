@@ -33,6 +33,7 @@ SRC = "/root/testdata/sf0.001"
 # aggregation inside time buckets, session path ordering, attribution.
 CARRIED_VALUE_QUERIES = [
     "asof_last_signup",
+    "asof_view_value_at_purchase",
     "attribution_last_touch",
     "collapse_consecutive_events",
     "funnel_within_1h",
