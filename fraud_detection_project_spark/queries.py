@@ -7596,9 +7596,15 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the two re-promoted anchors (dup_clusters, cleaning_chain) and this
 # round's registrations, keeping the priority block ≤ 48 so both
 # canaries sit inside the 50-cut.
-# Round-7 queue: whatever round-6 registrations exceed the 48-slot
-# budget, plus any r06 non-green retries; enumerate here at round-6
-# close once the registration set is final.
+# Round-7 queue (enumerated at round-6 close): the ten round-6
+# registrations beyond the 48-slot budget, all verify_local-green at
+# sf0.01 AND sf0.1 this round —
+#   min_cost_supplier_per_part, late_shipment_orders_by_priority,
+#   part_value_concentration_q11, small_quantity_revenue_q17,
+#   chi2_type_hour_independence, mann_whitney_purchase_vs_view,
+#   pinball_loss_q90_by_type, event_transition_matrix,
+#   pca_spectrum_invariants, asof_view_value_at_purchase
+# — plus any r06 non-green retries and round-7 registrations.
 
 
 def driver_ordered(registry: dict) -> dict:
