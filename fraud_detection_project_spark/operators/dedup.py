@@ -387,6 +387,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     check_every: int = 1,
+    local_threshold_edges: int = 32_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list → one row per
     node ``(id, cluster_id)`` where ``cluster_id`` is the smallest node
@@ -434,6 +435,47 @@ def connected_components(
         # re-execute per reference in round 1
         .localCheckpoint(eager=True)
     )
+
+    # Hybrid endgame (same contract as graph.k_core, round 6): the
+    # star rounds pay ~1s of driver-synchronized fixed cost each; when
+    # the DEDUPLICATED edge list fits one task's Arrow budget (default
+    # 32M rows ≈ 512 MB), finish locally — min-label propagation with
+    # pointer-jumping path compression, fully vectorized numpy, exact
+    # (node ids sort ascending, so the converged min label IS the
+    # component's smallest id — identical semantics to the star
+    # fixpoint). Above the threshold the O(log n)-round distributed
+    # path runs unchanged; a pytest pins both paths equal.
+    if e.count() <= local_threshold_edges:
+        import pandas as pd  # noqa: F401
+
+        def _local_cc(pdf):
+            import numpy as np
+            import pandas as pd
+
+            us = pdf["u"].to_numpy()
+            vs = pdf["v"].to_numpy()
+            ids, inv = np.unique(np.concatenate([us, vs]), return_inverse=True)
+            ui = inv[: len(us)]
+            vi = inv[len(us):]
+            lab = np.arange(len(ids), dtype=np.int64)
+            while True:
+                old = lab.copy()
+                np.minimum.at(lab, ui, lab[vi])
+                np.minimum.at(lab, vi, lab[ui])
+                while True:
+                    jumped = lab[lab]
+                    if np.array_equal(jumped, lab):
+                        break
+                    lab = jumped
+                if np.array_equal(lab, old):
+                    break
+            return pd.DataFrame({"id": ids, "cluster_id": ids[lab]})
+
+        return (
+            e.withColumn("__g", F.lit(0))
+            .groupBy("__g")
+            .applyInPandas(_local_cc, "id long, cluster_id long")
+        )
 
     def large_star(E: DataFrame) -> DataFrame:
         # neighborhoods both directions; m(u) = min(N(u) ∪ {u});

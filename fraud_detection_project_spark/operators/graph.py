@@ -22,6 +22,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     n_iter: int = 10,
+    local_threshold_edges: int = 32_000_000,
 ) -> DataFrame:
     """PageRank over a directed edge list → (id, rank), ranks summing to
     ~1. Fixed ``n_iter`` power iterations (the production norm — rank
@@ -29,6 +30,14 @@ def pagerank(
 
     Dangling nodes (no out-edges) redistribute their mass uniformly, the
     standard correction — without it rank mass drains and totals drift.
+
+    Hybrid endgame (same contract as ``k_core``, round 6): each
+    distributed iteration costs a join + shuffle + checkpoint of pure
+    driver-synchronized latency; when the deduplicated edge list fits
+    one task's Arrow budget (default 32M rows ≈ 512 MB) the power
+    iteration runs locally — bincount-weighted gather/scatter per
+    iteration, identical dangling correction, exact same update rule.
+    Above the threshold the distributed path runs unchanged:
 
     Per iteration: one shuffle (groupBy dst of contribution messages) +
     a broadcast of the dangling-mass scalar. Contributions flow over the
@@ -45,6 +54,37 @@ def pagerank(
         # expensive upstream plan must not re-execute per iteration
         .localCheckpoint(eager=True)
     )
+
+    if e.count() <= local_threshold_edges:
+        import pandas as pd  # noqa: F401
+
+        def _local_pr(pdf):
+            import numpy as np
+            import pandas as pd
+
+            ss = pdf["src"].to_numpy()
+            ds = pdf["dst"].to_numpy()
+            ids, inv = np.unique(np.concatenate([ss, ds]), return_inverse=True)
+            si = inv[: len(ss)]
+            di = inv[len(ss):]
+            m = len(ids)
+            outdeg = np.bincount(si, minlength=m)
+            dangling = outdeg == 0
+            r = np.full(m, 1.0 / m)
+            for _ in range(n_iter):
+                contrib = np.bincount(
+                    di, weights=r[si] / outdeg[si], minlength=m
+                )
+                dm = r[dangling].sum()
+                r = (1.0 - damping) / m + damping * (contrib + dm / m)
+            return pd.DataFrame({"id": ids, "rank": r})
+
+        return (
+            e.withColumn("__g", F.lit(0))
+            .groupBy("__g")
+            .applyInPandas(_local_pr, "id long, rank double")
+        )
+
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))

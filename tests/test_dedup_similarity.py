@@ -418,6 +418,30 @@ class TestConnectedComponents:
             edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
             self._check(spark, edges)
 
+    def test_distributed_star_path_matches_local_path(self, spark):
+        # local_threshold_edges=0 forces the large-star/small-star
+        # rounds (the 100 TB path); must agree with the single-task
+        # min-label kernel used below the threshold.
+        import random
+
+        from fraud_detection_project_spark.operators.dedup import (
+            connected_components,
+        )
+
+        rng = random.Random(31)
+        edges = [
+            (rng.randrange(50), rng.randrange(50)) for _ in range(70)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        dist = {
+            (r["id"], r["cluster_id"])
+            for r in connected_components(
+                df, local_threshold_edges=0
+            ).collect()
+        }
+        assert dist == set(self._brute_cc(edges).items())
+
     def test_self_loops_and_dups_ignored(self, spark):
         self._check(spark, [(1, 1), (1, 2), (2, 1), (1, 2), (5, 5), (5, 6)])
 
@@ -500,6 +524,26 @@ class TestPageRank:
         for k in want:
             assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
         assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_distributed_path_matches_local_path(self, spark):
+        # local_threshold_edges=0 forces the join-per-iteration
+        # distributed path; must agree with the single-task bincount
+        # kernel to float tolerance.
+        from fraud_detection_project_spark.operators.graph import pagerank
+
+        edges = [
+            (1, 2), (2, 3), (3, 1), (3, 4), (4, 5),
+            (5, 4), (6, 4), (7, 1), (8, 1),
+        ]
+        want = self._numpy_pagerank(edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["id"]: r["rank"]
+            for r in pagerank(df, local_threshold_edges=0).collect()
+        }
+        assert got.keys() == want.keys()
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
 
     def test_dangling_mass_conserved(self, spark):
         from fraud_detection_project_spark.operators.graph import pagerank
