@@ -7603,7 +7603,9 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   part_value_concentration_q11, small_quantity_revenue_q17,
 #   chi2_type_hour_independence, mann_whitney_purchase_vs_view,
 #   pinball_loss_q90_by_type, event_transition_matrix,
-#   pca_spectrum_invariants, asof_view_value_at_purchase
+#   pca_spectrum_invariants, asof_view_value_at_purchase,
+#   entity_resolution_clusters, target_encoding_loo,
+#   winsorized_stats_by_type
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -12729,4 +12731,176 @@ def q_asof_view_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select("event_id", "user_id", "view_value").orderBy(
         "event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 fourth wave: entity-resolution end-to-end, and two
+# training-data feature transforms (leave-one-out target encoding,
+# winsorization) the ML-prep surface lacked.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "entity_resolution_clusters",
+    oracle=r"""
+    WITH RECURSIVE pq AS (
+        SELECT a.p_partkey AS ia, b.p_partkey AS ib
+        FROM part a JOIN part b
+          ON a.p_partkey < b.p_partkey
+         AND levenshtein(a.p_name, b.p_name) <= 1
+    ),
+    e AS (SELECT ia AS es, ib AS ed FROM pq
+          UNION ALL SELECT ib, ia FROM pq),
+    r AS (
+        SELECT es AS id, es AS lab FROM e
+        UNION
+        SELECT e.ed, r.lab FROM r JOIN e ON e.es = r.id
+    ),
+    comp AS (SELECT id, MIN(lab) AS root FROM r GROUP BY 1),
+    sizes AS (SELECT root, COUNT(*) AS sz FROM comp GROUP BY 1)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY 1 ORDER BY cluster_size
+    """,
+)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END: 1-edit part-name pairs (SymSpell
+    deletion-key blocking, ``fuzzy_pairs_1edit``) collapsed into
+    entity clusters by ``connected_components``, reported as the
+    cluster-size histogram — the dedupe-then-canonicalize shape every
+    record-linkage pipeline ends with. The oracle recomputes the pair
+    relation by brute-force levenshtein and the components by
+    recursive min-label CTE (same harness as ``dup_clusters``), so
+    blocking losslessness AND clustering correctness are both
+    checked. Scale: pairs only materialize inside deletion-key
+    buckets; the cluster step is the hybrid CC (single-task kernel at
+    test scale, star rounds at 100 TB)."""
+    from .operators.dedup import connected_components, fuzzy_pairs_1edit
+
+    part = load_table(spark, sf_dir, "part")
+    pairs = fuzzy_pairs_1edit(part, "p_name", "p_partkey")
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+@register(
+    "target_encoding_loo",
+    oracle="""
+    WITH g AS (SELECT AVG(l_extendedprice) AS gm FROM lineitem),
+    cat AS (
+        SELECT l_returnflag, COUNT(*) AS n, SUM(l_extendedprice) AS s
+        FROM lineitem GROUP BY 1
+    ),
+    enc AS (
+        SELECT l.l_returnflag,
+               ((c.s - l.l_extendedprice) + 10.0 * g.gm)
+                   / (c.n - 1 + 10.0) AS e
+        FROM lineitem l
+        JOIN cat c ON c.l_returnflag = l.l_returnflag
+        CROSS JOIN g
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(e), 4) AS avg_encoded,
+           ROUND(MIN(e), 4) AS min_encoded,
+           ROUND(MAX(e), 4) AS max_encoded
+    FROM enc GROUP BY 1 ORDER BY l_returnflag
+    """,
+)
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding with additive smoothing (m=10
+    pseudo-observations of the global mean) — the standard
+    high-cardinality categorical feature for GBDT/linear models,
+    computed leakage-free: each row's own target is excluded from its
+    category mean. One category-keyed aggregate (category-bounded
+    frame, broadcast back) + one map-side arithmetic pass — per-row
+    encodings never shuffle. Audited per category (count, avg, min,
+    max of the encoded value)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    g = li.agg(F.avg("l_extendedprice").alias("gm"))
+    cat = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("s")
+    )
+    enc = (
+        li.join(F.broadcast(cat), "l_returnflag")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "l_returnflag",
+            (
+                (F.col("s") - F.col("l_extendedprice") + 10.0 * F.col("gm"))
+                / (F.col("n") - 1 + 10.0)
+            ).alias("e"),
+        )
+    )
+    return (
+        enc.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("e"), 4).alias("avg_encoded"),
+            F.round(F.min("e"), 4).alias("min_encoded"),
+            F.round(F.max("e"), 4).alias("max_encoded"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "winsorized_stats_by_type",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT e.event_type,
+           ROUND(AVG(e.value), 6) AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(e.value, q.p01), q.p99)), 6)
+               AS mean_winsor,
+           ROUND(STDDEV_POP(e.value), 6) AS std_raw,
+           ROUND(STDDEV_POP(LEAST(GREATEST(e.value, q.p01), q.p99)), 6)
+               AS std_winsor
+    FROM events e JOIN q USING (event_type)
+    WHERE e.value IS NOT NULL
+    GROUP BY 1 ORDER BY event_type
+    """,
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip each type's values at its exact [p1, p99]
+    and report mean/std before vs after — the robust-preprocessing
+    step that tames heavy tails before standardization (pairs with
+    ml/prep.py's ddof=0 scaler, hence STDDEV_POP). Exact percentiles
+    via ``F.percentile`` ≡ ``quantile_cont``; the per-type cut frame
+    broadcasts back and clipping is map-side codegen arithmetic — two
+    fact passes, no window, no per-row shuffle."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    w = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 6).alias("mean_raw"),
+            F.round(F.avg(w), 6).alias("mean_winsor"),
+            F.round(F.stddev_pop("value"), 6).alias("std_raw"),
+            F.round(F.stddev_pop(w), 6).alias("std_winsor"),
+        )
+        .orderBy("event_type")
     )
