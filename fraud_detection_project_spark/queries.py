@@ -7605,7 +7605,8 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   pinball_loss_q90_by_type, event_transition_matrix,
 #   pca_spectrum_invariants, asof_view_value_at_purchase,
 #   entity_resolution_clusters, target_encoding_loo,
-#   winsorized_stats_by_type
+#   winsorized_stats_by_type, token_fertility_by_lang,
+#   jaccard_threshold_sweep, dataset_card_by_source
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -12903,4 +12904,209 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_pop(w), 6).alias("std_winsor"),
         )
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 fifth wave: corpus-curation reporting — subword fertility,
+# the near-dup threshold tuning curve, and the one-stop per-source
+# dataset card.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_fertility_by_lang",
+    oracle=r"""
+    WITH d AS (
+        SELECT lang,
+               len(string_split_regex(trim(text), '\s+')) AS words,
+               len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS subwords
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(subwords) AS BIGINT) AS total_subwords,
+           ROUND(SUM(subwords) * 1.0 / SUM(words), 6) AS fertility
+    FROM d GROUP BY 1 ORDER BY lang
+    """,
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — subword-ish tokens per
+    whitespace word (functions/text.py:bpe_ish_token_count over
+    word_count), THE multilingual-curation dial: high-fertility
+    languages pay more sequence budget per word, so mixture weights
+    and packing budgets must correct for it. One map-side pass (two
+    codegen regex counts per doc, text never shuffles) + a
+    |langs|-bounded aggregate."""
+    from .functions.text import bpe_ish_token_count, word_count
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    per = docs.select(
+        "lang",
+        word_count("text").alias("words"),
+        bpe_ish_token_count("text").alias("subwords"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("words").cast("long").alias("total_words"),
+            F.sum("subwords").cast("long").alias("total_subwords"),
+            F.round(
+                F.sum("subwords") * 1.0 / F.sum("words"), 6
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "jaccard_threshold_sweep",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(regexp_replace(
+                   text, '[^a-zA-Z0-9]+', ' ', 'g'))), '\s+') AS toks
+        FROM documents
+    ),
+    s AS (SELECT doc_id, unnest(range(1, len(toks) - 1)) AS i, toks
+          FROM t WHERE len(toks) >= 3),
+    d AS (SELECT DISTINCT doc_id,
+                 toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+          FROM s),
+    n AS (SELECT doc_id, COUNT(*) AS ns FROM d GROUP BY doc_id),
+    p AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS c
+        FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT c * 1.0 / (na.ns + nb.ns - c) AS jac
+        FROM p JOIN n na ON na.doc_id = p.ia JOIN n nb ON nb.doc_id = p.ib
+    ),
+    th AS (SELECT unnest([0.5, 0.7, 0.9]) AS threshold)
+    SELECT th.threshold,
+           CAST(COUNT(j.jac) AS BIGINT) AS n_pairs
+    FROM th LEFT JOIN j ON j.jac >= th.threshold
+    GROUP BY 1 ORDER BY threshold
+    """,
+)
+def q_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold tuning curve: candidate-pair volume at
+    Jaccard ≥ 0.5 / 0.7 / 0.9 — the dial every dedup rollout sweeps
+    before committing a cutoff. One inverted-index pair pass
+    (operators/dedup.py:ngram_jaccard_pairs at the loosest threshold)
+    feeds all three counts via a 3-row threshold explode; the Jaccard
+    value is a single division of exact integer counts, so the
+    threshold compare is bit-identical across engines."""
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    th = spark.createDataFrame(
+        [(0.5,), (0.7,), (0.9,)], "threshold double"
+    )
+    return (
+        F.broadcast(th)
+        .join(pairs, pairs.jaccard >= th.threshold, "left")
+        .groupBy("threshold")
+        .agg(F.count("jaccard").cast("long").alias("n_pairs"))
+        .orderBy("threshold")
+    )
+
+
+@register(
+    "dataset_card_by_source",
+    oracle=r"""
+    WITH base AS (
+        SELECT source, lang,
+               len(string_split_regex(trim(text), '\s+')) AS words,
+               length(text) AS chars,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+                   AS norm
+        FROM documents WHERE length(trim(text)) > 0
+    ),
+    stats AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               SUM(words) AS total_words,
+               AVG(chars) AS avg_chars,
+               COUNT(DISTINCT norm) AS n_distinct
+        FROM base GROUP BY 1
+    ),
+    lc AS (SELECT source, lang, COUNT(*) AS c FROM base GROUP BY 1, 2),
+    ent AS (
+        SELECT lc.source,
+               -SUM((lc.c * 1.0 / s.n_docs)
+                    * LN(lc.c * 1.0 / s.n_docs)) AS h
+        FROM lc JOIN stats s USING (source) GROUP BY 1
+    )
+    SELECT s.source,
+           CAST(s.n_docs AS BIGINT) AS n_docs,
+           CAST(s.total_words AS BIGINT) AS total_words,
+           ROUND(s.avg_chars, 4) AS avg_chars,
+           ROUND(1.0 - s.n_distinct * 1.0 / s.n_docs, 6)
+               AS exact_dup_rate,
+           ROUND(ent.h, 6) AS lang_entropy
+    FROM stats s JOIN ent USING (source)
+    ORDER BY source
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card — the one-stop curation report: volume
+    (docs, words, avg chars), exact-duplicate rate (distinct
+    normalized text over docs, the canonical-form dedup criterion),
+    and language-mix entropy. Two aggregates over one map-side
+    normalize/count pass; the distinct-count shuffles the 64-bit
+    normalized-text hash space, never the text itself (Spark's
+    count_distinct partial aggregation), and the entropy frame is
+    |source × lang|-bounded."""
+    from .functions.text import normalized_text, word_count
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    base = docs.select(
+        "source",
+        "lang",
+        word_count("text").alias("words"),
+        F.length("text").alias("chars"),
+        normalized_text("text").alias("norm"),
+    )
+    stats = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("total_words"),
+        F.avg("chars").alias("avg_chars"),
+        F.countDistinct("norm").alias("n_distinct"),
+    )
+    lc = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    ent = (
+        lc.join(F.broadcast(stats.select("source", "n_docs")), "source")
+        .groupBy("source")
+        .agg(
+            (
+                -F.sum(
+                    (F.col("c") / F.col("n_docs"))
+                    * F.log(F.col("c") / F.col("n_docs"))
+                )
+            ).alias("h")
+        )
+    )
+    return (
+        stats.join(F.broadcast(ent), "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("total_words").cast("long").alias("total_words"),
+            F.round("avg_chars", 4).alias("avg_chars"),
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_docs"), 6
+            ).alias("exact_dup_rate"),
+            F.round("h", 6).alias("lang_entropy"),
+        )
+        .orderBy("source")
     )
