@@ -672,3 +672,58 @@ def test_interval_union_sweep_matches_point_cover(spark, iv):
                 pts.update(range(s, e))
         want[u] = len(pts)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_bz_peel_kernel_matches_brute_force(raw_edges):
+    """The vectorized Batagelj-Zaversnik kernel behind k_core's local
+    path (operators/graph.py:_peel_cores_numpy) is pure numpy — drive
+    it directly against the textbook dict-based peel on random
+    multigraph inputs (self-loops and duplicates stripped the same way
+    the operator does)."""
+    import numpy as np
+
+    from fraud_detection_project_spark.operators.graph import (
+        _peel_cores_numpy,
+    )
+
+    und = {(a, b) for a, b in raw_edges if a != b}
+    und |= {(b, a) for a, b in und}
+    if not und:
+        return
+    us = np.array([a for a, _ in sorted(und)], dtype=np.int64)
+    vs = np.array([b for _, b in sorted(und)], dtype=np.int64)
+
+    # brute: repeated min-degree peel
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    alive = set(adj)
+    core, k = {}, 0
+    while alive:
+        k = max(k, min(deg[v] for v in alive))
+        peel = [v for v in alive if deg[v] <= k]
+        while peel:
+            v = peel.pop()
+            if v not in alive:
+                continue
+            core[v] = k
+            alive.discard(v)
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        peel.append(u)
+
+    ids, got = _peel_cores_numpy(us, vs)
+    assert {int(i): int(c) for i, c in zip(ids, got)} == core
