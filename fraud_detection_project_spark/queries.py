@@ -7606,7 +7606,8 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   pca_spectrum_invariants, asof_view_value_at_purchase,
 #   entity_resolution_clusters, target_encoding_loo,
 #   winsorized_stats_by_type, token_fertility_by_lang,
-#   jaccard_threshold_sweep, dataset_card_by_source
+#   jaccard_threshold_sweep, dataset_card_by_source,
+#   disjunctive_predicate_revenue_q19, nation_trade_flows_q7
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -13109,4 +13110,133 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("h", 6).alias("lang_entropy"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "disjunctive_predicate_revenue_q19",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'BRAND#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'BRAND#2' AND p.p_size BETWEEN 5 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'BRAND#3' AND p.p_size BETWEEN 20 AND 40
+           AND l.l_quantity BETWEEN 20 AND 45)
+    """,
+)
+def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    both tables' columns — the disjunctive-pushdown stress test.
+    Catalyst factors the part-only conjuncts of the disjunction into a
+    scan-level filter on the broadcast dim (brand ∈ {1,2,3} with the
+    size bands), leaving only the mixed brand×quantity residual for
+    the join filter — the scan never materializes non-candidate parts.
+    One broadcast join, one scalar aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "BRAND#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "BRAND#2")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "BRAND#3")
+            & F.col("p_size").between(20, 40)
+            & F.col("l_quantity").between(20, 45)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
+@register(
+    "nation_trade_flows_q7",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    WHERE ns.n_nationkey <> nc.n_nationkey
+    GROUP BY 1, 2 ORDER BY supp_nation, cust_nation
+    """,
+)
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-border trade volume by (supplier nation,
+    customer nation) — the ROLE-PLAYING dimension pattern: the same
+    nation dim joins twice under different roles (via the customer
+    chain and the supplier chain), both broadcast. The only fact-fact
+    shuffle is lineitem ⋈ orders on orderkey; customer/supplier/nation
+    chain onto it broadcast-side, and the 25×25 flow matrix aggregates
+    map-side first. Revenue accumulates in DECIMAL(18,2) — the 2-dp
+    money values are exact there, so the per-cell sum is order-
+    independent and identical across engines (a double sum of ~4M
+    flipped a cent boundary under ROUND; exactness beats rounding)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation")
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(nc), c.c_nationkey == F.col("ck"))
+        .join(F.broadcast(ns), s.s_nationkey == F.col("sk"))
+        .filter(F.col("sk") != F.col("ck"))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("volume"),
+        )
+        .orderBy("supp_nation", "cust_nation")
     )
