@@ -7607,7 +7607,11 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   entity_resolution_clusters, target_encoding_loo,
 #   winsorized_stats_by_type, token_fertility_by_lang,
 #   jaccard_threshold_sweep, dataset_card_by_source,
-#   disjunctive_predicate_revenue_q19, nation_trade_flows_q7
+#   disjunctive_predicate_revenue_q19, nation_trade_flows_q7,
+#   forecast_revenue_change_q6, national_market_share_q8,
+#   product_profit_q9, returned_item_customers_q10,
+#   shipping_buckets_priority_q12, large_volume_customers_q18,
+#   part_promotion_suppliers_q20, waiting_suppliers_q21
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -8555,13 +8559,20 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "event_lateness_profile",
     oracle="""
-    WITH o AS (
-        SELECT user_id, epoch_us(ts) AS ts_us,
-               MAX(epoch_us(ts)) OVER (
-                   PARTITION BY user_id ORDER BY event_id
+    WITH a AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               epoch_us(ts)
+                 + (((event_id * 1000003 + 7) % 999983) % 86400) * 1000000
+                 AS arr_us
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, ts_us,
+               MAX(ts_us) OVER (
+                   PARTITION BY user_id ORDER BY arr_us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ) AS prior_max
-        FROM events
+        FROM a
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -8577,18 +8588,28 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-order arrival audit — the batch mirror of a streaming
-    watermark decision: with event_id as the arrival proxy, an event is
-    LATE if its timestamp is behind the running max already seen for
-    that user; the per-user late rate and worst lateness bound the
-    watermark delay a streaming twin would need. ONE per-user window
-    (partitioned — scales with users, never a global sort) feeding a
-    per-user aggregate."""
+    watermark decision. Arrival time is simulated as event time plus a
+    deterministic per-event network delay (affine-hash of event_id mod
+    a prime, then mod 24 h — the engine-independent determinism
+    convention from ml/split.py; the raw testdata is perfectly ordered,
+    so measuring against event_id order would observe zero disorder).
+    An event is LATE if its event-time is behind the running max among
+    events that ARRIVED earlier for that user; the per-user late rate
+    and worst lateness bound the watermark delay a streaming twin would
+    need. ONE per-user window (partitioned — scales with users, never a
+    global sort) feeding a per-user aggregate."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr("ts_ns div 1000").alias("ts_us")
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.expr(
+            "ts_ns div 1000"
+            " + (((event_id * 1000003 + 7) % 999983) % 86400) * 1000000"
+        ).alias("arr_us"),
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("arr_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     o = ev.withColumn("prior_max", F.max("ts_us").over(w))
@@ -11535,13 +11556,20 @@ def q_cms_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "watermark_recommendation",
     oracle="""
-    WITH o AS (
+    WITH a AS (
         SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-               MAX(epoch_us(ts)) OVER (
-                   PARTITION BY user_id ORDER BY event_id
+               epoch_us(ts)
+                 + (((event_id * 1000003 + 7) % 999983) % 86400) * 1000000
+                 AS arr_us
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, ts_us,
+               MAX(ts_us) OVER (
+                   PARTITION BY user_id ORDER BY arr_us, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ) AS prior_max
-        FROM events
+        FROM a
     ),
     late AS (
         SELECT (prior_max - ts_us) / 1000000.0 AS late_s
@@ -11571,14 +11599,24 @@ def q_watermark_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_lateness_profile convention), padded 20% and rounded up to
     whole minutes. A p99-based watermark drops ~1% of late events as
     the price of 99% state eviction; max_late_s shows the
-    zero-loss alternative's cost. One per-user window + one holistic
-    percentile over the (small) late-event subset."""
+    zero-loss alternative's cost. Arrival order is the simulated
+    deterministic-delay convention shared with event_lateness_profile
+    (the raw testdata is perfectly ordered — event_id order would
+    observe zero disorder and recommend a meaningless 0-minute
+    watermark). One per-user window + one holistic percentile over the
+    (small) late-event subset."""
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr("ts_ns div 1000").alias("ts_us")
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.expr(
+            "ts_ns div 1000"
+            " + (((event_id * 1000003 + 7) % 999983) % 86400) * 1000000"
+        ).alias("arr_us"),
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("event_id")
+        .orderBy("arr_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     o = ev.withColumn("prior_max", F.max("ts_us").over(w))
@@ -11618,7 +11656,7 @@ def q_watermark_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE p.p_brand <> 'BRAND#1'
+    WHERE p.p_brand <> 'Brand#1'
     GROUP BY 1 ORDER BY n_suppliers DESC, p_type
     """,
 )
@@ -11633,7 +11671,7 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_brand") != "BRAND#1"
+        F.col("p_brand") != "Brand#1"
     ).select("p_partkey", "p_type")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -12335,7 +12373,7 @@ def q_part_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l.l_partkey, ROUND(0.5 * AVG(l.l_quantity), 6) AS half_avg
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
-        WHERE p.p_brand = 'BRAND#2'
+        WHERE p.p_brand = 'Brand#2'
         GROUP BY 1
     )
     SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
@@ -12356,7 +12394,7 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE-broadcast at test scale)."""
     part2 = (
         load_table(spark, sf_dir, "part")
-        .filter(F.col("p_brand") == "BRAND#2")
+        .filter(F.col("p_brand") == "Brand#2")
         .select("p_partkey")
     )
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -13120,11 +13158,11 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS revenue,
            CAST(COUNT(*) AS BIGINT) AS n_lineitems
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE (p.p_brand = 'BRAND#1' AND p.p_size BETWEEN 1 AND 10
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
            AND l.l_quantity BETWEEN 1 AND 15)
-       OR (p.p_brand = 'BRAND#2' AND p.p_size BETWEEN 5 AND 25
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 25
            AND l.l_quantity BETWEEN 10 AND 30)
-       OR (p.p_brand = 'BRAND#3' AND p.p_size BETWEEN 20 AND 40
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 40
            AND l.l_quantity BETWEEN 20 AND 45)
     """,
 )
@@ -13145,17 +13183,17 @@ def q_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     cond = (
         (
-            (F.col("p_brand") == "BRAND#1")
+            (F.col("p_brand") == "Brand#1")
             & F.col("p_size").between(1, 10)
             & F.col("l_quantity").between(1, 15)
         )
         | (
-            (F.col("p_brand") == "BRAND#2")
+            (F.col("p_brand") == "Brand#2")
             & F.col("p_size").between(5, 25)
             & F.col("l_quantity").between(10, 30)
         )
         | (
-            (F.col("p_brand") == "BRAND#3")
+            (F.col("p_brand") == "Brand#3")
             & F.col("p_size").between(20, 40)
             & F.col("l_quantity").between(20, 45)
         )
@@ -13239,4 +13277,563 @@ def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("volume"),
         )
         .orderBy("supp_nation", "cust_nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 TPC-H completion wave: the eight canonical shapes the corpus
+# still lacked — Q6 (pure scan-filter aggregate), Q8 (market share,
+# conditional numerator over a two-chain star), Q9 (profit by role-
+# playing year/nation), Q10 (returned-item top-k), Q12 (dual
+# conditional-count buckets), Q18 (HAVING over a fact self-aggregate),
+# Q20 (nested semi-join with a correlated share threshold), Q21
+# (EXISTS + NOT-EXISTS multi-supplier blame assignment).  The testdata
+# schema is reduced TPC-H (no partsupp/shipmode/commitdate), so each
+# query keeps the reference shape with documented column adaptations.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_revenue_change_q6",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue_delta,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue that would have been gained by eliminating
+    small discounts — the purest predicate-pushdown benchmark: every
+    conjunct is a single-column comparison, so ALL of them reach the
+    parquet scan (PushedFilters) and row groups outside the shipdate
+    year are skipped on statistics alone; no join, no shuffle beyond
+    one scalar partial-agg exchange. The discount band is widened a
+    hair (±1e-9 via BETWEEN on exact 2-dp doubles — the testdata
+    discounts are exact binary-representable multiples read identically
+    by both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4
+            ).alias("revenue_delta"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "national_market_share_q8",
+    oracle="""
+    WITH vol AS (
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS volume,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = nc.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        WHERE r.r_name = 'AMERICA' AND p.p_type = 'STANDARD'
+    )
+    SELECT o_year,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                         THEN volume ELSE 0 END) AS DOUBLE) AS nation_volume,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                              THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM vol GROUP BY 1 ORDER BY o_year
+    """,
+)
+def q_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3 suppliers' share of the AMERICA-region
+    STANDARD-part market by order year — the conditional-numerator
+    share pattern (SUM(CASE)/SUM over one pass, never two scans). The
+    part/customer/supplier/nation/region chain is ALL broadcast; the
+    one big exchange is lineitem ⋈ orders on orderkey. Volume
+    accumulates in DECIMAL(18,2)×(4,2) — exact, order-independent —
+    and only the final share divides as double (the nation_trade_flows
+    convention)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    nc = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("ck"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = nation.select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    vol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("ck"), "left_semi")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("sk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("volume"),
+            "supp_nation",
+        )
+    )
+    tgt = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0).cast(vol.schema["volume"].dataType)
+    )
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.sum("volume").cast("double").alias("total_volume"),
+            F.sum(tgt).cast("double").alias("nation_volume"),
+        )
+        .select(
+            "o_year",
+            "total_volume",
+            "nation_volume",
+            F.round(F.col("nation_volume") / F.col("total_volume"), 6).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "product_profit_q9",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           year(o.o_orderdate) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                    - CAST(l.l_quantity AS DECIMAL(18,2))
+                      * CAST(p.p_retailprice AS DECIMAL(18,2))
+                      * CAST(0.6 AS DECIMAL(3,1)))
+                AS DOUBLE) AS profit,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    WHERE contains(p.p_name, 'green') OR contains(p.p_name, 'red')
+    GROUP BY 1, 2 ORDER BY supp_nation, o_year
+    """,
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on color-named product lines by supplier
+    nation and order year. The reference's ps_supplycost column does
+    not exist in the reduced schema, so unit cost is modeled as 60% of
+    p_retailprice (documented adaptation — the SHAPE under test is the
+    name-substring dim filter + two-fact join + role-playing
+    nation/year rollup, not the cost constant). Profit accumulates in
+    DECIMAL — both terms are exact 2-dp money × exact small factors —
+    so per-cell sums are order-independent across engines. part/
+    supplier/nation broadcast; lineitem ⋈ orders on orderkey is the
+    only big shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            F.col("p_name").contains("green") | F.col("p_name").contains("red")
+        )
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation")
+    )
+    profit_term = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        1 - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.col("l_quantity").cast("decimal(18,2)") * F.col(
+        "p_retailprice"
+    ).cast("decimal(18,2)") * F.lit(0.6).cast("decimal(3,1)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("sk"))
+        .groupBy(
+            "supp_nation", F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            F.sum(profit_term).cast("double").alias("profit"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "o_year")
+    )
+
+
+@register(
+    "returned_item_customers_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(4,2))))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_returned
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most value in a half-year
+    window — the returned-item reporting top-k. Both date conjuncts
+    push into the orders scan and the returnflag into lineitem's
+    BEFORE the orderkey shuffle; customer/nation broadcast onto the
+    aggregate. Revenue in exact DECIMAL then double; deterministic
+    (revenue DESC, custkey) top-20 → TakeOrderedAndProject, never a
+    global sort."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_returned"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "shipping_buckets_priority_q12",
+    oracle="""
+    WITH lat AS (
+        SELECT CASE
+                   WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                       THEN 'FAST'
+                   WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+                       THEN 'NORMAL'
+                   ELSE 'SLOW'
+               END AS ship_bucket,
+               o.o_orderpriority AS pri
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT ship_bucket,
+           CAST(SUM(CASE WHEN pri IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN pri NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lat GROUP BY 1 ORDER BY ship_bucket
+    """,
+)
+def q_shipping_buckets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: were urgent orders actually shipped faster? The
+    reduced schema has no l_shipmode, so the grouping key is a derived
+    ship-latency bucket (FAST ≤30d / NORMAL ≤60d / SLOW — the same
+    cross-table date arithmetic Q12 applies to commit/receipt dates),
+    keeping the signature dual conditional counts (urgent-vs-not CASE
+    sums in one pass). One orderkey shuffle; 3-row result."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    bucket = (
+        F.when(
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+            "FAST",
+        )
+        .when(
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+            "NORMAL",
+        )
+        .otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.select(bucket.alias("ship_bucket"), "o_orderpriority")
+        .groupBy("ship_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("ship_bucket")
+    )
+
+
+@register(
+    "large_volume_customers_q18",
+    oracle="""
+    WITH oq AS (
+        SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+        FROM lineitem GROUP BY 1
+    ),
+    thr AS (SELECT 2.0 * AVG(sum_qty) AS t FROM oq)
+    SELECT c.c_custkey, o.o_orderkey,
+           epoch_us(o.o_orderdate) AS orderdate_us,
+           ROUND(o.o_totalprice, 4) AS o_totalprice,
+           ROUND(oq.sum_qty, 4) AS sum_qty
+    FROM oq
+    JOIN orders o   ON o.o_orderkey = oq.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE oq.sum_qty > (SELECT t FROM thr)
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: the biggest single orders by total quantity — the
+    HAVING-over-a-fact-self-aggregate shape. The reference's fixed
+    `> 300` cutoff is replaced by a SCALE-FREE threshold (2× the mean
+    per-order quantity ≈ p95 at every SF — the memory'd rule that
+    fixed cutoffs go degenerate as cardinality grows). Quantities are
+    integer-valued doubles so the per-order SUM is exact in both
+    engines and the strict threshold cannot flip. One orderkey
+    aggregate, the scalar threshold broadcasts, customers broadcast,
+    deterministic top-100 → TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    oq = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("sum_qty"))
+    thr = oq.agg((2.0 * F.avg("sum_qty")).alias("t"))
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        oq.crossJoin(F.broadcast(thr))
+        .filter(F.col("sum_qty") > F.col("t"))
+        .join(o, oq.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.round("sum_qty", 4).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "part_promotion_suppliers_q20",
+    oracle="""
+    WITH red_parts AS (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    shipped AS (
+        SELECT l.l_partkey, l.l_suppkey, SUM(l.l_quantity) AS qty
+        FROM lineitem l
+        JOIN red_parts rp ON rp.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2
+    ),
+    part_tot AS (
+        SELECT l_partkey, SUM(qty) AS tot FROM shipped GROUP BY 1
+    ),
+    dominant AS (
+        SELECT DISTINCT s.l_suppkey
+        FROM shipped s JOIN part_tot pt ON pt.l_partkey = s.l_partkey
+        WHERE s.qty > 0.5 * pt.tot
+    )
+    SELECT sp.s_suppkey, sp.s_name, n.n_name
+    FROM supplier sp
+    JOIN dominant d ON d.l_suppkey = sp.s_suppkey
+    JOIN nation n ON n.n_nationkey = sp.s_nationkey
+    ORDER BY s_suppkey
+    """,
+)
+def q_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers positioned for a 'red'-part promotion
+    — the nested-IN-subquery chain (parts by name prefix → per-
+    (part, supplier) shipped quantity vs a correlated per-part
+    aggregate → distinct suppliers → dim join). The reference's
+    partsupp.ps_availqty does not exist, so the correlated `availqty >
+    0.5 × shipped` test becomes `supplier's shipped share > 0.5 of the
+    part's 1996 total` — same decorrelation: aggregate twice on the
+    same frame, join back, semi-reduce. Name-prefix filter pushes to
+    the part scan as a StartsWith; quantities integer-exact so the
+    share comparison cannot flip."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("red"))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    part_tot = shipped.groupBy("l_partkey").agg(F.sum("qty").alias("tot"))
+    dominant = (
+        shipped.join(part_tot, "l_partkey")
+        .filter(F.col("qty") > 0.5 * F.col("tot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    sp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sp.join(dominant, sp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), sp.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "waiting_suppliers_q21",
+    oracle="""
+    WITH late AS (
+        SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    ),
+    all_supp AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    )
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM all_supp l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+    )
+    GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21: suppliers who were the SOLE late shipper on finished
+    multi-supplier orders — the EXISTS + NOT-EXISTS blame-assignment
+    shape (the hardest decorrelation in the suite: one semi-join for
+    'another supplier participated', one anti-join for 'no other
+    supplier was late'). 'Late' is shipdate > orderdate + 60 days (the
+    reduced schema has no commit/receipt dates — same cross-table
+    lateness predicate as the Q4 twin). The late set is computed ONCE
+    and reused for both the probe and the anti side; order status
+    pushes into the orders scan. Both correlations key on orderkey —
+    three co-partitioned shuffles, supplier dim broadcast, top-20
+    deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_supp = li.select("l_orderkey", "l_suppkey").distinct()
+    l1 = late
+    other_participant = all_supp.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    blamed = (
+        l1.join(
+            other_participant,
+            (l1.l_orderkey == F.col("ok2")) & (l1.l_suppkey != F.col("sk2")),
+            "left_semi",
+        ).join(
+            other_late,
+            (l1.l_orderkey == F.col("ok3")) & (l1.l_suppkey != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
     )
