@@ -7611,7 +7611,10 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   forecast_revenue_change_q6, national_market_share_q8,
 #   product_profit_q9, returned_item_customers_q10,
 #   shipping_buckets_priority_q12, large_volume_customers_q18,
-#   part_promotion_suppliers_q20, waiting_suppliers_q21
+#   part_promotion_suppliers_q20, waiting_suppliers_q21,
+#   kendall_tau_hour_value, weighted_reservoir_orders,
+#   stl_lite_variance_split, zorder_pruning_audit,
+#   compaction_binpack_plan, fp_growth_brand_itemsets
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -13836,4 +13839,502 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 fifth wave: rank-correlation on contingency margins, weighted
+# reservoir sampling, an STL-lite variance decomposition, physical-layout
+# analytics (z-order zone-map pruning, compaction bin-packing), and
+# MLlib parallel FP-growth — each with a DuckDB twin.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kendall_tau_hour_value",
+    oracle="""
+    WITH cells AS (
+        SELECT hour(ts) AS x,
+               LEAST(9, CAST(FLOOR(value / 50.0) AS INT)) AS y,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    cd AS (
+        SELECT
+            SUM(CASE WHEN c2.x > c1.x AND c2.y > c1.y
+                     THEN c1.n * c2.n ELSE 0 END) AS conc,
+            SUM(CASE WHEN c2.x > c1.x AND c2.y < c1.y
+                     THEN c1.n * c2.n ELSE 0 END) AS disc
+        FROM cells c1 CROSS JOIN cells c2
+    ),
+    margins AS (
+        SELECT SUM(n) AS n,
+               SUM(n) * (SUM(n) - 1) / 2 AS n0,
+               (SELECT SUM(r * (r - 1) / 2) FROM (
+                   SELECT SUM(n) AS r FROM cells GROUP BY x)) AS n1,
+               (SELECT SUM(c * (c - 1) / 2) FROM (
+                   SELECT SUM(n) AS c FROM cells GROUP BY y)) AS n2
+        FROM cells
+    )
+    SELECT ROUND((conc - disc) / SQRT((n0 - n1) * (n0 - n2)), 6) AS tau_b,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           CAST(n AS BIGINT) AS n
+    FROM cd CROSS JOIN margins
+    """,
+)
+def q_kendall_tau_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between hour-of-day and event
+    value, computed on the BINNED contingency table (24 x 10 cells):
+    concordant/discordant mass comes from a broadcast self-join of the
+    240-cell frame (57k weighted cell pairs, never the O(n^2) row
+    pairs), tie corrections from the margins.  The only fact-sized
+    stage is one groupBy; at 100 TB the pair arithmetic is still 240
+    rows.  Binning makes tau exactly reproducible cross-engine (no
+    float rank ties)."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    cells = (
+        ev.select(
+            F.hour("ts").alias("x"),
+            F.least(F.lit(9), F.floor(F.col("value") / 50.0).cast("int")).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    c2 = cells.select(
+        F.col("x").alias("x2"), F.col("y").alias("y2"), F.col("n").alias("n2")
+    )
+    cd = (
+        cells.crossJoin(F.broadcast(c2))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("x2") > F.col("x")) & (F.col("y2") > F.col("y")),
+                    F.col("n") * F.col("n2"),
+                ).otherwise(F.lit(0.0))
+            ).alias("conc"),
+            F.sum(
+                F.when(
+                    (F.col("x2") > F.col("x")) & (F.col("y2") < F.col("y")),
+                    F.col("n") * F.col("n2"),
+                ).otherwise(F.lit(0.0))
+            ).alias("disc"),
+        )
+    )
+    rx = cells.groupBy("x").agg(F.sum("n").alias("r")).agg(
+        F.sum(F.col("r") * (F.col("r") - 1) / 2).alias("n1")
+    )
+    cy = cells.groupBy("y").agg(F.sum("n").alias("c")).agg(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("n2m")
+    )
+    tot = cells.agg(
+        F.sum("n").alias("n"),
+        (F.sum("n") * (F.sum("n") - 1) / 2).alias("n0"),
+    )
+    return (
+        cd.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(rx))
+        .crossJoin(F.broadcast(cy))
+        .select(
+            F.round(
+                (F.col("conc") - F.col("disc"))
+                / F.sqrt((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n2m"))),
+                6,
+            ).alias("tau_b"),
+            F.col("conc").cast("long").alias("concordant"),
+            F.col("disc").cast("long").alias("discordant"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+@register(
+    "weighted_reservoir_orders",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 2) AS weight,
+           ROUND(LN((((o_orderkey * 1000003 + 7) % 999983) + 1.0) / 999984.0)
+                 / o_totalprice, 9) AS es_key
+    FROM orders
+    ORDER BY LN((((o_orderkey * 1000003 + 7) % 999983) + 1.0) / 999984.0)
+             / o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def q_weighted_reservoir_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis): each row gets key u^(1/w) — equivalently
+    ln(u)/w, monotone and overflow-safe — with u a deterministic
+    affine-hash uniform (the engine-independent seed convention from
+    ml/split.py) and w = o_totalprice; the k largest keys ARE an exact
+    weighted sample.  One TakeOrderedAndProject top-k per partition +
+    driver merge of 20-row heads — no global sort, no collect; the
+    same plan samples 20 of 10^11 rows.  This is the scalable primitive
+    behind quality-weighted corpus subsampling."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    u = (((F.col("o_orderkey") * 1000003 + 7) % 999983) + 1.0) / 999984.0
+    key = F.log(u) / F.col("o_totalprice")
+    return (
+        o.select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("weight"),
+            key.alias("__k"),
+        )
+        .orderBy(F.desc("__k"), "o_orderkey")
+        .limit(20)
+        .select("o_orderkey", "weight", F.round("__k", 9).alias("es_key"))
+    )
+
+
+@register(
+    "stl_lite_variance_split",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               isodow(o_orderdate) - 1 AS dow,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    tr AS (
+        SELECT d, dow, rev,
+               AVG(rev) OVER (ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+        FROM daily
+    ),
+    se AS (
+        SELECT tr.*, AVG(rev - trend) OVER (PARTITION BY dow) AS seasonal
+        FROM tr
+    ),
+    comp AS (
+        SELECT var_pop(trend) AS v_trend,
+               var_pop(seasonal) AS v_seasonal,
+               var_pop(rev - trend - seasonal) AS v_remainder,
+               var_pop(rev) AS v_total
+        FROM se
+    )
+    SELECT component, ROUND(v, 2) AS variance,
+           ROUND(v / v_total, 6) AS share
+    FROM (
+        SELECT 'trend' AS component, v_trend AS v, v_total FROM comp
+        UNION ALL
+        SELECT 'seasonal', v_seasonal, v_total FROM comp
+        UNION ALL
+        SELECT 'remainder', v_remainder, v_total FROM comp
+    )
+    ORDER BY component
+    """,
+)
+def q_stl_lite_variance_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition of daily revenue — trend via a centered
+    7-day moving average, seasonality as the day-of-week mean of the
+    detrended series, remainder as what's left — reported as a variance
+    split (how much of daily variance is trend vs weekly cycle vs
+    noise).  The fact table collapses to one row per DAY first; every
+    window after that runs on the bounded daily frame (365 rows per
+    year regardless of SF), which the plan lint recognizes as
+    aggregate-bounded."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = (
+        o.groupBy(
+            F.to_date("o_orderdate").alias("d"),
+            F.weekday("o_orderdate").alias("dow"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w_ma = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = daily.withColumn("trend", F.avg("rev").over(w_ma))
+    se = tr.withColumn(
+        "seasonal",
+        F.avg(F.col("rev") - F.col("trend")).over(Window.partitionBy("dow")),
+    )
+    comp = se.agg(
+        F.var_pop("trend").alias("v_trend"),
+        F.var_pop("seasonal").alias("v_seasonal"),
+        F.var_pop(F.col("rev") - F.col("trend") - F.col("seasonal")).alias(
+            "v_remainder"
+        ),
+        F.var_pop("rev").alias("v_total"),
+    )
+    parts = []
+    for name, col in [
+        ("trend", "v_trend"),
+        ("seasonal", "v_seasonal"),
+        ("remainder", "v_remainder"),
+    ]:
+        parts.append(
+            comp.select(
+                F.lit(name).alias("component"),
+                F.round(F.col(col), 2).alias("variance"),
+                F.round(F.col(col) / F.col("v_total"), 6).alias("share"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("component")
+
+
+@register(
+    "zorder_pruning_audit",
+    oracle="""
+    WITH mx AS (SELECT MAX(event_id) AS m FROM events),
+    b AS (
+        SELECT event_id,
+               LEAST(15, CAST(FLOOR(value / 31.0) AS INT)) AS bx,
+               CAST(FLOOR(hour(ts) * 2 / 3.0) AS INT) AS by
+        FROM events
+    ),
+    z AS (
+        SELECT event_id, bx, by,
+               (((bx >> 0) & 1) << 1) | (((by >> 0) & 1) << 0)
+             | (((bx >> 1) & 1) << 3) | (((by >> 1) & 1) << 2)
+             | (((bx >> 2) & 1) << 5) | (((by >> 2) & 1) << 4)
+             | (((bx >> 3) & 1) << 7) | (((by >> 3) & 1) << 6) AS zv
+        FROM b
+    ),
+    sharded AS (
+        SELECT bx, by,
+               CAST(FLOOR(event_id * 64.0 / (mx.m + 1)) AS INT) AS nat_shard,
+               zv // 4 AS z_shard
+        FROM z CROSS JOIN mx
+    ),
+    audit AS (
+        SELECT 'natural' AS layout, nat_shard AS shard,
+               MIN(bx) AS lo_x, MAX(bx) AS hi_x,
+               MIN(by) AS lo_y, MAX(by) AS hi_y,
+               COUNT(*) AS rows_in
+        FROM sharded GROUP BY 1, 2
+        UNION ALL
+        SELECT 'zorder', z_shard,
+               MIN(bx), MAX(bx), MIN(by), MAX(by), COUNT(*)
+        FROM sharded GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_shards,
+           CAST(SUM(CASE WHEN hi_x < 3 OR lo_x > 6
+                          OR hi_y < 5 OR lo_y > 8
+                    THEN 1 ELSE 0 END) AS BIGINT) AS shards_pruned,
+           CAST(SUM(CASE WHEN hi_x < 3 OR lo_x > 6
+                          OR hi_y < 5 OR lo_y > 8
+                    THEN 0 ELSE rows_in END) AS BIGINT) AS rows_scanned,
+           ROUND(SUM(CASE WHEN hi_x < 3 OR lo_x > 6
+                           OR hi_y < 5 OR lo_y > 8
+                     THEN 0 ELSE rows_in END) * 1.0 / SUM(rows_in), 6)
+               AS scan_frac
+    FROM audit GROUP BY layout ORDER BY layout
+    """,
+)
+def q_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-layout advisor: would Z-ORDERING this table beat its
+    natural (ingest-order) layout for 2-D predicates?  Each event gets
+    a 4-bit value bin and a 4-bit hour bin; the 8-bit Morton interleave
+    defines 64 z-range shards vs 64 ingest-range shards.  Per shard we
+    keep parquet-style zone maps (min/max of both bins) and replay the
+    rectangle predicate value in [100,200) x hour in [8,14): a shard is
+    skipped iff its zone map is disjoint from the rectangle.  Output =
+    shards pruned + rows actually scanned per layout — the measured
+    case for a z-order rewrite.  Pure scan + two groupBys; the shard
+    assignment needs only a broadcast MAX scalar, never a global
+    sort."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    b = ev.select(
+        "event_id",
+        F.least(F.lit(15), F.floor(F.col("value") / 31.0).cast("int")).alias("bx"),
+        F.floor(F.hour("ts") * 2 / 3.0).cast("int").alias("by"),
+    )
+    z = b.withColumn(
+        "zv",
+        F.expr(
+            "(((bx >> 0) & 1) << 1) | (((by >> 0) & 1) << 0)"
+            " | (((bx >> 1) & 1) << 3) | (((by >> 1) & 1) << 2)"
+            " | (((bx >> 2) & 1) << 5) | (((by >> 2) & 1) << 4)"
+            " | (((bx >> 3) & 1) << 7) | (((by >> 3) & 1) << 6)"
+        ),
+    )
+    mx = ev.agg(F.max("event_id").alias("m"))
+    sharded = z.crossJoin(F.broadcast(mx)).select(
+        "bx",
+        "by",
+        F.floor(F.col("event_id") * 64.0 / (F.col("m") + 1)).cast("int").alias(
+            "nat_shard"
+        ),
+        (F.col("zv") / F.lit(4)).cast("int").alias("z_shard"),
+    )
+    def zone_maps(df: DataFrame, layout: str, shard_col: str) -> DataFrame:
+        return (
+            df.groupBy(F.col(shard_col).alias("shard"))
+            .agg(
+                F.min("bx").alias("lo_x"),
+                F.max("bx").alias("hi_x"),
+                F.min("by").alias("lo_y"),
+                F.max("by").alias("hi_y"),
+                F.count(F.lit(1)).alias("rows_in"),
+            )
+            .withColumn("layout", F.lit(layout))
+        )
+    audit = zone_maps(sharded, "natural", "nat_shard").unionByName(
+        zone_maps(sharded, "zorder", "z_shard")
+    )
+    pruned = (
+        (F.col("hi_x") < 3)
+        | (F.col("lo_x") > 6)
+        | (F.col("hi_y") < 5)
+        | (F.col("lo_y") > 8)
+    )
+    return (
+        audit.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shards"),
+            F.sum(F.when(pruned, 1).otherwise(0)).cast("long").alias(
+                "shards_pruned"
+            ),
+            F.sum(F.when(pruned, 0).otherwise(F.col("rows_in")))
+            .cast("long")
+            .alias("rows_scanned"),
+            F.round(
+                F.sum(F.when(pruned, 0).otherwise(F.col("rows_in")))
+                / F.sum("rows_in"),
+                6,
+            ).alias("scan_frac"),
+        )
+        .orderBy("layout")
+    )
+
+
+@register(
+    "compaction_binpack_plan",
+    oracle="""
+    WITH tot AS (
+        SELECT source, CEIL(SUM(n_chars) / 8.0) AS target
+        FROM documents GROUP BY source
+    ),
+    offs AS (
+        SELECT d.source, d.n_chars, t.target,
+               COALESCE(SUM(d.n_chars) OVER (
+                   PARTITION BY d.source ORDER BY d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS off
+        FROM documents d JOIN tot t USING (source)
+    ),
+    files AS (
+        SELECT source, target,
+               CAST(FLOOR(off / target) AS INT) AS file_id,
+               SUM(n_chars) AS file_chars,
+               COUNT(*) AS n_docs
+        FROM offs GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(MAX(n_docs) AS BIGINT) AS max_docs_per_file,
+           CAST(MAX(file_chars) AS BIGINT) AS max_file_chars,
+           ROUND(AVG(file_chars / target), 6) AS avg_fill
+    FROM files GROUP BY source ORDER BY source
+    """,
+)
+def q_compaction_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner: pack each source's documents
+    into ~equal byte-budget output files by STREAMING next-fit — a doc
+    goes to file floor(start_offset / target) where the start offset is
+    a per-source prefix sum in doc_id order.  The plan reports files
+    produced, worst doc count, worst overshoot and mean fill per
+    source.  The prefix sum is per-source PARTITIONED (no global
+    window); target is scale-free (total/8) so the plan stays
+    non-degenerate at every SF — exactly the maintenance job an
+    iceberg/delta compactor runs over 100 TB of write-amplified
+    shards."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    tot = docs.groupBy("source").agg(
+        F.ceil(F.sum("n_chars") / 8.0).alias("target")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        docs.join(F.broadcast(tot), "source")
+        .withColumn("off", F.coalesce(F.sum("n_chars").over(w), F.lit(0)))
+    )
+    files = (
+        offs.groupBy(
+            "source",
+            "target",
+            F.floor(F.col("off") / F.col("target")).cast("int").alias("file_id"),
+        )
+        .agg(
+            F.sum("n_chars").alias("file_chars"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    return (
+        files.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.max("n_docs").cast("long").alias("max_docs_per_file"),
+            F.max("file_chars").cast("long").alias("max_file_chars"),
+            F.round(F.avg(F.col("file_chars") / F.col("target")), 6).alias(
+                "avg_fill"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "fp_growth_brand_itemsets",
+    oracle="""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    nb AS (SELECT COUNT(DISTINCT okey) AS n FROM basket),
+    singles AS (
+        SELECT brand AS itemset, COUNT(*) AS freq FROM basket GROUP BY 1
+    ),
+    pairs AS (
+        SELECT b1.brand || ',' || b2.brand AS itemset, COUNT(*) AS freq
+        FROM basket b1 JOIN basket b2
+          ON b1.okey = b2.okey AND b1.brand < b2.brand
+        GROUP BY 1
+    ),
+    uni AS (
+        SELECT * FROM singles UNION ALL SELECT * FROM pairs
+    )
+    SELECT itemset, CAST(freq AS BIGINT) AS freq
+    FROM uni CROSS JOIN nb
+    WHERE freq >= CEIL(0.01 * n)
+    ORDER BY itemset
+    """,
+)
+def q_fp_growth_brand_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent brand itemsets per order via MLlib's PARALLEL FP-growth
+    (PFP: group-dependent transaction projection, one conditional
+    FP-tree per partition — no candidate generation, scales to
+    billions of baskets).  minSupport=1%; at that support and ~4 items
+    per basket no itemset of size >= 3 survives (pairwise co-occurrence
+    tops out ~2%), so the k<=2 filter makes the frame complete AND
+    exactly enumerable by the SQL twin (singles + a self-join for
+    pairs).  Items are array_sort-ed then joined so the itemset label
+    is deterministic."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_brand")).alias("items"))
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=0.01, minConfidence=0.5
+    ).fit(basket)
+    return (
+        model.freqItemsets.filter(F.size("items") <= 2)
+        .select(
+            F.array_join(F.array_sort("items"), ",").alias("itemset"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+        .orderBy("itemset")
     )
