@@ -7614,7 +7614,9 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   part_promotion_suppliers_q20, waiting_suppliers_q21,
 #   kendall_tau_hour_value, weighted_reservoir_orders,
 #   stl_lite_variance_split, zorder_pruning_audit,
-#   compaction_binpack_plan, fp_growth_brand_itemsets
+#   compaction_binpack_plan, fp_growth_brand_itemsets,
+#   brier_decomposition, mutual_information_type_hour,
+#   aqp_revenue_estimate, encoding_advisor_events, k_anonymity_audit
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -14337,4 +14339,415 @@ def q_fp_growth_brand_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("freq").cast("long").alias("freq"),
         )
         .orderBy("itemset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 sixth wave: forecast-quality decomposition, information theory,
+# approximate query processing with error bars, a storage-encoding
+# advisor, and a k-anonymity / l-diversity governance audit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brier_decomposition",
+    oracle="""
+    WITH p AS (
+        SELECT LEAST(9, CAST(FLOOR(
+                   10.0 / (1.0 + EXP(-(value - 50.0) / 25.0))) AS INT)) AS b,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    bins AS (
+        SELECT b, COUNT(*) AS nk, AVG(y) AS ok FROM p GROUP BY b
+    ),
+    tot AS (SELECT SUM(nk) AS n, SUM(nk * ok) / SUM(nk) AS obar FROM bins),
+    binpred AS (
+        SELECT SUM(nk * ok * (1 - ok)) / MAX(n) AS withinvar,
+               SUM(nk * (ok - obar) * (ok - obar)) / MAX(n) AS res,
+               MAX(obar) * (1 - MAX(obar)) AS unc,
+               MAX(n) AS n
+        FROM bins CROSS JOIN tot
+    )
+    SELECT ROUND(withinvar, 6) AS brier_binned,
+           ROUND(res, 6) AS resolution,
+           ROUND(unc, 6) AS uncertainty,
+           ROUND(unc - res, 6) AS brier_check,
+           CAST(n AS BIGINT) AS n
+    FROM binpred
+    """,
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score for the binned logistic
+    forecast p = sigma((value-50)/25) of the purchase label.  Using the
+    bin-mean event rate as the (recalibrated) forecast, reliability is
+    exactly 0 and Brier = uncertainty - resolution = the within-bin
+    Bernoulli variance — both identities reported so the oracle checks
+    the algebra, not just one number.  One scan to 10 bin rows; all
+    decomposition arithmetic happens on the 10-row frame."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("value") - F.lit(50.0)) / F.lit(25.0))
+    )
+    rows = ev.select(
+        F.least(F.lit(9), F.floor(p * 10.0).cast("int")).alias("b"),
+        (F.col("event_type") == "purchase").cast("double").alias("y"),
+    )
+    bins = rows.groupBy("b").agg(
+        F.count(F.lit(1)).alias("nk"), F.avg("y").alias("ok")
+    )
+    tot = bins.agg(
+        F.sum("nk").alias("n"),
+        (F.sum(F.col("nk") * F.col("ok")) / F.sum("nk")).alias("obar"),
+    )
+    out = bins.crossJoin(F.broadcast(tot)).agg(
+        (F.sum(F.col("nk") * F.col("ok") * (1 - F.col("ok"))) / F.max("n")).alias(
+            "withinvar"
+        ),
+        (
+            F.sum(F.col("nk") * (F.col("ok") - F.col("obar")) ** 2) / F.max("n")
+        ).alias("res"),
+        (F.max("obar") * (1 - F.max("obar"))).alias("unc"),
+        F.max("n").alias("n"),
+    )
+    return out.select(
+        F.round("withinvar", 6).alias("brier_binned"),
+        F.round("res", 6).alias("resolution"),
+        F.round("unc", 6).alias("uncertainty"),
+        F.round(F.col("unc") - F.col("res"), 6).alias("brier_check"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+@register(
+    "mutual_information_type_hour",
+    oracle="""
+    WITH joint AS (
+        SELECT event_type AS x, hour(ts) AS y,
+               CAST(COUNT(*) AS DOUBLE) AS nxy
+        FROM events GROUP BY 1, 2
+    ),
+    n AS (SELECT SUM(nxy) AS n FROM joint),
+    mx AS (SELECT x, SUM(nxy) AS nx FROM joint GROUP BY x),
+    my AS (SELECT y, SUM(nxy) AS ny FROM joint GROUP BY y),
+    mi AS (
+        SELECT SUM(nxy / n.n * LN(nxy * n.n / (nx * ny))) AS mi
+        FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN n
+    ),
+    hx AS (SELECT -SUM(nx / n.n * LN(nx / n.n)) AS hx FROM mx CROSS JOIN n),
+    hy AS (SELECT -SUM(ny / n.n * LN(ny / n.n)) AS hy FROM my CROSS JOIN n)
+    SELECT ROUND(mi, 6) AS mi_nats,
+           ROUND(mi / SQRT(hx * hy), 6) AS nmi,
+           ROUND(hx, 6) AS h_type,
+           ROUND(hy, 6) AS h_hour,
+           CAST((SELECT n FROM n) AS BIGINT) AS n
+    FROM mi CROSS JOIN hx CROSS JOIN hy
+    """,
+)
+def q_mutual_information_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) and normalized MI between event_type
+    and hour-of-day — the model-free dependence measure feature
+    selection ranks by.  One fact groupBy builds the joint; margins and
+    entropies are aggregates OF the cell frame (|types| x 24 rows), so
+    everything after the first shuffle is contingency-bounded no matter
+    the fact size."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    joint = (
+        ev.select(F.col("event_type").alias("x"), F.hour("ts").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("double").alias("nxy"))
+    )
+    n = joint.agg(F.sum("nxy").alias("n"))
+    mx = joint.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    my = joint.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    cells = (
+        joint.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+    )
+    mi = cells.agg(
+        F.sum(
+            F.col("nxy") / F.col("n") * F.log(F.col("nxy") * F.col("n") / (F.col("nx") * F.col("ny")))
+        ).alias("mi")
+    )
+    hx = mx.crossJoin(F.broadcast(n)).agg(
+        (-F.sum(F.col("nx") / F.col("n") * F.log(F.col("nx") / F.col("n")))).alias("hx")
+    )
+    hy = my.crossJoin(F.broadcast(n)).agg(
+        (-F.sum(F.col("ny") / F.col("n") * F.log(F.col("ny") / F.col("n")))).alias("hy")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round("mi", 6).alias("mi_nats"),
+            F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias("nmi"),
+            F.round("hx", 6).alias("h_type"),
+            F.round("hy", 6).alias("h_hour"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+@register(
+    "aqp_revenue_estimate",
+    oracle="""
+    WITH t AS (
+        SELECT l_returnflag,
+               l_extendedprice * (1 - l_discount) AS x,
+               ((((l_orderkey * 8 + l_linenumber) * 1000003 + 7) % 999983)
+                * 40503) % 999983 AS h
+        FROM lineitem
+    ),
+    exact AS (
+        SELECT l_returnflag, SUM(x) AS exact_sum FROM t GROUP BY 1
+    ),
+    samp AS (
+        SELECT l_returnflag,
+               10.0 * SUM(x) AS est_sum,
+               SQRT(90.0 * SUM(x * x)) AS se,
+               COUNT(*) AS n_samp
+        FROM t WHERE h % 10 = 0 GROUP BY 1
+    )
+    SELECT l_returnflag,
+           ROUND(exact_sum, 2) AS exact_sum,
+           ROUND(est_sum, 2) AS est_sum,
+           ROUND(ABS(est_sum - exact_sum) / exact_sum, 6) AS rel_err,
+           ROUND(se, 2) AS se,
+           CAST(n_samp AS BIGINT) AS n_samp,
+           CASE WHEN ABS(est_sum - exact_sum) <= 3 * se
+                THEN 'ok' ELSE 'outside_3se' END AS audit
+    FROM exact JOIN samp USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+)
+def q_aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing with error bars: a deterministic
+    10% Bernoulli sample (affine-mod-prime-then-remultiplied row hash,
+    the ml/split.py convention — a purely affine hash leaves the low
+    digit constant on dense ids; every engine draws the SAME sample)
+    estimates revenue per returnflag by Horvitz-Thompson
+    scale-up (1/f), with the HT standard error sqrt((1-f)/f^2 * sum
+    x^2) estimated FROM the sample, then audits the estimate against
+    the exact answer (|err| <= 3*se).  The pattern that answers a
+    100 TB dashboard query from a 10 TB sample with a guarantee; here
+    both passes share one scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("x"),
+        (
+            (
+                ((F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 1000003 + 7)
+                % 999983
+            )
+            * 40503
+            % 999983
+        ).alias("h"),
+    )
+    exact = li.groupBy("l_returnflag").agg(F.sum("x").alias("exact_sum"))
+    samp = (
+        li.filter(F.col("h") % 10 == 0)
+        .groupBy("l_returnflag")
+        .agg(
+            (10.0 * F.sum("x")).alias("est_sum"),
+            F.sqrt(90.0 * F.sum(F.col("x") * F.col("x"))).alias("se"),
+            F.count(F.lit(1)).alias("n_samp"),
+        )
+    )
+    return (
+        exact.join(samp, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round("exact_sum", 2).alias("exact_sum"),
+            F.round("est_sum", 2).alias("est_sum"),
+            F.round(
+                F.abs(F.col("est_sum") - F.col("exact_sum")) / F.col("exact_sum"), 6
+            ).alias("rel_err"),
+            F.round("se", 2).alias("se"),
+            F.col("n_samp").cast("long").alias("n_samp"),
+            F.when(
+                F.abs(F.col("est_sum") - F.col("exact_sum")) <= 3 * F.col("se"),
+                F.lit("ok"),
+            )
+            .otherwise(F.lit("outside_3se"))
+            .alias("audit"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "encoding_advisor_events",
+    oracle="""
+    WITH cols AS (
+        SELECT user_id, event_id, event_type AS c, 'event_type' AS col_name
+        FROM events
+        UNION ALL
+        SELECT user_id, event_id, CAST(hour(ts) AS VARCHAR), 'hour'
+        FROM events
+        UNION ALL
+        SELECT user_id, event_id,
+               CAST(CAST(FLOOR(value / 10.0) AS INT) AS VARCHAR), 'value_bin'
+        FROM events WHERE value IS NOT NULL
+    ),
+    adj AS (
+        SELECT col_name, c,
+               LAG(c) OVER (PARTITION BY col_name, user_id
+                            ORDER BY event_id) AS prev
+        FROM cols
+    ),
+    stats AS (
+        SELECT col_name,
+               COUNT(*) AS n,
+               COUNT(DISTINCT c) AS ndv,
+               SUM(CASE WHEN c = prev THEN 1 ELSE 0 END) * 1.0
+                   / SUM(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
+                   AS adj_repeat
+        FROM adj GROUP BY 1
+    ),
+    top1 AS (
+        SELECT col_name, MAX(cnt) * 1.0 / SUM(cnt) AS top1_share
+        FROM (SELECT col_name, c, COUNT(*) AS cnt FROM cols GROUP BY 1, 2)
+        GROUP BY 1
+    )
+    SELECT s.col_name,
+           CAST(ndv AS BIGINT) AS ndv,
+           ROUND(top1_share, 6) AS top1_share,
+           ROUND(adj_repeat, 6) AS adj_repeat,
+           CASE WHEN adj_repeat >= 0.3 THEN 'rle'
+                WHEN ndv <= 100 THEN 'dictionary'
+                ELSE 'plain' END AS encoding
+    FROM stats s JOIN top1 USING (col_name)
+    ORDER BY col_name
+    """,
+)
+def q_encoding_advisor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-encoding advisor: for each candidate column, measure the
+    three quantities a parquet writer's encoder cares about — NDV
+    (dictionary viability), the heaviest value's share (skew), and the
+    adjacent-repeat rate in write order (RLE viability, computed
+    per-user-PARTITIONED so no global sort) — and emit a
+    dictionary/RLE/plain recommendation.  At 100 TB this audit is the
+    difference between a 3x and a 10x compression ratio; every stage is
+    one shuffle on (col, value) or (col, user)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts", "value"
+    )
+    cols = (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.col("event_type").alias("c"),
+            F.lit("event_type").alias("col_name"),
+        )
+        .unionByName(
+            ev.select(
+                "user_id",
+                "event_id",
+                F.hour("ts").cast("string").alias("c"),
+                F.lit("hour").alias("col_name"),
+            )
+        )
+        .unionByName(
+            ev.filter(F.col("value").isNotNull()).select(
+                "user_id",
+                "event_id",
+                F.floor(F.col("value") / 10.0).cast("int").cast("string").alias("c"),
+                F.lit("value_bin").alias("col_name"),
+            )
+        )
+    )
+    w = Window.partitionBy("col_name", "user_id").orderBy("event_id")
+    adj = cols.withColumn("prev", F.lag("c").over(w))
+    stats = adj.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("c").alias("ndv"),
+        (
+            F.sum(F.when(F.col("c") == F.col("prev"), 1).otherwise(0))
+            / F.sum(F.when(F.col("prev").isNotNull(), 1).otherwise(0))
+        ).alias("adj_repeat"),
+    )
+    top1 = (
+        cols.groupBy("col_name", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("col_name")
+        .agg((F.max("cnt") / F.sum("cnt")).alias("top1_share"))
+    )
+    return (
+        stats.join(top1, "col_name")
+        .select(
+            "col_name",
+            F.col("ndv").cast("long").alias("ndv"),
+            F.round("top1_share", 6).alias("top1_share"),
+            F.round("adj_repeat", 6).alias("adj_repeat"),
+            F.when(F.col("adj_repeat") >= 0.3, F.lit("rle"))
+            .when(F.col("ndv") <= 100, F.lit("dictionary"))
+            .otherwise(F.lit("plain"))
+            .alias("encoding"),
+        )
+        .orderBy("col_name")
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+        SELECT event_type, hour(ts) AS hr,
+               LEAST(9, CAST(FLOOR(value / 50.0) AS INT)) AS vb,
+               user_id
+        FROM events WHERE value IS NOT NULL
+    ),
+    grp AS (
+        SELECT event_type, hr, vb,
+               COUNT(*) AS k, COUNT(DISTINCT user_id) AS l
+        FROM qi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           ROUND(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) * 1.0 / SUM(k), 6)
+               AS frac_rows_k_lt_5,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           ROUND(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) * 1.0 / SUM(k), 6)
+               AS frac_rows_l_lt_3
+    FROM grp
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit before a data release: treating
+    (event_type, hour, value-bin) as the quasi-identifier, report
+    k-anonymity (smallest equivalence class, share of rows in classes
+    with k<5) and l-diversity of user_id within each class (share of
+    rows whose class exposes fewer than 3 distinct users).  One
+    groupBy to the class frame, one aggregate of it — the standard
+    re-identification risk screen, at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    grp = (
+        ev.select(
+            "event_type",
+            F.hour("ts").alias("hr"),
+            F.least(F.lit(9), F.floor(F.col("value") / 50.0).cast("int")).alias(
+                "vb"
+            ),
+            "user_id",
+        )
+        .groupBy("event_type", "hr", "vb")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct("user_id").alias("l"),
+        )
+    )
+    return grp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.min("k").cast("long").alias("min_k"),
+        F.sum("k").cast("long").alias("n_rows"),
+        F.round(
+            F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)) / F.sum("k"), 6
+        ).alias("frac_rows_k_lt_5"),
+        F.min("l").cast("long").alias("min_l"),
+        F.round(
+            F.sum(F.when(F.col("l") < 3, F.col("k")).otherwise(0)) / F.sum("k"), 6
+        ).alias("frac_rows_l_lt_3"),
     )
