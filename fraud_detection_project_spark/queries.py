@@ -7616,7 +7616,9 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   stl_lite_variance_split, zorder_pruning_audit,
 #   compaction_binpack_plan, fp_growth_brand_itemsets,
 #   brier_decomposition, mutual_information_type_hour,
-#   aqp_revenue_estimate, encoding_advisor_events, k_anonymity_audit
+#   aqp_revenue_estimate, encoding_advisor_events, k_anonymity_audit,
+#   structuring_threshold_audit, user_mix_shift_kl,
+#   bot_periodicity_screen, dp_noisy_counts_by_type
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -14751,3 +14753,299 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("l") < 3, F.col("k")).otherwise(0)) / F.sum("k"), 6
         ).alias("frac_rows_l_lt_3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 seventh wave: fraud-domain screens (the reference repo's home
+# turf — metasebiya/fraud-detection-project engineers velocity/time
+# fraud features; these add the classic rule-based screens it stops
+# short of) plus a differential-privacy release audit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "structuring_threshold_audit",
+    oracle="""
+    WITH th AS (SELECT * FROM (VALUES (100000.0), (200000.0),
+                                      (300000.0), (400000.0)) t(thr)),
+    nearby AS (
+        SELECT thr,
+               SUM(CASE WHEN o_totalprice <  thr THEN 1 ELSE 0 END) AS below,
+               SUM(CASE WHEN o_totalprice >= thr THEN 1 ELSE 0 END) AS above
+        FROM orders CROSS JOIN th
+        WHERE o_totalprice >= thr - 2000 AND o_totalprice < thr + 2000
+        GROUP BY thr
+    )
+    SELECT CAST(thr AS BIGINT) AS threshold,
+           CAST(below AS BIGINT) AS just_below,
+           CAST(above AS BIGINT) AS just_above,
+           ROUND(below * 1.0 / above, 6) AS asymmetry
+    FROM nearby ORDER BY threshold
+    """,
+)
+def q_structuring_threshold_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structuring (smurfing) screen: transactions engineered to dodge
+    a reporting threshold pile up JUST BELOW it, so for each round
+    threshold we compare the +/-2000 bands on either side — an
+    asymmetry well above 1 is the classic AML tell (on this organic
+    testdata it sits near 1, which is the audit's null reading).  The
+    threshold list is a 4-row broadcast; one filtered scan, one 4-row
+    aggregate."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    th = spark.createDataFrame(
+        [(100000.0,), (200000.0,), (300000.0,), (400000.0,)], ["thr"]
+    )
+    return (
+        o.crossJoin(F.broadcast(th))
+        .filter(
+            (F.col("o_totalprice") >= F.col("thr") - 2000)
+            & (F.col("o_totalprice") < F.col("thr") + 2000)
+        )
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") < F.col("thr"), 1).otherwise(0)).alias(
+                "below"
+            ),
+            F.sum(
+                F.when(F.col("o_totalprice") >= F.col("thr"), 1).otherwise(0)
+            ).alias("above"),
+        )
+        .select(
+            F.col("thr").cast("long").alias("threshold"),
+            F.col("below").cast("long").alias("just_below"),
+            F.col("above").cast("long").alias("just_above"),
+            F.round(F.col("below") / F.col("above"), 6).alias("asymmetry"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@register(
+    "user_mix_shift_kl",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS cnt
+        FROM events
+    ),
+    halves AS (
+        SELECT user_id, event_type,
+               CASE WHEN rn * 2 <= cnt THEN 0 ELSE 1 END AS half,
+               COUNT(*) AS c
+        FROM seq GROUP BY 1, 2, 3
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    users AS (
+        SELECT user_id,
+               SUM(CASE WHEN half = 0 THEN c ELSE 0 END) AS n0,
+               SUM(CASE WHEN half = 1 THEN c ELSE 0 END) AS n1
+        FROM halves GROUP BY 1
+    ),
+    k AS (SELECT COUNT(*) AS k FROM types),
+    grid AS (
+        SELECT u.user_id, t.event_type, u.n0, u.n1, k.k,
+               COALESCE(h0.c, 0) AS c0, COALESCE(h1.c, 0) AS c1
+        FROM users u CROSS JOIN types t CROSS JOIN k
+        LEFT JOIN halves h0 ON h0.user_id = u.user_id
+             AND h0.event_type = t.event_type AND h0.half = 0
+        LEFT JOIN halves h1 ON h1.user_id = u.user_id
+             AND h1.event_type = t.event_type AND h1.half = 1
+    ),
+    kl AS (
+        SELECT user_id,
+               SUM((c0 + 1.0) / (n0 + k)
+                   * LN(((c0 + 1.0) / (n0 + k))
+                        / ((c1 + 1.0) / (n1 + k)))) AS kl
+        FROM grid GROUP BY 1
+    )
+    SELECT LEAST(20, CAST(FLOOR(kl * 10) AS INT)) AS kl_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM kl GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_user_mix_shift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-takeover signal: how far does each user's event-type
+    mix DRIFT between the first and second half of their history?
+    Laplace-smoothed KL(first || second) over the global type alphabet,
+    reported as a 0.1-wide histogram (an abrupt regime change — a
+    hijacked account — lands in the fat tail).  The per-user split is
+    a partitioned row_number; the user x type grid joins a broadcast
+    type list, so nothing exceeds |users| x |types| rows."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = Window.partitionBy("user_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    halves = (
+        seq.select(
+            "user_id",
+            "event_type",
+            F.when(F.col("rn") * 2 <= F.col("cnt"), 0).otherwise(1).alias("half"),
+        )
+        .groupBy("user_id", "event_type", "half")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    types = ev.select("event_type").distinct()
+    users = halves.groupBy("user_id").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0)).alias("n1"),
+    )
+    k = types.agg(F.count(F.lit(1)).alias("k"))
+    h0 = halves.filter(F.col("half") == 0).select(
+        "user_id", "event_type", F.col("c").alias("c0")
+    )
+    h1 = halves.filter(F.col("half") == 1).select(
+        "user_id", "event_type", F.col("c").alias("c1")
+    )
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .crossJoin(F.broadcast(k))
+        .join(h0, ["user_id", "event_type"], "left")
+        .join(h1, ["user_id", "event_type"], "left")
+        .select(
+            "user_id",
+            "n0",
+            "n1",
+            "k",
+            F.coalesce("c0", F.lit(0)).alias("c0"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+        )
+    )
+    p0 = (F.col("c0") + 1.0) / (F.col("n0") + F.col("k"))
+    p1 = (F.col("c1") + 1.0) / (F.col("n1") + F.col("k"))
+    kl = grid.groupBy("user_id").agg(F.sum(p0 * F.log(p0 / p1)).alias("kl"))
+    return (
+        kl.groupBy(
+            F.least(F.lit(20), F.floor(F.col("kl") * 10).cast("int")).alias("kl_bin")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("kl_bin")
+    )
+
+
+@register(
+    "bot_periodicity_screen",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id, COUNT(gap) AS n_gaps,
+               AVG(gap) AS mean_gap,
+               stddev_pop(gap) AS sd_gap,
+               stddev_pop(gap) / AVG(gap) AS cv
+        FROM gaps WHERE gap IS NOT NULL
+        GROUP BY 1 HAVING COUNT(gap) >= 10
+    ),
+    cut AS (SELECT quantile_cont(cv, 0.05) AS c5 FROM per_user)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND(MAX(c5), 6) AS cv_p05,
+           CAST(SUM(CASE WHEN cv <= c5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged,
+           ROUND(AVG(cv), 6) AS avg_cv,
+           ROUND(MIN(cv), 6) AS min_cv
+    FROM per_user CROSS JOIN cut
+    """,
+)
+def q_bot_periodicity_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot / scripted-traffic screen: humans are bursty, cron jobs are
+    metronomes.  Per user (>= 10 interarrival gaps) compute the
+    coefficient of variation of the gaps; users in the bottom 5% of CV
+    — the most clock-like — are flagged.  The cutoff is a measured
+    percentile, not a magic constant, so the screen stays
+    non-degenerate at every scale (memory'd scale-free-threshold
+    convention).  One partitioned lag, one per-user aggregate, one
+    exact percentile of the (user-sized) frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 1000").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.select(
+        "user_id", (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.avg("gap").alias("mean_gap"),
+            F.stddev_pop("gap").alias("sd_gap"),
+        )
+        .filter(F.col("n_gaps") >= 10)
+        .withColumn("cv", F.col("sd_gap") / F.col("mean_gap"))
+    )
+    cut = per_user.agg(F.percentile("cv", 0.05).alias("c5"))
+    return per_user.crossJoin(F.broadcast(cut)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.max("c5"), 6).alias("cv_p05"),
+        F.sum(F.when(F.col("cv") <= F.col("c5"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.round(F.avg("cv"), 6).alias("avg_cv"),
+        F.round(F.min("cv"), 6).alias("min_cv"),
+    )
+
+
+@register(
+    "dp_noisy_counts_by_type",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS true_n
+        FROM events GROUP BY 1
+    ),
+    u AS (
+        SELECT event_type, true_n,
+               (((((ascii(substr(event_type, 1, 1)) * 131
+                    + ascii(substr(event_type, 2, 1)) * 31
+                    + length(event_type)) * 1000003 + 7) % 999983)
+                 * 40503) % 999983 + 0.5) / 999983.0 AS u
+        FROM c
+    )
+    SELECT event_type,
+           CAST(true_n AS BIGINT) AS true_count,
+           ROUND(true_n + (CASE WHEN u < 0.5 THEN 1 ELSE -1 END)
+                 * LN(1 - 2 * ABS(u - 0.5)), 4) AS noisy_count,
+           ROUND(ABS((CASE WHEN u < 0.5 THEN 1 ELSE -1 END)
+                 * LN(1 - 2 * ABS(u - 0.5))), 4) AS abs_noise
+    FROM u ORDER BY event_type
+    """,
+)
+def q_dp_noisy_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-type counts: Laplace(1/eps)
+    noise at eps=1 (count sensitivity 1) drawn by INVERSE CDF from a
+    deterministic per-key uniform (char-hash -> affine-mod-prime ->
+    remultiply), so the 'draw' is reproducible across engines and the
+    oracle can check the exact noisy values plus the utility column
+    |noise|.  In production the uniform comes from a real RNG; the
+    pipeline shape — aggregate, then noise the SMALL released frame,
+    never the fact rows — is the part that scales."""
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    c = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("true_n")
+    )
+    # ascii() yields a 32-bit int — widen BEFORE the prime multiply or
+    # the product wraps (silently with ANSI off, an error with it on).
+    charmix = (
+        F.ascii(F.substring("event_type", 1, 1)).cast("long") * 131
+        + F.ascii(F.substring("event_type", 2, 1)).cast("long") * 31
+        + F.length("event_type")
+    )
+    h = (charmix * 1000003 + 7) % 999983 * 40503 % 999983
+    u = (h + 0.5) / 999983.0
+    noise = F.when(u < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0)) * F.log(
+        1 - 2 * F.abs(u - 0.5)
+    )
+    return c.select(
+        "event_type",
+        F.col("true_n").cast("long").alias("true_count"),
+        F.round(F.col("true_n") + noise, 4).alias("noisy_count"),
+        F.round(F.abs(noise), 4).alias("abs_noise"),
+    ).orderBy("event_type")
