@@ -1,0 +1,203 @@
+"""Property tests for the round-6 statistics / layout / sampling waves.
+
+Each test pits the registered query's core kernel against an
+independent brute-force implementation on small data — the same
+strategy `tests/test_properties.py` uses for the window and as-of
+operators.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from fraud_detection_project_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _brute_tau_b(pairs):
+    """Textbook O(n^2) Kendall tau-b over (x, y) tuples."""
+    n = len(pairs)
+    conc = disc = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = pairs[i][0] - pairs[j][0]
+            dy = pairs[i][1] - pairs[j][1]
+            if dx == 0 and dy == 0:
+                continue
+            if dx == 0:
+                tx += 1
+            elif dy == 0:
+                ty += 1
+            elif (dx > 0) == (dy > 0):
+                conc += 1
+            else:
+                disc += 1
+    n0 = n * (n - 1) / 2
+    # ties-in-both pairs count toward NEITHER n1-only nor n2-only in
+    # tau-b's denominator terms; reconstruct n1/n2 from pair classes:
+    # n0 - n1 = conc + disc + ty ; n0 - n2 = conc + disc + tx
+    return (conc - disc) / math.sqrt((conc + disc + ty) * (conc + disc + tx))
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    row = QUERIES["kendall_tau_hour_value"](spark, SF).collect()[0]
+    from fraud_detection_project_spark.catalog import load_table
+
+    pdf = (
+        load_table(spark, SF, "events")
+        .select(
+            F.hour("ts").alias("x"),
+            F.least(F.lit(9), F.floor(F.col("value") / 50.0).cast("int")).alias(
+                "y"
+            ),
+        )
+        .toPandas()
+    )
+    pairs = list(zip(pdf["x"].tolist(), pdf["y"].tolist()))
+    expected = _brute_tau_b(pairs)
+    assert abs(row["tau_b"] - expected) < 1e-4
+    assert row["n"] == len(pairs)
+
+
+def test_weighted_reservoir_matches_bruteforce(spark):
+    from fraud_detection_project_spark.catalog import load_table
+
+    out = QUERIES["weighted_reservoir_orders"](spark, SF).collect()
+    pdf = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).toPandas()
+    scored = []
+    for k, w in zip(pdf["o_orderkey"], pdf["o_totalprice"]):
+        u = (((int(k) * 1000003 + 7) % 999983) + 1.0) / 999984.0
+        scored.append((math.log(u) / w, -int(k)))
+    scored.sort(reverse=True)
+    expected = [-s[1] for s in scored[:20]]
+    assert [r["o_orderkey"] for r in out] == expected
+
+
+def test_zorder_pruned_shards_contain_no_matches(spark):
+    """Soundness of the zone-map audit: a shard the audit counts as
+    pruned must contain ZERO rows matching the rectangle predicate —
+    i.e. rows_scanned is an upper bound on the true match count."""
+    from fraud_detection_project_spark.catalog import load_table
+
+    audit = {
+        r["layout"]: r
+        for r in QUERIES["zorder_pruning_audit"](spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    matches = ev.filter(
+        (F.col("value") >= 100)
+        & (F.col("value") < 200)
+        & (F.hour("ts") >= 8)
+        & (F.hour("ts") < 14)
+    ).count()
+    total = ev.count()
+    for layout, row in audit.items():
+        assert row["rows_scanned"] >= matches, layout
+        assert row["rows_scanned"] <= total, layout
+    # z-ordering must never scan MORE than the audited natural layout
+    # on this rectangle (it co-locates both dimensions).
+    assert audit["zorder"]["rows_scanned"] <= audit["natural"]["rows_scanned"]
+
+
+def test_compaction_files_cover_all_docs(spark):
+    from fraud_detection_project_spark.catalog import load_table
+
+    plan = QUERIES["compaction_binpack_plan"](spark, SF).collect()
+    docs = (
+        load_table(spark, SF, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars"))
+        .collect()
+    )
+    by_src = {r["source"]: r for r in docs}
+    for row in plan:
+        src = by_src[row["source"]]
+        # next-fit by start offset: between 8 and 9 files (a doc that
+        # straddles the last boundary can open file index 8).
+        assert 1 <= row["n_files"] <= 9, row
+        assert row["max_docs_per_file"] <= src["n_docs"]
+        # every file's fill is positive and the max file holds at most
+        # target + one max-doc overshoot.
+        assert row["avg_fill"] > 0
+
+
+def test_fp_growth_pairs_match_manual_counts(spark):
+    from fraud_detection_project_spark.catalog import load_table
+
+    out = QUERIES["fp_growth_brand_itemsets"](spark, SF).collect()
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, SF, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .toPandas()
+    )
+    from collections import defaultdict
+
+    orders = defaultdict(set)
+    for ok, b in zip(basket["l_orderkey"], basket["p_brand"]):
+        orders[ok].add(b)
+    n = len(orders)
+    minc = math.ceil(0.01 * n)
+    singles = defaultdict(int)
+    pairs = defaultdict(int)
+    for items in orders.values():
+        s = sorted(items)
+        for i, a in enumerate(s):
+            singles[a] += 1
+            for b in s[i + 1 :]:
+                pairs[f"{a},{b}"] += 1
+    expected = {k: v for k, v in singles.items() if v >= minc}
+    expected.update({k: v for k, v in pairs.items() if v >= minc})
+    got = {r["itemset"]: r["freq"] for r in out}
+    assert got == expected
+
+
+def test_brier_identity_holds(spark):
+    row = QUERIES["brier_decomposition"](spark, SF).collect()[0]
+    # with the bin-mean forecast, Brier == uncertainty - resolution
+    assert abs(row["brier_binned"] - row["brier_check"]) <= 2e-6
+
+
+def test_mutual_information_bounds(spark):
+    row = QUERIES["mutual_information_type_hour"](spark, SF).collect()[0]
+    assert row["mi_nats"] >= -1e-9
+    assert row["mi_nats"] <= min(row["h_type"], row["h_hour"]) + 1e-6
+    assert 0.0 <= row["nmi"] <= 1.0 + 1e-9
+
+
+def test_aqp_estimate_within_bounds(spark):
+    rows = QUERIES["aqp_revenue_estimate"](spark, SF).collect()
+    assert rows, "sample must be non-empty at sf0.001"
+    for r in rows:
+        assert r["n_samp"] > 0
+        assert r["audit"] in {"ok", "outside_3se"}
+
+
+def test_k_anonymity_consistency(spark):
+    row = QUERIES["k_anonymity_audit"](spark, SF).collect()[0]
+    assert row["min_k"] >= 1
+    assert row["min_l"] >= 1
+    assert row["min_l"] <= row["min_k"]
+    assert 0.0 <= row["frac_rows_k_lt_5"] <= 1.0
+
+
+def test_user_mix_shift_kl_nonnegative_bins(spark):
+    rows = QUERIES["user_mix_shift_kl"](spark, SF).collect()
+    assert all(r["kl_bin"] >= 0 for r in rows)
+    # smoothed KL of a stable user is near 0 — the 0-bin must exist
+    assert any(r["kl_bin"] == 0 for r in rows)
+
+
+def test_dp_noise_is_laplace_shaped(spark):
+    rows = QUERIES["dp_noisy_counts_by_type"](spark, SF).collect()
+    for r in rows:
+        assert abs(r["noisy_count"] - r["true_count"]) - r["abs_noise"] < 1e-3
+        # eps=1, sensitivity 1: |noise| beyond 15 has probability e^-15
+        assert r["abs_noise"] < 15.0
