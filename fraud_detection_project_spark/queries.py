@@ -7618,7 +7618,9 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   brier_decomposition, mutual_information_type_hour,
 #   aqp_revenue_estimate, encoding_advisor_events, k_anonymity_audit,
 #   structuring_threshold_audit, user_mix_shift_kl,
-#   bot_periodicity_screen, dp_noisy_counts_by_type
+#   bot_periodicity_screen, dp_noisy_counts_by_type,
+#   qerror_selectivity_audit, partition_advisor_events,
+#   matryoshka_truncation_fidelity
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -15049,3 +15051,267 @@ def q_dp_noisy_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("true_n") + noise, 4).alias("noisy_count"),
         F.round(F.abs(noise), 4).alias("abs_noise"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round-6 eighth wave: optimizer-facing audits (cardinality-estimation
+# q-error, partition-key advisor) and matryoshka embedding truncation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qerror_selectivity_audit",
+    oracle="""
+    WITH preds AS (
+        SELECT * FROM (VALUES (2.0, 18.0), (10.0, 60.0), (75.0, 130.0),
+                              (140.0, 230.0), (210.0, 320.0)) p(lo, hi)
+    ),
+    stats AS (
+        SELECT COUNT(value) AS n, MIN(value) AS mn, MAX(value) AS mx
+        FROM events WHERE value IS NOT NULL
+    ),
+    hist AS (
+        SELECT LEAST(19, CAST(FLOOR(value / 25.0) AS INT)) AS b,
+               CAST(COUNT(*) AS DOUBLE) AS cnt
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    actual AS (
+        SELECT lo, hi, GREATEST(CAST(COUNT(value) AS DOUBLE), 1.0) AS act
+        FROM preds LEFT JOIN events
+          ON value >= lo AND value < hi
+        GROUP BY lo, hi
+    ),
+    est AS (
+        SELECT p.lo, p.hi,
+               s.n * (p.hi - p.lo) / (s.mx - s.mn) AS est_uniform,
+               (SELECT SUM(h.cnt * GREATEST(0,
+                       LEAST(p.hi, (h.b + 1) * 25.0)
+                       - GREATEST(p.lo, h.b * 25.0)) / 25.0)
+                FROM hist h) AS est_hist
+        FROM preds p CROSS JOIN stats s
+    )
+    SELECT CAST(a.lo AS BIGINT) AS lo, CAST(a.hi AS BIGINT) AS hi,
+           CAST(act AS BIGINT) AS actual,
+           ROUND(est_uniform, 2) AS est_uniform,
+           ROUND(est_hist, 2) AS est_hist,
+           ROUND(GREATEST(est_uniform / act, act / est_uniform), 4)
+               AS qerr_uniform,
+           ROUND(GREATEST(est_hist / act, act / est_hist), 4) AS qerr_hist
+    FROM actual a JOIN est e ON a.lo = e.lo AND a.hi = e.hi
+    ORDER BY lo
+    """,
+)
+def q_qerror_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-estimation audit, the metric optimizer papers report
+    as q-error: for five range predicates on value, compare the naive
+    uniform-assumption estimate against a 20-bucket equi-width
+    histogram estimate (partial buckets pro-rated), each vs the true
+    count.  The histogram is built ONCE from one scan and both
+    estimators run on the 20-row sketch — exactly how a catalog keeps
+    stats cheap at 100 TB while the audit quantifies how much plan
+    quality the histogram buys (qerr_hist << qerr_uniform on any
+    non-uniform column)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    preds = spark.createDataFrame(
+        [(2.0, 18.0), (10.0, 60.0), (75.0, 130.0), (140.0, 230.0),
+         (210.0, 320.0)],
+        ["lo", "hi"],
+    )
+    stats = ev.agg(
+        F.count("value").cast("double").alias("n"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    hist = (
+        ev.groupBy(
+            F.least(F.lit(19), F.floor(F.col("value") / 25.0).cast("int")).alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    actual = (
+        preds.join(
+            ev.select("value"),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+            "left",
+        )
+        .groupBy("lo", "hi")
+        .agg(F.greatest(F.count("value").cast("double"), F.lit(1.0)).alias("act"))
+    )
+    overlap = (
+        F.greatest(
+            F.lit(0.0),
+            F.least(F.col("hi"), (F.col("b") + 1) * 25.0)
+            - F.greatest(F.col("lo"), F.col("b") * 25.0),
+        )
+        / 25.0
+    )
+    est = (
+        preds.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(hist))
+        .groupBy("lo", "hi")
+        .agg(
+            F.max(
+                F.col("n") * (F.col("hi") - F.col("lo")) / (F.col("mx") - F.col("mn"))
+            ).alias("est_uniform"),
+            F.sum(F.col("cnt") * overlap).alias("est_hist"),
+        )
+    )
+    return (
+        actual.join(est, ["lo", "hi"])
+        .select(
+            F.col("lo").cast("long").alias("lo"),
+            F.col("hi").cast("long").alias("hi"),
+            F.col("act").cast("long").alias("actual"),
+            F.round("est_uniform", 2).alias("est_uniform"),
+            F.round("est_hist", 2).alias("est_hist"),
+            F.round(
+                F.greatest(
+                    F.col("est_uniform") / F.col("act"),
+                    F.col("act") / F.col("est_uniform"),
+                ),
+                4,
+            ).alias("qerr_uniform"),
+            F.round(
+                F.greatest(
+                    F.col("est_hist") / F.col("act"),
+                    F.col("act") / F.col("est_hist"),
+                ),
+                4,
+            ).alias("qerr_hist"),
+        )
+        .orderBy("lo")
+    )
+
+
+@register(
+    "partition_advisor_events",
+    oracle="""
+    WITH cand AS (
+        SELECT 'date' AS cand, CAST(CAST(ts AS DATE) AS VARCHAR) AS k
+        FROM events
+        UNION ALL
+        SELECT 'event_type', event_type FROM events
+        UNION ALL
+        SELECT 'user_bucket', CAST(user_id % 64 AS VARCHAR) FROM events
+    ),
+    parts AS (
+        SELECT cand, k, COUNT(*) AS rows_in FROM cand GROUP BY 1, 2
+    )
+    SELECT cand,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           CAST(MAX(rows_in) AS BIGINT) AS max_rows,
+           CAST(MIN(rows_in) AS BIGINT) AS min_rows,
+           ROUND(MAX(rows_in) * 1.0 / AVG(rows_in), 4) AS skew,
+           CASE WHEN COUNT(*) > 10000 THEN 'too_many_partitions'
+                WHEN MAX(rows_in) * 1.0 / AVG(rows_in) > 4.0 THEN 'skewed'
+                ELSE 'ok' END AS verdict
+    FROM parts GROUP BY cand ORDER BY cand
+    """,
+)
+def q_partition_advisor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key advisor: for each candidate partitioning of the
+    fact table (ingest date, event_type, a 64-way user-id bucket)
+    measure partition count, the largest partition's skew over the
+    mean, and issue the verdict a table-format maintainer needs —
+    too-many-partitions (small-file explosion), skewed (straggler
+    tasks), or ok.  One groupBy per candidate over a union'd scan;
+    the advisor output is |candidates| rows regardless of scale."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "user_id")
+    cand = (
+        ev.select(
+            F.lit("date").alias("cand"),
+            F.to_date("ts").cast("string").alias("k"),
+        )
+        .unionByName(
+            ev.select(
+                F.lit("event_type").alias("cand"), F.col("event_type").alias("k")
+            )
+        )
+        .unionByName(
+            ev.select(
+                F.lit("user_bucket").alias("cand"),
+                (F.col("user_id") % 64).cast("string").alias("k"),
+            )
+        )
+    )
+    parts = cand.groupBy("cand", "k").agg(F.count(F.lit(1)).alias("rows_in"))
+    return (
+        parts.groupBy("cand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partitions"),
+            F.max("rows_in").cast("long").alias("max_rows"),
+            F.min("rows_in").cast("long").alias("min_rows"),
+            F.round(F.max("rows_in") / F.avg("rows_in"), 4).alias("skew"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("n_partitions") > 10000, F.lit("too_many_partitions"))
+            .when(F.col("skew") > 4.0, F.lit("skewed"))
+            .otherwise(F.lit("ok")),
+        )
+        .orderBy("cand")
+    )
+
+
+@register(
+    "matryoshka_truncation_fidelity",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        WHERE vec_id % 37 = 0
+    ),
+    dims AS (SELECT * FROM (VALUES (8), (16), (32)) d(dim)),
+    pairs AS (
+        SELECT d.dim,
+               list_cosine_similarity(a.v, b.v) AS full_cos,
+               list_cosine_similarity(a.v[1:d.dim], b.v[1:d.dim]) AS pre_cos
+        FROM s a JOIN s b ON a.vec_id < b.vec_id
+        CROSS JOIN dims d
+    )
+    SELECT dim,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(ABS(full_cos - pre_cos)), 6) AS mean_abs_err,
+           ROUND(MAX(ABS(full_cos - pre_cos)), 6) AS max_abs_err,
+           ROUND(corr(full_cos, pre_cos), 6) AS cos_corr
+    FROM pairs GROUP BY dim ORDER BY dim
+    """,
+)
+def q_matryoshka_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: how faithfully do the first
+    8/16/32 dims of the 64-dim embedding preserve pairwise cosine?
+    Reports mean/max absolute cosine error and the full-vs-prefix
+    correlation per prefix length — the measurement that decides
+    whether a 4x cheaper ANN index is safe.  Pairs come from the same
+    deterministic vec_id sample the JL audit uses (the corpus itself
+    never self-joins); all dot products are zip_with/aggregate codegen
+    expressions."""
+    from .functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    s = emb.filter(F.col("vec_id") % 37 == 0).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    b = s.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
+    pairs = s.join(F.broadcast(b), F.col("vec_id") < F.col("vec_id_b"))
+    dims = spark.createDataFrame([(8,), (16,), (32,)], ["dim"])
+    full_cos = dot("v", "vb") / (l2_norm("v") * l2_norm("vb"))
+    pa = F.slice("v", 1, F.col("dim"))
+    pb = F.slice("vb", 1, F.col("dim"))
+    pre_cos = dot(pa, pb) / (l2_norm(pa) * l2_norm(pb))
+    scored = pairs.crossJoin(F.broadcast(dims)).select(
+        "dim", full_cos.alias("full_cos"), pre_cos.alias("pre_cos")
+    )
+    return (
+        scored.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg(F.abs(F.col("full_cos") - F.col("pre_cos"))), 6).alias(
+                "mean_abs_err"
+            ),
+            F.round(F.max(F.abs(F.col("full_cos") - F.col("pre_cos"))), 6).alias(
+                "max_abs_err"
+            ),
+            F.round(F.corr("full_cos", "pre_cos"), 6).alias("cos_corr"),
+        )
+        .orderBy("dim")
+    )
