@@ -7620,7 +7620,8 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   structuring_threshold_audit, user_mix_shift_kl,
 #   bot_periodicity_screen, dp_noisy_counts_by_type,
 #   qerror_selectivity_audit, partition_advisor_events,
-#   matryoshka_truncation_fidelity
+#   matryoshka_truncation_fidelity, fd_discovery_audit,
+#   sortedness_profile_events, stratified_weighted_sample
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -15314,4 +15315,246 @@ def q_matryoshka_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFr
             F.round(F.corr("full_cos", "pre_cos"), 6).alias("cos_corr"),
         )
         .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 ninth wave: data-profiling classics — functional-dependency
+# discovery (g3 error), sortedness profiling for layout/encoding
+# decisions, and per-stratum weighted sampling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fd_discovery_audit",
+    oracle="""
+    WITH pairs AS (
+        SELECT 'part.brand->type' AS fd, p_brand AS lhs, p_type AS rhs
+        FROM part
+        UNION ALL
+        SELECT 'part.type->brand', p_type, p_brand FROM part
+        UNION ALL
+        SELECT 'customer.nation->segment', CAST(c_nationkey AS VARCHAR),
+               c_mktsegment FROM customer
+        UNION ALL
+        SELECT 'orders.orderkey->priority', CAST(o_orderkey AS VARCHAR),
+               o_orderpriority FROM orders
+    ),
+    cnt AS (
+        SELECT fd, lhs, rhs, COUNT(*) AS c FROM pairs GROUP BY 1, 2, 3
+    ),
+    keep AS (
+        SELECT fd, lhs, MAX(c) AS kept, SUM(c) AS n_lhs_rows,
+               COUNT(*) AS n_rhs
+        FROM cnt GROUP BY 1, 2
+    )
+    SELECT fd,
+           CAST(SUM(n_lhs_rows) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(n_rhs) AS BIGINT) AS n_pairs,
+           ROUND(1.0 - SUM(kept) * 1.0 / SUM(n_lhs_rows), 6) AS g3_error,
+           SUM(n_rhs) = COUNT(*) AS holds
+    FROM keep GROUP BY fd ORDER BY fd
+    """,
+)
+def q_fd_discovery_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery (Metanome/TANE-style profiling):
+    for each candidate FD, the g3 error — the minimum fraction of rows
+    you'd have to delete for lhs -> rhs to hold exactly (0 means the FD
+    holds).  Computed as two cascaded aggregates: (lhs, rhs) counts,
+    then keep-the-majority per lhs — each a hash shuffle bounded by the
+    attribute cardinalities, never a self-join.  The candidate set
+    spans a true key FD, a plausible-but-violated dimension FD, and
+    its reverse."""
+    p = load_table(spark, sf_dir, "part").select("p_brand", "p_type")
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    pairs = (
+        p.select(
+            F.lit("part.brand->type").alias("fd"),
+            F.col("p_brand").alias("lhs"),
+            F.col("p_type").alias("rhs"),
+        )
+        .unionByName(
+            p.select(
+                F.lit("part.type->brand").alias("fd"),
+                F.col("p_type").alias("lhs"),
+                F.col("p_brand").alias("rhs"),
+            )
+        )
+        .unionByName(
+            c.select(
+                F.lit("customer.nation->segment").alias("fd"),
+                F.col("c_nationkey").cast("string").alias("lhs"),
+                F.col("c_mktsegment").alias("rhs"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.lit("orders.orderkey->priority").alias("fd"),
+                F.col("o_orderkey").cast("string").alias("lhs"),
+                F.col("o_orderpriority").alias("rhs"),
+            )
+        )
+    )
+    cnt = pairs.groupBy("fd", "lhs", "rhs").agg(F.count(F.lit(1)).alias("c"))
+    keep = cnt.groupBy("fd", "lhs").agg(
+        F.max("c").alias("kept"),
+        F.sum("c").alias("n_lhs_rows"),
+        F.count(F.lit(1)).alias("n_rhs"),
+    )
+    return (
+        keep.groupBy("fd")
+        .agg(
+            F.sum("n_lhs_rows").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_lhs"),
+            F.sum("n_rhs").cast("long").alias("n_pairs"),
+            F.round(1.0 - F.sum("kept") / F.sum("n_lhs_rows"), 6).alias("g3_error"),
+            (F.sum("n_rhs") == F.count(F.lit(1))).alias("holds"),
+        )
+        .orderBy("fd")
+    )
+
+
+@register(
+    "sortedness_profile_events",
+    oracle="""
+    WITH cols AS (
+        SELECT 'ts' AS col_name, event_id, event_id // 1000 AS blk,
+               CAST(epoch_us(ts) AS DOUBLE) AS v
+        FROM events
+        UNION ALL
+        SELECT 'user_id', event_id, event_id // 1000,
+               CAST(user_id AS DOUBLE) FROM events
+        UNION ALL
+        SELECT 'value', event_id, event_id // 1000, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    adj AS (
+        SELECT col_name, v,
+               LAG(v) OVER (PARTITION BY col_name, blk
+                            ORDER BY event_id) AS prev
+        FROM cols
+    )
+    SELECT col_name,
+           CAST(COUNT(prev) AS BIGINT) AS n_pairs,
+           ROUND(SUM(CASE WHEN v >= prev THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(prev), 6) AS frac_nondecreasing,
+           CAST(SUM(CASE WHEN v < prev THEN 1 ELSE 0 END) + 1 AS BIGINT)
+               AS est_runs
+    FROM adj WHERE prev IS NOT NULL GROUP BY col_name
+    ORDER BY col_name
+    """,
+)
+def q_sortedness_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sortedness profiling in ingest (event_id) order — the measurement
+    behind 'is this column already clustered enough that a sort/RLE/
+    delta encoding is free?'.  Adjacency is evaluated inside 1000-row
+    ingest blocks (PARTITIONED lag; the <=0.1% of pairs straddling
+    block boundaries are excluded identically on both engines), so the
+    profile never needs a global sort — the same trick a parquet writer
+    uses, since row groups bound its visibility anyway.  ts should
+    profile ~sorted (append order), user_id/value ~random."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("ts_ns div 1000").cast("double").alias("ts_v"),
+        F.col("user_id").cast("double").alias("uid_v"),
+        "value",
+    )
+    cols = (
+        ev.select(
+            F.lit("ts").alias("col_name"),
+            "event_id",
+            (F.col("event_id") / 1000).cast("long").alias("blk"),
+            F.col("ts_v").alias("v"),
+        )
+        .unionByName(
+            ev.select(
+                F.lit("user_id").alias("col_name"),
+                "event_id",
+                (F.col("event_id") / 1000).cast("long").alias("blk"),
+                F.col("uid_v").alias("v"),
+            )
+        )
+        .unionByName(
+            ev.filter(F.col("value").isNotNull()).select(
+                F.lit("value").alias("col_name"),
+                "event_id",
+                (F.col("event_id") / 1000).cast("long").alias("blk"),
+                F.col("value").alias("v"),
+            )
+        )
+    )
+    w = Window.partitionBy("col_name", "blk").orderBy("event_id")
+    adj = cols.withColumn("prev", F.lag("v").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    return (
+        adj.groupBy("col_name")
+        .agg(
+            F.count("prev").cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.when(F.col("v") >= F.col("prev"), 1).otherwise(0))
+                / F.count("prev"),
+                6,
+            ).alias("frac_nondecreasing"),
+            (
+                F.sum(F.when(F.col("v") < F.col("prev"), 1).otherwise(0)) + 1
+            )
+            .cast("long")
+            .alias("est_runs"),
+        )
+        .orderBy("col_name")
+    )
+
+
+@register(
+    "stratified_weighted_sample",
+    oracle="""
+    WITH scored AS (
+        SELECT event_type, event_id, value,
+               LN(((((event_id * 1000003 + 7) % 999983) * 40503) % 999983
+                   + 0.5) / 999983.0) / value AS es_key
+        FROM events WHERE value IS NOT NULL AND value > 0
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY es_key DESC, event_id) AS rnk
+        FROM scored
+    )
+    SELECT event_type, event_id, ROUND(value, 2) AS weight,
+           ROUND(es_key, 9) AS es_key
+    FROM ranked WHERE rnk <= 5
+    ORDER BY event_type, event_id
+    """,
+)
+def q_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sampling: an exact Efraimidis-Spirakis
+    weighted sample of 5 events per event_type in ONE pass — the
+    partitioned top-k generalization of weighted_reservoir_orders
+    (rank over a window PARTITIONED by stratum, so each stratum's
+    top-k evaluates inside its own hash partition; no stratum ever
+    sees another's rows).  The per-key uniform uses the
+    mod-prime-then-remultiply mix."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select("event_type", "event_id", "value")
+    )
+    u = (
+        ((F.col("event_id") * 1000003 + 7) % 999983 * 40503 % 999983) + 0.5
+    ) / 999983.0
+    scored = ev.withColumn("es_key", F.log(u) / F.col("value"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("es_key"), "event_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "event_type",
+            "event_id",
+            F.round("value", 2).alias("weight"),
+            F.round("es_key", 9).alias("es_key"),
+        )
+        .orderBy("event_type", "event_id")
     )
