@@ -8572,7 +8572,8 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
         SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                epoch_us(ts)
-                 + (((event_id * 1000003 + 7) % 999983) % 86400) * 1000000
+                 + (((((event_id * 1000003 + 7) % 999983) * 40503)
+                     % 999983) % 86400) * 1000000
                  AS arr_us
         FROM events
     ),
@@ -8600,8 +8601,8 @@ def q_event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-order arrival audit — the batch mirror of a streaming
     watermark decision. Arrival time is simulated as event time plus a
     deterministic per-event network delay (affine-hash of event_id mod
-    a prime, then mod 24 h — the engine-independent determinism
-    convention from ml/split.py; the raw testdata is perfectly ordered,
+    a prime, REMULTIPLIED, then mod 24 h — the ml/split.py mixing
+    convention; a plain affine hash is monotone on dense ids; the raw testdata is perfectly ordered,
     so measuring against event_id order would observe zero disorder).
     An event is LATE if its event-time is behind the running max among
     events that ARRIVED earlier for that user; the per-user late rate
@@ -8614,7 +8615,8 @@ def q_event_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts_ns div 1000").alias("ts_us"),
         F.expr(
             "ts_ns div 1000"
-            " + (((event_id * 1000003 + 7) % 999983) % 86400) * 1000000"
+            " + ((((event_id * 1000003 + 7) % 999983) * 40503 % 999983)"
+            " % 86400) * 1000000"
         ).alias("arr_us"),
     )
     w = (
@@ -11569,7 +11571,8 @@ def q_cms_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
         SELECT user_id, event_id, epoch_us(ts) AS ts_us,
                epoch_us(ts)
-                 + (((event_id * 1000003 + 7) % 999983) % 86400) * 1000000
+                 + (((((event_id * 1000003 + 7) % 999983) * 40503)
+                     % 999983) % 86400) * 1000000
                  AS arr_us
         FROM events
     ),
@@ -11621,7 +11624,8 @@ def q_watermark_recommendation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts_ns div 1000").alias("ts_us"),
         F.expr(
             "ts_ns div 1000"
-            " + (((event_id * 1000003 + 7) % 999983) % 86400) * 1000000"
+            " + ((((event_id * 1000003 + 7) % 999983) * 40503 % 999983)"
+            " % 86400) * 1000000"
         ).alias("arr_us"),
     )
     w = (

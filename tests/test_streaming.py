@@ -1026,3 +1026,100 @@ class TestStreamingHistogram:
             ).collect()
         }
         assert est_stream == est_batch
+
+
+# ---------------------------------------------------------------------------
+# Streaming lateness auditor (streaming/lateness.py) — incremental twin
+# of the event_lateness_profile batch query.
+# ---------------------------------------------------------------------------
+
+
+def _with_arrival(df):
+    """Deterministic simulated arrival time.  Unlike the registered
+    query's plain affine delay (which on sf0.001's dense 0..999 ids
+    degenerates to a monotone 20*id+7 — nothing reorders), the test
+    uses the full mod-prime-then-REMULTIPLY mix and a 3-day ceiling so
+    the tiny fixture actually exercises out-of-order arrivals."""
+    return df.withColumn(
+        "arr",
+        F.timestamp_micros(
+            F.unix_micros("ts")
+            + (
+                (F.col("event_id") * 1000003 + 7) % 999983 * 40503 % 999983
+                % 259200
+            )
+            * 1_000_000
+        ),
+    )
+
+
+def test_lateness_stream_equals_batch(spark, events_src, tmp_path):
+    from fraud_detection_project_spark.streaming.lateness import (
+        batch_lateness_oracle,
+        late_event_audit,
+    )
+
+    batch = _with_arrival(spark.read.parquet(events_src))
+    src = str(tmp_path / "src")
+    batch.write.parquet(src)
+    stream = late_event_audit(
+        _read_stream(spark, src, batch.schema), "user_id"
+    )
+    got = _run_stream(spark, stream, str(tmp_path / "ckpt"))
+    want = batch_lateness_oracle(batch, "user_id")
+    assert got.count() == batch.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the simulated delays must actually produce disorder
+    assert want.filter("is_late").count() > 0
+
+
+def test_lateness_state_carries_across_batches(spark, events_src, tmp_path):
+    """Split the stream by ARRIVAL time; pass-2 events must measure
+    lateness against pass-1 running maxima (keyed state survived the
+    restart)."""
+    from fraud_detection_project_spark.streaming.lateness import (
+        batch_lateness_oracle,
+        late_event_audit,
+    )
+
+    batch = _with_arrival(spark.read.parquet(events_src))
+    cut = int(batch.selectExpr("percentile(unix_micros(arr), 0.5) p").first()["p"])
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_pass():
+        q = (
+            late_event_audit(_read_stream(spark, src, batch.schema), "user_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    batch.filter(F.expr(f"unix_micros(arr) <= {cut}")).write.mode(
+        "overwrite"
+    ).parquet(src)
+    run_pass()
+    batch.filter(F.expr(f"unix_micros(arr) > {cut}")).write.mode("append").parquet(
+        src
+    )
+    run_pass()
+    got = spark.read.parquet(out)
+    want = batch_lateness_oracle(batch, "user_id")
+    assert got.count() == batch.count()
+    assert got.exceptAll(want).count() == 0
+    # carried state matters: some pass-2 event is late only because of
+    # a pass-1 maximum
+    pass2_late = (
+        got.join(
+            batch.select("event_id", "arr"), "event_id"
+        )
+        .filter((F.unix_micros("arr") > cut) & F.col("is_late"))
+        .count()
+    )
+    assert pass2_late > 0
