@@ -201,3 +201,60 @@ def test_dp_noise_is_laplace_shaped(spark):
         assert abs(r["noisy_count"] - r["true_count"]) - r["abs_noise"] < 1e-3
         # eps=1, sensitivity 1: |noise| beyond 15 has probability e^-15
         assert r["abs_noise"] < 15.0
+
+
+def test_fd_g3_matches_bruteforce(spark):
+    from collections import Counter, defaultdict
+
+    from fraud_detection_project_spark.catalog import load_table
+
+    rows = {r["fd"]: r for r in QUERIES["fd_discovery_audit"](spark, SF).collect()}
+    pdf = load_table(spark, SF, "part").select("p_brand", "p_type").toPandas()
+    per_lhs = defaultdict(Counter)
+    for b, t in zip(pdf["p_brand"], pdf["p_type"]):
+        per_lhs[b][t] += 1
+    kept = sum(c.most_common(1)[0][1] for c in per_lhs.values())
+    n = len(pdf)
+    got = rows["part.brand->type"]
+    assert abs(got["g3_error"] - (1 - kept / n)) < 1e-6
+    assert bool(got["holds"]) == (kept == n)
+    # the key FD must hold exactly
+    assert rows["orders.orderkey->priority"]["g3_error"] == 0.0
+    assert bool(rows["orders.orderkey->priority"]["holds"])
+
+
+def test_sortedness_ts_is_sorted_others_are_not(spark):
+    rows = {
+        r["col_name"]: r
+        for r in QUERIES["sortedness_profile_events"](spark, SF).collect()
+    }
+    # ingest order IS timestamp order in the generator
+    assert rows["ts"]["frac_nondecreasing"] == 1.0
+    assert rows["ts"]["est_runs"] == 1
+    assert rows["user_id"]["frac_nondecreasing"] < 0.9
+    assert rows["value"]["frac_nondecreasing"] < 0.9
+
+
+def test_stratified_sample_is_exact_per_stratum_topk(spark):
+    import math
+    from collections import defaultdict
+
+    from fraud_detection_project_spark.catalog import load_table
+
+    out = QUERIES["stratified_weighted_sample"](spark, SF).collect()
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter("value IS NOT NULL AND value > 0")
+        .select("event_type", "event_id", "value")
+        .toPandas()
+    )
+    best = defaultdict(list)
+    for t, i, v in zip(pdf["event_type"], pdf["event_id"], pdf["value"]):
+        u = ((int(i) * 1000003 + 7) % 999983 * 40503 % 999983 + 0.5) / 999983.0
+        best[t].append((math.log(u) / v, -int(i)))
+    expected = set()
+    for t, lst in best.items():
+        lst.sort(reverse=True)
+        expected.update((t, -x[1]) for x in lst[:5])
+    got = {(r["event_type"], r["event_id"]) for r in out}
+    assert got == expected
