@@ -7621,7 +7621,8 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   bot_periodicity_screen, dp_noisy_counts_by_type,
 #   qerror_selectivity_audit, partition_advisor_events,
 #   matryoshka_truncation_fidelity, fd_discovery_audit,
-#   sortedness_profile_events, stratified_weighted_sample
+#   sortedness_profile_events, stratified_weighted_sample,
+#   uplift_qini_curve
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -15561,4 +15562,114 @@ def q_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("es_key", 9).alias("es_key"),
         )
         .orderBy("event_type", "event_id")
+    )
+
+
+@register(
+    "uplift_qini_curve",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               CAST((user_id * 1000003 + 7) % 999983 * 40503 % 999983 % 2
+                    AS INT) AS t
+        FROM events WHERE value IS NOT NULL
+    ),
+    cuts AS (
+        SELECT unnest(quantile_cont(value,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS cut
+        FROM base
+    ),
+    d AS (
+        SELECT b.event_id, b.y, b.t,
+               SUM(CASE WHEN b.value > c.cut THEN 1 ELSE 0 END) AS nd
+        FROM base b CROSS JOIN cuts c
+        GROUP BY 1, 2, 3
+    ),
+    dec AS (
+        SELECT 10 - nd AS decile_rank,
+               SUM(t) AS n_t, SUM(1 - t) AS n_c,
+               SUM(y * t) AS y_t, SUM(y * (1 - t)) AS y_c
+        FROM d GROUP BY 1
+    ),
+    cum AS (
+        SELECT decile_rank,
+               SUM(n_t) OVER w AS cn_t, SUM(n_c) OVER w AS cn_c,
+               SUM(y_t) OVER w AS cy_t, SUM(y_c) OVER w AS cy_c
+        FROM dec
+        WINDOW w AS (ORDER BY decile_rank
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(decile_rank AS INT) AS decile_rank,
+           CAST(cn_t AS BIGINT) AS cum_n_treat,
+           CAST(cn_c AS BIGINT) AS cum_n_ctrl,
+           CAST(cy_t AS BIGINT) AS cum_y_treat,
+           CAST(cy_c AS BIGINT) AS cum_y_ctrl,
+           ROUND(cy_t - cy_c * cn_t * 1.0 / cn_c, 6) AS qini
+    FROM cum ORDER BY decile_rank
+    """,
+)
+def q_uplift_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve for uplift evaluation: with a deterministic 50/50
+    hash split as treatment assignment and purchase as outcome, rank
+    events by the value score into exact deciles (cuts from ONE
+    percentile aggregate, broadcast — no global sort or ntile) and
+    accumulate treated-minus-scaled-control conversions from the top
+    decile down.  A near-zero curve is the correct reading for a
+    random split — the audit that catches a broken randomizer or a
+    confounded score.  All cumulative arithmetic happens on the 10-row
+    decile frame."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        (
+            (F.col("user_id") * 1000003 + 7) % 999983 * 40503 % 999983 % 2
+        )
+        .cast("int")
+        .alias("t"),
+    )
+    cuts = base.agg(
+        F.percentile(
+            "value", F.array(*[F.lit(x / 10.0) for x in range(1, 10)])
+        ).alias("cuts")
+    )
+    dec = (
+        base.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "nd",
+            F.aggregate(
+                "cuts",
+                F.lit(0),
+                lambda acc, c: acc + F.when(F.col("value") > c, 1).otherwise(0),
+            ),
+        )
+        .groupBy((10 - F.col("nd")).alias("decile_rank"))
+        .agg(
+            F.sum("t").alias("n_t"),
+            F.sum(1 - F.col("t")).alias("n_c"),
+            F.sum(F.col("y") * F.col("t")).alias("y_t"),
+            F.sum(F.col("y") * (1 - F.col("t"))).alias("y_c"),
+        )
+    )
+    w = Window.orderBy("decile_rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dec.select(
+            "decile_rank",
+            F.sum("n_t").over(w).alias("cn_t"),
+            F.sum("n_c").over(w).alias("cn_c"),
+            F.sum("y_t").over(w).alias("cy_t"),
+            F.sum("y_c").over(w).alias("cy_c"),
+        )
+        .select(
+            F.col("decile_rank").cast("int").alias("decile_rank"),
+            F.col("cn_t").cast("long").alias("cum_n_treat"),
+            F.col("cn_c").cast("long").alias("cum_n_ctrl"),
+            F.col("cy_t").cast("long").alias("cum_y_treat"),
+            F.col("cy_c").cast("long").alias("cum_y_ctrl"),
+            F.round(
+                F.col("cy_t") - F.col("cy_c") * F.col("cn_t") / F.col("cn_c"), 6
+            ).alias("qini"),
+        )
+        .orderBy("decile_rank")
     )
