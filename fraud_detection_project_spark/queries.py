@@ -7622,7 +7622,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   qerror_selectivity_audit, partition_advisor_events,
 #   matryoshka_truncation_fidelity, fd_discovery_audit,
 #   sortedness_profile_events, stratified_weighted_sample,
-#   uplift_qini_curve
+#   uplift_qini_curve, mahalanobis_outlier_screen
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -15672,4 +15672,82 @@ def q_uplift_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qini"),
         )
         .orderBy("decile_rank")
+    )
+
+
+@register(
+    "mahalanobis_outlier_screen",
+    oracle="""
+    WITH b AS (
+        SELECT event_type, value AS x, CAST(hour(ts) AS DOUBLE) AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    s AS (
+        SELECT AVG(x) AS mx, AVG(y) AS my,
+               var_pop(x) AS s11, var_pop(y) AS s22, covar_pop(x, y) AS s12
+        FROM b
+    ),
+    d AS (
+        SELECT event_type,
+               ((x - mx) * (x - mx) * s22
+                - 2 * (x - mx) * (y - my) * s12
+                + (y - my) * (y - my) * s11)
+               / (s11 * s22 - s12 * s12) AS d2
+        FROM b CROSS JOIN s
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d2 > 9.21034 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           ROUND(SUM(CASE WHEN d2 > 9.21034 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS outlier_rate,
+           ROUND(MAX(d2), 4) AS max_d2
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_mahalanobis_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier screen: squared Mahalanobis distance of
+    (value, hour) against the global mean/covariance, flagged at the
+    chi-square(2) 99% cutoff (9.21) and reported per event type — the
+    correlation-aware generalization of the per-column z-score screens,
+    catching points that are unremarkable marginally but improbable
+    JOINTLY (a classic card-fraud shape: mid value at an hour where mid
+    values never occur).  The 2x2 covariance inverts in closed form, so
+    the whole screen is two scans and a broadcast of five scalars —
+    no matrix library, no collect."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    b = ev.select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.hour("ts").cast("double").alias("y"),
+    )
+    s = b.agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_pop("x").alias("s11"),
+        F.var_pop("y").alias("s22"),
+        F.covar_pop("x", "y").alias("s12"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    d2 = (
+        dx * dx * F.col("s22") - 2 * dx * dy * F.col("s12") + dy * dy * F.col("s11")
+    ) / (F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12"))
+    return (
+        b.crossJoin(F.broadcast(s))
+        .select("event_type", d2.alias("d2"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("d2") > 9.21034, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(
+                F.sum(F.when(F.col("d2") > 9.21034, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("outlier_rate"),
+            F.round(F.max("d2"), 4).alias("max_d2"),
+        )
+        .orderBy("event_type")
     )
