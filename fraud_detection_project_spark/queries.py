@@ -7622,7 +7622,8 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   qerror_selectivity_audit, partition_advisor_events,
 #   matryoshka_truncation_fidelity, fd_discovery_audit,
 #   sortedness_profile_events, stratified_weighted_sample,
-#   uplift_qini_curve, mahalanobis_outlier_screen
+#   uplift_qini_curve, mahalanobis_outlier_screen,
+#   shapley_channel_attribution
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -15750,4 +15751,120 @@ def q_mahalanobis_outlier_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("d2"), 4).alias("max_d2"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "shapley_channel_attribution",
+    oracle="""
+    WITH j AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               BIT_OR(CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                      WHEN 'error' THEN 4 WHEN 'signup' THEN 8
+                      ELSE 0 END) AS mask,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1, 2
+    ),
+    vraw AS (SELECT mask, AVG(conv * 1.0) AS v, COUNT(*) AS n FROM j GROUP BY 1),
+    v AS (
+        SELECT r.range AS mask, COALESCE(vraw.v, 0.0) AS v,
+               COALESCE(vraw.n, 0) AS n
+        FROM range(0, 16) r LEFT JOIN vraw ON vraw.mask = r.range
+    ),
+    ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2), ('error', 4),
+                                 ('signup', 8)) c(channel, bit)),
+    contrib AS (
+        SELECT ch.channel,
+               (CASE bit_count(s.mask) WHEN 0 THEN 0.25
+                     WHEN 1 THEN 1.0 / 12 WHEN 2 THEN 1.0 / 12
+                     ELSE 0.25 END) * (s2.v - s.v) AS delta,
+               s.n + s2.n AS support
+        FROM ch
+        JOIN v s ON (s.mask & ch.bit) = 0
+        JOIN v s2 ON s2.mask = (s.mask | ch.bit)
+    )
+    SELECT channel,
+           ROUND(SUM(delta), 6) AS shapley,
+           CAST(SUM(support) AS BIGINT) AS support_journeys
+    FROM contrib GROUP BY channel ORDER BY channel
+    """,
+)
+def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution over marketing-style channels:
+    each user-day journey is a coalition (bitmask of the four
+    non-purchase event types present), v(S) = observed conversion rate
+    of journeys with exactly that channel set, and each channel's
+    Shapley value sums the factorial-weighted marginal contributions
+    v(S+i) - v(S) over all 8 coalitions excluding it.  The fact table
+    collapses to at most 16 coalition rows in ONE groupBy (a bit_or +
+    max aggregate), so the game-theoretic part — usually quoted as
+    exponential — costs 32 joined rows regardless of data size;
+    unobserved coalitions default to v=0 identically on both engines.
+    The data-driven alternative to the positional attribution rules in
+    attribution_last_touch / attribution_time_decay."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "error", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(0)
+    )
+    j = (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.bit_or(bit).alias("mask"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("conv"),
+        )
+    )
+    vraw = j.groupBy("mask").agg(
+        F.avg(F.col("conv").cast("double")).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    v = (
+        spark.range(16)
+        .select(F.col("id").cast("int").alias("mask"))
+        .join(F.broadcast(vraw), "mask", "left")
+        .select(
+            "mask",
+            F.coalesce("v", F.lit(0.0)).alias("v"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("view", 2), ("error", 4), ("signup", 8)],
+        ["channel", "bit"],
+    )
+    s = v.select(
+        F.col("mask").alias("m1"), F.col("v").alias("v1"), F.col("n").alias("n1")
+    )
+    s2 = v.select(
+        F.col("mask").alias("m2"), F.col("v").alias("v2"), F.col("n").alias("n2")
+    )
+    weight = (
+        F.when(F.bit_count("m1") == 0, F.lit(0.25))
+        .when(F.bit_count("m1") == 1, F.lit(1.0 / 12))
+        .when(F.bit_count("m1") == 2, F.lit(1.0 / 12))
+        .otherwise(F.lit(0.25))
+    )
+    contrib = (
+        ch.crossJoin(F.broadcast(s))
+        .filter(F.col("m1").bitwiseAND(F.col("bit")) == 0)
+        .join(
+            F.broadcast(s2),
+            F.col("m2") == F.col("m1").bitwiseOR(F.col("bit")),
+        )
+        .select(
+            "channel",
+            (weight * (F.col("v2") - F.col("v1"))).alias("delta"),
+            (F.col("n1") + F.col("n2")).alias("support"),
+        )
+    )
+    return (
+        contrib.groupBy("channel")
+        .agg(
+            F.round(F.sum("delta"), 6).alias("shapley"),
+            F.sum("support").cast("long").alias("support_journeys"),
+        )
+        .orderBy("channel")
     )
