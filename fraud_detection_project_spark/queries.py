@@ -7623,7 +7623,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   matryoshka_truncation_fidelity, fd_discovery_audit,
 #   sortedness_profile_events, stratified_weighted_sample,
 #   uplift_qini_curve, mahalanobis_outlier_screen,
-#   shapley_channel_attribution
+#   shapley_channel_attribution, retrieval_ndcg_mrr
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -15867,4 +15867,104 @@ def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("support").cast("long").alias("support_journeys"),
         )
         .orderBy("channel")
+    )
+
+
+@register(
+    "retrieval_ndcg_mrr",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 37 = 0),
+    scored AS (
+        SELECT q.vec_id AS qid, q.label AS qlab, c.vec_id AS cid,
+               CASE WHEN c.label = q.label THEN 1.0 ELSE 0.0 END AS rel,
+               ROUND(list_cosine_similarity(q.v, c.v), 6) AS cos
+        FROM q JOIN e c ON c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT qid, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, cid) AS rnk
+        FROM scored
+    ),
+    nrel AS (
+        SELECT qid, LEAST(10, SUM(rel)) AS m FROM scored GROUP BY qid
+    ),
+    per_q AS (
+        SELECT r.qid,
+               SUM(CASE WHEN rnk <= 10 THEN rel / log2(rnk + 1)
+                        ELSE 0 END) AS dcg,
+               (SELECT SUM(1.0 / log2(x + 1))
+                FROM unnest(range(1, CAST(MAX(n.m) AS BIGINT) + 1)) t(x))
+                   AS idcg,
+               MIN(CASE WHEN rel = 1 AND rnk <= 10 THEN rnk END) AS first_rel
+        FROM ranked r JOIN nrel n USING (qid)
+        GROUP BY r.qid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(AVG(dcg / idcg), 6) AS avg_ndcg10,
+           ROUND(AVG(COALESCE(1.0 / first_rel, 0.0)), 6) AS avg_mrr10
+    FROM per_q
+    """,
+)
+def q_retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics for the embedding space: treating
+    same-label vectors as relevant, rank every candidate per sampled
+    query by cosine (rounded to 6 dp BEFORE ranking so both engines
+    break the same ties, then by id) and report mean NDCG@10 and
+    MRR@10.  Queries are the deterministic 1/37 sample, so the scoring
+    join is |queries| x corpus — linear in the corpus with a broadcast
+    query side; at 100 TB the candidate generation step swaps in the
+    ANN operators (embedding_ann_topk / ivf) and this exact-ranking
+    form becomes their quality oracle."""
+    from .functions.vectors import dot, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    q = emb.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        F.col("v").alias("qv"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            (F.col("label") == F.col("qlab")).cast("double").alias("rel"),
+            F.round(
+                dot("qv", "v") / (l2_norm("qv") * l2_norm("v")), 6
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    per_q = ranked.groupBy("qid").agg(
+        F.sum(
+            F.when(
+                F.col("rnk") <= 10, F.col("rel") / F.log2(F.col("rnk") + 1)
+            ).otherwise(0.0)
+        ).alias("dcg"),
+        F.least(F.lit(10.0), F.sum("rel")).alias("m"),
+        F.min(
+            F.when((F.col("rel") == 1) & (F.col("rnk") <= 10), F.col("rnk"))
+        ).alias("first_rel"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.col("m").cast("int")),
+        F.lit(0.0),
+        lambda acc, x: acc + 1.0 / F.log2(x.cast("double") + 1),
+    )
+    return per_q.select(
+        "qid", (F.col("dcg") / idcg).alias("ndcg"), "first_rel"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("ndcg"), 6).alias("avg_ndcg10"),
+        F.round(
+            F.avg(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0))), 6
+        ).alias("avg_mrr10"),
     )
