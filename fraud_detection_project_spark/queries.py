@@ -7623,7 +7623,8 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   matryoshka_truncation_fidelity, fd_discovery_audit,
 #   sortedness_profile_events, stratified_weighted_sample,
 #   uplift_qini_curve, mahalanobis_outlier_screen,
-#   shapley_channel_attribution, retrieval_ndcg_mrr
+#   shapley_channel_attribution, retrieval_ndcg_mrr,
+#   holt_linear_backtest
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -15967,4 +15968,106 @@ def q_retrieval_ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.avg(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0))), 6
         ).alias("avg_mrr10"),
+    )
+
+
+@register(
+    "holt_linear_backtest",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    series AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, rev FROM daily
+    ),
+    snaive AS (
+        SELECT AVG(ABS(rev - prev7)) AS mae FROM (
+            SELECT rev, LAG(rev, 7) OVER (ORDER BY i) AS prev7 FROM series
+        ) WHERE prev7 IS NOT NULL
+    ),
+    -- state AFTER processing day i: l_i, b_i, sum of |one-step errors|
+    -- over t=2..i, count i-1.  l2=y2 and b2=y2-y1 follow from l1=y1,
+    -- b1=y2-y1 (the forecast of day 2 is exact by construction).
+    rec AS (
+        SELECT 2 AS i, s2.rev AS l, s2.rev - s1.rev AS b,
+               CAST(0.0 AS DOUBLE) AS sae, 1 AS n
+        FROM (SELECT rev FROM series WHERE i = 1) s1,
+             (SELECT rev FROM series WHERE i = 2) s2
+        UNION ALL
+        SELECT s.i,
+               0.5 * s.rev + 0.5 * (rec.l + rec.b),
+               0.3 * ((0.5 * s.rev + 0.5 * (rec.l + rec.b)) - rec.l)
+                 + 0.7 * rec.b,
+               rec.sae + ABS(rec.l + rec.b - s.rev),
+               rec.n + 1
+        FROM rec JOIN series s ON s.i = rec.i + 1
+    ),
+    holt AS (
+        SELECT sae / n AS mae FROM rec
+        WHERE i = (SELECT MAX(i) FROM series)
+    )
+    SELECT CAST((SELECT MAX(i) FROM series) AS BIGINT) AS n_days,
+           ROUND(holt.mae, 2) AS holt_mae,
+           ROUND(snaive.mae, 2) AS snaive_mae,
+           ROUND(holt.mae / snaive.mae, 6) AS mae_ratio
+    FROM holt CROSS JOIN snaive
+    """,
+)
+def q_holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest of Holt's linear-trend smoothing
+    (alpha=0.5, beta=0.3, l1=y1, b1=y2-y1) on daily revenue vs the
+    seasonal-naive y[t-7] baseline.  The recurrence is inherently
+    sequential, so it runs as ONE Arrow task over the CALENDAR-bounded
+    daily frame (a few thousand rows forever, regardless of fact size)
+    after the distributed daily aggregate — the same hybrid-endgame
+    rationale as the graph kernels; the DuckDB twin replays the
+    identical recursion as a recursive CTE, so every smoothing step is
+    value-checked, not just the summary."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = (
+        ev.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+
+    def holt_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d")
+        y = pdf["rev"].to_numpy(dtype="float64")
+        n = len(y)
+        if n < 9:
+            return pd.DataFrame(
+                {"n_days": [n], "holt_mae": [0.0], "snaive_mae": [0.0],
+                 "mae_ratio": [0.0]}
+            )
+        l, b = y[0], y[1] - y[0]
+        sae = 0.0
+        cnt = 0
+        for t in range(1, n):
+            f = l + b
+            sae += abs(f - y[t])
+            cnt += 1
+            l_new = 0.5 * y[t] + 0.5 * (l + b)
+            b = 0.3 * (l_new - l) + 0.7 * b
+            l = l_new
+        holt_mae = sae / cnt
+        snaive_mae = float(pd.Series(abs(y[7:] - y[:-7])).mean())
+        return pd.DataFrame(
+            {
+                "n_days": [n],
+                "holt_mae": [round(holt_mae, 2)],
+                "snaive_mae": [round(snaive_mae, 2)],
+                "mae_ratio": [round(holt_mae / snaive_mae, 6)],
+            }
+        )
+
+    out_schema = (
+        "n_days long, holt_mae double, snaive_mae double, mae_ratio double"
+    )
+    return (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(holt_kernel, schema=out_schema)
+        .drop("g")
     )
