@@ -7624,7 +7624,8 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   sortedness_profile_events, stratified_weighted_sample,
 #   uplift_qini_curve, mahalanobis_outlier_screen,
 #   shapley_channel_attribution, retrieval_ndcg_mrr,
-#   holt_linear_backtest
+#   holt_linear_backtest, markov_next_event_accuracy,
+#   sequence_entropy_rate, gdpr_erasure_cascade
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -16071,3 +16072,258 @@ def q_holt_linear_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(holt_kernel, schema=out_schema)
         .drop("g")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 tenth wave: sequence analytics (Markov next-event prediction
+# backtest, entropy rate) and a GDPR erasure-cascade audit.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH cut AS (SELECT quantile_cont(epoch_us(ts), 0.5) AS c FROM events),
+    seq AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+               LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt_ts
+        FROM events
+    ),
+    train AS (
+        SELECT event_type AS cur, nxt, COUNT(*) AS n
+        FROM seq CROSS JOIN cut
+        WHERE nxt IS NOT NULL AND nxt_ts <= c
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT t.cur, MAX(t.nxt) AS predicted
+        FROM train t
+        JOIN (SELECT cur, MAX(n) AS mx FROM train GROUP BY cur) m
+          ON m.cur = t.cur AND t.n = m.mx
+        GROUP BY t.cur
+    ),
+    test AS (
+        SELECT s.event_type AS cur, s.nxt
+        FROM seq s CROSS JOIN cut
+        WHERE s.nxt IS NOT NULL AND s.nxt_ts > c
+    )
+    SELECT t.cur,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           MAX(p.predicted) AS predicted,
+           ROUND(AVG(CASE WHEN t.nxt = p.predicted THEN 1.0 ELSE 0.0 END), 6)
+               AS accuracy
+    FROM test t JOIN pred p ON p.cur = t.cur
+    GROUP BY t.cur ORDER BY t.cur
+    """,
+)
+def q_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the first-order Markov next-event predictor: learn
+    argmax transitions on the first (time) half of each user's
+    bigrams, score accuracy on the second half — the sanity bar any
+    sequence model must beat.  The temporal split is one percentile
+    scalar; train and test share ONE lead-window pass; the learned
+    'model' is a |types|^2 frame reduced to |types| rows by
+    max_by (ties broken toward the lexicographically larger next type
+    identically on both engines).  Broadcast-joined scoring, so the
+    test scan never reshuffles."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    cut = ev.agg(F.percentile("ts_us", 0.5).alias("c"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.withColumn("nxt", F.lead("event_type").over(w))
+        .withColumn("nxt_ts", F.lead("ts_us").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .crossJoin(F.broadcast(cut))
+    )
+    train = (
+        seq.filter(F.col("nxt_ts") <= F.col("c"))
+        .groupBy(F.col("event_type").alias("cur"), "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pred = train.groupBy("cur").agg(
+        F.max_by("nxt", F.struct("n", "nxt")).alias("predicted")
+    )
+    test = seq.filter(F.col("nxt_ts") > F.col("c")).select(
+        F.col("event_type").alias("cur"), "nxt"
+    )
+    return (
+        test.join(F.broadcast(pred), "cur")
+        .groupBy("cur")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.max("predicted").alias("predicted"),
+            F.round(
+                F.avg((F.col("nxt") == F.col("predicted")).cast("double")), 6
+            ).alias("accuracy"),
+        )
+        .orderBy("cur")
+    )
+
+
+@register(
+    "sequence_entropy_rate",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        FROM events
+    ),
+    joint AS (
+        SELECT cur, nxt, CAST(COUNT(*) AS DOUBLE) AS n
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    marg AS (SELECT cur, SUM(n) AS nc FROM joint GROUP BY 1),
+    tot AS (SELECT SUM(n) AS n FROM joint)
+    SELECT ROUND(-SUM(j.n / t.n * LN(j.n / m.nc)), 6) AS entropy_rate_nats,
+           ROUND(-SUM(j.n / t.n * LN(m.nc / t.n)), 6) AS marginal_entropy,
+           CAST(t.n AS BIGINT) AS n_bigrams
+    FROM joint j JOIN marg m USING (cur) CROSS JOIN tot t
+    GROUP BY t.n
+    """,
+)
+def q_sequence_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the event-type process — H(next | current) in
+    nats — against the marginal entropy H(next): the gap is exactly the
+    mutual information the Markov structure captures, i.e. how
+    predictable the stream is from one step of memory (the quantity
+    that justifies, or kills, sequence features in a fraud model).
+    One lead-window pass to bigrams, then everything is
+    |types|^2-bounded."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    joint = (
+        ev.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    marg = joint.groupBy("cur").agg(F.sum("n").alias("nc"))
+    tot = joint.agg(F.sum("n").alias("ntot"))
+    return (
+        joint.join(F.broadcast(marg), "cur")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                -F.sum(F.col("n") / F.col("ntot") * F.log(F.col("n") / F.col("nc"))),
+                6,
+            ).alias("entropy_rate_nats"),
+            F.round(
+                -F.sum(
+                    F.col("n") / F.col("ntot") * F.log(F.col("nc") / F.col("ntot"))
+                ),
+                6,
+            ).alias("marginal_entropy"),
+            F.max("ntot").cast("long").alias("n_bigrams"),
+        )
+    )
+
+
+@register(
+    "gdpr_erasure_cascade",
+    oracle="""
+    WITH victims AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE (user_id * 1000003 + 7) % 999983 * 40503 % 999983 % 20 = 0
+    ),
+    ev AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS erased
+        FROM events e LEFT JOIN victims v ON v.user_id = e.user_id
+    ),
+    cu AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS erased
+        FROM customer c LEFT JOIN victims v ON v.user_id = c.c_custkey
+    ),
+    o AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS erased
+        FROM orders oo LEFT JOIN victims v ON v.user_id = oo.o_custkey
+    ),
+    li AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS total,
+               CAST(SUM(CASE WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS erased
+        FROM lineitem l
+        JOIN orders oo ON oo.o_orderkey = l.l_orderkey
+        LEFT JOIN victims v ON v.user_id = oo.o_custkey
+    )
+    SELECT 'customer' AS tbl, total, erased,
+           ROUND(erased * 1.0 / total, 6) AS erased_frac FROM cu
+    UNION ALL
+    SELECT 'events', total, erased, ROUND(erased * 1.0 / total, 6) FROM ev
+    UNION ALL
+    SELECT 'lineitem', total, erased, ROUND(erased * 1.0 / total, 6) FROM li
+    UNION ALL
+    SELECT 'orders', total, erased, ROUND(erased * 1.0 / total, 6) FROM o
+    ORDER BY tbl
+    """,
+)
+def q_gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure impact audit: for a deterministic ~5% sample of
+    event users, count how many rows each downstream table would lose
+    when the deletion CASCADES through the foreign keys (customer by
+    key, orders by custkey, lineitem transitively through its order).
+    The victim set BROADCASTS to every fact scan — at 100 TB the
+    cascade costs one pass per table with zero shuffles of the facts
+    (lineitem needs its usual order join); this is the planning query
+    a deletion-vector writer runs before committing tombstones."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    victims = (
+        ev.filter(
+            (F.col("user_id") * 1000003 + 7) % 999983 * 40503 % 999983 % 20
+            == 0
+        )
+        .select("user_id")
+        .distinct()
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey")
+    )
+
+    def audit(df: DataFrame, name: str) -> DataFrame:
+        hit = df.join(
+            F.broadcast(victims), df.k == victims.user_id, "left"
+        )
+        return hit.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("total"),
+            F.sum(F.when(F.col("user_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("erased"),
+        )
+
+    li_keyed = li.join(orders.select("okey", "k"), "okey")
+    out = (
+        audit(cust, "customer")
+        .unionByName(audit(ev.select(F.col("user_id").alias("k")), "events"))
+        .unionByName(audit(li_keyed.select("k"), "lineitem"))
+        .unionByName(audit(orders.select("k"), "orders"))
+    )
+    return out.select(
+        "tbl",
+        "total",
+        "erased",
+        F.round(F.col("erased") / F.col("total"), 6).alias("erased_frac"),
+    ).orderBy("tbl")
