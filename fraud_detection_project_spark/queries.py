@@ -7625,7 +7625,8 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   uplift_qini_curve, mahalanobis_outlier_screen,
 #   shapley_channel_attribution, retrieval_ndcg_mrr,
 #   holt_linear_backtest, markov_next_event_accuracy,
-#   sequence_entropy_rate, gdpr_erasure_cascade
+#   sequence_entropy_rate, gdpr_erasure_cascade, sprt_ab_daily,
+#   late_data_backfill_windows
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -16327,3 +16328,193 @@ def q_gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "erased",
         F.round(F.col("erased") / F.col("total"), 6).alias("erased_frac"),
     ).orderBy("tbl")
+
+
+@register(
+    "sprt_ab_daily",
+    oracle="""
+    WITH assign AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(user_id * 1000003 % 999983 * 40503 % 999983 % 2 AS INT)
+                   AS arm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    daily AS (
+        SELECT d,
+               SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS conv_b,
+               SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+               SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS conv_a,
+               SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a
+        FROM assign GROUP BY d
+    ),
+    llr AS (
+        SELECT d,
+               ROW_NUMBER() OVER (ORDER BY d) AS day_idx,
+               SUM(conv_b * LN(0.22 / 0.20)
+                   + (n_b - conv_b) * LN(0.78 / 0.80)) OVER w AS llr_b,
+               SUM(conv_a) OVER w AS ca, SUM(n_a) OVER w AS na,
+               SUM(conv_b) OVER w AS cb, SUM(n_b) OVER w AS nb
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(MIN(llr_b), 4) AS min_llr,
+           ROUND(MAX(llr_b), 4) AS max_llr,
+           CAST(MIN(CASE WHEN llr_b >= LN(19.0) THEN day_idx END)
+                AS BIGINT) AS accept_h1_day,
+           CAST(MIN(CASE WHEN llr_b <= -LN(19.0) THEN day_idx END)
+                AS BIGINT) AS accept_h0_day,
+           ROUND(MAX(cb) * 1.0 / MAX(nb), 6) AS final_rate_b,
+           ROUND(MAX(ca) * 1.0 / MAX(na), 6) AS final_rate_a
+    FROM llr
+    """,
+)
+def q_sprt_ab_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test replayed day by day: arm B's
+    cumulative log-likelihood ratio for H1 (p=0.22) vs H0 (p=0.20)
+    against Wald's alpha=beta=0.05 boundaries (+/- ln 19), reporting the
+    first day either boundary is crossed — the always-valid alternative
+    to peeking at a fixed-horizon test.  One scan to daily arm totals;
+    the sequential replay is windows over the calendar-bounded daily
+    frame.  On this null data (hash split, no real effect) the
+    expected reading is an H0 accept or no decision."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id", "event_type")
+    assign = ev.select(
+        F.to_date("ts").alias("d"),
+        (F.col("user_id") * 1000003 % 999983 * 40503 % 999983 % 2)
+        .cast("int")
+        .alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    daily = assign.groupBy("d").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias("conv_b"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+    )
+    import math
+
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wd = Window.orderBy("d")
+    llr = daily.select(
+        "d",
+        (
+            F.sum(
+                F.col("conv_b") * math.log(0.22 / 0.20)
+                + (F.col("n_b") - F.col("conv_b")) * math.log(0.78 / 0.80)
+            ).over(w)
+        ).alias("llr_b"),
+        F.sum("conv_a").over(w).alias("ca"),
+        F.sum("n_a").over(w).alias("na"),
+        F.sum("conv_b").over(w).alias("cb"),
+        F.sum("n_b").over(w).alias("nb"),
+        F.row_number().over(wd).alias("day_idx"),
+    )
+    bound = math.log(19.0)
+    return llr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.min("llr_b"), 4).alias("min_llr"),
+        F.round(F.max("llr_b"), 4).alias("max_llr"),
+        F.min(F.when(F.col("llr_b") >= bound, F.col("day_idx")))
+        .cast("long")
+        .alias("accept_h1_day"),
+        F.min(F.when(F.col("llr_b") <= -bound, F.col("day_idx")))
+        .cast("long")
+        .alias("accept_h0_day"),
+        F.round(F.max("cb") / F.max("nb"), 6).alias("final_rate_b"),
+        F.round(F.max("ca") / F.max("na"), 6).alias("final_rate_a"),
+    )
+
+
+@register(
+    "late_data_backfill_windows",
+    oracle="""
+    WITH a AS (
+        SELECT epoch_us(ts) AS ts_us,
+               epoch_us(ts)
+                 + (((((event_id * 1000003 + 7) % 999983) * 40503)
+                     % 999983) % 86400) * 1000000 AS arr_us
+        FROM events
+    ),
+    wm AS (SELECT * FROM (VALUES (3600), (21600), (86400)) w(wm_s)),
+    win AS (
+        SELECT wm_s, ts_us // CAST(21600000000 AS BIGINT) AS w6h,
+               MAX(CASE WHEN arr_us > (ts_us // CAST(21600000000 AS BIGINT)
+                        + 1) * CAST(21600000000 AS BIGINT)
+                        + wm_s * CAST(1000000 AS BIGINT)
+                   THEN 1 ELSE 0 END) AS dirty,
+               SUM(CASE WHEN arr_us > (ts_us // CAST(21600000000 AS BIGINT)
+                        + 1) * CAST(21600000000 AS BIGINT)
+                        + wm_s * CAST(1000000 AS BIGINT)
+                   THEN 1 ELSE 0 END) AS late_ev,
+               COUNT(*) AS ev
+        FROM a CROSS JOIN wm
+        GROUP BY 1, 2
+    )
+    SELECT wm_s AS watermark_s,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(dirty) AS BIGINT) AS dirty_windows,
+           ROUND(SUM(dirty) * 1.0 / COUNT(*), 6) AS dirty_frac,
+           CAST(SUM(late_ev) AS BIGINT) AS dropped_events,
+           ROUND(SUM(late_ev) * 1.0 / SUM(ev), 6) AS dropped_frac
+    FROM win GROUP BY wm_s ORDER BY wm_s
+    """,
+)
+def q_late_data_backfill_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planning for a 6-hour tumbling aggregation: under each
+    candidate watermark (1h / 6h / 24h), a window is DIRTY if any of
+    its events arrives after the window closes at end + watermark —
+    those are the windows a batch backfill job must recompute.  Uses
+    the same deterministic simulated-arrival convention as the lateness
+    audits.  One scan fanned 3x by the broadcast watermark list, one
+    groupBy on (watermark, window) — the cost table that turns the
+    watermark_recommendation percentile into an ops decision."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.expr(
+            "ts_ns div 1000"
+            " + ((((event_id * 1000003 + 7) % 999983) * 40503 % 999983)"
+            " % 86400) * 1000000"
+        ).alias("arr_us"),
+    )
+    wm = spark.createDataFrame([(3600,), (21600,), (86400,)], ["wm_s"])
+    win_us = 21600 * 1000000
+    win = (
+        ev.crossJoin(F.broadcast(wm))
+        .groupBy(
+            "wm_s",
+            F.expr(f"ts_us div {win_us}").alias("w6h"),
+        )
+        .agg(
+            F.max(
+                F.when(
+                    F.col("arr_us")
+                    > (F.expr(f"ts_us div {win_us}") + 1) * win_us
+                    + F.col("wm_s") * 1000000,
+                    1,
+                ).otherwise(0)
+            ).alias("dirty"),
+            F.sum(
+                F.when(
+                    F.col("arr_us")
+                    > (F.expr(f"ts_us div {win_us}") + 1) * win_us
+                    + F.col("wm_s") * 1000000,
+                    1,
+                ).otherwise(0)
+            ).alias("late_ev"),
+            F.count(F.lit(1)).alias("ev"),
+        )
+    )
+    return (
+        win.groupBy(F.col("wm_s").alias("watermark_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum("dirty").cast("long").alias("dirty_windows"),
+            F.round(F.sum("dirty") / F.count(F.lit(1)), 6).alias("dirty_frac"),
+            F.sum("late_ev").cast("long").alias("dropped_events"),
+            F.round(F.sum("late_ev") / F.sum("ev"), 6).alias("dropped_frac"),
+        )
+        .orderBy("watermark_s")
+    )
