@@ -7626,7 +7626,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   shapley_channel_attribution, retrieval_ndcg_mrr,
 #   holt_linear_backtest, markov_next_event_accuracy,
 #   sequence_entropy_rate, gdpr_erasure_cascade, sprt_ab_daily,
-#   late_data_backfill_windows
+#   late_data_backfill_windows, streaming_state_cost_model
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -16517,4 +16517,59 @@ def q_late_data_backfill_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("late_ev") / F.sum("ev"), 6).alias("dropped_frac"),
         )
         .orderBy("watermark_s")
+    )
+
+
+@register(
+    "streaming_state_cost_model",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               COUNT(DISTINCT user_id) AS active_keys,
+               COUNT(*) AS events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(AVG(active_keys), 4) AS avg_active_keys_24h,
+           ROUND(AVG(events * 1.0 / active_keys), 6) AS events_per_key_24h,
+           ROUND(AVG(events * 1.0 / active_keys) * 8, 4)
+               AS state_bytes_per_key,
+           ROUND(AVG(active_keys) * AVG(events * 1.0 / active_keys) * 8
+                 / 1048576.0, 6) AS state_mb
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_streaming_state_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity model for the exact streaming velocity operator
+    (streaming/velocity.py keeps the trailing-24h timestamps per
+    ACTIVE key, 8 bytes each, watermark-evicted): measure, per event
+    type, the average daily active-key count and events-per-key — the
+    two factors whose product IS the operator's state footprint —
+    and project total state MB.  All measured quantities (no magic
+    rates); scaling the projection to a 1000x stream is multiplying
+    the key count, which is why the operator's docstring bounds state
+    by active keys, not stream length.  One groupBy to the per-day
+    frame, one aggregate of it."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "user_id")
+    d = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.countDistinct("user_id").alias("active_keys"),
+            F.count(F.lit(1)).alias("events"),
+        )
+    )
+    epk = F.avg(F.col("events") / F.col("active_keys"))
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.avg("active_keys"), 4).alias("avg_active_keys_24h"),
+            F.round(epk, 6).alias("events_per_key_24h"),
+            F.round(epk * 8, 4).alias("state_bytes_per_key"),
+            F.round(
+                F.avg("active_keys") * epk * 8 / 1048576.0, 6
+            ).alias("state_mb"),
+        )
+        .orderBy("event_type")
     )
