@@ -7626,7 +7626,9 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   shapley_channel_attribution, retrieval_ndcg_mrr,
 #   holt_linear_backtest, markov_next_event_accuracy,
 #   sequence_entropy_rate, gdpr_erasure_cascade, sprt_ab_daily,
-#   late_data_backfill_windows, streaming_state_cost_model
+#   late_data_backfill_windows, streaming_state_cost_model,
+#   discrete_hazard_weekly, overdispersion_user_daily,
+#   join_fanout_audit
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -16573,3 +16575,243 @@ def q_streaming_state_cost_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "discrete_hazard_weekly",
+    oracle="""
+    WITH span AS (
+        SELECT user_id,
+               (epoch_us(MIN(ts)) // CAST(604800000000 AS BIGINT)) AS w0,
+               (epoch_us(MAX(ts)) // CAST(604800000000 AS BIGINT)) AS w1
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT MAX(w1) AS wmax FROM span),
+    tenure AS (
+        -- churn week = tenure at last activity; users still active in
+        -- the final observed week are right-censored
+        SELECT CAST(w1 - w0 AS INT) AS churn_week,
+               CASE WHEN w1 >= h.wmax THEN 1 ELSE 0 END AS censored
+        FROM span CROSS JOIN horizon h
+    ),
+    weeks AS (
+        SELECT CAST(r.range AS INT) AS wk FROM range(0, 64) r
+        WHERE r.range <= (SELECT MAX(churn_week) FROM tenure)
+    ),
+    haz AS (
+        SELECT wk,
+               SUM(CASE WHEN t.churn_week >= wk THEN 1 ELSE 0 END) AS at_risk,
+               SUM(CASE WHEN t.churn_week = wk AND t.censored = 0
+                   THEN 1 ELSE 0 END) AS churned
+        FROM weeks w JOIN tenure t ON t.churn_week >= w.wk
+        GROUP BY wk
+    ),
+    surv AS (
+        SELECT wk, at_risk, churned,
+               churned * 1.0 / at_risk AS hazard,
+               EXP(SUM(LN(1 - churned * 1.0 / at_risk)) OVER (
+                   ORDER BY wk ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)) AS survival
+        FROM haz WHERE at_risk > 0
+    )
+    SELECT wk, CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(churned AS BIGINT) AS churned,
+           ROUND(hazard, 6) AS hazard,
+           ROUND(survival, 6) AS survival
+    FROM surv WHERE wk <= 10 ORDER BY wk
+    """,
+)
+def q_discrete_hazard_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn survival: per tenure week, the hazard
+    (churners / users still at risk) and the Kaplan-Meier-style
+    survival product, with users active in the final observed week
+    right-censored — the actuarial view of retention that the
+    retention-triangle query reads off descriptively.  The fact table
+    reduces to one (first, last) row per user; the life table is a
+    tenure-bounded frame and the survival product is exp-sum-log over
+    it."""
+    wk_us = 604800000000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr(f"(ts_ns div 1000) div {wk_us}").alias("w")
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("w").alias("w0"), F.max("w").alias("w1")
+    )
+    horizon = span.agg(F.max("w1").alias("wmax"))
+    tenure = span.crossJoin(F.broadcast(horizon)).select(
+        (F.col("w1") - F.col("w0")).cast("int").alias("churn_week"),
+        F.when(F.col("w1") >= F.col("wmax"), 1).otherwise(0).alias("censored"),
+    )
+    mx = tenure.agg(F.max("churn_week").alias("m"))
+    weeks = (
+        spark.range(64)
+        .select(F.col("id").cast("int").alias("wk"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("wk") <= F.col("m"))
+        .select("wk")
+    )
+    haz = (
+        weeks.join(
+            F.broadcast(tenure), tenure.churn_week >= weeks.wk, "inner"
+        )
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).alias("at_risk"),
+            F.sum(
+                F.when(
+                    (F.col("churn_week") == F.col("wk"))
+                    & (F.col("censored") == 0),
+                    1,
+                ).otherwise(0)
+            ).alias("churned"),
+        )
+        .filter(F.col("at_risk") > 0)
+    )
+    w = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        haz.withColumn("hazard", F.col("churned") / F.col("at_risk"))
+        .withColumn(
+            "survival", F.exp(F.sum(F.log(1 - F.col("hazard"))).over(w))
+        )
+        .filter(F.col("wk") <= 10)
+        .select(
+            "wk",
+            F.col("at_risk").cast("long").alias("at_risk"),
+            F.col("churned").cast("long").alias("churned"),
+            F.round("hazard", 6).alias("hazard"),
+            F.round("survival", 6).alias("survival"),
+        )
+        .orderBy("wk")
+    )
+
+
+@register(
+    "overdispersion_user_daily",
+    oracle="""
+    WITH d AS (
+        SELECT event_type, user_id, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS DOUBLE) AS n
+        FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_user_days,
+           ROUND(AVG(n), 6) AS mean_daily,
+           ROUND(var_pop(n), 6) AS var_daily,
+           ROUND(var_pop(n) / AVG(n), 6) AS fano,
+           CASE WHEN var_pop(n) / AVG(n) > 1.5 THEN 'overdispersed'
+                WHEN var_pop(n) / AVG(n) < 0.67 THEN 'underdispersed'
+                ELSE 'poisson_like' END AS verdict
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_overdispersion_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion check on per-user daily counts: the Fano factor
+    (variance / mean) is 1 for a Poisson process, >1 for bursty
+    (negative-binomial) traffic — the test that decides whether rate
+    alerts need a dispersion parameter.  Complements
+    interarrival_fit_by_type's cv² dial with the count-domain view.
+    One groupBy to user-day counts, one moment aggregate per type."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "ts")
+    d = (
+        ev.groupBy("event_type", "user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    fano = F.var_pop("n") / F.avg("n")
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_user_days"),
+            F.round(F.avg("n"), 6).alias("mean_daily"),
+            F.round(F.var_pop("n"), 6).alias("var_daily"),
+            F.round(fano, 6).alias("fano"),
+            F.when(fano > 1.5, F.lit("overdispersed"))
+            .when(fano < 0.67, F.lit("underdispersed"))
+            .otherwise(F.lit("poisson_like"))
+            .alias("verdict"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "join_fanout_audit",
+    oracle="""
+    WITH co AS (
+        SELECT 'customer->orders' AS edge, c.c_custkey AS k,
+               COUNT(o.o_orderkey) AS fan
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ol AS (
+        SELECT 'orders->lineitem', o.o_orderkey,
+               COUNT(l.l_orderkey)
+        FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    pl AS (
+        SELECT 'part->lineitem', p.p_partkey,
+               COUNT(l.l_orderkey)
+        FROM part p LEFT JOIN lineitem l ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    uni AS (
+        SELECT * FROM co UNION ALL SELECT * FROM ol
+        UNION ALL SELECT * FROM pl
+    )
+    SELECT edge,
+           CAST(COUNT(*) AS BIGINT) AS n_left_keys,
+           ROUND(AVG(fan), 6) AS avg_fanout,
+           CAST(MAX(fan) AS BIGINT) AS max_fanout,
+           ROUND(SUM(CASE WHEN fan = 0 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS orphan_frac
+    FROM uni GROUP BY edge ORDER BY edge
+    """,
+)
+def q_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality audit for the schema's three FK edges: average
+    and worst-case fanout (output rows per left key) plus the orphan
+    fraction — the numbers that predict a join's output size and spot
+    the skewed key that will straggle a 1000-executor shuffle BEFORE
+    running it.  Each edge is one aggregated count on the fact side
+    joined to the dimension, so the audit costs a fraction of the join
+    it de-risks."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), F.col("o_custkey").alias("ck")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("lok"), F.col("l_partkey").alias("lpk")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk")
+    )
+
+    def edge(left: DataFrame, lk: str, fact_counts: DataFrame, fk: str,
+             name: str) -> DataFrame:
+        joined = left.join(
+            fact_counts, left[lk] == fact_counts[fk], "left"
+        ).select(F.coalesce(F.col("fan"), F.lit(0)).alias("fan"))
+        return joined.agg(
+            F.lit(name).alias("edge"),
+            F.count(F.lit(1)).cast("long").alias("n_left_keys"),
+            F.round(F.avg("fan"), 6).alias("avg_fanout"),
+            F.max("fan").cast("long").alias("max_fanout"),
+            F.round(
+                F.sum(F.when(F.col("fan") == 0, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("orphan_frac"),
+        )
+
+    ord_per_cust = orders.groupBy("ck").agg(F.count(F.lit(1)).alias("fan"))
+    li_per_ord = li.groupBy("lok").agg(F.count(F.lit(1)).alias("fan"))
+    li_per_part = li.groupBy("lpk").agg(F.count(F.lit(1)).alias("fan"))
+    out = (
+        edge(cust, "k", ord_per_cust, "ck", "customer->orders")
+        .unionByName(edge(orders.select("okey"), "okey", li_per_ord, "lok",
+                          "orders->lineitem"))
+        .unionByName(edge(part, "pk", li_per_part, "lpk", "part->lineitem"))
+    )
+    return out.orderBy("edge")
