@@ -7628,7 +7628,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   sequence_entropy_rate, gdpr_erasure_cascade, sprt_ab_daily,
 #   late_data_backfill_windows, streaming_state_cost_model,
 #   discrete_hazard_weekly, overdispersion_user_daily,
-#   join_fanout_audit
+#   join_fanout_audit, wasserstein1_value_types
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -16815,3 +16815,79 @@ def q_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edge(part, "pk", li_per_part, "lpk", "part->lineitem"))
     )
     return out.orderBy("edge")
+
+
+@register(
+    "wasserstein1_value_types",
+    oracle="""
+    WITH u AS (
+        SELECT value AS k,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        FROM events
+        WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+        GROUP BY value
+    ),
+    c AS (
+        SELECT k,
+               LEAD(k) OVER (ORDER BY k) AS k_next,
+               CAST(SUM(ca) OVER (ORDER BY k) AS DOUBLE) / SUM(ca) OVER ()
+               - CAST(SUM(cb) OVER (ORDER BY k) AS DOUBLE)
+                 / SUM(cb) OVER () AS diff,
+               SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        FROM u
+    )
+    SELECT ROUND(SUM(ABS(diff) * (k_next - k)), 6) AS w1,
+           ROUND(MAX(ABS(diff)), 6) AS ks,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b
+    FROM c WHERE k_next IS NOT NULL
+    """,
+)
+def q_wasserstein1_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between the 'view'
+    and 'purchase' value distributions — the integral of |ECDF_a -
+    ECDF_b| over the value axis, i.e. the AREA between the CDFs where
+    KS is only their widest gap; W1 is the drift measure that weighs
+    HOW FAR mass moved, not just whether it did.  Same
+    distinct-value-frame ECDF machinery as ks_value_types (hash-agg
+    collapse first, ordered pass over |distinct| rows), with the
+    segment-width lead completing the integral.  Reported next to KS
+    so the two disagree exactly when drift is diffuse."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+        & F.col("value").isNotNull()
+    )
+    u = (
+        ev.groupBy(F.col("value").alias("k"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias(
+                "ca"
+            ),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    wo = Window.orderBy("k")
+    wall = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = u.select(
+        "k",
+        F.lead("k").over(wo).alias("k_next"),
+        (
+            F.sum("ca").over(wo).cast("double") / F.sum("ca").over(wall)
+            - F.sum("cb").over(wo).cast("double") / F.sum("cb").over(wall)
+        ).alias("diff"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    return c.filter(F.col("k_next").isNotNull()).agg(
+        F.round(F.sum(F.abs(F.col("diff")) * (F.col("k_next") - F.col("k"))), 6).alias(
+            "w1"
+        ),
+        F.round(F.max(F.abs("diff")), 6).alias("ks"),
+        F.max("na").cast("long").alias("n_a"),
+        F.max("nb").cast("long").alias("n_b"),
+    )
