@@ -7628,7 +7628,8 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   sequence_entropy_rate, gdpr_erasure_cascade, sprt_ab_daily,
 #   late_data_backfill_windows, streaming_state_cost_model,
 #   discrete_hazard_weekly, overdispersion_user_daily,
-#   join_fanout_audit, wasserstein1_value_types
+#   join_fanout_audit, wasserstein1_value_types,
+#   prefixspan_type_patterns
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -16890,4 +16891,82 @@ def q_wasserstein1_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.abs("diff")), 6).alias("ks"),
         F.max("na").cast("long").alias("n_a"),
         F.max("nb").cast("long").alias("n_b"),
+    )
+
+
+@register(
+    "prefixspan_type_patterns",
+    oracle="""
+    WITH ut AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt,
+               MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+        FROM events GROUP BY 1, 2
+    ),
+    nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+    singles AS (
+        SELECT event_type AS pattern, COUNT(*) AS freq FROM ut GROUP BY 1
+    ),
+    pairs AS (
+        -- subsequence <a then b>, a != b: some a-occurrence strictly
+        -- before some b-occurrence, i.e. first(a) < last(b)
+        SELECT a.event_type || '>' || b.event_type AS pattern,
+               COUNT(*) AS freq
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type != b.event_type
+         AND a.first_us < b.last_us
+        GROUP BY 1
+    ),
+    self_pairs AS (
+        -- <a then a>: any two distinct occurrences are time-ordered
+        SELECT event_type || '>' || event_type AS pattern,
+               COUNT(*) AS freq
+        FROM ut WHERE cnt >= 2 GROUP BY 1
+    ),
+    uni AS (SELECT * FROM singles UNION ALL SELECT * FROM pairs
+            UNION ALL SELECT * FROM self_pairs)
+    SELECT pattern, CAST(freq AS BIGINT) AS freq
+    FROM uni CROSS JOIN nu
+    WHERE freq >= CEIL(0.6 * n)
+    ORDER BY pattern
+    """,
+)
+def q_prefixspan_type_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining via MLlib's distributed PrefixSpan
+    (projected-database recursion — PFP's ordered cousin) over each
+    user's time-ordered event-type sequence at 60% support, reported
+    for pattern lengths <= 2 where the SQL twin enumerates supports
+    EXACTLY (an <a then b> subsequence exists iff the user's first a
+    precedes their last b; <a then a> iff a occurs at least twice), so
+    the comparable frame is complete.  At 100 TB the per-user sequence collect_list is the
+    only fact shuffle; mining runs on projected suffixes."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqs = (
+        ev.withColumn("pos", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "event_type"))
+                ),
+                lambda s: F.array(s["event_type"]),
+            ).alias("sequence")
+        )
+    )
+    ps = PrefixSpan(
+        minSupport=0.6, maxPatternLength=2, sequenceCol="sequence"
+    )
+    found = ps.findFrequentSequentialPatterns(seqs)
+    return (
+        found.select(
+            F.array_join(
+                F.transform("sequence", lambda s: F.array_join(s, "+")), ">"
+            ).alias("pattern"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+        .orderBy("pattern")
     )
