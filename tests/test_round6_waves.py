@@ -258,3 +258,103 @@ def test_stratified_sample_is_exact_per_stratum_topk(spark):
         expected.update((t, -x[1]) for x in lst[:5])
     got = {(r["event_type"], r["event_id"]) for r in out}
     assert got == expected
+
+
+def test_shapley_matches_bruteforce(spark):
+    """Exact Shapley values recomputed by enumerating all 4! channel
+    orderings over the collected coalition-value table."""
+    from collections import defaultdict
+    from itertools import permutations
+
+    from fraud_detection_project_spark.catalog import load_table
+
+    got = {
+        r["channel"]: r["shapley"]
+        for r in QUERIES["shapley_channel_attribution"](spark, SF).collect()
+    }
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.to_date("ts").alias("d"), "event_type")
+        .toPandas()
+    )
+    bits = {"click": 1, "view": 2, "error": 4, "signup": 8}
+    journeys = defaultdict(lambda: [0, 0])
+    for u, d, t in zip(ev["user_id"], ev["d"], ev["event_type"]):
+        j = journeys[(u, d)]
+        if t == "purchase":
+            j[1] = 1
+        else:
+            j[0] |= bits[t]
+    v = defaultdict(lambda: [0, 0])
+    for mask, conv in journeys.values():
+        v[mask][0] += conv
+        v[mask][1] += 1
+    val = {m: (c / n if n else 0.0) for m, (c, n) in v.items()}
+    for m in range(16):
+        val.setdefault(m, 0.0)
+    phis = defaultdict(float)
+    chans = list(bits.items())
+    for order in permutations(chans):
+        mask = 0
+        for name, bit in order:
+            phis[name] += (val[mask | bit] - val[mask]) / 24.0
+            mask |= bit
+    for name in bits:
+        assert abs(got[name] - phis[name]) < 1e-5, name
+
+
+def test_retrieval_ndcg_matches_bruteforce(spark):
+    import numpy as np
+
+    from fraud_detection_project_spark.catalog import load_table
+
+    row = QUERIES["retrieval_ndcg_mrr"](spark, SF).collect()[0]
+    pdf = load_table(spark, SF, "embeddings").toPandas()
+    vecs = np.array(pdf["embedding"].tolist(), dtype="float64")
+    labels = pdf["label"].to_numpy()
+    ids = pdf["vec_id"].to_numpy()
+    qmask = ids % 37 == 0
+    ndcgs, mrrs = [], []
+    for qi in np.where(qmask)[0]:
+        cos = vecs @ vecs[qi] / (
+            np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[qi])
+        )
+        cos = np.round(cos, 6)
+        cand = [(float(-cos[i]), int(ids[i]), int(labels[i] == labels[qi]))
+                for i in range(len(ids)) if i != qi]
+        cand.sort()
+        rels = [c[2] for c in cand[:10]]
+        dcg = sum(r / np.log2(i + 2) for i, r in enumerate(rels))
+        m = min(10, sum(c[2] for c in cand))
+        idcg = sum(1 / np.log2(i + 2) for i in range(m))
+        ndcgs.append(dcg / idcg)
+        first = next((i + 1 for i, r in enumerate(rels) if r), None)
+        mrrs.append(1.0 / first if first else 0.0)
+    assert row["n_queries"] == len(ndcgs)
+    assert abs(row["avg_ndcg10"] - float(np.mean(ndcgs))) < 1e-4
+    assert abs(row["avg_mrr10"] - float(np.mean(mrrs))) < 1e-4
+
+
+def test_holt_kernel_matches_manual_recursion(spark):
+    from fraud_detection_project_spark.catalog import load_table
+
+    row = QUERIES["holt_linear_backtest"](spark, SF).collect()[0]
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .orderBy("d")
+        .toPandas()
+    )
+    y = daily["rev"].to_numpy(dtype="float64")
+    l, b = y[0], y[1] - y[0]
+    sae, cnt = 0.0, 0
+    for t in range(1, len(y)):
+        f = l + b
+        sae += abs(f - y[t])
+        cnt += 1
+        l_new = 0.5 * y[t] + 0.5 * (l + b)
+        b = 0.3 * (l_new - l) + 0.7 * b
+        l = l_new
+    assert row["n_days"] == len(y)
+    assert abs(row["holt_mae"] - round(sae / cnt, 2)) < 0.02
