@@ -14031,7 +14031,7 @@ def q_weighted_reservoir_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                var_pop(rev) AS v_total
         FROM se
     )
-    SELECT component, ROUND(v, 2) AS variance,
+    SELECT component, ROUND(SQRT(v), 2) AS stddev,
            ROUND(v / v_total, 6) AS share
     FROM (
         SELECT 'trend' AS component, v_trend AS v, v_total FROM comp
@@ -14083,7 +14083,11 @@ def q_stl_lite_variance_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.append(
             comp.select(
                 F.lit(name).alias("component"),
-                F.round(F.col(col), 2).alias("variance"),
+                # stddev, not raw variance: ROUND(v, 2) on a ~1e12
+                # variance sits within double noise of the half-cent
+                # boundary (observed flaking once in the sf0.1 sweep);
+                # the sqrt restores 6 orders of rounding headroom.
+                F.round(F.sqrt(F.col(col)), 2).alias("stddev"),
                 F.round(F.col(col) / F.col("v_total"), 6).alias("share"),
             )
         )
