@@ -16632,9 +16632,10 @@ def q_discrete_hazard_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     survival product, with users active in the final observed week
     right-censored — the actuarial view of retention that the
     retention-triangle query reads off descriptively.  The fact table
-    reduces to one (first, last) row per user; the life table is a
-    tenure-bounded frame and the survival product is exp-sum-log over
-    it."""
+    reduces to one (first, last) row per user; the 64-row week frame
+    BROADCASTS against it (never the user frame the other way), the
+    life table is tenure-bounded, and the survival product is
+    exp-sum-log over it."""
     wk_us = 604800000000
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.expr(f"(ts_ns div 1000) div {wk_us}").alias("w")
@@ -16656,8 +16657,8 @@ def q_discrete_hazard_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("wk")
     )
     haz = (
-        weeks.join(
-            F.broadcast(tenure), tenure.churn_week >= weeks.wk, "inner"
+        tenure.join(
+            F.broadcast(weeks), tenure.churn_week >= weeks.wk, "inner"
         )
         .groupBy("wk")
         .agg(
