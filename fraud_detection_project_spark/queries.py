@@ -7629,7 +7629,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   late_data_backfill_windows, streaming_state_cost_model,
 #   discrete_hazard_weekly, overdispersion_user_daily,
 #   join_fanout_audit, wasserstein1_value_types,
-#   prefixspan_type_patterns
+#   prefixspan_type_patterns, embedding_dimension_health
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -16974,4 +16974,69 @@ def q_prefixspan_type_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("freq").cast("long").alias("freq"),
         )
         .orderBy("pattern")
+    )
+
+
+@register(
+    "embedding_dimension_health",
+    oracle="""
+    WITH dims AS (
+        SELECT u.dim, u.x
+        FROM embeddings e,
+             LATERAL (SELECT generate_subscripts(e.embedding, 1) AS dim,
+                             UNNEST(e.embedding::DOUBLE[]) AS x) u
+    ),
+    per_dim AS (
+        SELECT dim, AVG(x) AS mu, stddev_pop(x) AS sd,
+               AVG(CASE WHEN ABS(x) < 1e-6 THEN 1.0 ELSE 0.0 END) AS zero_frac
+        FROM dims GROUP BY dim
+    ),
+    med AS (SELECT quantile_cont(sd, 0.5) AS med_sd FROM per_dim)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+           ROUND(MIN(sd), 6) AS min_sd,
+           ROUND(MAX(sd), 6) AS max_sd,
+           ROUND(MAX(med_sd), 6) AS median_sd,
+           CAST(SUM(CASE WHEN sd < 0.1 * med_sd THEN 1 ELSE 0 END)
+                AS BIGINT) AS dead_dims,
+           ROUND(MAX(ABS(mu)), 6) AS max_abs_mean,
+           ROUND(MAX(zero_frac), 6) AS max_zero_frac
+    FROM per_dim CROSS JOIN med
+    """,
+)
+def q_embedding_dimension_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health screen: a DEAD dimension (std
+    under 10% of the median dimension std — a scale-free cutoff), a
+    biased one (large |mean|), or a mostly-zero one wastes index space
+    and distorts cosine geometry; this is the checkup run before
+    building an ANN index or quantizing.  posexplode fans each vector
+    to (dim, x) pairs map-side; everything after the per-dim aggregate
+    is 64 rows.  Complements embedding_isotropy_audit's global
+    anisotropy with the per-coordinate view."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "dim0", "x"
+        )
+    )
+    per_dim = (
+        emb.select((F.col("dim0") + 1).alias("dim"), "x")
+        .groupBy("dim")
+        .agg(
+            F.avg("x").alias("mu"),
+            F.stddev_pop("x").alias("sd"),
+            F.avg(
+                F.when(F.abs(F.col("x")) < 1e-6, 1.0).otherwise(0.0)
+            ).alias("zero_frac"),
+        )
+    )
+    med = per_dim.agg(F.percentile("sd", 0.5).alias("med_sd"))
+    return per_dim.crossJoin(F.broadcast(med)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.round(F.min("sd"), 6).alias("min_sd"),
+        F.round(F.max("sd"), 6).alias("max_sd"),
+        F.round(F.max("med_sd"), 6).alias("median_sd"),
+        F.sum(F.when(F.col("sd") < 0.1 * F.col("med_sd"), 1).otherwise(0))
+        .cast("long")
+        .alias("dead_dims"),
+        F.round(F.max(F.abs("mu")), 6).alias("max_abs_mean"),
+        F.round(F.max("zero_frac"), 6).alias("max_zero_frac"),
     )
