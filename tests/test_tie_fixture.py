@@ -43,6 +43,13 @@ CARRIED_VALUE_QUERIES = [
     "session_entry_conversion",
     "event_lateness_profile",
     "top_session_paths",
+    # round-6 sequence wave — lead/lag/row_number in (ts, event_id)
+    # order; duplicates must not change which bigram/half/gap wins
+    "markov_next_event_accuracy",
+    "sequence_entropy_rate",
+    "user_mix_shift_kl",
+    "bot_periodicity_screen",
+    "watermark_recommendation",
 ]
 
 
