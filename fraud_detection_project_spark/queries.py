@@ -7629,7 +7629,8 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   late_data_backfill_windows, streaming_state_cost_model,
 #   discrete_hazard_weekly, overdispersion_user_daily,
 #   join_fanout_audit, wasserstein1_value_types,
-#   prefixspan_type_patterns, embedding_dimension_health
+#   prefixspan_type_patterns, embedding_dimension_health,
+#   chow_break_test_daily
 # — plus any r06 non-green retries and round-7 registrations.
 
 
@@ -17039,4 +17040,106 @@ def q_embedding_dimension_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dead_dims"),
         F.round(F.max(F.abs("mu")), 6).alias("max_abs_mean"),
         F.round(F.max("zero_frac"), 6).alias("max_zero_frac"),
+    )
+
+
+@register(
+    "chow_break_test_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) * 1.0 AS x, y FROM daily
+    ),
+    n AS (SELECT COUNT(*) AS n, CAST(COUNT(*) // 2 AS DOUBLE) AS brk
+          FROM idx),
+    seg AS (
+        SELECT CASE WHEN x <= n.brk THEN 0 ELSE 1 END AS s, x, y
+        FROM idx CROSS JOIN n
+    ),
+    fits AS (
+        -- closed-form OLS SSR per segment and pooled (s = 2)
+        SELECT s, COUNT(*) AS m,
+               var_pop(y) * COUNT(*)
+                 - POWER(covar_pop(x, y), 2) / var_pop(x) * COUNT(*) AS ssr
+        FROM seg GROUP BY s
+        UNION ALL
+        SELECT 2, COUNT(*),
+               var_pop(y) * COUNT(*)
+                 - POWER(covar_pop(x, y), 2) / var_pop(x) * COUNT(*)
+        FROM seg
+    ),
+    agg AS (
+        SELECT
+            MAX(CASE WHEN s = 2 THEN ssr END) AS ssr_pooled,
+            SUM(CASE WHEN s < 2 THEN ssr ELSE 0 END) AS ssr_split,
+            MAX(CASE WHEN s = 2 THEN m END) AS n
+        FROM fits
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           ROUND(ssr_pooled / 1e6, 3) AS ssr_pooled_m,
+           ROUND(ssr_split / 1e6, 3) AS ssr_split_m,
+           ROUND(((ssr_pooled - ssr_split) / 2)
+                 / (ssr_split / (n - 4)), 6) AS chow_f,
+           ((ssr_pooled - ssr_split) / 2) / (ssr_split / (n - 4)) > 3.0
+               AS break_suspected
+    FROM agg
+    """,
+)
+def q_chow_break_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow structural-break test on the daily revenue trend: fit OLS
+    y~x pooled and separately on each half (break at the midpoint),
+    and compare via the F-statistic ((SSR_p - SSR_1 - SSR_2)/k) /
+    (SSR_split/(n-2k)) — the econometric screen for 'did the trend
+    regime change'.  Every fit is CLOSED FORM from var/covar moments
+    (SSR = n*(var_y - cov²/var_x)), so the whole test is two moment
+    aggregates over the calendar-bounded daily frame; no iterative
+    solver.  SSRs are reported in millions at 3 dp — at ~1e14 raw
+    magnitude, finer rounding sits inside double sum-order noise (the
+    stl_lite lesson)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum("o_totalprice").alias("y")
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).cast("double").alias("x"), "y"
+    )
+    n = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.count(F.lit(1)) / 2).cast("double").alias("brk"),
+    )
+    seg = idx.crossJoin(F.broadcast(n)).select(
+        F.when(F.col("x") <= F.col("brk"), 0).otherwise(1).alias("s"), "x", "y"
+    )
+    ssr = (
+        F.var_pop("y") * F.count(F.lit(1))
+        - F.pow(F.covar_pop("x", "y"), 2) / F.var_pop("x") * F.count(F.lit(1))
+    )
+    fits = (
+        seg.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("m"), ssr.alias("ssr"))
+        .unionByName(
+            seg.agg(
+                F.lit(2).alias("s"), F.count(F.lit(1)).alias("m"), ssr.alias("ssr")
+            )
+        )
+    )
+    agg = fits.agg(
+        F.max(F.when(F.col("s") == 2, F.col("ssr"))).alias("ssr_pooled"),
+        F.sum(F.when(F.col("s") < 2, F.col("ssr")).otherwise(0.0)).alias(
+            "ssr_split"
+        ),
+        F.max(F.when(F.col("s") == 2, F.col("m"))).alias("n"),
+    )
+    chow = ((F.col("ssr_pooled") - F.col("ssr_split")) / 2) / (
+        F.col("ssr_split") / (F.col("n") - 4)
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round(F.col("ssr_pooled") / 1e6, 3).alias("ssr_pooled_m"),
+        F.round(F.col("ssr_split") / 1e6, 3).alias("ssr_split_m"),
+        F.round(chow, 6).alias("chow_f"),
+        (chow > 3.0).alias("break_suspected"),
     )
