@@ -17143,3 +17143,698 @@ def q_chow_break_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chow, 6).alias("chow_f"),
         (chow > 3.0).alias("break_suspected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 first wave: graph similarity + community structure
+# (neighborhood Jaccard, synchronous label propagation), hybrid-ranking
+# fusion (RRF), Gopher-style repetition quality rules, Page-Hinkley
+# sequential drift, inter-rater agreement (kappa/MCC), and a
+# seasonal-naive forecast error panel (MAPE/sMAPE/MASE).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "neighborhood_jaccard_coparts",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    w AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    adj AS (SELECT u AS x, v AS y FROM w UNION ALL SELECT v, u FROM w),
+    deg AS (SELECT x AS node, COUNT(*) AS deg FROM adj GROUP BY 1),
+    com AS (
+        SELECT l.x AS u, r.x AS v, COUNT(*) AS common
+        FROM adj l JOIN adj r ON l.y = r.y AND l.x < r.x
+        GROUP BY 1, 2
+    )
+    SELECT CAST(c.u AS BIGINT) AS u, CAST(c.v AS BIGINT) AS v,
+           CAST(c.common AS BIGINT) AS common,
+           CAST(du.deg AS BIGINT) AS deg_u, CAST(dv.deg AS BIGINT) AS deg_v,
+           ROUND(c.common * 1.0 / (du.deg + dv.deg - c.common), 6) AS jaccard
+    FROM com c
+    JOIN deg du ON du.node = c.u
+    JOIN deg dv ON dv.node = c.v
+    ORDER BY jaccard DESC, u, v LIMIT 20
+    """,
+)
+def q_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 part pairs by Jaccard similarity of their open
+    neighborhoods in the repeat-co-purchase graph (edges = part pairs
+    sharing >= 2 orders) — the link-prediction / substitute-product
+    primitive that complements adamic_adar.  The weight>=2 prefilter is
+    the scale governor: it keeps the graph at the stable "repeatedly
+    co-bought" core (3.4k edges at sf0.01 AND sf0.1 — scale-free by
+    construction), so the common-neighbor wedge join is Sum_m C(deg_m,2)
+    over bounded degrees; on an uncapped power-law graph the same
+    operator would first need the degree-cap/hub-split treatment
+    documented at triangle_count.  Ordering is on the ROUNDED score with
+    (u, v) tie-breaks so the limit-20 boundary is cross-engine
+    deterministic."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    und = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    adj = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        und.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    deg = adj.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    com = (
+        adj.alias("l")
+        .join(adj.alias("r"), F.col("l.y") == F.col("r.y"))
+        .filter(F.col("l.x") < F.col("r.x"))
+        .groupBy(F.col("l.x").alias("u"), F.col("r.x").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = (
+        com.join(
+            deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v")),
+            "v",
+        )
+        .select(
+            F.col("u").cast("long").alias("u"),
+            F.col("v").cast("long").alias("v"),
+            F.col("common").cast("long").alias("common"),
+            F.col("deg_u").cast("long").alias("deg_u"),
+            F.col("deg_v").cast("long").alias("deg_v"),
+            F.round(
+                F.col("common")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.orderBy(F.desc("jaccard"), "u", "v").limit(20)
+
+
+@register(
+    "label_propagation_communities",
+    oracle="""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    w AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    adj AS (SELECT u AS x, v AS y FROM w UNION ALL SELECT v, u FROM w),
+    l0 AS (SELECT DISTINCT x AS node, x AS lab FROM adj),
+    l1 AS (
+        SELECT node, lab FROM (
+            SELECT a.x AS node, l.lab, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.x ORDER BY COUNT(*) DESC, l.lab) AS rn
+            FROM adj a JOIN l0 l ON l.node = a.y GROUP BY a.x, l.lab
+        ) WHERE rn = 1
+    ),
+    l2 AS (
+        SELECT node, lab FROM (
+            SELECT a.x AS node, l.lab, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.x ORDER BY COUNT(*) DESC, l.lab) AS rn
+            FROM adj a JOIN l1 l ON l.node = a.y GROUP BY a.x, l.lab
+        ) WHERE rn = 1
+    ),
+    l3 AS (
+        SELECT node, lab FROM (
+            SELECT a.x AS node, l.lab, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.x ORDER BY COUNT(*) DESC, l.lab) AS rn
+            FROM adj a JOIN l2 l ON l.node = a.y GROUP BY a.x, l.lab
+        ) WHERE rn = 1
+    ),
+    l4 AS (
+        SELECT node, lab FROM (
+            SELECT a.x AS node, l.lab, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.x ORDER BY COUNT(*) DESC, l.lab) AS rn
+            FROM adj a JOIN l3 l ON l.node = a.y GROUP BY a.x, l.lab
+        ) WHERE rn = 1
+    ),
+    sizes AS (SELECT lab, COUNT(*) AS sz FROM l4 GROUP BY lab)
+    SELECT CAST(sz AS BIGINT) AS community_size,
+           CAST(COUNT(*) AS BIGINT) AS n_communities
+    FROM sizes GROUP BY sz ORDER BY community_size
+    """,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (4 fixed rounds, tie -> smallest
+    label) over the repeat-co-purchase part graph; output is the
+    community-size histogram.  Deterministic by construction: the
+    update is argmax-count-min-label, expressed as
+    ``max_by(lab, struct(cnt, -lab))`` — the same tie-break convention
+    as every carried-value operator in this repo — and the DuckDB twin
+    unrolls the identical four rounds as chained CTEs, value-checking
+    every propagation step's fixpoint rather than just modularity.
+    Scale: one shuffle join + two hash aggs per round over the
+    weight>=2 core (bounded, see neighborhood_jaccard_coparts); at a
+    web-scale edge list the loop gains checkpoint truncation every few
+    rounds exactly like pagerank's."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    und = (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    adj = und.select(F.col("u").alias("x"), F.col("v").alias("y")).unionAll(
+        und.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    labels = (
+        adj.select("x").distinct().select(
+            F.col("x").alias("node"), F.col("x").alias("lab")
+        )
+    )
+    for _ in range(4):
+        nb = adj.join(
+            labels.withColumnRenamed("node", "y"), "y"
+        ).select(F.col("x").alias("node"), "lab")
+        cnt = nb.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("cnt"))
+        labels = cnt.groupBy("node").agg(
+            F.expr("max_by(lab, struct(cnt, -lab))").alias("lab")
+        )
+    sizes = labels.groupBy("lab").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("community_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_communities"))
+        .orderBy("community_size")
+    )
+
+
+@register(
+    "rrf_fusion_search",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM tk),
+    st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, t AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(toks) AS t FROM tk)
+        WHERE t IN ('hash', 'join', 'vector')
+        GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    sc AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS s
+        FROM tf
+        JOIN df USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN st
+    ),
+    bmtop AS (
+        SELECT doc_id, ROUND(SUM(s), 4) AS bm25
+        FROM sc GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 20
+    ),
+    r1 AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r1
+        FROM bmtop
+    ),
+    richtop AS (
+        SELECT doc_id, len(list_distinct(toks)) AS nt
+        FROM tk ORDER BY nt DESC, doc_id LIMIT 20
+    ),
+    r2 AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY nt DESC, doc_id) AS r2
+        FROM richtop
+    )
+    SELECT COALESCE(r1.doc_id, r2.doc_id) AS doc_id,
+           CAST(r1.r1 AS BIGINT) AS bm25_rank,
+           CAST(r2.r2 AS BIGINT) AS rich_rank,
+           ROUND(COALESCE(1.0 / (60 + r1.r1), 0.0)
+                 + COALESCE(1.0 / (60 + r2.r2), 0.0), 6) AS rrf
+    FROM r1 FULL OUTER JOIN r2 ON r1.doc_id = r2.doc_id
+    ORDER BY rrf DESC, doc_id
+    """,
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of two independent document
+    rankers: BM25 for {hash, join, vector} (operators/search.py:
+    bm25_search) and lexical richness (distinct-token count) — the
+    hybrid-search merge step every retrieval pipeline runs after its
+    lexical and semantic legs.  Each leg is cut to top-20 by
+    TakeOrderedAndProject (rounded scores + doc_id tie-break, so the
+    boundary is cross-engine deterministic) and only THEN ranked — the
+    row_number windows run over 20-row frames (the post-limit shape
+    plan_audit explicitly allows), never over the corpus.  Docs missing
+    from a leg contribute 0 from that leg, the standard RRF convention;
+    their rank column stays NULL in the output."""
+    from .operators.search import bm25_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_search(docs, ["hash", "join", "vector"], top_k=20)
+    r1 = bm.withColumn(
+        "bm25_rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        ).cast("long"),
+    ).select("doc_id", "bm25_rank")
+    rich = (
+        docs.select(
+            "doc_id",
+            F.size(F.array_distinct(tokens(normalized_text("text")))).alias(
+                "nt"
+            ),
+        )
+        .orderBy(F.desc("nt"), F.asc("doc_id"))
+        .limit(20)
+    )
+    r2 = rich.withColumn(
+        "rich_rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("nt"), F.asc("doc_id"))
+        ).cast("long"),
+    ).select("doc_id", "rich_rank")
+    fused = r1.join(r2, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm25_rank",
+        "rich_rank",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rich_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id")
+
+
+@register(
+    "gopher_repetition_audit",
+    oracle=r"""
+    WITH tk AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT doc_id, t AS w, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS t FROM tk)
+        GROUP BY 1, 2
+    ),
+    per_u AS (
+        SELECT doc_id, SUM(c) AS n_tok, MAX(c) AS top1,
+               SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_tok
+        FROM uni GROUP BY doc_id
+    ),
+    big AS (
+        SELECT doc_id, gram, COUNT(*) AS c
+        FROM (
+            SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+            FROM (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+                  FROM tk WHERE len(toks) >= 2)
+        ) GROUP BY 1, 2
+    ),
+    per_b AS (SELECT doc_id, MAX(c) AS topb FROM big GROUP BY doc_id),
+    per_doc AS (
+        SELECT t.source,
+               u.top1 * 1.0 / u.n_tok AS top_unigram_frac,
+               COALESCE(b.topb, 0) * 2.0 / u.n_tok AS top_bigram_frac,
+               u.dup_tok * 1.0 / u.n_tok AS dup_word_frac
+        FROM per_u u
+        JOIN tk t USING (doc_id)
+        LEFT JOIN per_b b USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(top_unigram_frac), 6) AS avg_top_unigram_frac,
+           ROUND(AVG(top_bigram_frac), 6) AS avg_top_bigram_frac,
+           ROUND(AVG(dup_word_frac), 6) AS avg_dup_word_frac,
+           CAST(SUM(CASE WHEN top_unigram_frac > 0.12
+                          OR top_bigram_frac > 0.18
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition rules (Rae et al. 2021
+    §A1.1, re-expressed for the newline-free synthetic corpus): per doc
+    the top-unigram token fraction, top-bigram token fraction, and the
+    fraction of tokens belonging to words that repeat — then rolled up
+    per source with flag counts at the published-style thresholds.  The
+    LLM-curation companion to the boilerplate/quality filters: catches
+    looping generators and template spam that perplexity filters pass.
+    Shape: tokenize once, two term-level hash aggs (unigrams, bigrams
+    via a zip of the token array with its tail — no self-join), then a
+    |sources|-row rollup; text itself never shuffles, only (doc, term)
+    count rows do."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens(normalized_text("text")).alias("toks")
+    )
+    uni = (
+        docs.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_u = uni.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.max("c").alias("top1"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+            "dup_tok"
+        ),
+    )
+    grams = docs.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("gram"),
+    )
+    per_b = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("topb"))
+    )
+    per_doc = (
+        per_u.join(per_b, "doc_id", "left")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "source",
+            (F.col("top1") / F.col("n_tok")).alias("top_unigram_frac"),
+            (
+                F.coalesce(F.col("topb"), F.lit(0)) * 2.0 / F.col("n_tok")
+            ).alias("top_bigram_frac"),
+            (F.col("dup_tok") / F.col("n_tok")).alias("dup_word_frac"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("top_unigram_frac"), 6).alias(
+                "avg_top_unigram_frac"
+            ),
+            F.round(F.avg("top_bigram_frac"), 6).alias("avg_top_bigram_frac"),
+            F.round(F.avg("dup_word_frac"), 6).alias("avg_dup_word_frac"),
+            F.sum(
+                (
+                    (F.col("top_unigram_frac") > 0.12)
+                    | (F.col("top_bigram_frac") > 0.18)
+                ).cast("int")
+            ).cast("long").alias("n_flagged"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "page_hinkley_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT d, rev,
+               AVG(rev) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        FROM daily
+    ),
+    m AS (
+        SELECT d, rev,
+               SUM(rev - cm) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        FROM s
+    ),
+    p AS (
+        SELECT d, rev, m,
+               MIN(m) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mm
+        FROM m
+    ),
+    lam AS (SELECT 3.0 * stddev_pop(rev) AS lam FROM daily)
+    SELECT strftime(p.d, '%Y-%m-%d') AS day,
+           ROUND(p.rev, 2) AS rev,
+           ROUND(p.m / 1000.0, 4) AS m_k,
+           ROUND((p.m - p.mm) / 1000.0, 4) AS ph_k,
+           (p.m - p.mm) > lam.lam AS alarm
+    FROM p CROSS JOIN lam ORDER BY day
+    """,
+)
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley sequential change detection on daily revenue
+    (delta=0, lambda = 3x the series' population stddev — scale-free,
+    so the alarm rule survives any SF): per day the cumulative
+    deviation-from-running-mean m_t, its running minimum, the PH
+    statistic m_t - min(m), and the alarm flag.  The classic streaming
+    drift detector behind ADWIN-style monitors, batch-replayed.  The
+    recurrence is cumulative-only, so the DuckDB twin states it exactly
+    with stacked window frames, while the engine runs the identical
+    arithmetic as ONE Arrow task over the CALENDAR-bounded daily frame
+    (holt_linear_backtest's hybrid-endgame rationale) after a fully
+    distributed daily aggregate; statistics are exported /1000 at 4 dp
+    so cumulative float noise sits ~9 orders below the rounding
+    boundary."""
+    import numpy as np
+    import pandas as pd
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+
+    def ph_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d")
+        y = pdf["rev"].to_numpy(dtype="float64")
+        n = len(y)
+        cm = np.cumsum(y) / np.arange(1, n + 1)
+        m = np.cumsum(y - cm)
+        mm = np.minimum.accumulate(m)
+        ph = m - mm
+        lam = 3.0 * float(np.std(y))
+        return pd.DataFrame(
+            {
+                "day": pd.to_datetime(pdf["d"]).dt.strftime("%Y-%m-%d"),
+                "rev": np.round(y, 2),
+                "m_k": np.round(m / 1000.0, 4),
+                "ph_k": np.round(ph / 1000.0, 4),
+                "alarm": ph > lam,
+            }
+        )
+
+    out_schema = "day string, rev double, m_k double, ph_k double, alarm boolean"
+    return (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(ph_kernel, schema=out_schema)
+        .drop("g")
+        .orderBy("day")
+    )
+
+
+@register(
+    "kappa_mcc_agreement",
+    oracle="""
+    WITH v AS (SELECT value, event_type FROM events WHERE value IS NOT NULL),
+    med AS (SELECT quantile_cont(value, 0.5) AS med FROM v),
+    lab AS (
+        SELECT CASE WHEN value > med THEN 1 ELSE 0 END AS a,
+               CASE WHEN event_type IN ('purchase', 'click') THEN 1 ELSE 0
+               END AS b
+        FROM v CROSS JOIN med
+    ),
+    c AS (
+        SELECT COUNT(*) AS n,
+               SUM(a * b) AS n11,
+               SUM(a * (1 - b)) AS n10,
+               SUM((1 - a) * b) AS n01,
+               SUM((1 - a) * (1 - b)) AS n00
+        FROM lab
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
+           CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           ROUND((n11 + n00) * 1.0 / n, 6) AS po,
+           ROUND(((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                 + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n), 6)
+               AS pe,
+           ROUND(((n11 + n00) * 1.0 / n
+                  - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                     + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)))
+                 / (1.0 - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                           + ((n01 + n00) * 1.0 / n)
+                             * ((n10 + n00) * 1.0 / n))), 6) AS kappa,
+           ROUND((CAST(n11 AS DOUBLE) * n00 - CAST(n10 AS DOUBLE) * n01)
+                 / sqrt(CAST(n11 + n10 AS DOUBLE) * (n01 + n00)
+                        * (n11 + n01) * (n10 + n00)), 6) AS mcc
+    FROM c
+    """,
+)
+def q_kappa_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-rater agreement between two derived binary labelers —
+    rater A: value above the exact global median; rater B: event_type
+    in {purchase, click} — reporting the full 2x2 table plus Cohen's
+    kappa and the Matthews correlation coefficient.  The
+    label-validation panel (human-vs-model or model-vs-model audit)
+    that confusion_threshold_metrics doesn't cover: kappa/MCC correct
+    for chance agreement, which raw accuracy can't.  Shape: one exact
+    percentile agg, broadcast scalar join, one conditional-sum pass —
+    no shuffle wider than a single row; products go through DOUBLE
+    before the MCC square root so nothing overflows at any SF."""
+    v = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    ).select("value", "event_type")
+    med = v.agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    lab = v.crossJoin(F.broadcast(med)).select(
+        (F.col("value") > F.col("med")).cast("int").alias("a"),
+        F.col("event_type").isin("purchase", "click").cast("int").alias("b"),
+    )
+    c = lab.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).alias("n00"),
+    )
+    pa = (F.col("n11") + F.col("n10")) / F.col("n")
+    pb = (F.col("n11") + F.col("n01")) / F.col("n")
+    po = (F.col("n11") + F.col("n00")) / F.col("n")
+    pe = pa * pb + (1 - pa) * (1 - pb)
+    mcc = (
+        F.col("n11").cast("double") * F.col("n00")
+        - F.col("n10").cast("double") * F.col("n01")
+    ) / F.sqrt(
+        (F.col("n11") + F.col("n10")).cast("double")
+        * (F.col("n01") + F.col("n00"))
+        * (F.col("n11") + F.col("n01"))
+        * (F.col("n10") + F.col("n00"))
+    )
+    return c.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n11").cast("long").alias("n11"),
+        F.col("n10").cast("long").alias("n10"),
+        F.col("n01").cast("long").alias("n01"),
+        F.col("n00").cast("long").alias("n00"),
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        F.round(mcc, 6).alias("mcc"),
+    )
+
+
+@register(
+    "smape_mase_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    lagd AS (
+        SELECT rev,
+               LAG(rev, 7) OVER (ORDER BY d) AS f7,
+               LAG(rev, 1) OVER (ORDER BY d) AS f1
+        FROM daily
+    ),
+    met AS (
+        SELECT COUNT(*) AS n_days,
+               AVG(CASE WHEN f7 IS NOT NULL
+                        THEN ABS(rev - f7) / rev END) AS mape,
+               AVG(CASE WHEN f7 IS NOT NULL
+                        THEN 2.0 * ABS(rev - f7) / (ABS(rev) + ABS(f7))
+                   END) AS smape,
+               AVG(CASE WHEN f7 IS NOT NULL THEN ABS(rev - f7) END)
+                 / AVG(CASE WHEN f1 IS NOT NULL THEN ABS(rev - f1) END)
+                   AS mase
+        FROM lagd
+    )
+    SELECT CAST(n_days AS BIGINT) AS n_days,
+           ROUND(mape, 6) AS mape,
+           ROUND(smape, 6) AS smape,
+           ROUND(mase, 6) AS mase
+    FROM met
+    """,
+)
+def q_smape_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive (y[t-7]) forecast error panel on daily revenue:
+    MAPE, sMAPE, and MASE (scaled by the lag-1 naive MAE, Hyndman &
+    Koehler 2006) — the standard triple every forecast backtest
+    reports, complementing holt_linear_backtest's model-vs-naive MAE
+    ratio.  Sequential lags run as ONE Arrow task over the
+    calendar-bounded daily frame after the distributed daily aggregate;
+    the DuckDB twin states the identical lags as window functions, so
+    every per-day error term is value-checked through the 6-dp rounded
+    aggregates."""
+    import numpy as np
+    import pandas as pd
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+
+    def err_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d")
+        y = pdf["rev"].to_numpy(dtype="float64")
+        n = len(y)
+        if n < 8:
+            return pd.DataFrame(
+                {"n_days": [n], "mape": [0.0], "smape": [0.0], "mase": [0.0]}
+            )
+        e7 = y[7:] - y[:-7]
+        mape = float(np.mean(np.abs(e7) / y[7:]))
+        smape = float(
+            np.mean(2.0 * np.abs(e7) / (np.abs(y[7:]) + np.abs(y[:-7])))
+        )
+        mase = float(
+            np.mean(np.abs(e7)) / np.mean(np.abs(y[1:] - y[:-1]))
+        )
+        return pd.DataFrame(
+            {
+                "n_days": [n],
+                "mape": [round(mape, 6)],
+                "smape": [round(smape, 6)],
+                "mase": [round(mase, 6)],
+            }
+        )
+
+    out_schema = "n_days long, mape double, smape double, mase double"
+    return (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(err_kernel, schema=out_schema)
+        .drop("g")
+    )

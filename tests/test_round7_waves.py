@@ -1,0 +1,211 @@
+"""Property tests for the round-7 graph-similarity / fusion / drift
+waves: each registered query's kernel is pitted against an independent
+brute-force implementation on sf0.001 (the same strategy as
+test_round6_waves.py).
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from collections import Counter
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from fraud_detection_project_spark.catalog import load_table
+from fraud_detection_project_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _copart_graph(spark):
+    """Brute-force weight>=2 co-purchase edge set as a dict of sets."""
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    by_order = {}
+    for o, p in zip(pdf["l_orderkey"], pdf["l_partkey"]):
+        by_order.setdefault(o, set()).add(p)
+    w = Counter()
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            w[(a, b)] += 1
+    adj = {}
+    for (a, b), c in w.items():
+        if c >= 2:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def test_neighborhood_jaccard_matches_bruteforce(spark):
+    adj = _copart_graph(spark)
+    best = {}
+    for m, nbrs in adj.items():
+        for a, b in itertools.combinations(sorted(nbrs), 2):
+            best[(a, b)] = best.get((a, b), 0) + 1
+    rows = []
+    for (a, b), common in best.items():
+        jac = common / (len(adj[a]) + len(adj[b]) - common)
+        rows.append((round(jac, 6), a, b, common))
+    rows.sort(key=lambda r: (-r[0], r[1], r[2]))
+    expected = rows[:20]
+    got = QUERIES["neighborhood_jaccard_coparts"](spark, SF).collect()
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert (round(g["jaccard"], 6), g["u"], g["v"], g["common"]) == e
+
+
+def test_label_propagation_matches_bruteforce(spark):
+    adj = _copart_graph(spark)
+    labels = {n: n for n in adj}
+    for _ in range(4):
+        nxt = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(labels[m] for m in nbrs)
+            # argmax count, tie -> smallest label
+            nxt[n] = min(
+                (lab for lab in cnt if cnt[lab] == max(cnt.values()))
+            )
+        labels = nxt
+    sizes = Counter(Counter(labels.values()).values())
+    expected = sorted(sizes.items())
+    got = [
+        (r["community_size"], r["n_communities"])
+        for r in QUERIES["label_propagation_communities"](spark, SF).collect()
+    ]
+    assert got == expected
+
+
+def test_rrf_fusion_scores_and_coverage(spark):
+    out = QUERIES["rrf_fusion_search"](spark, SF).collect()
+    assert out, "fusion list must be non-empty"
+    seen = set()
+    for r in out:
+        assert r["doc_id"] not in seen
+        seen.add(r["doc_id"])
+        expect = 0.0
+        if r["bm25_rank"] is not None:
+            assert 1 <= r["bm25_rank"] <= 20
+            expect += 1.0 / (60 + r["bm25_rank"])
+        if r["rich_rank"] is not None:
+            assert 1 <= r["rich_rank"] <= 20
+            expect += 1.0 / (60 + r["rich_rank"])
+        assert r["bm25_rank"] is not None or r["rich_rank"] is not None
+        assert abs(r["rrf"] - expect) < 1e-6
+    # each leg contributes exactly its top-20 (ranks are a permutation)
+    for col in ("bm25_rank", "rich_rank"):
+        ranks = sorted(r[col] for r in out if r[col] is not None)
+        assert ranks == list(range(1, 21))
+
+
+def test_gopher_repetition_matches_bruteforce(spark):
+    import re
+
+    pdf = load_table(spark, SF, "documents").toPandas()
+    per_source = {}
+    for _, row in pdf.iterrows():
+        toks = re.sub(r"[^a-z0-9]+", " ", row["text"].lower()).strip().split()
+        if not toks:
+            continue
+        uni = Counter(toks)
+        top1 = max(uni.values()) / len(toks)
+        dup = sum(c for c in uni.values() if c >= 2) / len(toks)
+        if len(toks) >= 2:
+            big = Counter(zip(toks, toks[1:]))
+            topb = 2.0 * max(big.values()) / len(toks)
+        else:
+            topb = 0.0
+        agg = per_source.setdefault(row["source"], [0, 0.0, 0.0, 0.0, 0])
+        agg[0] += 1
+        agg[1] += top1
+        agg[2] += topb
+        agg[3] += dup
+        agg[4] += 1 if (top1 > 0.12 or topb > 0.18) else 0
+    got = {
+        r["source"]: r
+        for r in QUERIES["gopher_repetition_audit"](spark, SF).collect()
+    }
+    assert set(got) == set(per_source)
+    for src, (n, s1, sb, sd, fl) in per_source.items():
+        r = got[src]
+        assert r["n_docs"] == n
+        assert abs(r["avg_top_unigram_frac"] - s1 / n) < 1e-5
+        assert abs(r["avg_top_bigram_frac"] - sb / n) < 1e-5
+        assert abs(r["avg_dup_word_frac"] - sd / n) < 1e-5
+        assert r["n_flagged"] == fl
+
+
+def test_page_hinkley_matches_bruteforce(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .orderBy("d")
+        .toPandas()
+    )
+    y = daily["rev"].to_numpy(dtype="float64")
+    cm = np.cumsum(y) / np.arange(1, len(y) + 1)
+    m = np.cumsum(y - cm)
+    ph = m - np.minimum.accumulate(m)
+    lam = 3.0 * float(np.std(y))
+    out = QUERIES["page_hinkley_daily"](spark, SF).orderBy("day").collect()
+    assert len(out) == len(y)
+    for i, r in enumerate(out):
+        assert abs(r["m_k"] - round(m[i] / 1000.0, 4)) < 1e-6
+        assert abs(r["ph_k"] - round(ph[i] / 1000.0, 4)) < 1e-6
+        assert r["alarm"] == bool(ph[i] > lam)
+
+
+def test_kappa_mcc_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value", "event_type")
+        .toPandas()
+    )
+    med = float(np.quantile(pdf["value"].to_numpy(), 0.5))
+    a = (pdf["value"] > med).to_numpy()
+    b = pdf["event_type"].isin(["purchase", "click"]).to_numpy()
+    n11 = int((a & b).sum())
+    n10 = int((a & ~b).sum())
+    n01 = int((~a & b).sum())
+    n00 = int((~a & ~b).sum())
+    n = len(pdf)
+    po = (n11 + n00) / n
+    pe = ((n11 + n10) / n) * ((n11 + n01) / n) + ((n01 + n00) / n) * (
+        (n10 + n00) / n
+    )
+    kappa = (po - pe) / (1 - pe)
+    mcc = (n11 * n00 - n10 * n01) / math.sqrt(
+        (n11 + n10) * (n01 + n00) * (n11 + n01) * (n10 + n00)
+    )
+    r = QUERIES["kappa_mcc_agreement"](spark, SF).collect()[0]
+    assert (r["n11"], r["n10"], r["n01"], r["n00"]) == (n11, n10, n01, n00)
+    assert abs(r["kappa"] - kappa) < 1e-5
+    assert abs(r["mcc"] - mcc) < 1e-5
+
+
+def test_smape_mase_matches_bruteforce(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .orderBy("d")
+        .toPandas()
+    )
+    y = daily["rev"].to_numpy(dtype="float64")
+    e7 = y[7:] - y[:-7]
+    mape = float(np.mean(np.abs(e7) / y[7:]))
+    smape = float(np.mean(2 * np.abs(e7) / (np.abs(y[7:]) + np.abs(y[:-7]))))
+    mase = float(np.mean(np.abs(e7)) / np.mean(np.abs(np.diff(y))))
+    r = QUERIES["smape_mase_daily"](spark, SF).collect()[0]
+    assert r["n_days"] == len(y)
+    assert abs(r["mape"] - mape) < 1e-5
+    assert abs(r["smape"] - smape) < 1e-5
+    assert abs(r["mase"] - mase) < 1e-5
