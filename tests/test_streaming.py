@@ -1123,3 +1123,101 @@ def test_lateness_state_carries_across_batches(spark, events_src, tmp_path):
         .count()
     )
     assert pass2_late > 0
+
+
+class TestStreamingPageHinkley:
+    LAM = 500.0
+
+    def test_stream_matches_batch_twin(self, spark, events_src, tmp_path):
+        from fraud_detection_project_spark.streaming.drift import (
+            page_hinkley_batch,
+            streaming_page_hinkley,
+        )
+
+        batch = spark.read.parquet(events_src)
+        want = {
+            r["event_id"]: r
+            for r in page_hinkley_batch(
+                batch.filter(F.col("value").isNotNull()),
+                "user_id", "ts", "value", "event_id", lam=self.LAM,
+            ).collect()
+        }
+        out = streaming_page_hinkley(
+            _read_stream(spark, events_src, batch.schema),
+            "user_id", ts_col="ts", val_col="value", id_col="event_id",
+            lam=self.LAM,
+        )
+        got = {
+            r["event_id"]: r
+            for r in _run_stream(spark, out, str(tmp_path / "ck_ph")).collect()
+        }
+        assert got.keys() == want.keys()
+        n_alarms = 0
+        for k, w in want.items():
+            g = got[k]
+            # incremental vs window arithmetic: identical summation
+            # order, so agreement far under any decision boundary
+            assert abs(g["m"] - w["m"]) <= 1e-6 * max(1.0, abs(w["m"]))
+            assert abs(g["ph"] - w["ph"]) <= 1e-6 * max(1.0, abs(w["ph"]))
+            assert g["alarm"] == w["alarm"], k
+            n_alarms += int(g["alarm"])
+        # the fixture must actually exercise the alarm branch
+        assert 0 < n_alarms < len(want)
+
+    def test_state_carries_across_batches(self, spark, events_src, tmp_path):
+        """Split in event time, two availableNow passes over one
+        checkpoint: pass-2 PH statistics must continue pass-1's
+        cumulative state, not restart from zero."""
+        from fraud_detection_project_spark.streaming.drift import (
+            page_hinkley_batch,
+            streaming_page_hinkley,
+        )
+
+        batch = spark.read.parquet(events_src)
+        cut = int(
+            batch.selectExpr("percentile(unix_micros(ts), 0.5) p").first()["p"]
+        )
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+
+        def run_pass():
+            q = (
+                streaming_page_hinkley(
+                    _read_stream(spark, src, batch.schema),
+                    "user_id", ts_col="ts", val_col="value",
+                    id_col="event_id", lam=self.LAM,
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        batch.filter(F.expr(f"unix_micros(ts) <= {cut}")).write.mode(
+            "overwrite"
+        ).parquet(src)
+        run_pass()
+        batch.filter(F.expr(f"unix_micros(ts) > {cut}")).write.mode(
+            "append"
+        ).parquet(src)
+        run_pass()
+        got = {
+            r["event_id"]: r
+            for r in spark.read.parquet(out).collect()
+        }
+        want = {
+            r["event_id"]: r
+            for r in page_hinkley_batch(
+                batch.filter(F.col("value").isNotNull()),
+                "user_id", "ts", "value", "event_id", lam=self.LAM,
+            ).collect()
+        }
+        assert got.keys() == want.keys()
+        for k, w in want.items():
+            g = got[k]
+            assert abs(g["m"] - w["m"]) <= 1e-6 * max(1.0, abs(w["m"]))
+            assert g["alarm"] == w["alarm"], k
