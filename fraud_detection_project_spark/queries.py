@@ -17838,3 +17838,240 @@ def q_smape_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(err_kernel, schema=out_schema)
         .drop("g")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 second wave: robust statistics — MAD outlier screen, Theil-Sen
+# robust trend, Kruskal-Wallis weekday-effect test.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mad_outlier_screen",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (SELECT quantile_cont(value, 0.5) AS med FROM v),
+    mad AS (
+        SELECT quantile_cont(ABS(value - med), 0.5) AS mad
+        FROM v CROSS JOIN med
+    ),
+    rz AS (
+        SELECT event_type,
+               0.6745 * (value - med) / mad AS rz
+        FROM v CROSS JOIN med CROSS JOIN mad
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN ABS(rz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           ROUND(MAX(ABS(rz)), 6) AS max_abs_rz,
+           ROUND(AVG(ABS(rz)), 6) AS avg_abs_rz
+    FROM rz GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust z-score outlier screen (Iglewicz-Hoaglin modified z:
+    0.6745·(x − median)/MAD, flag |z| > 3.5) on the value column,
+    reported per event type — the heavy-tail-safe complement to the
+    Mahalanobis screen, immune to the outliers it hunts (mean/std
+    screens inflate their own cutoffs).  Two exact-percentile
+    aggregates (median, then MAD via a broadcast scalar join), one
+    conditional-sum pass; nothing wider than a scalar crosses the
+    cluster."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = v.agg(F.percentile("value", F.lit(0.5)).alias("med"))
+    mad = (
+        v.crossJoin(F.broadcast(med))
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias(
+                "mad"
+            )
+        )
+    )
+    rz = (
+        v.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "event_type",
+            (0.6745 * (F.col("value") - F.col("med")) / F.col("mad")).alias(
+                "rz"
+            ),
+        )
+    )
+    return (
+        rz.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum((F.abs("rz") > 3.5).cast("int")).cast("long").alias(
+                "n_outliers"
+            ),
+            F.round(F.max(F.abs("rz")), 6).alias("max_abs_rz"),
+            F.round(F.avg(F.abs("rz")), 6).alias("avg_abs_rz"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                   AS x,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    slopes AS (
+        SELECT (b.rev - a.rev) / (b.x - a.x) AS s
+        FROM daily a JOIN daily b ON b.x > a.x
+    ),
+    ts AS (SELECT quantile_cont(s, 0.5) AS slope FROM slopes),
+    ic AS (
+        SELECT quantile_cont(rev - ts.slope * x, 0.5) AS icept
+        FROM daily CROSS JOIN ts
+    ),
+    ols AS (
+        SELECT covar_pop(x, rev) / var_pop(x) AS slope FROM daily
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           ROUND(ts.slope, 6) AS ts_slope,
+           ROUND(ic.icept, 2) AS ts_intercept,
+           ROUND(ols.slope, 6) AS ols_slope
+    FROM ts CROSS JOIN ic CROSS JOIN ols
+    """,
+)
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue — the median of all
+    pairwise slopes (exact, all C(n,2) ≈ 2.9M pairs) with the median
+    intercept, beside the OLS slope it robustifies.  A single extreme
+    day moves OLS but not Theil-Sen; the gap between the two columns IS
+    the outlier-influence diagnostic.  The pairwise enumeration is
+    O(days²) but over the CALENDAR-bounded daily frame (fixed size at
+    any SF — holt's hybrid-endgame rationale), vectorized in one Arrow
+    task; the distributed daily aggregate is the only data-sized
+    stage."""
+    import numpy as np
+    import pandas as pd
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias(
+                "x"
+            )
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+
+    def ts_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("x")
+        x = pdf["x"].to_numpy(dtype="float64")
+        y = pdf["rev"].to_numpy(dtype="float64")
+        n = len(x)
+        dy = np.subtract.outer(y, y)
+        dx = np.subtract.outer(x, x)
+        iu = np.triu_indices(n, k=1)
+        slopes = (dy[iu] * -1.0) / (dx[iu] * -1.0)
+        slope = float(np.quantile(slopes, 0.5))
+        icept = float(np.quantile(y - slope * x, 0.5))
+        ols = float(np.cov(x, y, bias=True)[0, 1] / np.var(x))
+        return pd.DataFrame(
+            {
+                "n_days": [n],
+                "ts_slope": [round(slope, 6)],
+                "ts_intercept": [round(icept, 2)],
+                "ols_slope": [round(ols, 6)],
+            }
+        )
+
+    out_schema = (
+        "n_days long, ts_slope double, ts_intercept double, ols_slope double"
+    )
+    return (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(ts_kernel, schema=out_schema)
+        .drop("g")
+    )
+
+
+@register(
+    "kruskal_wallis_weekday",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    r AS (
+        SELECT d, ROW_NUMBER() OVER (ORDER BY rev, d) AS rnk FROM daily
+    ),
+    g AS (
+        SELECT EXTRACT(isodow FROM d) - 1 AS weekday,
+               COUNT(*) AS n_days, AVG(rnk) AS ar
+        FROM r GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_days) AS n FROM g),
+    h AS (
+        SELECT 12.0 / (t.n * (t.n + 1))
+               * SUM(g.n_days * (g.ar - (t.n + 1) / 2.0)
+                               * (g.ar - (t.n + 1) / 2.0)) AS h
+        FROM g CROSS JOIN t GROUP BY t.n
+    )
+    SELECT CAST(g.weekday AS BIGINT) AS weekday,
+           CAST(g.n_days AS BIGINT) AS n_days,
+           ROUND(g.ar, 4) AS avg_rank,
+           ROUND(h.h, 6) AS h_stat
+    FROM g CROSS JOIN h ORDER BY weekday
+    """,
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis rank test for a weekday effect on daily revenue —
+    the k-group generalization of mann_whitney_purchase_vs_view: per
+    weekday (Mon=0) the day count and mean revenue rank, plus the H
+    statistic (χ²(6) under H0).  Ranks are ROW_NUMBER over (rev, d) —
+    revenue is continuous so ties are measure-zero, and the d tie-break
+    keeps both engines identical if one ever occurs.  The rank window
+    is unpartitioned but sits ABOVE the daily HashAggregate
+    (calendar-bounded frame), the exact shape tools/plan_audit.py's
+    boundedness sweep allows; everything below it is distributed."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    r = daily.select(
+        "d", F.row_number().over(Window.orderBy("rev", "d")).alias("rnk")
+    )
+    g = r.groupBy(F.weekday("d").alias("weekday")).agg(
+        F.count(F.lit(1)).alias("n_days"), F.avg("rnk").alias("ar")
+    )
+    t = g.agg(F.sum("n_days").alias("n"))
+    h = (
+        g.crossJoin(F.broadcast(t))
+        .agg(
+            (
+                12.0
+                / (F.max("n") * (F.max("n") + 1))
+                * F.sum(
+                    F.col("n_days")
+                    * F.pow(F.col("ar") - (F.col("n") + 1) / 2.0, 2)
+                )
+            ).alias("h")
+        )
+    )
+    return (
+        g.crossJoin(F.broadcast(h))
+        .select(
+            F.col("weekday").cast("long").alias("weekday"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.round("ar", 4).alias("avg_rank"),
+            F.round("h", 6).alias("h_stat"),
+        )
+        .orderBy("weekday")
+    )

@@ -209,3 +209,82 @@ def test_smape_mase_matches_bruteforce(spark):
     assert abs(r["mape"] - mape) < 1e-5
     assert abs(r["smape"] - smape) < 1e-5
     assert abs(r["mase"] - mase) < 1e-5
+
+
+def test_mad_outlier_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .toPandas()
+    )
+    v = pdf["value"].to_numpy(dtype="float64")
+    med = float(np.quantile(v, 0.5))
+    mad = float(np.quantile(np.abs(v - med), 0.5))
+    rz = 0.6745 * (v - med) / mad
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["mad_outlier_screen"](spark, SF).collect()
+    }
+    for et in pdf["event_type"].unique():
+        mask = (pdf["event_type"] == et).to_numpy()
+        r = got[et]
+        assert r["n"] == int(mask.sum())
+        assert r["n_outliers"] == int((np.abs(rz[mask]) > 3.5).sum())
+        assert abs(r["max_abs_rz"] - np.abs(rz[mask]).max()) < 1e-5
+        assert abs(r["avg_abs_rz"] - np.abs(rz[mask]).mean()) < 1e-5
+
+
+def test_theil_sen_matches_bruteforce(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .orderBy("d")
+        .toPandas()
+    )
+    x = (
+        daily["d"].map(lambda d: d.toordinal() - 719163).to_numpy(dtype="float64")
+    )  # 719163 = ordinal of 1970-01-01
+    y = daily["rev"].to_numpy(dtype="float64")
+    slopes = [
+        (y[j] - y[i]) / (x[j] - x[i])
+        for i in range(len(x))
+        for j in range(i + 1, len(x))
+    ]
+    slope = float(np.quantile(slopes, 0.5))
+    icept = float(np.quantile(y - slope * x, 0.5))
+    ols = float(np.cov(x, y, bias=True)[0, 1] / np.var(x))
+    r = QUERIES["theil_sen_daily_trend"](spark, SF).collect()[0]
+    assert r["n_days"] == len(x)
+    assert abs(r["ts_slope"] - slope) < 1e-5
+    assert abs(r["ts_intercept"] - icept) < 0.02
+    assert abs(r["ols_slope"] - ols) < 1e-5
+
+
+def test_kruskal_wallis_matches_bruteforce(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .orderBy("d")
+        .toPandas()
+    )
+    order = sorted(range(len(daily)), key=lambda i: (daily["rev"][i], daily["d"][i]))
+    rnk = {}
+    for pos, i in enumerate(order, start=1):
+        rnk[i] = pos
+    groups = {}
+    for i in range(len(daily)):
+        wd = daily["d"][i].weekday()
+        groups.setdefault(wd, []).append(rnk[i])
+    n = len(daily)
+    h = 12.0 / (n * (n + 1)) * sum(
+        len(rs) * (np.mean(rs) - (n + 1) / 2.0) ** 2 for rs in groups.values()
+    )
+    got = {r["weekday"]: r for r in QUERIES["kruskal_wallis_weekday"](spark, SF).collect()}
+    assert set(got) == set(groups)
+    for wd, rs in groups.items():
+        assert got[wd]["n_days"] == len(rs)
+        assert abs(got[wd]["avg_rank"] - np.mean(rs)) < 1e-3
+        assert abs(got[wd]["h_stat"] - h) < 1e-4
