@@ -18075,3 +18075,197 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weekday")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 third wave: warehouse modeling — SCD Type-2 dimension build,
+# hierarchical BOM-style cost rollup, gaps-and-islands activity streaks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_tiers",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CAST(LEAST(FLOOR(value / 100.0), 9) AS BIGINT) AS tier
+        FROM events WHERE value IS NOT NULL
+    ),
+    chg AS (
+        SELECT user_id, event_id, ts_us, tier,
+               LAG(tier) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        FROM v
+    ),
+    seg AS (
+        SELECT user_id, tier, ts_us AS valid_from_us
+        FROM chg WHERE prev IS NULL OR tier <> prev
+    )
+    SELECT user_id, tier, valid_from_us,
+           LEAD(valid_from_us) OVER (
+               PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us
+    FROM seg
+    ORDER BY user_id, valid_from_us
+    """,
+)
+def q_scd2_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build: collapse each user's
+    value-tier history (tier = min(floor(value/100), 9)) into validity
+    intervals [valid_from_us, valid_to_us) — the open current row has a
+    NULL valid_to_us.  The standard warehouse dimension pattern the
+    reference's single-snapshot pipeline can't produce, built from the
+    event log in two per-key window passes (change detection via LAG,
+    interval close via LEAD) — both partitioned by user_id, so the
+    shuffle is one hash exchange on the key and nothing is global.
+    The (ts_us, event_id) order is the repo-wide same-timestamp
+    tie-break (tests/test_tie_fixture.py class)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("ts_ns div 1000").alias("ts_us"),
+            F.least(F.floor(F.col("value") / 100.0), F.lit(9))
+            .cast("long")
+            .alias("tier"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = ev.withColumn("prev", F.lag("tier").over(w))
+    seg = chg.filter(
+        F.col("prev").isNull() | (F.col("tier") != F.col("prev"))
+    ).select("user_id", "tier", F.col("ts_us").alias("valid_from_us"))
+    w2 = Window.partitionBy("user_id").orderBy("valid_from_us")
+    return seg.withColumn(
+        "valid_to_us", F.lead("valid_from_us").over(w2)
+    ).orderBy("user_id", "valid_from_us")
+
+
+@register(
+    "bom_cost_rollup",
+    oracle="""
+    WITH RECURSIVE anc(node, a) AS (
+        SELECT p_partkey, p_partkey FROM part
+        UNION ALL
+        SELECT node, a // 10 FROM anc WHERE a >= 10
+    ),
+    roll AS (
+        SELECT anc.a AS root,
+               COUNT(*) AS n_parts,
+               SUM(p.p_retailprice) AS total_cost
+        FROM anc JOIN part p ON p.p_partkey = anc.node
+        WHERE anc.a < 10
+        GROUP BY anc.a
+    )
+    SELECT CAST(root AS BIGINT) AS root,
+           CAST(n_parts AS BIGINT) AS n_parts,
+           ROUND(total_cost, 2) AS total_cost
+    FROM roll ORDER BY root
+    """,
+)
+def q_bom_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials-style hierarchical cost rollup over the
+    implicit decimal part hierarchy (parent(p) = p // 10, roots are
+    partkeys < 10): per root, the descendant count and total retail
+    cost of the whole subtree.  The transitive-closure aggregation a
+    recursive CTE states naturally — but because the ancestor chain is
+    CLOSED-FORM here (k-th ancestor = floor(p/10^k)), the engine emits
+    each part's ancestor set columnar-ly (sequence → transform →
+    filter → explode) with ZERO joins and ZERO iterations: the rollup
+    is one explode + one hash aggregate, the plan that survives any
+    depth and any SF.  The DuckDB twin walks the same closure
+    recursively, so the two fundamentally different evaluation
+    strategies must agree on every subtree sum."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    # ancestors of p: p itself plus floor(p/10^k) for k >= 1 while the
+    # PREVIOUS level is still >= 10 (i.e. had a parent)
+    ancs = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(12)),
+            lambda k: F.struct(
+                F.floor(F.col("p_partkey") / F.pow(F.lit(10.0), k))
+                .cast("long")
+                .alias("a"),
+                k.alias("k"),
+            ),
+        ),
+        lambda s: (s["k"] == 0)
+        | (
+            F.floor(
+                F.col("p_partkey") / F.pow(F.lit(10.0), s["k"] - 1)
+            ).cast("long")
+            >= 10
+        ),
+    )
+    exploded = part.select(
+        "p_retailprice", F.explode(ancs).alias("s")
+    ).select("p_retailprice", F.col("s.a").alias("root"))
+    return (
+        exploded.filter(F.col("root") < 10)
+        .groupBy("root")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_cost"),
+        )
+        .orderBy("root")
+    )
+
+
+@register(
+    "activity_islands_histogram",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        FROM events
+    ),
+    grp AS (
+        SELECT user_id, day,
+               day - ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS island
+        FROM days
+    ),
+    islands AS (
+        SELECT user_id, COUNT(*) AS len
+        FROM grp GROUP BY user_id, island
+    )
+    SELECT CAST(len AS BIGINT) AS island_length,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM islands GROUP BY len ORDER BY island_length
+    """,
+)
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user, rolled into a run-length histogram (how many streaks of each
+    length, and how many users ever achieve one).  The classic
+    day - row_number() island key, computed under a per-user window —
+    one hash exchange on user_id, then two bounded aggregates; at
+    100 TB the distinct (user, day) pre-reduction is the load-shedding
+    step (card. = users × active days, not raw events)."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn(
+        "island", F.col("day") - F.row_number().over(w)
+    )
+    islands = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        islands.groupBy(F.col("len").cast("long").alias("island_length"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("island_length")
+    )

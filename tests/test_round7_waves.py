@@ -288,3 +288,82 @@ def test_kruskal_wallis_matches_bruteforce(spark):
         assert got[wd]["n_days"] == len(rs)
         assert abs(got[wd]["avg_rank"] - np.mean(rs)) < 1e-3
         assert abs(got[wd]["h_stat"] - h) < 1e-4
+
+
+def test_scd2_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .selectExpr("user_id", "event_id", "ts_ns div 1000 as ts_us", "value")
+        .toPandas()
+    )
+    expected = []
+    for uid, g in pdf.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        segs = []
+        prev = None
+        for _, row in g.iterrows():
+            tier = min(int(row["value"] // 100), 9)
+            if prev is None or tier != prev:
+                segs.append([uid, tier, int(row["ts_us"]), None])
+                prev = tier
+        for i in range(len(segs) - 1):
+            segs[i][3] = segs[i + 1][2]
+        expected.extend(tuple(s) for s in segs)
+    got = [
+        (r["user_id"], r["tier"], r["valid_from_us"], r["valid_to_us"])
+        for r in QUERIES["scd2_user_tiers"](spark, SF).collect()
+    ]
+    assert len(got) == len(expected)
+    assert set(got) == set(expected)
+
+
+def test_bom_rollup_matches_bruteforce(spark):
+    pdf = load_table(spark, SF, "part").select(
+        "p_partkey", "p_retailprice"
+    ).toPandas()
+    roots = {}
+    for _, row in pdf.iterrows():
+        p = int(row["p_partkey"])
+        while p >= 10:
+            p //= 10
+        n, c = roots.get(p, (0, 0.0))
+        roots[p] = (n + 1, c + row["p_retailprice"])
+    got = {r["root"]: r for r in QUERIES["bom_cost_rollup"](spark, SF).collect()}
+    assert set(got) == set(roots)
+    for root, (n, c) in roots.items():
+        assert got[root]["n_parts"] == n
+        assert abs(got[root]["total_cost"] - c) < 0.02
+
+
+def test_activity_islands_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .toPandas()
+    )
+    from collections import Counter, defaultdict
+
+    hist = Counter()
+    users = defaultdict(set)
+    for uid, g in pdf.groupby("user_id"):
+        days = sorted(d.toordinal() for d in g["d"])
+        run = 1
+        for a, b in zip(days, days[1:]):
+            if b == a + 1:
+                run += 1
+            else:
+                hist[run] += 1
+                users[run].add(uid)
+                run = 1
+        hist[run] += 1
+        users[run].add(uid)
+    got = {
+        r["island_length"]: r
+        for r in QUERIES["activity_islands_histogram"](spark, SF).collect()
+    }
+    assert set(got) == set(hist)
+    for length, n in hist.items():
+        assert got[length]["n_islands"] == n
+        assert got[length]["n_users"] == len(users[length])
