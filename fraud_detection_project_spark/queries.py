@@ -7631,7 +7631,13 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   join_fanout_audit, wasserstein1_value_types,
 #   prefixspan_type_patterns, embedding_dimension_health,
 #   chow_break_test_daily
-# — plus any r06 non-green retries and round-7 registrations.
+# — plus any r06 non-green retries and the round-7 in-round
+# registrations (all verify_local-green at sf0.01 AND sf0.1 on entry):
+#   neighborhood_jaccard_coparts, label_propagation_communities,
+#   rrf_fusion_search, gopher_repetition_audit, page_hinkley_daily,
+#   kappa_mcc_agreement, smape_mase_daily, mad_outlier_screen,
+#   theil_sen_daily_trend, kruskal_wallis_weekday, scd2_user_tiers,
+#   bom_cost_rollup, activity_islands_histogram
 
 
 def driver_ordered(registry: dict) -> dict:
