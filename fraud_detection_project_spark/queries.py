@@ -7637,7 +7637,8 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   rrf_fusion_search, gopher_repetition_audit, page_hinkley_daily,
 #   kappa_mcc_agreement, smape_mase_daily, mad_outlier_screen,
 #   theil_sen_daily_trend, kruskal_wallis_weekday, scd2_user_tiers,
-#   bom_cost_rollup, activity_islands_histogram
+#   bom_cost_rollup, activity_islands_histogram, logistic_gd_training,
+#   periodogram_daily_topk, ece_calibration_bins, t_closeness_audit
 
 
 def driver_ordered(registry: dict) -> dict:
@@ -18275,3 +18276,446 @@ def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("island_length")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 fourth wave: trainable-model + spectral + calibration +
+# governance — full-batch logistic GD (the oracle replays every descent
+# step), DFT periodogram, expected calibration error, t-closeness.
+# ---------------------------------------------------------------------------
+
+
+def _logistic_gd_oracle(iters: int = 5, lr: float = 0.5) -> str:
+    """Unrolled gradient-descent oracle: one (g_i, w_i) CTE pair per
+    step, each re-scanning `base` with the previous weights — DuckDB
+    replays the exact training trajectory."""
+    sig = "1.0/(1.0+exp(-(w.a + w.b*x1 + w.c*x2)))"
+    parts = [
+        """
+    WITH base AS (
+        SELECT (value - 50) / 25.0 AS x1,
+               (EXTRACT(hour FROM ts) - 12) / 6.0 AS x2,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    w0 AS (SELECT 0.0 AS a, 0.0 AS b, 0.0 AS c)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    g{i} AS (
+        SELECT AVG({sig} - y) AS g0,
+               AVG(({sig} - y) * x1) AS g1,
+               AVG(({sig} - y) * x2) AS g2,
+               MAX(w.a) AS a, MAX(w.b) AS b, MAX(w.c) AS c
+        FROM base CROSS JOIN w{i - 1} w
+    ),
+    w{i} AS (
+        SELECT a - {lr} * g0 AS a, b - {lr} * g1 AS b, c - {lr} * g2 AS c
+        FROM g{i}
+    )"""
+        )
+    parts.append(
+        f""",
+    m AS (
+        SELECT AVG(-(y * ln({sig}) + (1 - y) * ln(1 - {sig}))) AS logloss,
+               AVG(CASE WHEN ({sig} > 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0
+                   END) AS acc
+        FROM base CROSS JOIN w{iters} w
+    )
+    SELECT ROUND(w.a, 6) AS w_bias, ROUND(w.b, 6) AS w_value,
+           ROUND(w.c, 6) AS w_hour,
+           ROUND(m.logloss, 6) AS logloss, ROUND(m.acc, 6) AS accuracy
+    FROM w{iters} w CROSS JOIN m"""
+    )
+    return "".join(parts)
+
+
+@register("logistic_gd_training", oracle=_logistic_gd_oracle())
+def q_logistic_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-batch logistic-regression TRAINING by gradient descent (5
+    steps, lr=0.5, bias + standardized value + hour features, purchase
+    label) — the missing half of ml/scoring.py's fixed-weight scorer:
+    the weights themselves are learned inside the engine.  Each step is
+    one distributed mean-gradient aggregate; the running weight vector
+    rides along as a broadcast 1-row frame (crossJoin), so the whole
+    5-step trajectory is ONE lazy plan with zero driver collects and
+    map-side partial aggregation everywhere — at 100 TB each step is a
+    single scan+agg, the textbook data-parallel GD layout.  The DuckDB
+    twin replays every descent step via unrolled CTE pairs, so the
+    entire optimization trajectory is value-checked, not just the
+    final fit."""
+    LR = 0.5
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            ((F.col("value") - 50) / 25.0).alias("x1"),
+            ((F.hour("ts") - 12) / 6.0).alias("x2"),
+            (F.col("event_type") == "purchase").cast("double").alias("y"),
+        )
+    )
+    w = spark.range(1).select(
+        F.lit(0.0).alias("a"), F.lit(0.0).alias("b"), F.lit(0.0).alias("c")
+    )
+    sig = lambda: 1.0 / (
+        1.0
+        + F.exp(
+            -(
+                F.col("a")
+                + F.col("b") * F.col("x1")
+                + F.col("c") * F.col("x2")
+            )
+        )
+    )
+    for _ in range(5):
+        scored = base.crossJoin(F.broadcast(w))
+        g = scored.agg(
+            F.avg(sig() - F.col("y")).alias("g0"),
+            F.avg((sig() - F.col("y")) * F.col("x1")).alias("g1"),
+            F.avg((sig() - F.col("y")) * F.col("x2")).alias("g2"),
+            F.max("a").alias("a"),
+            F.max("b").alias("b"),
+            F.max("c").alias("c"),
+        )
+        w = g.select(
+            (F.col("a") - LR * F.col("g0")).alias("a"),
+            (F.col("b") - LR * F.col("g1")).alias("b"),
+            (F.col("c") - LR * F.col("g2")).alias("c"),
+        )
+    final = base.crossJoin(F.broadcast(w))
+    p = sig()
+    m = final.agg(
+        F.avg(
+            -(
+                F.col("y") * F.log(p)
+                + (1 - F.col("y")) * F.log(1 - p)
+            )
+        ).alias("logloss"),
+        F.avg(
+            ((p > 0.5) == (F.col("y") == 1.0)).cast("double")
+        ).alias("acc"),
+        F.max("a").alias("a"),
+        F.max("b").alias("b"),
+        F.max("c").alias("c"),
+    )
+    return m.select(
+        F.round("a", 6).alias("w_bias"),
+        F.round("b", 6).alias("w_value"),
+        F.round("c", 6).alias("w_hour"),
+        F.round("logloss", 6).alias("logloss"),
+        F.round("acc", 6).alias("accuracy"),
+    )
+
+
+@register(
+    "periodogram_daily_topk",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    st AS (SELECT COUNT(*) AS n, AVG(rev) AS mu FROM daily),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) - 1 AS t, rev FROM daily
+    ),
+    ks AS (SELECT k FROM range(1, 121) r(k)),
+    ft AS (
+        SELECT ks.k,
+               SUM((rev - st.mu) * cos(2 * pi() * ks.k * idx.t / st.n))
+                   AS c,
+               SUM((rev - st.mu) * sin(2 * pi() * ks.k * idx.t / st.n))
+                   AS s,
+               MAX(st.n) AS n
+        FROM idx CROSS JOIN st CROSS JOIN ks
+        GROUP BY ks.k
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           ROUND(n * 1.0 / k, 2) AS period_days,
+           ROUND((c * c + s * s) / 1e12, 4) AS power_t
+    FROM ft
+    ORDER BY power_t DESC, k LIMIT 5
+    """,
+)
+def q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT periodogram of demeaned daily revenue at frequencies
+    k=1..120 cycles over the observed span, reporting the 5 dominant
+    periods — the seasonality discoverer feeding the lag-7 choices
+    hard-wired into smape_mase_daily / holt's seasonal baseline.
+    The transform is stated as plain SUM(y·cos/sin) aggregates over a
+    broadcast 120-row frequency frame crossed with the calendar-bounded
+    daily series: fully distributed, no kernel, no FFT library — and
+    therefore directly SQL-checkable term by term.  Power is exported
+    /1e12 at 4 dp (libm 1-ulp noise lands ~7 orders below the rounding
+    boundary); the top-5 boundary orders on the ROUNDED power with a k
+    tie-break."""
+    import math
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("rev").alias("mu")
+    )
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("t"), "rev"
+    )
+    ks = spark.range(1, 121).select(F.col("id").alias("k"))
+    ang = (
+        2 * math.pi * F.col("k") * F.col("t") / F.col("n")
+    )
+    ft = (
+        idx.crossJoin(F.broadcast(st))
+        .crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("rev") - F.col("mu")) * F.cos(ang)).alias("c"),
+            F.sum((F.col("rev") - F.col("mu")) * F.sin(ang)).alias("s"),
+            F.max("n").alias("n"),
+        )
+    )
+    return (
+        ft.select(
+            F.col("k").cast("long").alias("k"),
+            F.round(F.col("n") / F.col("k"), 2).alias("period_days"),
+            F.round(
+                (F.col("c") * F.col("c") + F.col("s") * F.col("s")) / 1e12, 4
+            ).alias("power_t"),
+        )
+        .orderBy(F.desc("power_t"), "k")
+        .limit(5)
+    )
+
+
+@register(
+    "ece_calibration_bins",
+    oracle="""
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + exp(-((value - 50) / 25.0))) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+        SELECT LEAST(CAST(FLOOR(s * 10) AS BIGINT), 9) AS bin, s, y
+        FROM scored
+    ),
+    per AS (
+        SELECT bin, COUNT(*) AS n, AVG(s) AS conf, AVG(y) AS acc
+        FROM b GROUP BY bin
+    ),
+    e AS (
+        SELECT SUM(n * ABS(acc - conf)) / SUM(n) AS ece FROM per
+    )
+    SELECT CAST(per.bin AS BIGINT) AS bin,
+           CAST(per.n AS BIGINT) AS n,
+           ROUND(per.conf, 6) AS avg_confidence,
+           ROUND(per.acc, 6) AS avg_outcome,
+           ROUND(ABS(per.acc - per.conf), 6) AS gap,
+           ROUND(e.ece, 6) AS ece
+    FROM per CROSS JOIN e ORDER BY bin
+    """,
+)
+def q_ece_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of the fixed logistic scorer
+    (ml/scoring.py weights) against the purchase outcome: 10 equi-width
+    confidence bins, per-bin confidence/outcome/gap, and the
+    n-weighted ECE — the headline number every model card quotes,
+    complementing the Brier (Murphy) decomposition and isotonic
+    mapping already in the corpus.  Two hash aggregates and a scalar
+    cross join; the bin frame is 10 rows forever."""
+    scored = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (
+                1.0 / (1.0 + F.exp(-((F.col("value") - 50) / 25.0)))
+            ).alias("s"),
+            (F.col("event_type") == "purchase").cast("double").alias("y"),
+        )
+    )
+    per = (
+        scored.select(
+            F.least(F.floor(F.col("s") * 10).cast("long"), F.lit(9)).alias(
+                "bin"
+            ),
+            "s",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("s").alias("conf"),
+            F.avg("y").alias("acc"),
+        )
+    )
+    e = per.agg(
+        (
+            F.sum(F.col("n") * F.abs(F.col("acc") - F.col("conf")))
+            / F.sum("n")
+        ).alias("ece")
+    )
+    return (
+        per.crossJoin(F.broadcast(e))
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n").cast("long").alias("n"),
+            F.round("conf", 6).alias("avg_confidence"),
+            F.round("acc", 6).alias("avg_outcome"),
+            F.round(F.abs(F.col("acc") - F.col("conf")), 6).alias("gap"),
+            F.round("ece", 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "t_closeness_audit",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CASE WHEN EXTRACT(hour FROM ts) < 12 THEN 'am' ELSE 'pm'
+               END AS ampm,
+               value
+        FROM events WHERE value IS NOT NULL
+    ),
+    rng AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM v),
+    binned AS (
+        SELECT event_type, ampm,
+               LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 10.0))
+                          AS BIGINT), 9) AS bin
+        FROM v CROSS JOIN rng
+    ),
+    classes AS (SELECT DISTINCT event_type, ampm FROM binned),
+    grid AS (
+        SELECT c.event_type, c.ampm, r.bin
+        FROM classes c CROSS JOIN (SELECT bin FROM range(0, 10) t(bin)) r
+    ),
+    pc AS (
+        SELECT event_type, ampm, bin, COUNT(*) AS n
+        FROM binned GROUP BY 1, 2, 3
+    ),
+    cn AS (
+        SELECT event_type, ampm, SUM(n) AS n_class FROM pc GROUP BY 1, 2
+    ),
+    qg AS (
+        SELECT bin, COUNT(*) * 1.0 / (SELECT COUNT(*) FROM binned) AS q
+        FROM binned GROUP BY bin
+    ),
+    diff AS (
+        SELECT g.event_type, g.ampm, g.bin,
+               COALESCE(pc.n, 0) * 1.0 / cn.n_class - COALESCE(qg.q, 0)
+                   AS pd
+        FROM grid g
+        LEFT JOIN pc ON pc.event_type = g.event_type
+                    AND pc.ampm = g.ampm AND pc.bin = g.bin
+        JOIN cn ON cn.event_type = g.event_type AND cn.ampm = g.ampm
+        LEFT JOIN qg ON qg.bin = g.bin
+    ),
+    emd AS (
+        SELECT event_type, ampm,
+               SUM(ABS(cum)) / 9.0 AS t
+        FROM (
+            SELECT event_type, ampm, bin,
+                   SUM(pd) OVER (PARTITION BY event_type, ampm
+                                 ORDER BY bin
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+            FROM diff
+        ) GROUP BY 1, 2
+    )
+    SELECT e.event_type, e.ampm,
+           CAST(cn.n_class AS BIGINT) AS n,
+           ROUND(e.t, 6) AS t_value,
+           e.t > 0.2 AS violates
+    FROM emd e
+    JOIN cn ON cn.event_type = e.event_type AND cn.ampm = e.ampm
+    ORDER BY e.event_type, e.ampm
+    """,
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li/Li/Venkatasubramanian 2007) completing the
+    k-anonymity/l-diversity governance panel: per quasi-identifier
+    class (event_type × am/pm), the ordered earth-mover's distance
+    between the class's value distribution and the global one over a
+    10-bin equi-width domain — EMD for ordered bins is the mean
+    |cumulative difference|, so the whole audit is hash aggregates plus
+    a cumulative window over the zero-filled class×bin GRID (empty bins
+    still carry the running difference — skipping them understates t).
+    All windows partition by class over a ≤10-row frame; the grid is
+    |classes|×10."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.when(F.hour("ts") < 12, "am").otherwise("pm").alias("ampm"),
+            "value",
+        )
+    )
+    rng = v.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = v.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "ampm",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 10.0)
+            ).cast("long"),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    classes = binned.select("event_type", "ampm").distinct()
+    bins10 = spark.range(0, 10).select(F.col("id").alias("bin"))
+    grid = classes.crossJoin(F.broadcast(bins10))
+    pc = binned.groupBy("event_type", "ampm", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    cn = pc.groupBy("event_type", "ampm").agg(
+        F.sum("n").alias("n_class")
+    )
+    # global bin distribution: per-bin counts scaled by the one-row
+    # total (broadcast scalar join — no eager driver action)
+    tot = pc.agg(F.sum("n").cast("double").alias("tot"))
+    qg = (
+        pc.groupBy("bin")
+        .agg(F.sum("n").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select("bin", (F.col("cnt") / F.col("tot")).alias("q"))
+    )
+    diff = (
+        grid.join(pc, ["event_type", "ampm", "bin"], "left")
+        .join(cn, ["event_type", "ampm"])
+        .join(F.broadcast(qg), ["bin"], "left")
+        .select(
+            "event_type",
+            "ampm",
+            "bin",
+            "n_class",
+            (
+                F.coalesce(F.col("n"), F.lit(0)) / F.col("n_class")
+                - F.coalesce(F.col("q"), F.lit(0.0))
+            ).alias("pd"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type", "ampm")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    emd = (
+        diff.withColumn("cum", F.sum("pd").over(w))
+        .groupBy("event_type", "ampm")
+        .agg(
+            (F.sum(F.abs("cum")) / 9.0).alias("t"),
+            F.max("n_class").alias("n_class"),
+        )
+    )
+    return emd.select(
+        "event_type",
+        "ampm",
+        F.col("n_class").cast("long").alias("n"),
+        F.round("t", 6).alias("t_value"),
+        (F.col("t") > 0.2).alias("violates"),
+    ).orderBy("event_type", "ampm")

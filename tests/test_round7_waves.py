@@ -367,3 +367,115 @@ def test_activity_islands_matches_bruteforce(spark):
     for length, n in hist.items():
         assert got[length]["n_islands"] == n
         assert got[length]["n_users"] == len(users[length])
+
+
+def test_logistic_gd_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value", F.hour("ts").alias("h"), "event_type")
+        .toPandas()
+    )
+    x1 = ((pdf["value"] - 50) / 25.0).to_numpy(dtype="float64")
+    x2 = ((pdf["h"] - 12) / 6.0).to_numpy(dtype="float64")
+    y = (pdf["event_type"] == "purchase").to_numpy(dtype="float64")
+    w = np.zeros(3)
+    for _ in range(5):
+        z = w[0] + w[1] * x1 + w[2] * x2
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        g = np.array([err.mean(), (err * x1).mean(), (err * x2).mean()])
+        w = w - 0.5 * g
+    z = w[0] + w[1] * x1 + w[2] * x2
+    p = 1.0 / (1.0 + np.exp(-z))
+    logloss = float(np.mean(-(y * np.log(p) + (1 - y) * np.log(1 - p))))
+    acc = float(np.mean((p > 0.5) == (y == 1.0)))
+    r = QUERIES["logistic_gd_training"](spark, SF).collect()[0]
+    assert abs(r["w_bias"] - w[0]) < 1e-5
+    assert abs(r["w_value"] - w[1]) < 1e-5
+    assert abs(r["w_hour"] - w[2]) < 1e-5
+    assert abs(r["logloss"] - logloss) < 1e-5
+    assert abs(r["accuracy"] - acc) < 1e-6
+    # training must actually move the weights and beat chance
+    assert abs(w[1]) > 1e-3 and r["accuracy"] > 0.5
+
+
+def test_periodogram_matches_numpy_fft(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .orderBy("d")
+        .toPandas()
+    )
+    y = daily["rev"].to_numpy(dtype="float64")
+    y = y - y.mean()
+    spec = np.fft.rfft(y)
+    power = np.abs(spec) ** 2 / 1e12
+    n = len(y)
+    rows = sorted(
+        ((round(power[k], 4), k) for k in range(1, min(121, len(power)))),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    got = QUERIES["periodogram_daily_topk"](spark, SF).collect()
+    assert [(r["power_t"], r["k"]) for r in got] == [
+        (p, k) for p, k in rows
+    ]
+    for r in got:
+        assert abs(r["period_days"] - round(n / r["k"], 2)) < 1e-9
+
+
+def test_ece_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value", "event_type")
+        .toPandas()
+    )
+    s = 1.0 / (1.0 + np.exp(-((pdf["value"] - 50) / 25.0).to_numpy()))
+    y = (pdf["event_type"] == "purchase").to_numpy(dtype="float64")
+    bins = np.minimum((s * 10).astype(int), 9)
+    got = {r["bin"]: r for r in QUERIES["ece_calibration_bins"](spark, SF).collect()}
+    ece = 0.0
+    for b in np.unique(bins):
+        m = bins == b
+        gap = abs(y[m].mean() - s[m].mean())
+        ece += m.sum() / len(s) * gap
+        r = got[int(b)]
+        assert r["n"] == int(m.sum())
+        assert abs(r["avg_confidence"] - s[m].mean()) < 1e-5
+        assert abs(r["avg_outcome"] - y[m].mean()) < 1e-5
+        assert abs(r["gap"] - gap) < 1e-5
+    assert set(got) == {int(b) for b in np.unique(bins)}
+    for r in got.values():
+        assert abs(r["ece"] - ece) < 1e-5
+
+
+def test_t_closeness_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.hour("ts").alias("h"), "value")
+        .toPandas()
+    )
+    lo, hi = pdf["value"].min(), pdf["value"].max()
+    width = (hi - lo) / 10.0
+    pdf["bin"] = np.minimum(((pdf["value"] - lo) // width).astype(int), 9)
+    pdf["ampm"] = np.where(pdf["h"] < 12, "am", "pm")
+    q = np.zeros(10)
+    for b, c in pdf["bin"].value_counts().items():
+        q[int(b)] = c / len(pdf)
+    got = {
+        (r["event_type"], r["ampm"]): r
+        for r in QUERIES["t_closeness_audit"](spark, SF).collect()
+    }
+    for (et, ap), g in pdf.groupby(["event_type", "ampm"]):
+        p = np.zeros(10)
+        for b, c in g["bin"].value_counts().items():
+            p[int(b)] = c / len(g)
+        t = float(np.sum(np.abs(np.cumsum(p - q))) / 9.0)
+        r = got[(et, ap)]
+        assert r["n"] == len(g)
+        assert abs(r["t_value"] - t) < 1e-5
+        assert r["violates"] == (t > 0.2)
+    assert set(got) == set(map(tuple, pdf[["event_type", "ampm"]].drop_duplicates().values))
