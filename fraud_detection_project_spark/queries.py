@@ -36,6 +36,8 @@ def register(name: str, oracle: str | None = None):
             ensure_runtime_confs(spark)
             return fn(spark, sf_dir)
 
+        if name in QUERIES:  # a silent overwrite once cost a driver row
+            raise ValueError(f"duplicate query registration: {name}")
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE_SQL[name] = oracle
@@ -7636,7 +7638,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   neighborhood_jaccard_coparts, label_propagation_communities,
 #   rrf_fusion_search, gopher_repetition_audit, page_hinkley_daily,
 #   kappa_mcc_agreement, smape_mase_daily, mad_outlier_screen,
-#   theil_sen_daily_trend, kruskal_wallis_weekday, scd2_user_tiers,
+#   theil_sen_revenue_trend, kruskal_wallis_weekday, scd2_user_tiers,
 #   bom_cost_rollup, activity_islands_histogram, logistic_gd_training,
 #   periodogram_daily_topk, ece_calibration_bins, t_closeness_audit
 
@@ -17926,7 +17928,7 @@ def q_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "theil_sen_daily_trend",
+    "theil_sen_revenue_trend",
     oracle="""
     WITH daily AS (
         SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))

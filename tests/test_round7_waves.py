@@ -255,7 +255,7 @@ def test_theil_sen_matches_bruteforce(spark):
     slope = float(np.quantile(slopes, 0.5))
     icept = float(np.quantile(y - slope * x, 0.5))
     ols = float(np.cov(x, y, bias=True)[0, 1] / np.var(x))
-    r = QUERIES["theil_sen_daily_trend"](spark, SF).collect()[0]
+    r = QUERIES["theil_sen_revenue_trend"](spark, SF).collect()[0]
     assert r["n_days"] == len(x)
     assert abs(r["ts_slope"] - slope) < 1e-5
     assert abs(r["ts_intercept"] - icept) < 0.02
