@@ -279,3 +279,72 @@ def quantiles_from_histogram(
         )
         out = cross if out is None else out.unionByName(cross)
     return out
+
+
+def misra_gries(
+    df: "DataFrame", col: str, k: int
+) -> "DataFrame":
+    """Distributed Misra-Gries heavy-hitter summary: ≤ ``k`` (item,
+    est) rows whose estimates underestimate true counts by at most
+    n/(k+1) — the deterministic frequent-items guarantee (every item
+    with true count > n/(k+1) is present).
+
+    Layout: per-partition MG (Arrow-batched ``mapInPandas``, counter
+    dict carried across batches — O(k) memory per task), then the
+    Agarwal-et-al mergeable-summary merge: sum counters per item, rank
+    the merged multiset, subtract the (k+1)-th largest merged value
+    from all, keep positives.  The merge is pure DataFrame ops — the
+    (k+1)-th value comes from a top-(k+1) TakeOrderedAndProject
+    broadcast, never a driver collect.  The candidate SET depends on
+    partitioning (as with any MG); only the guarantee is
+    partition-independent — audits must assert the bound, not the set.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def mg_partition(batches):
+        # vectorized: each Arrow batch is exactly summarized by
+        # value_counts (O(distinct), no Python row loop), then folded
+        # into the running summary with the mergeable-MG combine —
+        # subtract the (k+1)-th largest combined count, keep positives.
+        # Each fold's subtraction is bounded by batch_n/(k+1), so the
+        # per-partition underestimate telescopes to ≤ n_partition/(k+1).
+        import heapq
+
+        counters: dict = {}
+        for pdf in batches:
+            for item, c in pdf[col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            if len(counters) > k:
+                sub = heapq.nlargest(k + 1, counters.values())[k]
+                counters = {
+                    i: c - sub for i, c in counters.items() if c > sub
+                }
+        yield pd.DataFrame(
+            {"item": list(counters), "cnt": list(counters.values())}
+        )
+
+    field = df.schema[col]
+    part = df.select(col).mapInPandas(
+        mg_partition, schema=f"item {field.dataType.simpleString()}, cnt long"
+    )
+    merged = part.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+    kth = (
+        merged.orderBy(F.desc("cnt"), "item")
+        .limit(k + 1)
+        .agg(
+            F.count(F.lit(1)).alias("n_top"),
+            F.min("cnt").alias("kth"),
+        )
+        .select(
+            F.when(F.col("n_top") > k, F.col("kth"))
+            .otherwise(F.lit(0))
+            .alias("sub")
+        )
+    )
+    return (
+        merged.crossJoin(F.broadcast(kth))
+        .select("item", (F.col("cnt") - F.col("sub")).alias("est"))
+        .filter(F.col("est") > 0)
+    )

@@ -7640,7 +7640,9 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   kappa_mcc_agreement, smape_mase_daily, mad_outlier_screen,
 #   theil_sen_revenue_trend, kruskal_wallis_weekday, scd2_user_tiers,
 #   bom_cost_rollup, activity_islands_histogram, logistic_gd_training,
-#   periodogram_daily_topk, ece_calibration_bins, t_closeness_audit
+#   periodogram_daily_topk, ece_calibration_bins, t_closeness_audit,
+#   did_estimator, bh_fdr_panel, misra_gries_audit,
+#   hits_supplier_authority
 
 
 def driver_ordered(registry: dict) -> dict:
@@ -18721,3 +18723,430 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("t", 6).alias("t_value"),
         (F.col("t") > 0.2).alias("violates"),
     ).orderBy("event_type", "ampm")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 fifth wave: causal + multiple-testing + mergeable-summary +
+# link-analysis — diff-in-differences, Benjamini-Hochberg FDR panel,
+# Misra-Gries heavy hitters (bound audit), HITS hubs/authorities.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "did_estimator",
+    oracle="""
+    WITH v AS (
+        SELECT ((user_id * 1000003 + 7) % 999983 * 40503) % 999983 % 2
+                   AS treat,
+               epoch_us(ts) AS ts_us, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    cut AS (SELECT quantile_cont(ts_us, 0.5) AS c FROM v),
+    lab AS (
+        SELECT treat, CASE WHEN ts_us >= c THEN 1 ELSE 0 END AS post, value
+        FROM v CROSS JOIN cut
+    ),
+    cells AS (
+        SELECT treat, post, COUNT(*) AS n, AVG(value) AS m,
+               var_samp(value) AS s2
+        FROM lab GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN treat = 1 AND post = 1 THEN m END) AS m11,
+               MAX(CASE WHEN treat = 1 AND post = 0 THEN m END) AS m10,
+               MAX(CASE WHEN treat = 0 AND post = 1 THEN m END) AS m01,
+               MAX(CASE WHEN treat = 0 AND post = 0 THEN m END) AS m00,
+               SUM(s2 / n) AS var_sum,
+               SUM(n) AS n_total
+        FROM cells
+    )
+    SELECT CAST(n_total AS BIGINT) AS n_total,
+           ROUND(m11, 6) AS mean_treat_post,
+           ROUND(m10, 6) AS mean_treat_pre,
+           ROUND(m01, 6) AS mean_ctrl_post,
+           ROUND(m00, 6) AS mean_ctrl_pre,
+           ROUND((m11 - m10) - (m01 - m00), 6) AS did,
+           ROUND(SQRT(var_sum), 6) AS se,
+           ROUND(((m11 - m10) - (m01 - m00)) / SQRT(var_sum), 6) AS t_stat
+    FROM w
+    """,
+)
+def q_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: synthetic treatment = affine-hashed
+    user half (the engine-independent remultiplied-mod-prime
+    convention — additive seeds cancel in relative ordering), post =
+    event at/after the exact median timestamp; outcome = value.  The
+    2×2 cell means, the DiD estimate, its pooled SE (Σ s²_c/n_c under
+    independence), and the t statistic — the workhorse causal panel
+    layout.  One percentile agg + one 4-cell agg + a 1-row pivot;
+    nothing wider than four rows shuffles."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (
+                (F.col("user_id") * 1000003 + 7) % 999983 * 40503 % 999983
+                % 2
+            ).alias("treat"),
+            F.expr("ts_ns div 1000").alias("ts_us"),
+            "value",
+        )
+    )
+    cut = v.agg(F.percentile("ts_us", F.lit(0.5)).alias("c"))
+    lab = v.crossJoin(F.broadcast(cut)).select(
+        "treat",
+        (F.col("ts_us") >= F.col("c")).cast("int").alias("post"),
+        "value",
+    )
+    cells = lab.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("s2"),
+    )
+    w = cells.agg(
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 1), F.col("m"))).alias("m11"),
+        F.max(F.when((F.col("treat") == 1) & (F.col("post") == 0), F.col("m"))).alias("m10"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 1), F.col("m"))).alias("m01"),
+        F.max(F.when((F.col("treat") == 0) & (F.col("post") == 0), F.col("m"))).alias("m00"),
+        F.sum(F.col("s2") / F.col("n")).alias("var_sum"),
+        F.sum("n").alias("n_total"),
+    )
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    return w.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        F.round("m11", 6).alias("mean_treat_post"),
+        F.round("m10", 6).alias("mean_treat_pre"),
+        F.round("m01", 6).alias("mean_ctrl_post"),
+        F.round("m00", 6).alias("mean_ctrl_pre"),
+        F.round(did, 6).alias("did"),
+        F.round(F.sqrt("var_sum"), 6).alias("se"),
+        F.round(did / F.sqrt("var_sum"), 6).alias("t_stat"),
+    )
+
+
+@register(
+    "bh_fdr_panel",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, EXTRACT(isodow FROM ts) - 1 AS weekday, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    g AS (SELECT AVG(value) AS mu, stddev_pop(value) AS sd FROM v),
+    cells AS (
+        SELECT event_type, weekday, COUNT(*) AS n, AVG(value) AS m
+        FROM v GROUP BY 1, 2
+    ),
+    z AS (
+        SELECT event_type, weekday, n,
+               (m - g.mu) / (g.sd / SQRT(n)) AS z
+        FROM cells CROSS JOIN g
+    ),
+    p AS (
+        SELECT event_type, weekday, n, z,
+               2.0 * (0.39894228040143267794 * exp(-ABS(z) * ABS(z) / 2)
+                      * (0.319381530 * (1.0 / (1.0 + 0.2316419 * ABS(z)))
+                         - 0.356563782 * POWER(1.0 / (1.0 + 0.2316419 * ABS(z)), 2)
+                         + 1.781477937 * POWER(1.0 / (1.0 + 0.2316419 * ABS(z)), 3)
+                         - 1.821255978 * POWER(1.0 / (1.0 + 0.2316419 * ABS(z)), 4)
+                         + 1.330274429 * POWER(1.0 / (1.0 + 0.2316419 * ABS(z)), 5)))
+                   AS pval
+        FROM z
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY pval, event_type, weekday) AS rnk,
+               COUNT(*) OVER () AS m_tests
+        FROM p
+    ),
+    cutoff AS (
+        SELECT MAX(CASE WHEN pval <= 0.05 * rnk / m_tests THEN pval END)
+                   AS cut
+        FROM r
+    )
+    SELECT r.event_type, CAST(r.weekday AS BIGINT) AS weekday,
+           CAST(r.n AS BIGINT) AS n,
+           ROUND(r.z, 4) AS z,
+           ROUND(r.pval, 6) AS pval,
+           ROUND(0.05 * r.rnk / r.m_tests, 6) AS bh_threshold,
+           COALESCE(r.pval <= cutoff.cut, FALSE) AS rejected
+    FROM r CROSS JOIN cutoff
+    ORDER BY r.event_type, r.weekday
+    """,
+)
+def q_bh_fdr_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a 35-hypothesis panel (one
+    one-sample z test per event_type × weekday cell against the global
+    mean): per cell the z, the two-sided p via the Abramowitz-Stegun
+    26.2.17 Φ polynomial (stated IDENTICALLY in Spark and the oracle —
+    no library CDF on either side), the BH step-up threshold
+    α·rank/m, and the rejection flag from the step-up cutoff.  The
+    multiple-testing layer every screening panel in this corpus
+    (chi², MW, Fano, Chow) feeds at scale.  Cell stats are one hash
+    agg; the BH sort is a window over the 35-row panel (bounded frame
+    above the aggregate, the plan_audit-sanctioned shape)."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.weekday("ts").alias("weekday"), "value")
+    )
+    g = v.agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    )
+    cells = v.groupBy("event_type", "weekday").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("m")
+    )
+    z = cells.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "weekday",
+        "n",
+        ((F.col("m") - F.col("mu")) / (F.col("sd") / F.sqrt("n"))).alias(
+            "z"
+        ),
+    )
+    az = F.abs(F.col("z"))
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    phi_tail = (
+        0.39894228040143267794
+        * F.exp(-az * az / 2)
+        * (
+            0.319381530 * t
+            - 0.356563782 * F.pow(t, 2)
+            + 1.781477937 * F.pow(t, 3)
+            - 1.821255978 * F.pow(t, 4)
+            + 1.330274429 * F.pow(t, 5)
+        )
+    )
+    p = z.withColumn("pval", 2.0 * phi_tail)
+    wr = Window.orderBy("pval", "event_type", "weekday")
+    r = p.withColumn("rnk", F.row_number().over(wr)).withColumn(
+        "m_tests", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    cutoff = r.agg(
+        F.max(
+            F.when(
+                F.col("pval") <= 0.05 * F.col("rnk") / F.col("m_tests"),
+                F.col("pval"),
+            )
+        ).alias("cut")
+    )
+    return (
+        r.crossJoin(F.broadcast(cutoff))
+        .select(
+            "event_type",
+            F.col("weekday").cast("long").alias("weekday"),
+            F.col("n").cast("long").alias("n"),
+            F.round("z", 4).alias("z"),
+            F.round("pval", 6).alias("pval"),
+            F.round(0.05 * F.col("rnk") / F.col("m_tests"), 6).alias(
+                "bh_threshold"
+            ),
+            F.coalesce(F.col("pval") <= F.col("cut"), F.lit(False)).alias(
+                "rejected"
+            ),
+        )
+        .orderBy("event_type", "weekday")
+    )
+
+
+@register(
+    "misra_gries_audit",
+    oracle="""
+    WITH st AS (
+        SELECT COUNT(*) AS n, COUNT(DISTINCT o_orderstatus) AS d
+        FROM orders
+    ),
+    ec AS (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1),
+    et AS (
+        SELECT SUM(cnt) AS n, COUNT(*) AS d,
+               COUNT(CASE WHEN cnt > (SELECT SUM(cnt) FROM ec) / 3.0
+                     THEN 1 END) AS heavy
+        FROM ec
+    )
+    SELECT 'exact_k3_orderstatus' AS audit_case, 3 AS k,
+           CAST(st.n AS BIGINT) AS n_total,
+           CAST(st.d AS BIGINT) AS n_distinct,
+           CAST(st.d AS BIGINT) AS n_true_heavy,
+           TRUE AS within_bound, TRUE AS heavy_found, TRUE AS le_k
+    FROM st
+    UNION ALL
+    SELECT 'bounded_k2_event_type', 2,
+           CAST(et.n AS BIGINT), CAST(et.d AS BIGINT),
+           CAST(et.heavy AS BIGINT),
+           TRUE, TRUE, TRUE
+    FROM et
+    ORDER BY audit_case
+    """,
+)
+def q_misra_gries_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries frequent-items audit
+    (operators/sketches.py:misra_gries) in the cms_error_bound_audit
+    tolerance-oracle style: the candidate SET is partition-dependent,
+    so the exported columns are only the partition-INDEPENDENT
+    guarantees — every estimate underestimates by ≤ n/(k+1), every
+    true heavy item survives, and ≤ k candidates return.  Two cases:
+    k=3 over o_orderstatus (distinct ≤ k ⇒ the sketch never evicts and
+    is EXACT — underestimate must be zero), and k=2 over event_type
+    (distinct > k ⇒ eviction path exercised, bound must hold).  The
+    oracle recomputes n/distinct/heavy exactly and pins every
+    guarantee column to TRUE."""
+    from .operators.sketches import misra_gries
+
+    def audit(df, col, k, case):
+        exact = df.groupBy(F.col(col).alias("item")).agg(
+            F.count(F.lit(1)).alias("exact")
+        )
+        st = exact.agg(
+            F.sum("exact").alias("n"),
+            F.count(F.lit(1)).alias("d"),
+        )
+        mg = misra_gries(df, col, k)
+        joined = (
+            exact.join(mg, "item", "left")
+            .crossJoin(F.broadcast(st))
+            .select(
+                "item",
+                "exact",
+                "est",
+                "n",
+                "d",
+                (F.col("exact") > F.col("n") / (k + 1.0)).alias("heavy"),
+            )
+        )
+        exact_when_no_evict = F.when(
+            F.col("d") <= k, F.col("est") == F.col("exact")
+        ).otherwise(F.lit(True))
+        return joined.agg(
+            F.lit(case).alias("audit_case"),
+            F.lit(k).alias("k"),
+            F.max("n").cast("long").alias("n_total"),
+            F.max("d").cast("long").alias("n_distinct"),
+            F.sum(F.col("heavy").cast("int")).cast("long").alias(
+                "n_true_heavy"
+            ),
+            F.bool_and(
+                F.when(
+                    F.col("est").isNotNull(),
+                    (F.col("est") <= F.col("exact"))
+                    & (F.col("exact") - F.col("est") <= F.col("n") / (k + 1.0))
+                    & exact_when_no_evict,
+                ).otherwise(F.lit(True))
+            ).alias("within_bound"),
+            F.bool_and(
+                F.when(F.col("heavy"), F.col("est").isNotNull()).otherwise(
+                    F.lit(True)
+                )
+            ).alias("heavy_found"),
+            (F.count("est") <= k).alias("le_k"),
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        audit(orders, "o_orderstatus", 3, "exact_k3_orderstatus")
+        .unionByName(audit(ev, "event_type", 2, "bounded_k2_event_type"))
+        .orderBy("audit_case")
+    )
+
+
+def _hits_oracle(iters: int = 5) -> str:
+    """Unrolled HITS oracle: (hub-normalize, authority-normalize) CTE
+    quadruple per iteration — DuckDB replays every power step.  Every
+    CTE is MATERIALIZED: each step is referenced twice (aggregate +
+    norm subquery), so inlining would double the expression tree per
+    step and the unrolled plan would blow up exponentially (observed:
+    the inlined 5-iteration plan never finished at sf0.01)."""
+    parts = [
+        """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    an0 AS MATERIALIZED (SELECT DISTINCT s, 1.0 AS a FROM e)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    h{i} AS MATERIALIZED (
+        SELECT c, SUM(a) AS h FROM e JOIN an{i - 1} USING (s) GROUP BY c
+    ),
+    hn{i} AS MATERIALIZED (
+        SELECT c, h / (SELECT SQRT(SUM(h * h)) FROM h{i}) AS h FROM h{i}
+    ),
+    a{i} AS MATERIALIZED (
+        SELECT s, SUM(h) AS a FROM e JOIN hn{i} USING (c) GROUP BY s
+    ),
+    an{i} AS MATERIALIZED (
+        SELECT s, a / (SELECT SQRT(SUM(a * a)) FROM a{i}) AS a FROM a{i}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(s AS BIGINT) AS s_suppkey, ROUND(a, 6) AS authority
+    FROM an{iters}
+    ORDER BY ROUND(a, 6) DESC, s LIMIT 10"""
+    )
+    return "".join(parts)
+
+
+@register("hits_supplier_authority", oracle=_hits_oracle())
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) on the bipartite
+    customer→supplier purchase graph (distinct (custkey, suppkey) via
+    orders ⋈ lineitem): 5 L2-normalized power iterations, top-10
+    supplier authority scores — the link-analysis complement to
+    PageRank's random-surfer centrality.  Each half-step is one
+    edge-join + hash agg with the L2 norm as a broadcast scalar; at a
+    web-scale edge list the loop gains checkpoint truncation every few
+    rounds exactly like pagerank's.  The oracle unrolls all five
+    iterations, value-checking every normalized power step; the top-10
+    boundary orders on the ROUNDED score with a supplier tie-break."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+    )
+    e = e.localCheckpoint(eager=True)
+    a = e.select("s").distinct().withColumn("a", F.lit(1.0))
+    for _ in range(5):
+        # each half-step's frame is referenced twice (aggregate + its
+        # own L2 norm), so truncate lineage once per half-step — same
+        # contract as pagerank's (operators/graph.py:122); without it
+        # the recompute set triples per iteration.
+        h = (
+            e.join(a, "s")
+            .groupBy("c")
+            .agg(F.sum("a").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+        hnorm = h.agg(F.sqrt(F.sum(F.col("h") * F.col("h"))).alias("nm"))
+        hn = h.crossJoin(F.broadcast(hnorm)).select(
+            "c", (F.col("h") / F.col("nm")).alias("h")
+        )
+        a_raw = (
+            e.join(hn, "c")
+            .groupBy("s")
+            .agg(F.sum("h").alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        anorm = a_raw.agg(
+            F.sqrt(F.sum(F.col("a") * F.col("a"))).alias("nm")
+        )
+        a = a_raw.crossJoin(F.broadcast(anorm)).select(
+            "s", (F.col("a") / F.col("nm")).alias("a")
+        )
+    return (
+        a.select(
+            F.col("s").cast("long").alias("s_suppkey"),
+            F.round("a", 6).alias("authority"),
+        )
+        .orderBy(F.desc("authority"), "s_suppkey")
+        .limit(10)
+    )

@@ -479,3 +479,117 @@ def test_t_closeness_matches_bruteforce(spark):
         assert abs(r["t_value"] - t) < 1e-5
         assert r["violates"] == (t > 0.2)
     assert set(got) == set(map(tuple, pdf[["event_type", "ampm"]].drop_duplicates().values))
+
+
+def test_did_estimator_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", F.expr("ts_ns div 1000").alias("ts_us"), "value")
+        .toPandas()
+    )
+    treat = (pdf["user_id"] * 1000003 + 7) % 999983 * 40503 % 999983 % 2
+    cut = np.quantile(pdf["ts_us"].to_numpy(), 0.5, method="linear")
+    post = (pdf["ts_us"] >= cut).astype(int)
+    cells = {}
+    for t in (0, 1):
+        for p in (0, 1):
+            v = pdf["value"][(treat == t) & (post == p)].to_numpy()
+            cells[(t, p)] = (len(v), v.mean(), v.var(ddof=1))
+    did = (cells[(1, 1)][1] - cells[(1, 0)][1]) - (
+        cells[(0, 1)][1] - cells[(0, 0)][1]
+    )
+    se = math.sqrt(sum(s2 / n for n, _, s2 in cells.values()))
+    r = QUERIES["did_estimator"](spark, SF).collect()[0]
+    assert r["n_total"] == len(pdf)
+    assert abs(r["mean_treat_post"] - cells[(1, 1)][1]) < 1e-5
+    assert abs(r["mean_ctrl_pre"] - cells[(0, 0)][1]) < 1e-5
+    assert abs(r["did"] - did) < 1e-5
+    assert abs(r["se"] - se) < 1e-5
+    assert abs(r["t_stat"] - did / se) < 1e-4
+
+
+def _phi_tail_as(z):
+    """Abramowitz-Stegun 26.2.17 upper-tail Φ, the polynomial both the
+    query and its oracle state verbatim."""
+    az = abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    return (
+        0.39894228040143267794
+        * math.exp(-az * az / 2)
+        * (
+            0.319381530 * t
+            - 0.356563782 * t**2
+            + 1.781477937 * t**3
+            - 1.821255978 * t**4
+            + 1.330274429 * t**5
+        )
+    )
+
+
+def test_bh_fdr_panel_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.weekday("ts").alias("weekday"), "value")
+        .toPandas()
+    )
+    mu = pdf["value"].mean()
+    sd = pdf["value"].std(ddof=0)
+    rows = []
+    for (et, wd), g in pdf.groupby(["event_type", "weekday"]):
+        z = (g["value"].mean() - mu) / (sd / math.sqrt(len(g)))
+        rows.append((et, int(wd), len(g), z, 2.0 * _phi_tail_as(z)))
+    rows.sort(key=lambda r: (r[4], r[0], r[1]))
+    m = len(rows)
+    cut = max(
+        (p for i, (_, _, _, _, p) in enumerate(rows) if p <= 0.05 * (i + 1) / m),
+        default=None,
+    )
+    got = {
+        (r["event_type"], r["weekday"]): r
+        for r in QUERIES["bh_fdr_panel"](spark, SF).collect()
+    }
+    assert len(got) == m
+    for i, (et, wd, n, z, p) in enumerate(rows):
+        r = got[(et, wd)]
+        assert r["n"] == n
+        assert abs(r["z"] - z) < 1e-3
+        assert abs(r["pval"] - p) < 1e-5
+        assert abs(r["bh_threshold"] - 0.05 * (i + 1) / m) < 1e-5
+        assert r["rejected"] == (cut is not None and p <= cut + 1e-12)
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey").toPandas()
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_suppkey").toPandas()
+    e = (
+        li.merge(o, left_on="l_orderkey", right_on="o_orderkey")[
+            ["o_custkey", "l_suppkey"]
+        ]
+        .drop_duplicates()
+    )
+    custs = sorted(e["o_custkey"].unique())
+    supps = sorted(e["l_suppkey"].unique())
+    ci = {c: i for i, c in enumerate(custs)}
+    si = {s: i for i, s in enumerate(supps)}
+    M = np.zeros((len(custs), len(supps)))
+    for c, s in zip(e["o_custkey"], e["l_suppkey"]):
+        M[ci[c], si[s]] = 1.0
+    a = np.ones(len(supps))
+    for _ in range(5):
+        h = M @ a
+        h /= np.linalg.norm(h)
+        a = M.T @ h
+        a /= np.linalg.norm(a)
+    exp = sorted(
+        zip(supps, np.round(a, 6)), key=lambda t: (-t[1], t[0])
+    )[:10]
+    got = [
+        (r["s_suppkey"], r["authority"])
+        for r in QUERIES["hits_supplier_authority"](spark, SF).collect()
+    ]
+    assert len(got) == 10
+    for (gs, ga), (es, ea) in zip(got, exp):
+        assert gs == es
+        assert abs(ga - ea) < 1e-5

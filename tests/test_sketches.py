@@ -228,3 +228,49 @@ class TestHistogramSketch:
         b = histogram_sketch(df, "v", n_bins=8, lo=0.0, hi=50.0)
         with _pytest.raises(ValueError, match="configurations"):
             quantiles_from_histogram(a.unionByName(b), [0.5])
+
+
+class TestMisraGries:
+    """misra_gries guarantee tests: the candidate SET is
+    partition-dependent, so assertions cover only the deterministic
+    frequent-items guarantees (≤ k rows, underestimate ≤ n/(k+1),
+    every true heavy item present, exact when distinct ≤ k)."""
+
+    def _df(self, spark, counts, parts=7):
+        rows = [(k,) for k, n in counts.items() for _ in range(n)]
+        random.Random(11).shuffle(rows)
+        return spark.createDataFrame(rows, "item string").repartition(parts)
+
+    def test_bound_and_heavy_presence(self, spark):
+        from fraud_detection_project_spark.operators.sketches import (
+            misra_gries,
+        )
+
+        counts = {f"w{i}": (400 if i < 2 else 3) for i in range(60)}
+        n = sum(counts.values())
+        k = 5
+        got = {
+            r["item"]: r["est"]
+            for r in misra_gries(self._df(spark, counts), "item", k).collect()
+        }
+        assert len(got) <= k
+        for item, est in got.items():
+            exact = counts[item]
+            assert 0 < est <= exact
+            assert exact - est <= n / (k + 1)
+        # true heavy hitters (count > n/(k+1)) must all survive
+        for item, exact in counts.items():
+            if exact > n / (k + 1):
+                assert item in got
+
+    def test_exact_when_distinct_le_k(self, spark):
+        from fraud_detection_project_spark.operators.sketches import (
+            misra_gries,
+        )
+
+        counts = {"a": 17, "b": 5, "c": 29}
+        got = {
+            r["item"]: r["est"]
+            for r in misra_gries(self._df(spark, counts, parts=3), "item", 8).collect()
+        }
+        assert got == counts
