@@ -7642,7 +7642,8 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   bom_cost_rollup, activity_islands_histogram, logistic_gd_training,
 #   periodogram_daily_topk, ece_calibration_bins, t_closeness_audit,
 #   did_estimator, bh_fdr_panel, misra_gries_audit,
-#   hits_supplier_authority
+#   hits_supplier_authority, kaplan_meier_weekly, benford_digit_audit,
+#   psi_value_stability, ewma_control_chart, isotonic_pav_calibration
 
 
 def driver_ordered(registry: dict) -> dict:
@@ -19149,4 +19150,585 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("authority"), "s_suppkey")
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 sixth wave: reliability / fraud-ops — Kaplan-Meier survival,
+# Benford first-digit audit, PSI population stability, EWMA control
+# chart, isotonic (PAV) calibration.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kaplan_meier_weekly",
+    oracle="""
+    WITH mx AS (SELECT MAX(epoch_us(ts)) AS mx_us FROM events),
+    users AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+               MAX(epoch_us(ts)) AS last_us
+        FROM events GROUP BY user_id
+    ),
+    subj AS (
+        SELECT CAST(FLOOR((last_us - first_us) / 604800000000.0)
+                    AS BIGINT) AS week,
+               CASE WHEN last_us < mx.mx_us - 604800000000 THEN 1 ELSE 0
+               END AS died
+        FROM users CROSS JOIN mx
+    ),
+    lt AS (
+        SELECT week, SUM(died) AS d, SUM(1 - died) AS c
+        FROM subj GROUP BY week
+    ),
+    risk AS (
+        SELECT week, d, c,
+               SUM(d + c) OVER (ORDER BY week
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS n_risk
+        FROM lt
+    ),
+    km AS (
+        SELECT week, d, c, n_risk,
+               MIN(1.0 - d * 1.0 / n_risk) OVER (ORDER BY week
+                   ROWS UNBOUNDED PRECEDING) AS min_factor,
+               SUM(CASE WHEN d * 1.0 / n_risk < 1.0
+                        THEN ln(1.0 - d * 1.0 / n_risk)
+                        ELSE 0.0 END) OVER (ORDER BY week
+                   ROWS UNBOUNDED PRECEDING) AS lnsum
+        FROM risk
+    )
+    SELECT CAST(week AS BIGINT) AS week,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_churned,
+           CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN min_factor <= 0.0 THEN 0.0
+                ELSE ROUND(exp(lnsum), 6) END AS survival
+    FROM km ORDER BY week
+    """,
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival of user tenure in weeks
+    (first event → last event), right-censored for users still active
+    in the final observed week.  The life table is per-week deaths /
+    censorings with at-risk counts from a reverse cumulative sum; the
+    survival product runs as exp(Σ ln(1−d/n)) with a cumulative-min
+    guard for a zero factor (ln(0) is NULL in Spark, −inf in DuckDB —
+    the guard keeps both engines off that value entirely).  All
+    windows sit above the per-week aggregate: the frame is
+    calendar-bounded (≤ observation span / 7 rows) at any SF."""
+    us = 604_800_000_000  # µs per week
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    mx = ev.agg(F.max("ts_us").alias("mx_us"))
+    users = ev.groupBy("user_id").agg(
+        F.min("ts_us").alias("first_us"), F.max("ts_us").alias("last_us")
+    )
+    subj = users.crossJoin(F.broadcast(mx)).select(
+        F.floor((F.col("last_us") - F.col("first_us")) / float(us))
+        .cast("long")
+        .alias("week"),
+        (F.col("last_us") < F.col("mx_us") - us).cast("int").alias("died"),
+    )
+    lt = subj.groupBy("week").agg(
+        F.sum("died").alias("d"), F.sum(1 - F.col("died")).alias("c")
+    )
+    w_after = Window.orderBy("week").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_upto = Window.orderBy("week").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = lt.withColumn("n_risk", F.sum(F.col("d") + F.col("c")).over(w_after))
+    frac = F.col("d") / F.col("n_risk")
+    km = risk.withColumn(
+        "min_factor", F.min(1.0 - frac).over(w_upto)
+    ).withColumn(
+        "lnsum",
+        F.sum(
+            F.when(frac < 1.0, F.log(1.0 - frac)).otherwise(F.lit(0.0))
+        ).over(w_upto),
+    )
+    return km.select(
+        F.col("week").cast("long").alias("week"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.when(F.col("min_factor") <= 0.0, F.lit(0.0))
+        .otherwise(F.round(F.exp("lnsum"), 6))
+        .alias("survival"),
+    ).orderBy("week")
+
+
+@register(
+    "benford_digit_audit",
+    oracle="""
+    WITH vals AS (
+        SELECT 'orders_totalprice' AS src, o_totalprice AS v FROM orders
+        WHERE o_totalprice > 0
+        UNION ALL
+        SELECT 'events_value', value FROM events
+        WHERE value IS NOT NULL AND value > 0
+    ),
+    digits AS (
+        SELECT src,
+               GREATEST(1, LEAST(9, CAST(FLOOR(
+                   v / POWER(10, FLOOR(LOG10(v)))) AS BIGINT))) AS digit
+        FROM vals
+    ),
+    per AS (
+        SELECT src, digit, COUNT(*) AS n FROM digits GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT s.src, g.digit, COALESCE(per.n, 0) AS n
+        FROM (SELECT DISTINCT src FROM per) s
+        CROSS JOIN (SELECT digit FROM range(1, 10) t(digit)) g
+        LEFT JOIN per ON per.src = s.src AND per.digit = g.digit
+    ),
+    tot AS (SELECT src, SUM(n) AS n_src FROM grid GROUP BY src),
+    scored AS (
+        SELECT grid.src, grid.digit, grid.n, tot.n_src,
+               grid.n * 1.0 / tot.n_src AS obs_p,
+               LOG10(1.0 + 1.0 / grid.digit) AS exp_p
+        FROM grid JOIN tot ON tot.src = grid.src
+    ),
+    roll AS (
+        SELECT src,
+               SUM(POWER(obs_p - exp_p, 2) / exp_p) * MAX(n_src) AS chi2,
+               AVG(ABS(obs_p - exp_p)) AS mad
+        FROM scored GROUP BY src
+    )
+    SELECT scored.src, CAST(scored.digit AS BIGINT) AS digit,
+           CAST(scored.n AS BIGINT) AS n,
+           ROUND(scored.obs_p, 6) AS obs_p,
+           ROUND(scored.exp_p, 6) AS benford_p,
+           ROUND(roll.chi2, 4) AS chi2,
+           ROUND(roll.mad, 6) AS mad,
+           roll.mad > 0.015 AS nonconforming
+    FROM scored JOIN roll ON roll.src = scored.src
+    ORDER BY scored.src, scored.digit
+    """,
+)
+def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over order totals and
+    event values — the classic fabricated-numbers fraud screen.  Digit
+    extraction is pure JVM math (floor/log10/power, GREATEST/LEAST
+    clamped identically on both engines so a 1-ulp log10 disagreement
+    at an exact power of ten cannot split the digit), the per-source
+    digit histogram is one hash aggregate against a zero-filled 9-digit
+    grid, and the chi-square distance plus the Nigrini mean-absolute-
+    deviation verdict (MAD > 0.015 = nonconforming for this panel
+    size) broadcast back onto the 18-row frame."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.lit("orders_totalprice").alias("src"),
+            F.col("o_totalprice").alias("v"),
+        )
+    )
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select(F.lit("events_value").alias("src"), F.col("value").alias("v"))
+    )
+    vals = orders.unionByName(events)
+    digit = F.greatest(
+        F.lit(1),
+        F.least(
+            F.lit(9),
+            F.floor(
+                F.col("v") / F.pow(F.lit(10.0), F.floor(F.log10("v")))
+            ).cast("long"),
+        ),
+    )
+    per = (
+        vals.select("src", digit.alias("digit"))
+        .groupBy("src", "digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        per.select("src")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(1, 10).select(F.col("id").alias("digit"))))
+        .join(per, ["src", "digit"], "left")
+        .select("src", "digit", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    tot = grid.groupBy("src").agg(F.sum("n").alias("n_src"))
+    scored = grid.join(F.broadcast(tot), "src").select(
+        "src",
+        "digit",
+        "n",
+        "n_src",
+        (F.col("n") / F.col("n_src")).alias("obs_p"),
+        F.log10(1.0 + 1.0 / F.col("digit")).alias("exp_p"),
+    )
+    roll = scored.groupBy("src").agg(
+        (
+            F.sum(F.pow(F.col("obs_p") - F.col("exp_p"), 2) / F.col("exp_p"))
+            * F.max("n_src")
+        ).alias("chi2"),
+        F.avg(F.abs(F.col("obs_p") - F.col("exp_p"))).alias("mad"),
+    )
+    return (
+        scored.join(F.broadcast(roll), "src")
+        .select(
+            "src",
+            F.col("digit").cast("long").alias("digit"),
+            F.col("n").cast("long").alias("n"),
+            F.round("obs_p", 6).alias("obs_p"),
+            F.round("exp_p", 6).alias("benford_p"),
+            F.round("chi2", 4).alias("chi2"),
+            F.round("mad", 6).alias("mad"),
+            (F.col("mad") > 0.015).alias("nonconforming"),
+        )
+        .orderBy("src", "digit")
+    )
+
+
+@register(
+    "psi_value_stability",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, epoch_us(ts) AS ts_us, value
+        FROM events WHERE value IS NOT NULL
+    ),
+    cut AS (SELECT quantile_cont(ts_us, 0.5) AS c FROM v),
+    edges AS (
+        SELECT quantile_cont(value,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e FROM v
+    ),
+    binned AS (
+        SELECT v.event_type,
+               CASE WHEN v.ts_us >= cut.c THEN 1 ELSE 0 END AS half,
+               len(list_filter(edges.e, x -> v.value > x)) AS bin
+        FROM v CROSS JOIN cut CROSS JOIN edges
+    ),
+    grid AS (
+        SELECT t.event_type, h.half, b.bin, COALESCE(cnt.n, 0) AS n
+        FROM (SELECT DISTINCT event_type FROM binned) t
+        CROSS JOIN (SELECT UNNEST([0, 1]) AS half) h
+        CROSS JOIN (SELECT bin FROM range(0, 10) r(bin)) b
+        LEFT JOIN (
+            SELECT event_type, half, bin, COUNT(*) AS n
+            FROM binned GROUP BY 1, 2, 3
+        ) cnt ON cnt.event_type = t.event_type AND cnt.half = h.half
+             AND cnt.bin = b.bin
+    ),
+    tot AS (
+        SELECT event_type, half, SUM(n) AS n_half
+        FROM grid GROUP BY 1, 2
+    ),
+    props AS (
+        SELECT grid.event_type, grid.bin,
+               MAX(CASE WHEN grid.half = 0
+                   THEN GREATEST(grid.n * 1.0 / tot.n_half, 1e-6) END) AS p,
+               MAX(CASE WHEN grid.half = 1
+                   THEN GREATEST(grid.n * 1.0 / tot.n_half, 1e-6) END) AS q
+        FROM grid JOIN tot ON tot.event_type = grid.event_type
+                          AND tot.half = grid.half
+        GROUP BY 1, 2
+    ),
+    psi AS (
+        SELECT event_type, SUM((p - q) * ln(p / q)) AS psi
+        FROM props GROUP BY event_type
+    )
+    SELECT psi.event_type,
+           CAST(t0.n_half AS BIGINT) AS n_first,
+           CAST(t1.n_half AS BIGINT) AS n_second,
+           ROUND(psi.psi, 6) AS psi,
+           psi.psi > 0.2 AS unstable
+    FROM psi
+    JOIN tot t0 ON t0.event_type = psi.event_type AND t0.half = 0
+    JOIN tot t1 ON t1.event_type = psi.event_type AND t1.half = 1
+    ORDER BY psi.event_type
+    """,
+)
+def q_psi_value_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population stability index of the value distribution per event
+    type between the first and second time halves (exact-median cut) —
+    THE production drift gate in fraud scoring, complementing the KL
+    mix-shift and Wasserstein screens with the banker's binned Σ(p−q)
+    ln(p/q).  Bins are GLOBAL value deciles (so every SF keeps all ten
+    bins populated overall), assigned by filtering the broadcast 9-edge
+    array — no row explosion; zero cells clamp to 1e-6 identically on
+    both engines.  Two hash aggregates over a zero-filled type×half×bin
+    grid; the widest shuffled frame is |types|·20 rows."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", F.expr("ts_ns div 1000").alias("ts_us"), "value"
+        )
+    )
+    cut = v.agg(F.percentile("ts_us", F.lit(0.5)).alias("c"))
+    edges = v.agg(
+        F.percentile(
+            "value",
+            F.array(*[F.lit(k / 10.0) for k in range(1, 10)]),
+        ).alias("e")
+    )
+    binned = (
+        v.crossJoin(F.broadcast(cut))
+        .crossJoin(F.broadcast(edges))
+        .select(
+            "event_type",
+            (F.col("ts_us") >= F.col("c")).cast("int").alias("half"),
+            F.size(
+                F.filter("e", lambda x: F.col("value") > x)
+            ).alias("bin"),
+        )
+    )
+    cnt = binned.groupBy("event_type", "half", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = (
+        cnt.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(0, 2).select(F.col("id").alias("half"))))
+        .crossJoin(F.broadcast(spark.range(0, 10).select(F.col("id").alias("bin"))))
+        .join(cnt, ["event_type", "half", "bin"], "left")
+        .select(
+            "event_type", "half", "bin", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    )
+    tot = grid.groupBy("event_type", "half").agg(F.sum("n").alias("n_half"))
+    share = F.greatest(F.col("n") / F.col("n_half"), F.lit(1e-6))
+    props = (
+        grid.join(F.broadcast(tot), ["event_type", "half"])
+        .groupBy("event_type", "bin")
+        .agg(
+            F.max(F.when(F.col("half") == 0, share)).alias("p"),
+            F.max(F.when(F.col("half") == 1, share)).alias("q"),
+        )
+    )
+    psi = props.groupBy("event_type").agg(
+        F.sum(
+            (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+        ).alias("psi")
+    )
+    t0 = tot.filter(F.col("half") == 0).select(
+        "event_type", F.col("n_half").alias("n_first")
+    )
+    t1 = tot.filter(F.col("half") == 1).select(
+        "event_type", F.col("n_half").alias("n_second")
+    )
+    return (
+        psi.join(F.broadcast(t0), "event_type")
+        .join(F.broadcast(t1), "event_type")
+        .select(
+            "event_type",
+            F.col("n_first").cast("long").alias("n_first"),
+            F.col("n_second").cast("long").alias("n_second"),
+            F.round("psi", 6).alias("psi"),
+            (F.col("psi") > 0.2).alias("unstable"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ewma_control_chart",
+    oracle="""
+    WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    series AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY d) AS t, d, rev FROM daily
+    ),
+    st AS (
+        SELECT AVG(rev) AS mu, stddev_pop(rev) AS sigma,
+               MAX(t) AS n FROM series
+    ),
+    rec AS (
+        SELECT 0 AS t, st.mu AS z FROM st
+        UNION ALL
+        SELECT s.t, 0.8 * rec.z + 0.2 * s.rev
+        FROM rec JOIN series s ON s.t = rec.t + 1
+    )
+    SELECT CAST(s.t AS BIGINT) AS t, STRFTIME(s.d, '%Y-%m-%d') AS d,
+           ROUND(s.rev, 2) AS rev,
+           ROUND(rec.z, 2) AS ewma,
+           ROUND(st.mu + 3 * st.sigma *
+                 SQRT(0.2 / 1.8 * (1 - POWER(0.64, s.t))), 2) AS ucl,
+           ROUND(st.mu - 3 * st.sigma *
+                 SQRT(0.2 / 1.8 * (1 - POWER(0.64, s.t))), 2) AS lcl,
+           (rec.z > st.mu + 3 * st.sigma *
+                 SQRT(0.2 / 1.8 * (1 - POWER(0.64, s.t))))
+            OR (rec.z < st.mu - 3 * st.sigma *
+                 SQRT(0.2 / 1.8 * (1 - POWER(0.64, s.t)))) AS breach
+    FROM series s JOIN rec ON rec.t = s.t CROSS JOIN st
+    ORDER BY s.t
+    """,
+)
+def q_ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (λ=0.2, L=3) over daily revenue — the SPC
+    small-shift monitor beside the corpus's CUSUM and Page-Hinkley
+    screens.  z_0 is the series mean; limits use the exact
+    finite-horizon variance factor √(λ/(2−λ)·(1−(1−λ)^{2t})).  The
+    recursion is inherently sequential, so it runs as ONE Arrow task
+    over the CALENDAR-bounded daily frame after the distributed daily
+    aggregate (holt_linear_backtest's hybrid-endgame rationale); the
+    DuckDB twin replays the identical recursion step-for-step as a
+    recursive CTE, value-checking every smoothing step."""
+    import math
+
+    import pandas as pd
+
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+
+    def ewma_kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d").reset_index(drop=True)
+        y = pdf["rev"].to_numpy(dtype="float64")
+        n = len(y)
+        mu = float(y.sum() / n)
+        sigma = math.sqrt(float(((y - mu) ** 2).sum() / n))
+        rows = []
+        z = mu
+        for t in range(1, n + 1):
+            z = 0.8 * z + 0.2 * y[t - 1]
+            half = 3 * sigma * math.sqrt(0.2 / 1.8 * (1 - 0.64**t))
+            rows.append(
+                (
+                    t,
+                    pdf["d"][t - 1].strftime("%Y-%m-%d"),
+                    round(y[t - 1], 2),
+                    round(z, 2),
+                    round(mu + half, 2),
+                    round(mu - half, 2),
+                    z > mu + half or z < mu - half,
+                )
+            )
+        return pd.DataFrame(
+            rows, columns=["t", "d", "rev", "ewma", "ucl", "lcl", "breach"]
+        )
+
+    out_schema = (
+        "t long, d string, rev double, ewma double, ucl double, lcl double,"
+        " breach boolean"
+    )
+    return (
+        daily.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(ewma_kernel, schema=out_schema)
+        .drop("g")
+        .orderBy("t")
+    )
+
+
+@register(
+    "isotonic_pav_calibration",
+    oracle="""
+    WITH scored AS (
+        SELECT 1.0 / (1.0 + exp(-((value - 50) / 25.0))) AS s,
+               CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+        FROM events WHERE value IS NOT NULL
+    ),
+    per AS (
+        SELECT LEAST(CAST(FLOOR(s * 20) AS BIGINT), 19) AS bin,
+               COUNT(*) AS n, AVG(s) AS conf, AVG(y) AS raw_rate
+        FROM scored GROUP BY 1
+    ),
+    idx AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY bin) AS r FROM per
+    ),
+    iv AS (
+        SELECT a.r AS j, b.r AS k,
+               SUM(c.n * c.raw_rate) / SUM(c.n) AS avg_jk
+        FROM idx a JOIN idx b ON b.r >= a.r
+        JOIN idx c ON c.r BETWEEN a.r AND b.r
+        GROUP BY 1, 2
+    ),
+    minq AS (
+        SELECT iv.j, i.r AS i, MIN(iv.avg_jk) AS mn
+        FROM iv JOIN idx i ON iv.j <= i.r AND iv.k >= i.r
+        GROUP BY 1, 2
+    ),
+    fit AS (SELECT i, MAX(mn) AS iso FROM minq GROUP BY i)
+    SELECT CAST(idx.bin AS BIGINT) AS bin, CAST(idx.n AS BIGINT) AS n,
+           ROUND(idx.conf, 6) AS avg_score,
+           ROUND(idx.raw_rate, 6) AS raw_rate,
+           ROUND(fit.iso, 6) AS iso_rate
+    FROM idx JOIN fit ON fit.i = idx.r
+    ORDER BY idx.bin
+    """,
+)
+def q_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the fixed logistic scorer against
+    the purchase outcome, over 20 equi-width score bins — the
+    monotone-regression companion to ece_calibration_bins.  Instead of
+    the sequential pool-adjacent-violators stack, the fit uses the
+    minimax identity iso_i = max_{j≤i} min_{k≥i} avg(y̅ weighted over
+    bins j..k), which is pure relational algebra over the ≤ 20-row bin
+    frame (O(B³) interval enumeration — trivial at B=20, broadcast
+    joins throughout); the sequential-PAV equivalence is pinned by the
+    pytest brute force.  Only the bin aggregate touches fact-sized
+    data."""
+    scored = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            (
+                1.0 / (1.0 + F.exp(-((F.col("value") - 50) / 25.0)))
+            ).alias("s"),
+            (F.col("event_type") == "purchase").cast("double").alias("y"),
+        )
+    )
+    per = (
+        scored.select(
+            F.least(F.floor(F.col("s") * 20).cast("long"), F.lit(19)).alias(
+                "bin"
+            ),
+            "s",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("s").alias("conf"),
+            F.avg("y").alias("raw_rate"),
+        )
+    )
+    idx = per.withColumn("r", F.row_number().over(Window.orderBy("bin")))
+    a = idx.select(F.col("r").alias("j"))
+    b = idx.select(F.col("r").alias("k"))
+    c = idx.select(
+        F.col("r").alias("rc"), F.col("n").alias("nc"),
+        F.col("raw_rate").alias("yc"),
+    )
+    iv = (
+        a.join(b, F.col("k") >= F.col("j"))
+        .join(
+            F.broadcast(c),
+            (F.col("rc") >= F.col("j")) & (F.col("rc") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg(
+            (F.sum(F.col("nc") * F.col("yc")) / F.sum("nc")).alias("avg_jk")
+        )
+    )
+    minq = (
+        iv.join(
+            F.broadcast(idx.select(F.col("r").alias("i"))),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("j", "i")
+        .agg(F.min("avg_jk").alias("mn"))
+    )
+    fit = minq.groupBy("i").agg(F.max("mn").alias("iso"))
+    return (
+        idx.join(F.broadcast(fit), idx.r == fit.i)
+        .select(
+            F.col("bin").cast("long").alias("bin"),
+            F.col("n").cast("long").alias("n"),
+            F.round("conf", 6).alias("avg_score"),
+            F.round("raw_rate", 6).alias("raw_rate"),
+            F.round("iso", 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
     )

@@ -593,3 +593,151 @@ def test_hits_matches_numpy_power_iteration(spark):
     for (gs, ga), (es, ea) in zip(got, exp):
         assert gs == es
         assert abs(ga - ea) < 1e-5
+
+
+def test_kaplan_meier_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.expr("ts_ns div 1000").alias("ts_us"))
+        .toPandas()
+    )
+    wk = 604_800_000_000
+    mx = pdf["ts_us"].max()
+    g = pdf.groupby("user_id")["ts_us"].agg(["min", "max"])
+    week = ((g["max"] - g["min"]) // wk).astype(int)
+    died = (g["max"] < mx - wk).astype(int)
+    weeks = sorted(week.unique())
+    rows = {r["week"]: r for r in QUERIES["kaplan_meier_weekly"](spark, SF).collect()}
+    assert set(rows) == set(weeks)
+    surv = 1.0
+    for w in weeks:
+        d = int(died[week == w].sum())
+        c = int((1 - died[week == w]).sum())
+        n_risk = int((week >= w).sum())
+        surv *= 1 - d / n_risk
+        r = rows[w]
+        assert r["n_risk"] == n_risk
+        assert r["n_churned"] == d
+        assert r["n_censored"] == c
+        assert abs(r["survival"] - surv) < 1e-5
+
+
+def test_benford_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select("o_totalprice")
+        .toPandas()
+    )
+    v = pdf["o_totalprice"].to_numpy()
+    digits = np.clip(
+        np.floor(v / np.power(10.0, np.floor(np.log10(v)))).astype(int), 1, 9
+    )
+    n = len(v)
+    got = {
+        r["digit"]: r
+        for r in QUERIES["benford_digit_audit"](spark, SF).collect()
+        if r["src"] == "orders_totalprice"
+    }
+    assert set(got) == set(range(1, 10))
+    chi2 = mad = 0.0
+    for d in range(1, 10):
+        obs_p = float((digits == d).sum()) / n
+        exp_p = math.log10(1 + 1 / d)
+        chi2 += (obs_p - exp_p) ** 2 / exp_p * n
+        mad += abs(obs_p - exp_p) / 9
+        r = got[d]
+        assert r["n"] == (digits == d).sum()
+        assert abs(r["obs_p"] - obs_p) < 1e-5
+        assert abs(r["benford_p"] - exp_p) < 1e-5
+    r = got[1]
+    assert abs(r["chi2"] - chi2) < 1e-2
+    assert abs(r["mad"] - mad) < 1e-5
+    assert r["nonconforming"] == (mad > 0.015)
+
+
+def test_psi_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.expr("ts_ns div 1000").alias("ts_us"), "value")
+        .toPandas()
+    )
+    cut = np.quantile(pdf["ts_us"].to_numpy(), 0.5, method="linear")
+    edges = np.quantile(
+        pdf["value"].to_numpy(), [k / 10 for k in range(1, 10)], method="linear"
+    )
+    pdf["half"] = (pdf["ts_us"] >= cut).astype(int)
+    pdf["bin"] = (pdf["value"].to_numpy()[:, None] > edges[None, :]).sum(axis=1)
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["psi_value_stability"](spark, SF).collect()
+    }
+    for et, g in pdf.groupby("event_type"):
+        psi = 0.0
+        n0 = int((g["half"] == 0).sum())
+        n1 = int((g["half"] == 1).sum())
+        for b in range(10):
+            p = max(((g["half"] == 0) & (g["bin"] == b)).sum() / n0, 1e-6)
+            q = max(((g["half"] == 1) & (g["bin"] == b)).sum() / n1, 1e-6)
+            psi += (p - q) * math.log(p / q)
+        r = got[et]
+        assert r["n_first"] == n0 and r["n_second"] == n1
+        assert abs(r["psi"] - psi) < 1e-5
+        assert r["unstable"] == (psi > 0.2)
+
+
+def test_ewma_chart_matches_recursion(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .toPandas()
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    y = daily["rev"].to_numpy(dtype="float64")
+    mu = y.sum() / len(y)
+    sigma = math.sqrt(((y - mu) ** 2).sum() / len(y))
+    out = QUERIES["ewma_control_chart"](spark, SF).collect()
+    assert len(out) == len(y)
+    z = mu
+    for r in sorted(out, key=lambda r: r["t"]):
+        t = r["t"]
+        z = 0.8 * z + 0.2 * y[t - 1]
+        half = 3 * sigma * math.sqrt(0.2 / 1.8 * (1 - 0.64**t))
+        assert abs(r["ewma"] - z) < 1e-2
+        assert abs(r["ucl"] - (mu + half)) < 1e-2
+        assert abs(r["lcl"] - (mu - half)) < 1e-2
+        assert r["breach"] == (z > mu + half or z < mu - half)
+        assert r["d"] == daily["d"][t - 1].strftime("%Y-%m-%d")
+
+
+def test_isotonic_pav_matches_sequential_stack(spark):
+    rows = sorted(
+        QUERIES["isotonic_pav_calibration"](spark, SF).collect(),
+        key=lambda r: r["bin"],
+    )
+    ns = [r["n"] for r in rows]
+    ys = [r["raw_rate"] for r in rows]
+    # sequential PAV with per-bin expansion
+    blocks = []  # [count_of_bins, total_n, total_ny]
+    for n, y in zip(ns, ys):
+        blocks.append([1, n, n * y])
+        while (
+            len(blocks) > 1
+            and blocks[-2][2] / blocks[-2][1] >= blocks[-1][2] / blocks[-1][1]
+        ):
+            c, n2, s2 = blocks.pop()
+            blocks[-1][0] += c
+            blocks[-1][1] += n2
+            blocks[-1][2] += s2
+    fits = []
+    for c, n_total, s_total in blocks:
+        fits.extend([s_total / n_total] * c)
+    assert len(fits) == len(rows)
+    prev = -1.0
+    for r, f in zip(rows, fits):
+        assert abs(r["iso_rate"] - f) < 1e-4
+        assert r["iso_rate"] >= prev - 1e-9
+        prev = r["iso_rate"]
