@@ -348,3 +348,82 @@ def misra_gries(
         .select("item", (F.col("cnt") - F.col("sub")).alias("est"))
         .filter(F.col("est") > 0)
     )
+
+
+# Affine hash family for the Bloom filter: distinct MULTIPLIERS per
+# hash (additive seeds alone cancel in relative ordering — the
+# engine-independence convention from ml/split.py), mod-prime then
+# remultiplied so dense integer keys don't map monotonically.
+_BLOOM_HASHES = ((1000003, 7), (1012003, 11), (1030003, 13))
+_BLOOM_P = 999983
+_BLOOM_REMUL = 40503
+
+
+def _bloom_positions(key_col, m_col):
+    from pyspark.sql import functions as F
+
+    return F.array(
+        *[
+            (
+                (key_col.cast("long") * a + b)
+                % _BLOOM_P
+                * _BLOOM_REMUL
+                % _BLOOM_P
+                % m_col
+            )
+            for a, b in _BLOOM_HASHES
+        ]
+    )
+
+
+def bloom_semi_join(
+    probe: "DataFrame",
+    probe_col: str,
+    build: "DataFrame",
+    build_col: str,
+    bits_per_key: int = 32,
+) -> "DataFrame":
+    """Bloom-filter semi-join: keep probe rows whose key *may* appear
+    in the build side — no false negatives ever; false-positive rate
+    ≈ (1 − e^{−kn/m})^k with k=3 and m = ``bits_per_key``·n sized from
+    the MEASURED build cardinality, so the rate is scale-free.  The
+    "bitmap" is relational: the distinct set of hash positions
+    (3·n_build longs, shuffled like any semi-join build side, never
+    collected).  A probe key passes iff every one of its distinct
+    positions is present.  The affine-mod-prime hash family is
+    deliberately SQL-replicable so a DuckDB oracle can rebuild the
+    filter bit-for-bit (see the bloom_semi_join_audit query) — swap in
+    xxhash64 for production entropy if oracle parity is not needed."""
+    from pyspark.sql import functions as F
+
+    bkeys = build.select(F.col(build_col).alias("__k")).distinct()
+    mrow = bkeys.agg(
+        (F.count(F.lit(1)) * bits_per_key).cast("long").alias("__m")
+    )
+    set_pos = (
+        bkeys.crossJoin(F.broadcast(mrow))
+        .select(F.explode(_bloom_positions(F.col("__k"), F.col("__m"))).alias("pos"))
+        .distinct()
+    )
+    ppos = (
+        probe.select(F.col(probe_col).alias("__k"))
+        .distinct()
+        .crossJoin(F.broadcast(mrow))
+        .select(
+            "__k",
+            F.explode(_bloom_positions(F.col("__k"), F.col("__m"))).alias("pos"),
+        )
+        .distinct()
+    )
+    passing = (
+        ppos.join(set_pos.withColumn("__hit", F.lit(1)), "pos", "left")
+        .groupBy("__k")
+        .agg(
+            (F.count(F.lit(1)) == F.count("__hit")).alias("__all")
+        )
+        .filter(F.col("__all"))
+        .select("__k")
+    )
+    return probe.join(
+        passing, probe[probe_col] == passing["__k"], "left_semi"
+    )

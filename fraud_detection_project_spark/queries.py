@@ -19732,3 +19732,1168 @@ def q_isotonic_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 seventh wave: Bloom semi-join with a bit-exact SQL-replicated
+# filter, graph modularity of a labeled partition, top session paths.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_semi_join_audit",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    prm AS (SELECT 32 * COUNT(*) AS m FROM b),
+    setpos AS (
+        SELECT DISTINCT UNNEST([
+            ((user_id * 1000003 + 7) % 999983 * 40503) % 999983 % m,
+            ((user_id * 1012003 + 11) % 999983 * 40503) % 999983 % m,
+            ((user_id * 1030003 + 13) % 999983 * 40503) % 999983 % m
+        ]) AS pos
+        FROM b CROSS JOIN prm
+    ),
+    u AS (SELECT DISTINCT user_id FROM events),
+    ppos AS (
+        SELECT DISTINCT user_id, UNNEST([
+            ((user_id * 1000003 + 7) % 999983 * 40503) % 999983 % m,
+            ((user_id * 1012003 + 11) % 999983 * 40503) % 999983 % m,
+            ((user_id * 1030003 + 13) % 999983 * 40503) % 999983 % m
+        ]) AS pos
+        FROM u CROSS JOIN prm
+    ),
+    hit AS (
+        SELECT ppos.user_id,
+               COUNT(*) = COUNT(setpos.pos) AS pass
+        FROM ppos LEFT JOIN setpos ON setpos.pos = ppos.pos
+        GROUP BY ppos.user_id
+    ),
+    lab AS (
+        SELECT hit.user_id, hit.pass,
+               b.user_id IS NOT NULL AS member
+        FROM hit LEFT JOIN b ON b.user_id = hit.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_build,
+           CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_probe,
+           CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_members,
+           CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN pass AND NOT member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           bool_and(CASE WHEN member THEN pass ELSE TRUE END)
+               AS no_false_negatives,
+           ROUND(SUM(CASE WHEN pass AND NOT member THEN 1.0 ELSE 0 END)
+                 / GREATEST(SUM(CASE WHEN NOT member THEN 1 ELSE 0 END), 1),
+                 6) AS fp_rate,
+           ROUND(POWER(1.0 - exp(-3.0 / 32.0), 3), 6) AS fp_bound
+    FROM lab
+    """,
+)
+def q_bloom_semi_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join audit (operators/sketches.py:bloom_semi_join):
+    build on purchasing users, probe every distinct event user, and
+    compare against the exact membership — the shuffle-avoidance
+    primitive for 100 TB semi-joins (ship 3·n positions instead of the
+    fact table).  The affine hash family is SQL-replicable, so the
+    DuckDB twin rebuilds the filter BIT-FOR-BIT and every count
+    (passes, false positives, rate) matches exactly — stronger than a
+    tolerance oracle.  m = 32·n_build keeps the design rate
+    (1−e^{−3/32})³ ≈ 7e-4 scale-free; no-false-negatives is pinned as
+    a hard boolean."""
+    from .operators.sketches import _bloom_positions
+
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    prm = b.agg((F.count(F.lit(1)) * 32).cast("long").alias("m"))
+    setpos = (
+        b.crossJoin(F.broadcast(prm))
+        .select(
+            F.explode(
+                _bloom_positions(F.col("user_id"), F.col("m"))
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    u = ev.select("user_id").distinct()
+    ppos = (
+        u.crossJoin(F.broadcast(prm))
+        .select(
+            "user_id",
+            F.explode(
+                _bloom_positions(F.col("user_id"), F.col("m"))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    hit = (
+        ppos.join(setpos.withColumn("__hit", F.lit(1)), "pos", "left")
+        .groupBy("user_id")
+        .agg((F.count(F.lit(1)) == F.count("__hit")).alias("pass"))
+    )
+    lab = hit.join(
+        b.withColumn("__member", F.lit(1)), "user_id", "left"
+    ).select("pass", F.col("__member").isNotNull().alias("member"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_build"))
+    nu = u.agg(F.count(F.lit(1)).alias("n_probe"))
+    return (
+        lab.agg(
+            F.sum(F.col("member").cast("int")).cast("long").alias("n_members"),
+            F.sum(F.col("pass").cast("int")).cast("long").alias("n_pass"),
+            F.sum((F.col("pass") & ~F.col("member")).cast("int"))
+            .cast("long")
+            .alias("n_false_pos"),
+            F.bool_and(F.when(F.col("member"), F.col("pass")).otherwise(F.lit(True)))
+            .alias("no_false_negatives"),
+            F.round(
+                F.sum((F.col("pass") & ~F.col("member")).cast("double"))
+                / F.greatest(
+                    F.sum((~F.col("member")).cast("int")), F.lit(1)
+                ),
+                6,
+            ).alias("fp_rate"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            F.col("n_build").cast("long").alias("n_build"),
+            F.col("n_probe").cast("long").alias("n_probe"),
+            "n_members",
+            "n_pass",
+            "n_false_pos",
+            "no_false_negatives",
+            "fp_rate",
+            F.round(
+                F.pow(1.0 - F.exp(F.lit(-3.0 / 32.0)), 3), 6
+            ).alias("fp_bound"),
+        )
+    )
+
+
+@register(
+    "modularity_supplier_nations",
+    oracle="""
+    WITH os AS (
+        SELECT DISTINCT l_orderkey AS okey, l_suppkey AS s FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.s AS u, b.s AS v, COUNT(*) AS w
+        FROM os a JOIN os b ON a.okey = b.okey AND a.s < b.s
+        GROUP BY 1, 2
+    ),
+    e AS (SELECT u, v FROM pairs WHERE w >= 2),
+    m AS (SELECT COUNT(*) AS m_edges FROM e),
+    deg AS (
+        SELECT node, COUNT(*) AS k FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY node
+    ),
+    com AS (
+        SELECT s_suppkey AS node, n_name FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+    ),
+    within AS (
+        SELECT cu.n_name, COUNT(*) AS e_within
+        FROM e JOIN com cu ON cu.node = e.u
+               JOIN com cv ON cv.node = e.v
+        WHERE cu.n_name = cv.n_name
+        GROUP BY 1
+    ),
+    ksum AS (
+        SELECT com.n_name, COUNT(*) AS n_nodes, SUM(deg.k) AS k_c
+        FROM deg JOIN com ON com.node = deg.node
+        GROUP BY 1
+    ),
+    per AS (
+        SELECT ksum.n_name, ksum.n_nodes, ksum.k_c,
+               COALESCE(within.e_within, 0) AS e_within,
+               COALESCE(within.e_within, 0) * 1.0 / m.m_edges
+                 - POWER(ksum.k_c * 1.0 / (2 * m.m_edges), 2) AS contrib
+        FROM ksum LEFT JOIN within ON within.n_name = ksum.n_name
+        CROSS JOIN m
+    )
+    SELECT n_name,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(k_c AS BIGINT) AS degree_sum,
+           CAST(e_within AS BIGINT) AS e_within,
+           ROUND(contrib, 6) AS q_contrib,
+           ROUND(SUM(contrib) OVER (), 6) AS q_total
+    FROM per ORDER BY n_name
+    """,
+)
+def q_modularity_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the NATION partition on the supplier
+    co-supply graph (suppliers co-occurring in ≥2 orders): per nation
+    the within-community edge count, degree sum, and contribution
+    e_c/m − (K_c/2m)², plus the total Q — the community-QUALITY
+    metric complementing label_propagation's community DISCOVERY.
+    Edge candidates exist only within orders (basket-bounded
+    self-join, never all-pairs); the per-community frame is 25 rows,
+    so the q_total window is bounded.  Q ≈ 0 certifies nations don't
+    cluster co-supply — a null-structure audit with a sign, not a
+    degenerate constant."""
+    os_ = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = os_.select("okey", F.col("s").alias("u"))
+    bb = os_.select("okey", F.col("s").alias("v"))
+    e = (
+        a.join(bb, "okey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("u", "v")
+    )
+    m = e.agg(F.count(F.lit(1)).alias("m_edges"))
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    com = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("node"), "n_name")
+    )
+    within = (
+        e.join(
+            F.broadcast(com.select(F.col("node").alias("u"), F.col("n_name").alias("cu"))),
+            "u",
+        )
+        .join(
+            F.broadcast(com.select(F.col("node").alias("v"), F.col("n_name").alias("cv"))),
+            "v",
+        )
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("n_name"))
+        .agg(F.count(F.lit(1)).alias("e_within"))
+    )
+    ksum = (
+        deg.join(F.broadcast(com), "node")
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("k").alias("k_c"))
+    )
+    per = (
+        ksum.join(F.broadcast(within), "n_name", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_name",
+            "n_nodes",
+            "k_c",
+            F.coalesce("e_within", F.lit(0)).alias("e_within"),
+            (
+                F.coalesce("e_within", F.lit(0)) / F.col("m_edges")
+                - F.pow(F.col("k_c") / (2.0 * F.col("m_edges")), 2)
+            ).alias("contrib"),
+        )
+    )
+    return per.select(
+        "n_name",
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("k_c").cast("long").alias("degree_sum"),
+        F.col("e_within").cast("long").alias("e_within"),
+        F.round("contrib", 6).alias("q_contrib"),
+        F.round(F.sum("contrib").over(Window.partitionBy()), 6).alias(
+            "q_total"
+        ),
+    ).orderBy("n_name")
+
+
+@register(
+    "session_paths_top3",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN ts_us - LAG(ts_us) OVER (
+                        PARTITION BY user_id ORDER BY ts_us, event_id)
+                         > 1800000000 THEN 1 ELSE 0 END AS new_s
+        FROM t
+    ),
+    s AS (
+        SELECT *,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    rn AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, session_id ORDER BY ts_us, event_id) AS r
+        FROM s
+    ),
+    paths AS (
+        SELECT user_id, session_id,
+               string_agg(event_type, '>' ORDER BY r) AS path
+        FROM rn WHERE r <= 3 GROUP BY 1, 2
+    )
+    SELECT path,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+)
+def q_session_paths_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey openings: the first ≤3 event types of each
+    30-minute-gap session joined into a path string, top-20 by session
+    count — the Sankey/flow-analysis staple beside the full Markov
+    transition matrix.  Session assignment and the per-session rank
+    share one (user) window chain; the path is built by sorting the
+    ≤3 collected (rank, type) structs inside the aggregate — no second
+    shuffle; deterministic (ts, event_id) tie-break throughout, and
+    the top-20 boundary breaks count ties on the path string."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s = ev.withColumn(
+        "new_s",
+        (
+            (F.col("ts_us") - F.lag("ts_us").over(w)) > 1_800_000_000
+        ).cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum(F.coalesce(F.col("new_s"), F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts_us", "event_id"
+    )
+    rn = s.withColumn("r", F.row_number().over(ws)).filter(F.col("r") <= 3)
+    paths = rn.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("r", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 eighth wave: classical-ML scorecard — WoE/IV encoding, a trained
+# naive-Bayes classifier with bit-identical rational scores, a decision
+# stump swept over decile thresholds, and exact 3-parameter OLS via
+# decimal Cramer determinants (the distributed normal-equations pattern).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "woe_iv_hour_band",
+    oracle="""
+    WITH lab AS (
+        SELECT CAST(hour(ts) // 4 AS BIGINT) AS band,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events
+    ),
+    per AS (
+        SELECT band,
+               SUM(pos) AS n_pos,
+               SUM(1 - pos) AS n_neg
+        FROM lab GROUP BY band
+    ),
+    tot AS (
+        SELECT SUM(n_pos + 0.5) AS tp, SUM(n_neg + 0.5) AS tn FROM per
+    ),
+    w AS (
+        SELECT band, n_pos, n_neg,
+               ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)) AS woe,
+               ((n_pos + 0.5) / tp - (n_neg + 0.5) / tn)
+                 * ln(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)) AS ivc
+        FROM per CROSS JOIN tot
+    )
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND(woe, 6) AS woe,
+           ROUND(ivc, 6) AS iv_contrib,
+           ROUND(SUM(ivc) OVER (), 6) AS iv_total
+    FROM w ORDER BY band
+    """,
+)
+def q_woe_iv_hour_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value scorecard encoding of the
+    4-hour band feature against the purchase label — the classic fraud
+    scorecard primitive the reference's feature engineering gestures at
+    (src/preprocessing/transform_data.py engineered hour features).
+    Counts aggregate map-side; the 0.5 Laplace adjustment keeps WoE
+    finite for empty cells and is scale-free; the iv_total window runs
+    over the 6-row band frame (bounded)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = (
+        ev.select(
+            (F.hour("ts") / F.lit(4)).cast("long").alias("band"),
+            (F.col("event_type") == "purchase").cast("int").alias("pos"),
+        )
+        .groupBy("band")
+        .agg(
+            F.sum("pos").alias("n_pos"),
+            F.sum(1 - F.col("pos")).alias("n_neg"),
+        )
+    )
+    tot = per.agg(
+        F.sum(F.col("n_pos") + 0.5).alias("tp"),
+        F.sum(F.col("n_neg") + 0.5).alias("tn"),
+    )
+    w = per.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_pos",
+        "n_neg",
+        F.log(
+            ((F.col("n_pos") + 0.5) / F.col("tp"))
+            / ((F.col("n_neg") + 0.5) / F.col("tn"))
+        ).alias("woe"),
+        (
+            (
+                (F.col("n_pos") + 0.5) / F.col("tp")
+                - (F.col("n_neg") + 0.5) / F.col("tn")
+            )
+            * F.log(
+                ((F.col("n_pos") + 0.5) / F.col("tp"))
+                / ((F.col("n_neg") + 0.5) / F.col("tn"))
+            )
+        ).alias("ivc"),
+    )
+    return (
+        w.select(
+            F.col("band").cast("long").alias("band"),
+            F.col("n_pos").cast("long").alias("n_pos"),
+            F.col("n_neg").cast("long").alias("n_neg"),
+            F.round("woe", 6).alias("woe"),
+            F.round("ivc", 6).alias("iv_contrib"),
+            F.round(F.sum("ivc").over(Window.partitionBy()), 6).alias(
+                "iv_total"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "naive_bayes_event_type",
+    oracle="""
+    WITH f AS (
+        SELECT event_id, event_type AS cls,
+               CAST(hour(ts) // 4 AS BIGINT) AS hb,
+               CAST(isodow(ts) - 1 AS BIGINT) AS dw
+        FROM events
+    ),
+    train AS (SELECT * FROM f WHERE event_id % 2 = 0),
+    ev    AS (SELECT * FROM f WHERE event_id % 2 = 1),
+    nc  AS (SELECT cls, COUNT(*) AS n_c FROM train GROUP BY cls),
+    nhb AS (SELECT cls, hb, COUNT(*) AS n FROM train GROUP BY cls, hb),
+    ndw AS (SELECT cls, dw, COUNT(*) AS n FROM train GROUP BY cls, dw),
+    grid AS (
+        SELECT nc.cls, h.hb, d.dw, nc.n_c,
+               COALESCE(nhb.n, 0) AS nh, COALESCE(ndw.n, 0) AS nd
+        FROM nc
+        CROSS JOIN (SELECT DISTINCT hb FROM f) h
+        CROSS JOIN (SELECT DISTINCT dw FROM f) d
+        LEFT JOIN nhb ON nhb.cls = nc.cls AND nhb.hb = h.hb
+        LEFT JOIN ndw ON ndw.cls = nc.cls AND ndw.dw = d.dw
+    ),
+    scored AS (
+        SELECT cls, hb, dw,
+               CAST(n_c AS DOUBLE)
+                 * (CAST(nh + 1 AS DOUBLE) / CAST(n_c + 6 AS DOUBLE))
+                 * (CAST(nd + 1 AS DOUBLE) / CAST(n_c + 7 AS DOUBLE))
+                 AS score
+        FROM grid
+    ),
+    pred AS (
+        SELECT hb, dw, cls AS pred_cls
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY hb, dw ORDER BY score DESC, cls) AS r
+              FROM scored)
+        WHERE r = 1
+    ),
+    hits AS (
+        SELECT ev.cls,
+               COUNT(*) AS n_eval,
+               SUM(CASE WHEN pred.pred_cls = ev.cls THEN 1 ELSE 0 END)
+                   AS n_correct
+        FROM ev JOIN pred ON pred.hb = ev.hb AND pred.dw = ev.dw
+        GROUP BY ev.cls
+    )
+    SELECT cls,
+           CAST(n_eval AS BIGINT) AS n_eval,
+           CAST(n_correct AS BIGINT) AS n_correct,
+           ROUND(n_correct * 1.0 / n_eval, 6) AS recall,
+           ROUND(SUM(n_correct) OVER () * 1.0 / SUM(n_eval) OVER (), 6)
+               AS overall_accuracy
+    FROM hits ORDER BY cls
+    """,
+)
+def q_naive_bayes_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes trained by aggregation alone: class
+    priors and Laplace-smoothed (hour-band, weekday) likelihoods come
+    from three groupBys over the even-event_id half, predictions for
+    the odd half come from a 210-row broadcast grid (classes × bands ×
+    weekdays) argmaxed per cell — the fact table is scored by one
+    broadcast join, never fanned out per class.  Scores are products
+    of double-divisions of exact integers, so both engines compute
+    BIT-IDENTICAL doubles and the argmax needs no tolerance; ties
+    break on the class name.  Reports per-class recall + overall
+    accuracy (bounded 5-row window)."""
+    f = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_type").alias("cls"),
+        (F.hour("ts") / F.lit(4)).cast("long").alias("hb"),
+        F.weekday("ts").cast("long").alias("dw"),
+    )
+    train = f.filter(F.col("event_id") % 2 == 0)
+    ev = f.filter(F.col("event_id") % 2 == 1)
+    nc = train.groupBy("cls").agg(F.count(F.lit(1)).alias("n_c"))
+    nhb = train.groupBy("cls", "hb").agg(F.count(F.lit(1)).alias("nh"))
+    ndw = train.groupBy("cls", "dw").agg(F.count(F.lit(1)).alias("nd"))
+    grid = (
+        nc.crossJoin(f.select("hb").distinct())
+        .crossJoin(f.select("dw").distinct())
+        .join(nhb, ["cls", "hb"], "left")
+        .join(ndw, ["cls", "dw"], "left")
+        .select(
+            "cls",
+            "hb",
+            "dw",
+            (
+                F.col("n_c").cast("double")
+                * (
+                    (F.coalesce("nh", F.lit(0)) + 1).cast("double")
+                    / (F.col("n_c") + 6).cast("double")
+                )
+                * (
+                    (F.coalesce("nd", F.lit(0)) + 1).cast("double")
+                    / (F.col("n_c") + 7).cast("double")
+                )
+            ).alias("score"),
+        )
+    )
+    wg = Window.partitionBy("hb", "dw").orderBy(F.desc("score"), "cls")
+    pred = (
+        grid.withColumn("r", F.row_number().over(wg))
+        .filter(F.col("r") == 1)
+        .select("hb", "dw", F.col("cls").alias("pred_cls"))
+    )
+    hits = (
+        ev.join(F.broadcast(pred), ["hb", "dw"])
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum((F.col("pred_cls") == F.col("cls")).cast("int")).alias(
+                "n_correct"
+            ),
+        )
+    )
+    return (
+        hits.select(
+            "cls",
+            F.col("n_eval").cast("long").alias("n_eval"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            F.round(F.col("n_correct") / F.col("n_eval"), 6).alias("recall"),
+            F.round(
+                F.sum("n_correct").over(Window.partitionBy())
+                / F.sum("n_eval").over(Window.partitionBy()),
+                6,
+            ).alias("overall_accuracy"),
+        )
+        .orderBy("cls")
+    )
+
+
+@register(
+    "decision_stump_value",
+    oracle="""
+    WITH base AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        FROM events WHERE value IS NOT NULL
+    ),
+    q AS (
+        SELECT quantile_cont(value,
+                 [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM base
+    ),
+    cand AS (
+        SELECT CAST(generate_subscripts(qs, 1) AS BIGINT) AS d,
+               UNNEST(qs) AS thr
+        FROM q
+    ),
+    split AS (
+        SELECT c.d, c.thr,
+               SUM(CASE WHEN b.value <= c.thr THEN 1 ELSE 0 END) AS n_l,
+               SUM(CASE WHEN b.value <= c.thr THEN b.pos ELSE 0 END) AS p_l,
+               SUM(CASE WHEN b.value > c.thr THEN 1 ELSE 0 END) AS n_r,
+               SUM(CASE WHEN b.value > c.thr THEN b.pos ELSE 0 END) AS p_r
+        FROM base b CROSS JOIN cand c
+        GROUP BY c.d, c.thr
+    ),
+    g AS (
+        SELECT d, thr, n_l, p_l, n_r, p_r,
+               -- entropy helper inlined: H(p,n) with 0·ln0 = 0
+               (CASE WHEN p_l + p_r > 0 AND p_l + p_r < n_l + n_r THEN
+                  -(CAST(p_l + p_r AS DOUBLE) / (n_l + n_r))
+                    * ln(CAST(p_l + p_r AS DOUBLE) / (n_l + n_r))
+                  - (1.0 - CAST(p_l + p_r AS DOUBLE) / (n_l + n_r))
+                    * ln(1.0 - CAST(p_l + p_r AS DOUBLE) / (n_l + n_r))
+                ELSE 0 END)
+               - CAST(n_l AS DOUBLE) / (n_l + n_r)
+                 * (CASE WHEN p_l > 0 AND p_l < n_l THEN
+                      -(CAST(p_l AS DOUBLE) / n_l)
+                        * ln(CAST(p_l AS DOUBLE) / n_l)
+                      - (1.0 - CAST(p_l AS DOUBLE) / n_l)
+                        * ln(1.0 - CAST(p_l AS DOUBLE) / n_l)
+                    ELSE 0 END)
+               - CAST(n_r AS DOUBLE) / (n_l + n_r)
+                 * (CASE WHEN p_r > 0 AND p_r < n_r THEN
+                      -(CAST(p_r AS DOUBLE) / n_r)
+                        * ln(CAST(p_r AS DOUBLE) / n_r)
+                      - (1.0 - CAST(p_r AS DOUBLE) / n_r)
+                        * ln(1.0 - CAST(p_r AS DOUBLE) / n_r)
+                    ELSE 0 END) AS gain
+        FROM split
+    )
+    SELECT d AS decile,
+           ROUND(thr, 6) AS threshold,
+           CAST(n_l AS BIGINT) AS n_left,
+           CAST(p_l AS BIGINT) AS pos_left,
+           CAST(n_r AS BIGINT) AS n_right,
+           CAST(p_r AS BIGINT) AS pos_right,
+           ROUND(gain, 6) AS info_gain,
+           CAST(RANK() OVER (ORDER BY ROUND(gain, 6) DESC, d) AS BIGINT)
+               AS gain_rank
+    FROM g ORDER BY d
+    """,
+)
+def q_decision_stump_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump sweep: information gain of splitting the purchase
+    label on each value decile.  The 9 candidate thresholds come from
+    one exact-percentile aggregate (quantile_cont ≡ F.percentile), then
+    the fact table is scanned ONCE against the broadcast 9-row
+    candidate frame — per-candidate counts combine map-side, so the 9×
+    fanout never reaches the shuffle.  Entropies are computed from
+    identical int-ratio doubles; the rank orders on the 6-dp-rounded
+    gain so cross-engine ulp noise in ln() cannot flip it."""
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "value",
+            (F.col("event_type") == "purchase").cast("int").alias("pos"),
+        )
+    )
+    cand = (
+        base.agg(
+            F.percentile(
+                "value",
+                F.array(*[F.lit(d / 10.0) for d in range(1, 10)]),
+            ).alias("thrs")
+        )
+        .select(
+            F.posexplode("thrs").alias("d0", "thr")
+        )
+        .select((F.col("d0") + 1).cast("long").alias("d"), "thr")
+    )
+    split = (
+        base.crossJoin(F.broadcast(cand))
+        .groupBy("d", "thr")
+        .agg(
+            F.sum((F.col("value") <= F.col("thr")).cast("int")).alias("n_l"),
+            F.sum(
+                F.when(F.col("value") <= F.col("thr"), F.col("pos")).otherwise(0)
+            ).alias("p_l"),
+            F.sum((F.col("value") > F.col("thr")).cast("int")).alias("n_r"),
+            F.sum(
+                F.when(F.col("value") > F.col("thr"), F.col("pos")).otherwise(0)
+            ).alias("p_r"),
+        )
+    )
+
+    def ent(p, n):
+        frac = p.cast("double") / n
+        return F.when(
+            (p > 0) & (p < n),
+            -frac * F.log(frac) - (1.0 - frac) * F.log(1.0 - frac),
+        ).otherwise(F.lit(0.0))
+
+    g = split.select(
+        "d",
+        "thr",
+        "n_l",
+        "p_l",
+        "n_r",
+        "p_r",
+        (
+            ent(F.col("p_l") + F.col("p_r"), F.col("n_l") + F.col("n_r"))
+            - F.col("n_l").cast("double")
+            / (F.col("n_l") + F.col("n_r"))
+            * ent(F.col("p_l"), F.col("n_l"))
+            - F.col("n_r").cast("double")
+            / (F.col("n_l") + F.col("n_r"))
+            * ent(F.col("p_r"), F.col("n_r"))
+        ).alias("gain"),
+    )
+    return (
+        g.select(
+            F.col("d").alias("decile"),
+            F.round("thr", 6).alias("threshold"),
+            F.col("n_l").cast("long").alias("n_left"),
+            F.col("p_l").cast("long").alias("pos_left"),
+            F.col("n_r").cast("long").alias("n_right"),
+            F.col("p_r").cast("long").alias("pos_right"),
+            F.round("gain", 6).alias("info_gain"),
+            F.rank()
+            .over(
+                Window.partitionBy().orderBy(
+                    F.desc(F.round("gain", 6)), "d"
+                )
+            )
+            .cast("long")
+            .alias("gain_rank"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "ols_daily_orders_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day, COUNT(*) AS y FROM orders GROUP BY 1
+    ),
+    t0 AS (SELECT MIN(day) AS d0 FROM daily),
+    x AS (
+        SELECT CAST(date_diff('day', d0, day) AS BIGINT) AS t,
+               CASE WHEN isodow(day) >= 6 THEN 1 ELSE 0 END AS w,
+               y
+        FROM daily CROSS JOIN t0
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+               CAST(SUM(t) AS HUGEINT) AS st,
+               CAST(SUM(t * t) AS HUGEINT) AS stt,
+               CAST(SUM(w) AS HUGEINT) AS sw,
+               CAST(SUM(t * w) AS HUGEINT) AS stw,
+               CAST(SUM(y) AS HUGEINT) AS sy,
+               CAST(SUM(t * y) AS HUGEINT) AS sty,
+               CAST(SUM(w * y) AS HUGEINT) AS swy
+        FROM x
+    ),
+    dets AS (
+        SELECT n, st, sw, stt, stw, sy, sty, swy,
+               n * (stt * sw - stw * stw)
+                 - st * (st * sw - stw * sw)
+                 + sw * (st * stw - stt * sw) AS det,
+               sy * (stt * sw - stw * stw)
+                 - st * (sty * sw - stw * swy)
+                 + sw * (sty * stw - stt * swy) AS det0,
+               n * (sty * sw - stw * swy)
+                 - sy * (st * sw - stw * sw)
+                 + sw * (st * swy - sty * sw) AS det1,
+               n * (stt * swy - sty * stw)
+                 - st * (st * swy - sty * sw)
+                 + sy * (st * stw - stt * sw) AS det2
+        FROM s
+    ),
+    beta AS (
+        SELECT CAST(n AS BIGINT) AS n_days,
+               CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) AS b0,
+               CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) AS b1,
+               CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) AS b2,
+               CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS ybar
+        FROM dets
+    ),
+    fit AS (
+        SELECT beta.n_days, beta.b0, beta.b1, beta.b2,
+               SUM((y - (b0 + b1 * t + b2 * w))
+                   * (y - (b0 + b1 * t + b2 * w))) AS sse,
+               SUM((y - ybar) * (y - ybar)) AS sst
+        FROM x CROSS JOIN beta
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT n_days,
+           ROUND(b0, 6) AS beta_intercept,
+           ROUND(b1, 6) AS beta_trend,
+           ROUND(b2, 6) AS beta_weekend,
+           ROUND(1.0 - sse / sst, 6) AS r2
+    FROM fit
+    """,
+)
+def q_ols_daily_orders_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-parameter OLS (intercept, day-index trend, weekend
+    shift) on daily order counts, solved distributed-first: the normal
+    equations' eight moment sums are exact BIGINTs from one aggregate,
+    the 3×3 Cramer determinants are evaluated in DECIMAL(38,0) (≡
+    DuckDB HUGEINT — exact integer arithmetic, so both engines derive
+    BIT-IDENTICAL betas), and R² needs one more scan with the betas
+    broadcast.  No driver-side solve, no float accumulation in the
+    solve path; det magnitude is O(n_days⁵·y) ≪ 10³⁸ at any SF because
+    the day count, not the row count, drives X'X."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    t0 = daily.agg(F.min("day").alias("d0"))
+    x = daily.crossJoin(F.broadcast(t0)).select(
+        F.datediff("day", "d0").cast("long").alias("t"),
+        (F.weekday("day") >= 5).cast("long").alias("w"),
+        "y",
+    )
+    dec = "decimal(38,0)"
+    s = x.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("t").cast(dec).alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast(dec).alias("stt"),
+        F.sum("w").cast(dec).alias("sw"),
+        F.sum(F.col("t") * F.col("w")).cast(dec).alias("stw"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast(dec).alias("sty"),
+        F.sum(F.col("w") * F.col("y")).cast(dec).alias("swy"),
+    )
+    c = F.col
+    dets = s.select(
+        "n", "st", "sw", "stt", "stw", "sy", "sty", "swy",
+        (
+            c("n") * (c("stt") * c("sw") - c("stw") * c("stw"))
+            - c("st") * (c("st") * c("sw") - c("stw") * c("sw"))
+            + c("sw") * (c("st") * c("stw") - c("stt") * c("sw"))
+        ).alias("det"),
+        (
+            c("sy") * (c("stt") * c("sw") - c("stw") * c("stw"))
+            - c("st") * (c("sty") * c("sw") - c("stw") * c("swy"))
+            + c("sw") * (c("sty") * c("stw") - c("stt") * c("swy"))
+        ).alias("det0"),
+        (
+            c("n") * (c("sty") * c("sw") - c("stw") * c("swy"))
+            - c("sy") * (c("st") * c("sw") - c("stw") * c("sw"))
+            + c("sw") * (c("st") * c("swy") - c("sty") * c("sw"))
+        ).alias("det1"),
+        (
+            c("n") * (c("stt") * c("swy") - c("sty") * c("stw"))
+            - c("st") * (c("st") * c("swy") - c("sty") * c("sw"))
+            + c("sy") * (c("st") * c("stw") - c("stt") * c("sw"))
+        ).alias("det2"),
+    )
+    beta = dets.select(
+        c("n").cast("long").alias("n_days"),
+        (c("det0").cast("double") / c("det").cast("double")).alias("b0"),
+        (c("det1").cast("double") / c("det").cast("double")).alias("b1"),
+        (c("det2").cast("double") / c("det").cast("double")).alias("b2"),
+        (c("sy").cast("double") / c("n").cast("double")).alias("ybar"),
+    )
+    fit = (
+        x.crossJoin(F.broadcast(beta))
+        .groupBy("n_days", "b0", "b1", "b2")
+        .agg(
+            F.sum(
+                (c("y") - (c("b0") + c("b1") * c("t") + c("b2") * c("w")))
+                * (c("y") - (c("b0") + c("b1") * c("t") + c("b2") * c("w")))
+            ).alias("sse"),
+            F.sum((c("y") - c("ybar")) * (c("y") - c("ybar"))).alias("sst"),
+        )
+    )
+    return fit.select(
+        "n_days",
+        F.round("b0", 6).alias("beta_intercept"),
+        F.round("b1", 6).alias("beta_trend"),
+        F.round("b2", 6).alias("beta_weekend"),
+        F.round(1.0 - c("sse") / c("sst"), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 ninth wave: inference-test panel — Welch's unequal-variance t,
+# Brown-Forsythe variance homogeneity, Ljung-Box serial correlation on
+# daily revenue, and a Cramér's V association matrix.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "welch_ttest_purchase_view",
+    oracle="""
+    WITH g AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               AVG(value) AS m,
+               var_samp(value) AS v
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+        GROUP BY event_type
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n1,
+            MAX(CASE WHEN event_type = 'purchase' THEN m END) AS m1,
+            MAX(CASE WHEN event_type = 'purchase' THEN v END) AS v1,
+            MAX(CASE WHEN event_type = 'view' THEN n END) AS n2,
+            MAX(CASE WHEN event_type = 'view' THEN m END) AS m2,
+            MAX(CASE WHEN event_type = 'view' THEN v END) AS v2
+        FROM g
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_purchase,
+           CAST(n2 AS BIGINT) AS n_view,
+           ROUND(m1 - m2, 6) AS mean_diff,
+           ROUND((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 6) AS t_stat,
+           ROUND(POWER(v1 / n1 + v2 / n2, 2)
+                 / (POWER(v1 / n1, 2) / (n1 - 1)
+                    + POWER(v2 / n2, 2) / (n2 - 1)), 6) AS satterthwaite_df
+    FROM wide
+    """,
+)
+def q_welch_ttest_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic (purchase vs view values)
+    with the Welch–Satterthwaite effective df — the A/B staple that
+    does NOT assume pooled variance (complementing ab_test_value_by_
+    split's pooled test).  One grouped aggregate, pivoted to a single
+    row; var_samp is the same ddof=1 estimator in both engines."""
+    g = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "view")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    wide = g.agg(
+        *[
+            F.max(
+                F.when(F.col("event_type") == t, F.col(col))
+            ).alias(f"{col}{i}")
+            for i, t in ((1, "purchase"), (2, "view"))
+            for col in ("n", "m", "v")
+        ]
+    )
+    c = F.col
+    se2 = c("v1") / c("n1") + c("v2") / c("n2")
+    return wide.select(
+        c("n1").cast("long").alias("n_purchase"),
+        c("n2").cast("long").alias("n_view"),
+        F.round(c("m1") - c("m2"), 6).alias("mean_diff"),
+        F.round((c("m1") - c("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(c("v1") / c("n1"), 2) / (c("n1") - 1)
+                + F.pow(c("v2") / c("n2"), 2) / (c("n2") - 1)
+            ),
+            6,
+        ).alias("satterthwaite_df"),
+    )
+
+
+@register(
+    "brown_forsythe_value_types",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM base GROUP BY event_type
+    ),
+    z AS (
+        SELECT base.event_type, ABS(value - med) AS z
+        FROM base JOIN med USING (event_type)
+    ),
+    per AS (
+        SELECT event_type, COUNT(*) AS n, AVG(z) AS zbar,
+               SUM(z * z) AS zsq, SUM(z) AS zs
+        FROM z GROUP BY event_type
+    ),
+    tot AS (
+        SELECT SUM(n) AS nn, COUNT(*) AS k,
+               SUM(zs) / SUM(n) AS zgrand,
+               SUM(n * zbar * zbar) AS sum_n_zbar2,
+               SUM(zsq - zs * zs / n) AS ss_within
+        FROM per
+    ),
+    w AS (
+        SELECT nn, k,
+               (nn - k) * 1.0 / (k - 1)
+                 * (sum_n_zbar2 - nn * zgrand * zgrand) / ss_within AS bf
+        FROM tot
+    )
+    SELECT per.event_type,
+           CAST(per.n AS BIGINT) AS n,
+           ROUND(med.med, 6) AS median_value,
+           ROUND(per.zbar, 6) AS mean_abs_dev,
+           ROUND(w.bf, 6) AS bf_stat,
+           CAST(w.k - 1 AS BIGINT) AS df1,
+           CAST(w.nn - w.k AS BIGINT) AS df2
+    FROM per JOIN med USING (event_type) CROSS JOIN w
+    ORDER BY per.event_type
+    """,
+)
+def q_brown_forsythe_value_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity test across event types:
+    Levene's W computed on |value − group median| (median-centered =
+    robust to the heavy-tailed value distribution).  Group medians are
+    exact percentiles broadcast back to the fact scan; the W numerator
+    uses the algebraic identity Σn(z̄_c−z̄)² = Σn·z̄_c² − N·z̄², so
+    everything reduces to one grouped pass + one 5-row combine."""
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    med = base.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    z = base.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    per = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("z").alias("zbar"),
+        F.sum(F.col("z") * F.col("z")).alias("zsq"),
+        F.sum("z").alias("zs"),
+    )
+    c = F.col
+    tot = per.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        (F.sum("zs") / F.sum("n")).alias("zgrand"),
+        F.sum(c("n") * c("zbar") * c("zbar")).alias("sum_n_zbar2"),
+        F.sum(c("zsq") - c("zs") * c("zs") / c("n")).alias("ss_within"),
+    )
+    w = tot.select(
+        "nn",
+        "k",
+        (
+            (c("nn") - c("k"))
+            * 1.0
+            / (c("k") - 1)
+            * (c("sum_n_zbar2") - c("nn") * c("zgrand") * c("zgrand"))
+            / c("ss_within")
+        ).alias("bf"),
+    )
+    return (
+        per.join(F.broadcast(med), "event_type")
+        .crossJoin(F.broadcast(w))
+        .select(
+            "event_type",
+            c("n").cast("long").alias("n"),
+            F.round("med", 6).alias("median_value"),
+            F.round("zbar", 6).alias("mean_abs_dev"),
+            F.round("bf", 6).alias("bf_stat"),
+            (c("k") - 1).cast("long").alias("df1"),
+            (c("nn") - c("k")).cast("long").alias("df2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ljung_box_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day, SUM(o_totalprice) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, y FROM daily
+    ),
+    s AS (
+        SELECT COUNT(*) AS n, AVG(y) AS ybar FROM idx
+    ),
+    c0 AS (
+        SELECT SUM((y - ybar) * (y - ybar)) AS c0 FROM idx CROSS JOIN s
+    ),
+    r AS (
+        SELECT k.k,
+               SUM((a.y - s.ybar) * (b.y - s.ybar)) / MAX(c0.c0) AS rk,
+               MAX(s.n) AS n
+        FROM range(1, 8) k(k)
+        JOIN idx a ON TRUE
+        JOIN idx b ON b.i = a.i - k.k
+        CROSS JOIN s CROSS JOIN c0
+        GROUP BY k.k
+    )
+    SELECT CAST(k AS BIGINT) AS lag,
+           ROUND(rk, 6) AS acf,
+           ROUND(n * (n + 2.0) * SUM(rk * rk / (n - k))
+                 OVER (ORDER BY k ROWS UNBOUNDED PRECEDING), 6) AS lb_q
+    FROM r ORDER BY k
+    """,
+)
+def q_ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test on daily order revenue, lags 1–7:
+    per-lag autocorrelation (biased estimator, fixed C(0) denominator)
+    and the cumulative Q statistic n(n+2)Σ r_k²/(n−k).  The series is
+    the ~|days| aggregate frame, so the dense index window and the
+    7-row Q prefix sum are bounded; the lag join is a 7×|days|
+    broadcast self-join, never touching the raw fact table."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.partitionBy().orderBy("day")).alias("i"),
+        "y",
+    )
+    s = idx.agg(F.count(F.lit(1)).alias("n"), F.avg("y").alias("ybar"))
+    c = F.col
+    c0 = (
+        idx.crossJoin(F.broadcast(s))
+        .agg(F.sum((c("y") - c("ybar")) * (c("y") - c("ybar"))).alias("c0"))
+    )
+    ks = spark.range(1, 8).select(F.col("id").alias("k"))
+    a = idx.select(c("i").alias("ia"), c("y").alias("ya"))
+    b = idx.select(c("i").alias("ib"), c("y").alias("yb"))
+    r = (
+        a.crossJoin(F.broadcast(ks))
+        .join(b, c("ib") == c("ia") - c("k"))
+        .crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(c0))
+        .groupBy("k")
+        .agg(
+            (
+                F.sum((c("ya") - c("ybar")) * (c("yb") - c("ybar")))
+                / F.max("c0")
+            ).alias("rk"),
+            F.max("n").alias("n"),
+        )
+    )
+    wq = Window.partitionBy().orderBy("k").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return r.select(
+        c("k").cast("long").alias("lag"),
+        F.round("rk", 6).alias("acf"),
+        F.round(
+            c("n") * (c("n") + 2.0)
+            * F.sum(c("rk") * c("rk") / (c("n") - c("k"))).over(wq),
+            6,
+        ).alias("lb_q"),
+    ).orderBy("lag")
