@@ -20897,3 +20897,409 @@ def q_ljung_box_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lb_q"),
     ).orderBy("lag")
+
+
+@register(
+    "cramers_v_panel",
+    oracle="""
+    WITH f AS (
+        SELECT event_type AS t,
+               CAST(hour(ts) // 4 AS BIGINT) AS hb,
+               CAST(isodow(ts) - 1 AS BIGINT) AS dw
+        FROM events
+    ),
+    pairs AS (
+        SELECT 'type_x_hourband' AS pair, t AS a, CAST(hb AS VARCHAR) AS b
+        FROM f
+        UNION ALL
+        SELECT 'type_x_weekday', t, CAST(dw AS VARCHAR) FROM f
+        UNION ALL
+        SELECT 'hourband_x_weekday', CAST(hb AS VARCHAR),
+               CAST(dw AS VARCHAR) FROM f
+    ),
+    o AS (SELECT pair, a, b, COUNT(*) AS obs FROM pairs GROUP BY 1, 2, 3),
+    ra AS (SELECT pair, a, SUM(obs) AS rt FROM o GROUP BY 1, 2),
+    cb AS (SELECT pair, b, SUM(obs) AS ct FROM o GROUP BY 1, 2),
+    nn AS (SELECT pair, SUM(obs) AS n,
+                  COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c
+           FROM o GROUP BY 1),
+    chi AS (
+        SELECT o.pair,
+               SUM(POWER(obs - rt * ct * 1.0 / n, 2) / (rt * ct * 1.0 / n))
+                   AS chi2
+        FROM o JOIN ra USING (pair, a) JOIN cb USING (pair, b)
+               JOIN nn USING (pair)
+        GROUP BY o.pair
+    )
+    SELECT nn.pair,
+           CAST(nn.n AS BIGINT) AS n,
+           CAST(nn.r AS BIGINT) AS n_rows,
+           CAST(nn.c AS BIGINT) AS n_cols,
+           CAST((nn.r - 1) * (nn.c - 1) AS BIGINT) AS df,
+           ROUND(chi.chi2, 6) AS chi2,
+           ROUND(sqrt(chi.chi2 / (nn.n * LEAST(nn.r - 1, nn.c - 1))), 6)
+               AS cramers_v
+    FROM nn JOIN chi USING (pair) ORDER BY nn.pair
+    """,
+)
+def q_cramers_v_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association matrix over the three categorical pairs
+    (event_type, hour band, weekday): χ² from observed-vs-expected cell
+    counts with margins joined back per pair, V = √(χ²/(N·min(r,c)−1)).
+    One stacked scan covers all pairs; cells/margins are tiny grouped
+    frames, so everything after the first aggregate is broadcast."""
+    f = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        (F.hour("ts") / F.lit(4)).cast("long").alias("hb"),
+        F.weekday("ts").cast("long").alias("dw"),
+    )
+    pairs = (
+        f.select(F.lit("type_x_hourband").alias("pair"), F.col("t").alias("a"),
+                 F.col("hb").cast("string").alias("b"))
+        .unionAll(
+            f.select(F.lit("type_x_weekday"), F.col("t"),
+                     F.col("dw").cast("string"))
+        )
+        .unionAll(
+            f.select(F.lit("hourband_x_weekday"),
+                     F.col("hb").cast("string"),
+                     F.col("dw").cast("string"))
+        )
+    )
+    o = pairs.groupBy("pair", "a", "b").agg(F.count(F.lit(1)).alias("obs"))
+    ra = o.groupBy("pair", "a").agg(F.sum("obs").alias("rt"))
+    cb = o.groupBy("pair", "b").agg(F.sum("obs").alias("ct"))
+    nn = o.groupBy("pair").agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+    )
+    c = F.col
+    exp = c("rt") * c("ct") * 1.0 / c("n")
+    chi = (
+        o.join(F.broadcast(ra), ["pair", "a"])
+        .join(F.broadcast(cb), ["pair", "b"])
+        .join(F.broadcast(nn), ["pair"])
+        .groupBy("pair")
+        .agg(F.sum(F.pow(c("obs") - exp, 2) / exp).alias("chi2"))
+    )
+    return (
+        nn.join(F.broadcast(chi), "pair")
+        .select(
+            "pair",
+            c("n").cast("long").alias("n"),
+            c("r").cast("long").alias("n_rows"),
+            c("c").cast("long").alias("n_cols"),
+            ((c("r") - 1) * (c("c") - 1)).cast("long").alias("df"),
+            F.round("chi2", 6).alias("chi2"),
+            F.round(
+                F.sqrt(c("chi2") / (c("n") * F.least(c("r") - 1, c("c") - 1))),
+                6,
+            ).alias("cramers_v"),
+        )
+        .orderBy("pair")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 tenth wave: fraud screens II + warehouse integrity — dormancy
+# reactivation, round-number affinity, SCD2 interval containment audit,
+# item-item cosine similarity from co-occurrence.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dormancy_reactivation_screen",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+        FROM events
+    ),
+    g AS (
+        SELECT *,
+               ts_us - LAG(ts_us) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+        FROM t
+    ),
+    thr AS (
+        SELECT quantile_cont(gap_us, 0.99) AS q99
+        FROM g WHERE gap_us IS NOT NULL
+    ),
+    react AS (
+        SELECT user_id,
+               COUNT(*) AS n_reactivations,
+               ROUND(MAX(gap_us) / 3600000000.0, 6) AS max_gap_hours,
+               ROUND(SUM(CASE WHEN event_type = 'purchase'
+                              THEN COALESCE(value, 0) ELSE 0 END), 4)
+                   AS react_purchase_value,
+               ROUND(MAX(q99) / 3600000000.0, 6)
+                   AS dormancy_threshold_hours
+        FROM g CROSS JOIN thr WHERE gap_us >= q99
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(n_reactivations AS BIGINT) AS n_reactivations,
+           max_gap_hours,
+           react_purchase_value,
+           dormancy_threshold_hours
+    FROM react
+    ORDER BY n_reactivations DESC, max_gap_hours DESC, user_id
+    LIMIT 50
+    """,
+)
+def q_dormancy_reactivation_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy-reactivation screen: events arriving after a silence in
+    the user's own stream that exceeds the MEASURED p99 of all
+    inter-event gaps — a scale-free cutoff (a fixed '30 days' empties
+    out or floods as the fixture's time span changes; the percentile
+    tracks the data, per the scale-free-threshold convention).  Per
+    flagged user: reactivation count, longest gap, and purchase value
+    landed on reactivation events.  One per-user lag window, one
+    exact-percentile scalar broadcast, top-50 TakeOrderedAndProject."""
+    t = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    g = t.withColumn("gap_us", F.col("ts_us") - F.lag("ts_us").over(w))
+    thr = g.filter(F.col("gap_us").isNotNull()).agg(
+        F.percentile("gap_us", 0.99).alias("q99")
+    )
+    return (
+        g.crossJoin(F.broadcast(thr))
+        .filter(F.col("gap_us") >= F.col("q99"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reactivations"),
+            F.round(F.max("gap_us") / 3_600_000_000.0, 6).alias(
+                "max_gap_hours"
+            ),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.coalesce("value", F.lit(0.0)),
+                    ).otherwise(0.0)
+                ),
+                4,
+            ).alias("react_purchase_value"),
+            F.round(F.max("q99") / 3_600_000_000.0, 6).alias(
+                "dormancy_threshold_hours"
+            ),
+        )
+        .orderBy(
+            F.desc("n_reactivations"), F.desc("max_gap_hours"), "user_id"
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "round_number_affinity",
+    oracle="""
+    WITH v AS (
+        SELECT user_id,
+               CASE WHEN CAST(ROUND(value * 100) AS BIGINT) % 100 = 0
+                    THEN 1 ELSE 0 END AS is_round
+        FROM events WHERE value IS NOT NULL
+    ),
+    g0 AS (SELECT AVG(is_round) AS p0 FROM v),
+    per AS (
+        SELECT user_id, COUNT(*) AS n, SUM(is_round) AS n_round
+        FROM v GROUP BY user_id HAVING COUNT(*) >= 30
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_valued,
+           CAST(n_round AS BIGINT) AS n_round,
+           ROUND(n_round * 1.0 / n, 6) AS user_rate,
+           ROUND(p0, 6) AS global_rate,
+           ROUND((n_round * 1.0 / n - p0)
+                 / sqrt(p0 * (1 - p0) / n), 6) AS z_score,
+           (n_round * 1.0 / n - p0) / sqrt(p0 * (1 - p0) / n) >= 2
+               AS is_significant
+    FROM per CROSS JOIN g0
+    ORDER BY z_score DESC, user_id
+    LIMIT 20
+    """,
+)
+def q_round_number_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-dollar affinity screen: values in this corpus are cent-
+    quantized, so 'round' = cents == 0, expected ~1% by chance.  Ranks
+    users (≥30 valued events) by the one-proportion z-score of their
+    whole-dollar rate against the population — the human-chosen-amount
+    tell behind structuring.  Top-20 by z (scale-free: a rank, not a
+    count threshold) with the z ≥ 2 significance flag carried as a
+    column; z is computed from exact integer counts, so both engines
+    agree bit-for-bit."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.round(F.col("value") * 100, 0).cast("long") % 100 == 0
+            ).cast("int").alias("is_round"),
+        )
+    )
+    glob = v.agg(F.avg("is_round").alias("p0"))
+    per = (
+        v.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_round").alias("n_round"),
+        )
+        .filter(F.col("n") >= 30)
+    )
+    c = F.col
+    z = (c("n_round") * 1.0 / c("n") - c("p0")) / F.sqrt(
+        c("p0") * (1 - c("p0")) / c("n")
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .withColumn("z", z)
+        .select(
+            "user_id",
+            c("n").cast("long").alias("n_valued"),
+            c("n_round").cast("long").alias("n_round"),
+            F.round(c("n_round") * 1.0 / c("n"), 6).alias("user_rate"),
+            F.round("p0", 6).alias("global_rate"),
+            F.round("z", 6).alias("z_score"),
+            (c("z") >= 2).alias("is_significant"),
+        )
+        .orderBy(F.desc("z_score"), "user_id")
+        .limit(20)
+    )
+
+
+@register(
+    "scd2_interval_integrity",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    runs AS (
+        SELECT *,
+               CASE WHEN event_type IS DISTINCT FROM LAG(event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts_us, event_id)
+                    THEN 1 ELSE 0 END AS is_start
+        FROM t
+    ),
+    iv AS (
+        SELECT user_id, event_type,
+               ts_us AS from_ts, event_id AS from_eid,
+               LEAD(ts_us) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id) AS to_ts,
+               LEAD(event_id) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id) AS to_eid
+        FROM runs WHERE is_start = 1
+    ),
+    match AS (
+        SELECT t.user_id, t.event_id, COUNT(*) AS n_match,
+               MAX(CASE WHEN iv.event_type = t.event_type
+                        THEN 1 ELSE 0 END) AS type_ok
+        FROM t JOIN iv ON iv.user_id = t.user_id
+           AND (t.ts_us > iv.from_ts
+                OR (t.ts_us = iv.from_ts AND t.event_id >= iv.from_eid))
+           AND (iv.to_ts IS NULL OR t.ts_us < iv.to_ts
+                OR (t.ts_us = iv.to_ts AND t.event_id < iv.to_eid))
+        GROUP BY 1, 2
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM t) AS BIGINT)
+               AS n_users,
+           CAST((SELECT COUNT(*) FROM iv) AS BIGINT) AS n_intervals,
+           CAST((SELECT COUNT(*) FROM t) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN n_match = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_single_match,
+           CAST(SUM(CASE WHEN n_match > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi_match,
+           CAST((SELECT COUNT(*) FROM t) - COUNT(*) AS BIGINT)
+               AS n_zero_match,
+           bool_and(type_ok = 1) AS types_consistent
+    FROM match
+    """,
+)
+def q_scd2_interval_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal point-in-time audit of an SCD2 interval dimension:
+    rebuild each user's event-type run history as [from, to) validity
+    intervals (composite (ts, event_id) boundaries so same-microsecond
+    ties stay well-defined — the tie-fixture class), then join every
+    event back and assert EXACTLY-ONE containing interval whose tracked
+    type matches.  The join is equi on user_id with a range residual,
+    so fanout is bounded per user; this is the FK-to-SCD2 audit every
+    warehouse runs after a dimension rebuild."""
+    t = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    runs = t.withColumn(
+        "is_start",
+        (
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w))
+        ).cast("int"),
+    )
+    iv = (
+        runs.filter(F.col("is_start") == 1)
+        .select(
+            F.col("user_id").alias("iv_uid"),
+            F.col("event_type").alias("iv_type"),
+            F.col("ts_us").alias("from_ts"),
+            F.col("event_id").alias("from_eid"),
+            F.lead("ts_us").over(w).alias("to_ts"),
+            F.lead("event_id").over(w).alias("to_eid"),
+        )
+    )
+    c = F.col
+    match = (
+        t.join(
+            iv,
+            (c("user_id") == c("iv_uid"))
+            & (
+                (c("ts_us") > c("from_ts"))
+                | ((c("ts_us") == c("from_ts")) & (c("event_id") >= c("from_eid")))
+            )
+            & (
+                c("to_ts").isNull()
+                | (c("ts_us") < c("to_ts"))
+                | ((c("ts_us") == c("to_ts")) & (c("event_id") < c("to_eid")))
+            ),
+        )
+        .groupBy("user_id", "event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_match"),
+            F.max(
+                (c("iv_type") == c("event_type")).cast("int")
+            ).alias("type_ok"),
+        )
+    )
+    tots = t.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    niv = iv.agg(F.count(F.lit(1)).cast("long").alias("n_intervals"))
+    agg = match.agg(
+        F.sum((c("n_match") == 1).cast("int")).cast("long").alias(
+            "n_single_match"
+        ),
+        F.sum((c("n_match") > 1).cast("int")).cast("long").alias(
+            "n_multi_match"
+        ),
+        F.count(F.lit(1)).alias("n_matched_events"),
+        F.bool_and(c("type_ok") == 1).alias("types_consistent"),
+    )
+    return (
+        tots.crossJoin(F.broadcast(niv))
+        .crossJoin(F.broadcast(agg))
+        .select(
+            "n_users",
+            "n_intervals",
+            "n_events",
+            "n_single_match",
+            "n_multi_match",
+            (c("n_events") - c("n_matched_events")).cast("long").alias(
+                "n_zero_match"
+            ),
+            "types_consistent",
+        )
+    )
