@@ -741,3 +741,237 @@ def test_isotonic_pav_matches_sequential_stack(spark):
         assert abs(r["iso_rate"] - f) < 1e-4
         assert r["iso_rate"] >= prev - 1e-9
         prev = r["iso_rate"]
+
+
+# ---------------------------------------------------------------------------
+# Waves 7–10: bloom semi-join, classical-ML scorecard, inference tests,
+# fraud screens II.
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_semi_join_no_false_negatives(spark):
+    from fraud_detection_project_spark.operators.sketches import (
+        bloom_semi_join,
+    )
+
+    build = spark.range(0, 200).select((F.col("id") * 3).alias("k"))
+    probe = spark.range(0, 900).select(F.col("id").alias("k"))
+    kept = {
+        r["k"] for r in bloom_semi_join(probe, "k", build, "k").collect()
+    }
+    members = {i * 3 for i in range(200) if i * 3 < 900}
+    # Bloom guarantee: every true member survives.
+    assert members <= kept
+    # Sizing guarantee: FP rate stays within 5x the design bound.
+    non_members = 900 - len(members)
+    fp = len(kept) - len(members)
+    assert fp / non_members <= 5 * (1 - math.exp(-3 / 32.0)) ** 3 + 0.01
+
+
+def test_naive_bayes_matches_bruteforce(spark):
+    import collections
+
+    from fraud_detection_project_spark.catalog import load_table
+
+    rows = QUERIES["naive_bayes_event_type"](spark, SF).collect()
+    pdf = (
+        load_table(spark, SF, "events")
+        .select(
+            "event_id",
+            F.col("event_type").alias("cls"),
+            (F.hour("ts") / F.lit(4)).cast("long").alias("hb"),
+            F.weekday("ts").cast("long").alias("dw"),
+        )
+        .toPandas()
+    )
+    train = pdf[pdf.event_id % 2 == 0]
+    ev = pdf[pdf.event_id % 2 == 1]
+    nc = collections.Counter(train.cls)
+    nhb = collections.Counter(zip(train.cls, train.hb))
+    ndw = collections.Counter(zip(train.cls, train.dw))
+    classes = sorted(nc)
+
+    def predict(hb, dw):
+        best = None
+        for c in classes:
+            score = (
+                float(nc[c])
+                * ((nhb[(c, hb)] + 1) / (nc[c] + 6.0))
+                * ((ndw[(c, dw)] + 1) / (nc[c] + 7.0))
+            )
+            # ties break on class name ascending under DESC score
+            if best is None or score > best[0] + 1e-15:
+                best = (score, c)
+        return best[1]
+
+    correct = collections.Counter()
+    total = collections.Counter()
+    for _, r in ev.iterrows():
+        total[r.cls] += 1
+        if predict(r.hb, r.dw) == r.cls:
+            correct[r.cls] += 1
+    for row in rows:
+        assert row["n_eval"] == total[row["cls"]]
+        assert row["n_correct"] == correct[row["cls"]]
+
+
+def test_decision_stump_matches_bruteforce(spark):
+    import numpy as np
+
+    from fraud_detection_project_spark.catalog import load_table
+
+    rows = QUERIES["decision_stump_value"](spark, SF).collect()
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value", (F.col("event_type") == "purchase").alias("pos"))
+        .toPandas()
+    )
+    v = pdf.value.to_numpy()
+    y = pdf.pos.to_numpy().astype(int)
+
+    def ent(p, n):
+        if p <= 0 or p >= n:
+            return 0.0
+        f = p / n
+        return -f * math.log(f) - (1 - f) * math.log(1 - f)
+
+    for row in rows:
+        thr = np.quantile(v, row["decile"] / 10.0)  # linear interp ≡ percentile
+        left = v <= thr
+        n_l, p_l = int(left.sum()), int(y[left].sum())
+        n_r, p_r = len(v) - n_l, int(y.sum()) - p_l
+        assert row["n_left"] == n_l and row["pos_left"] == p_l
+        assert row["n_right"] == n_r and row["pos_right"] == p_r
+        gain = (
+            ent(p_l + p_r, n_l + n_r)
+            - n_l / (n_l + n_r) * ent(p_l, n_l)
+            - n_r / (n_l + n_r) * ent(p_r, n_r)
+        )
+        assert abs(row["info_gain"] - gain) < 1e-5
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    import numpy as np
+
+    from fraud_detection_project_spark.catalog import load_table
+
+    row = QUERIES["ols_daily_orders_trend"](spark, SF).collect()[0]
+    pdf = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .toPandas()
+        .sort_values("day")
+    )
+    d0 = pdf.day.min()
+    t = (pdf.day - d0).dt.days.to_numpy().astype(float)
+    w = (pdf.day.dt.weekday >= 5).to_numpy().astype(float)
+    y = pdf.y.to_numpy().astype(float)
+    X = np.column_stack([np.ones_like(t), t, w])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(row["beta_intercept"] - beta[0]) < 1e-4
+    assert abs(row["beta_trend"] - beta[1]) < 1e-4
+    assert abs(row["beta_weekend"] - beta[2]) < 1e-4
+    resid = y - X @ beta
+    r2 = 1 - (resid @ resid) / ((y - y.mean()) @ (y - y.mean()))
+    assert abs(row["r2"] - r2) < 1e-4
+
+
+def test_ljung_box_matches_bruteforce(spark):
+    import numpy as np
+
+    from fraud_detection_project_spark.catalog import load_table
+
+    rows = QUERIES["ljung_box_daily_revenue"](spark, SF).collect()
+    pdf = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .toPandas()
+        .sort_values("day")
+    )
+    y = pdf.y.to_numpy()
+    n = len(y)
+    d = y - y.mean()
+    c0 = float(d @ d)
+    q = 0.0
+    for row in rows:
+        k = row["lag"]
+        rk = float(d[k:] @ d[:-k]) / c0
+        q += rk * rk / (n - k)
+        assert abs(row["acf"] - rk) < 1e-5
+        assert abs(row["lb_q"] - n * (n + 2) * q) < 1e-3
+
+
+def test_brown_forsythe_matches_bruteforce(spark):
+    import numpy as np
+
+    from fraud_detection_project_spark.catalog import load_table
+
+    rows = QUERIES["brown_forsythe_value_types"](spark, SF).collect()
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .toPandas()
+    )
+    groups = {
+        t: g.value.to_numpy() for t, g in pdf.groupby("event_type")
+    }
+    zs = {
+        t: np.abs(g - np.quantile(g, 0.5)) for t, g in groups.items()
+    }
+    nn = sum(len(z) for z in zs.values())
+    k = len(zs)
+    zbar = {t: z.mean() for t, z in zs.items()}
+    zgrand = sum(z.sum() for z in zs.values()) / nn
+    num = sum(len(zs[t]) * (zbar[t] - zgrand) ** 2 for t in zs)
+    den = sum(((zs[t] - zbar[t]) ** 2).sum() for t in zs)
+    bf = (nn - k) / (k - 1) * num / den
+    for row in rows:
+        assert abs(row["bf_stat"] - bf) < 1e-4
+        assert abs(row["mean_abs_dev"] - zbar[row["event_type"]]) < 1e-5
+
+
+def test_cramers_v_matches_bruteforce(spark):
+    import numpy as np
+
+    from fraud_detection_project_spark.catalog import load_table
+
+    rows = {r["pair"]: r for r in QUERIES["cramers_v_panel"](spark, SF).collect()}
+    pdf = (
+        load_table(spark, SF, "events")
+        .select(
+            F.col("event_type").alias("t"),
+            (F.hour("ts") / F.lit(4)).cast("long").alias("hb"),
+            F.weekday("ts").cast("long").alias("dw"),
+        )
+        .toPandas()
+    )
+
+    def chi2_v(a, b):
+        ct = pdf.groupby([a, b]).size().unstack(fill_value=0).to_numpy()
+        n = ct.sum()
+        exp = ct.sum(1, keepdims=True) * ct.sum(0, keepdims=True) / n
+        chi2 = ((ct - exp) ** 2 / exp)[exp > 0].sum()
+        r, c = ct.shape
+        return chi2, math.sqrt(chi2 / (n * min(r - 1, c - 1)))
+
+    for pair, (a, b) in {
+        "type_x_hourband": ("t", "hb"),
+        "type_x_weekday": ("t", "dw"),
+        "hourband_x_weekday": ("hb", "dw"),
+    }.items():
+        chi2, v = chi2_v(a, b)
+        assert abs(rows[pair]["chi2"] - chi2) < 1e-3
+        assert abs(rows[pair]["cramers_v"] - v) < 1e-5
+
+
+def test_scd2_interval_integrity_clean_fixture(spark):
+    row = QUERIES["scd2_interval_integrity"](spark, SF).collect()[0]
+    assert row["n_zero_match"] == 0
+    assert row["n_multi_match"] == 0
+    assert row["n_single_match"] == row["n_events"]
+    assert bool(row["types_consistent"])
+    assert row["n_intervals"] >= row["n_users"]
