@@ -21303,3 +21303,210 @@ def q_scd2_interval_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "types_consistent",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 eleventh wave: off-policy evaluation — IPS / SNIPS / doubly-
+# robust value estimates of a uniform target policy from the logged
+# event stream, and the Li-et-al replay estimator for the greedy policy.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "off_policy_evaluation",
+    oracle="""
+    WITH log AS (
+        SELECT event_id,
+               CAST(hour(ts) // 4 AS BIGINT) AS x,
+               event_type AS a,
+               COALESCE(value, 0) AS r
+        FROM events
+    ),
+    train AS (SELECT * FROM log WHERE event_id % 2 = 0),
+    eval_ AS (SELECT * FROM log WHERE event_id % 2 = 1),
+    kk AS (SELECT COUNT(DISTINCT a) AS k FROM train),
+    bx AS (SELECT x, COUNT(*) AS n_x FROM train GROUP BY x),
+    bxa AS (SELECT x, a, COUNT(*) AS n_xa, AVG(r) AS m
+            FROM train GROUP BY x, a),
+    mbar AS (
+        SELECT x, SUM(m) AS sum_m FROM bxa GROUP BY x
+    ),
+    w AS (
+        SELECT e.r,
+               CAST(bx.n_x AS DOUBLE) / (kk.k * bxa.n_xa) AS w,
+               bxa.m AS m_xa,
+               mbar.sum_m / kk.k AS v_direct
+        FROM eval_ e
+        JOIN bxa ON bxa.x = e.x AND bxa.a = e.a
+        JOIN bx ON bx.x = e.x
+        JOIN mbar ON mbar.x = e.x
+        CROSS JOIN kk
+    )
+    SELECT CAST((SELECT COUNT(*) FROM train) AS BIGINT) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(MAX(kk.k) AS BIGINT) AS k_actions,
+           ROUND(AVG(w * r), 6) AS ips_value,
+           ROUND(SUM(w * r) / SUM(w), 6) AS snips_value,
+           ROUND(AVG(v_direct + w * (r - m_xa)), 6) AS dr_value,
+           ROUND(POWER(SUM(w), 2) / SUM(w * w) / COUNT(*), 6)
+               AS ess_fraction,
+           ROUND(MAX(w), 6) AS max_weight
+    FROM w CROSS JOIN kk
+    """,
+)
+def q_off_policy_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterfactual (off-policy) value of a UNIFORM action policy
+    from the logged stream, context = 4-hour band, action = event
+    type, reward = event value: inverse-propensity (IPS), self-
+    normalized (SNIPS), and doubly-robust estimates, with the
+    effective-sample-size fraction and max importance weight as the
+    overlap diagnostics every OPE report needs.  Propensities b̂(a|x)
+    and the reward model m̂(x,a) are fitted on the even-event_id half
+    by pure aggregation and broadcast; the odd half is scored in one
+    pass.  Weights are ratios of exact counts — bit-identical across
+    engines."""
+    log = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.hour("ts") / F.lit(4)).cast("long").alias("x"),
+        F.col("event_type").alias("a"),
+        F.coalesce("value", F.lit(0.0)).alias("r"),
+    )
+    train = log.filter(F.col("event_id") % 2 == 0)
+    ev = log.filter(F.col("event_id") % 2 == 1)
+    kk = train.agg(F.countDistinct("a").alias("k"))
+    bx = train.groupBy("x").agg(F.count(F.lit(1)).alias("n_x"))
+    bxa = train.groupBy("x", "a").agg(
+        F.count(F.lit(1)).alias("n_xa"), F.avg("r").alias("m")
+    )
+    mbar = bxa.groupBy("x").agg(F.sum("m").alias("sum_m"))
+    c = F.col
+    w = (
+        ev.join(F.broadcast(bxa), ["x", "a"])
+        .join(F.broadcast(bx), "x")
+        .join(F.broadcast(mbar), "x")
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "r",
+            (c("n_x").cast("double") / (c("k") * c("n_xa"))).alias("w"),
+            c("m").alias("m_xa"),
+            (c("sum_m") / c("k")).alias("v_direct"),
+            "k",
+        )
+    )
+    ntr = train.agg(F.count(F.lit(1)).cast("long").alias("n_train"))
+    return (
+        w.agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.max("k").cast("long").alias("k_actions"),
+            F.round(F.avg(c("w") * c("r")), 6).alias("ips_value"),
+            F.round(F.sum(c("w") * c("r")) / F.sum("w"), 6).alias(
+                "snips_value"
+            ),
+            F.round(
+                F.avg(c("v_direct") + c("w") * (c("r") - c("m_xa"))), 6
+            ).alias("dr_value"),
+            F.round(
+                F.pow(F.sum("w"), 2) / F.sum(c("w") * c("w"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("ess_fraction"),
+            F.round(F.max("w"), 6).alias("max_weight"),
+        )
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            "n_train", "n_eval", "k_actions", "ips_value", "snips_value",
+            "dr_value", "ess_fraction", "max_weight",
+        )
+    )
+
+
+@register(
+    "replay_greedy_policy",
+    oracle="""
+    WITH log AS (
+        SELECT event_id,
+               CAST(hour(ts) // 4 AS BIGINT) AS x,
+               event_type AS a,
+               COALESCE(value, 0) AS r
+        FROM events
+    ),
+    train AS (SELECT * FROM log WHERE event_id % 2 = 0),
+    eval_ AS (SELECT * FROM log WHERE event_id % 2 = 1),
+    m AS (
+        SELECT x, a, ROUND(AVG(r), 6) AS m6 FROM train GROUP BY x, a
+    ),
+    greedy AS (
+        SELECT x, a AS a_star, m6
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY x ORDER BY m6 DESC, a) AS rnk FROM m)
+        WHERE rnk = 1
+    ),
+    matched AS (
+        SELECT e.x, e.r, greedy.a_star, greedy.m6
+        FROM eval_ e JOIN greedy ON greedy.x = e.x AND greedy.a_star = e.a
+    ),
+    pern AS (SELECT x, COUNT(*) AS n_eval_x FROM eval_ GROUP BY x)
+    SELECT matched.x,
+           MAX(matched.a_star) AS greedy_action,
+           MAX(matched.m6) AS train_mean_reward,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(MAX(pern.n_eval_x) AS BIGINT) AS n_eval,
+           ROUND(COUNT(*) * 1.0 / MAX(pern.n_eval_x), 6) AS match_rate,
+           ROUND(AVG(matched.r), 6) AS replay_value
+    FROM matched JOIN pern ON pern.x = matched.x
+    GROUP BY matched.x
+    ORDER BY matched.x
+    """,
+)
+def q_replay_greedy_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay (rejection-sampling) evaluation of the greedy policy:
+    per 4-hour band pick the action with the best train-half mean
+    reward (argmax on the 6-dp-ROUNDED mean with an action-name tie
+    break, so cross-engine float noise cannot flip it), then score it
+    on the eval half using ONLY events whose logged action matches —
+    Li et al.'s unbiased replayer for uniformly-logged data.  Reports
+    per-band match rate and replayed value; the policy table is a
+    ≤6-row broadcast."""
+    log = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.hour("ts") / F.lit(4)).cast("long").alias("x"),
+        F.col("event_type").alias("a"),
+        F.coalesce("value", F.lit(0.0)).alias("r"),
+    )
+    train = log.filter(F.col("event_id") % 2 == 0)
+    ev = log.filter(F.col("event_id") % 2 == 1)
+    m = train.groupBy("x", "a").agg(F.round(F.avg("r"), 6).alias("m6"))
+    wg = Window.partitionBy("x").orderBy(F.desc("m6"), "a")
+    greedy = (
+        m.withColumn("rnk", F.row_number().over(wg))
+        .filter(F.col("rnk") == 1)
+        .select("x", F.col("a").alias("a_star"), "m6")
+    )
+    c = F.col
+    matched = ev.join(
+        F.broadcast(greedy),
+        (ev["x"] == greedy["x"]) & (ev["a"] == greedy["a_star"]),
+    ).select(ev["x"].alias("x"), "r", "a_star", "m6")
+    pern = ev.groupBy("x").agg(F.count(F.lit(1)).alias("n_eval_x"))
+    return (
+        matched.groupBy("x")
+        .agg(
+            F.max("a_star").alias("greedy_action"),
+            F.max("m6").alias("train_mean_reward"),
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.round(F.avg("r"), 6).alias("replay_value"),
+        )
+        .join(F.broadcast(pern), "x")
+        .select(
+            "x",
+            "greedy_action",
+            "train_mean_reward",
+            "n_matched",
+            c("n_eval_x").cast("long").alias("n_eval"),
+            F.round(c("n_matched") * 1.0 / c("n_eval_x"), 6).alias(
+                "match_rate"
+            ),
+            "replay_value",
+        )
+        .orderBy("x")
+    )

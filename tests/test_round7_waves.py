@@ -975,3 +975,71 @@ def test_scd2_interval_integrity_clean_fixture(spark):
     assert row["n_single_match"] == row["n_events"]
     assert bool(row["types_consistent"])
     assert row["n_intervals"] >= row["n_users"]
+
+
+def test_off_policy_evaluation_matches_bruteforce(spark):
+    import collections
+
+    from fraud_detection_project_spark.catalog import load_table
+
+    row = QUERIES["off_policy_evaluation"](spark, SF).collect()[0]
+    pdf = (
+        load_table(spark, SF, "events")
+        .select(
+            "event_id",
+            (F.hour("ts") / F.lit(4)).cast("long").alias("x"),
+            F.col("event_type").alias("a"),
+            F.coalesce("value", F.lit(0.0)).alias("r"),
+        )
+        .toPandas()
+    )
+    train = pdf[pdf.event_id % 2 == 0]
+    ev = pdf[pdf.event_id % 2 == 1]
+    k = train.a.nunique()
+    n_x = train.groupby("x").size().to_dict()
+    n_xa = train.groupby(["x", "a"]).size().to_dict()
+    m = train.groupby(["x", "a"]).r.mean().to_dict()
+    sum_m = collections.defaultdict(float)
+    for (x, a), v in m.items():
+        sum_m[x] += v
+    ws, wr, drs = [], [], []
+    for _, e in ev.iterrows():
+        w = n_x[e.x] / (k * n_xa[(e.x, e.a)])
+        ws.append(w)
+        wr.append(w * e.r)
+        drs.append(sum_m[e.x] / k + w * (e.r - m[(e.x, e.a)]))
+    n = len(ws)
+    assert row["n_eval"] == n and row["k_actions"] == k
+    assert abs(row["ips_value"] - sum(wr) / n) < 1e-4
+    assert abs(row["snips_value"] - sum(wr) / sum(ws)) < 1e-4
+    assert abs(row["dr_value"] - sum(drs) / n) < 1e-4
+    ess = sum(ws) ** 2 / sum(w * w for w in ws) / n
+    assert abs(row["ess_fraction"] - ess) < 1e-4
+
+
+def test_replay_greedy_matches_bruteforce(spark):
+    from fraud_detection_project_spark.catalog import load_table
+
+    rows = {r["x"]: r for r in QUERIES["replay_greedy_policy"](spark, SF).collect()}
+    pdf = (
+        load_table(spark, SF, "events")
+        .select(
+            "event_id",
+            (F.hour("ts") / F.lit(4)).cast("long").alias("x"),
+            F.col("event_type").alias("a"),
+            F.coalesce("value", F.lit(0.0)).alias("r"),
+        )
+        .toPandas()
+    )
+    train = pdf[pdf.event_id % 2 == 0]
+    ev = pdf[pdf.event_id % 2 == 1]
+    m6 = train.groupby(["x", "a"]).r.mean().round(6)
+    for x in sorted(ev.x.unique()):
+        cands = sorted(
+            ((-v, a) for (xx, a), v in m6.items() if xx == x)
+        )
+        a_star = cands[0][1]
+        sub = ev[(ev.x == x) & (ev.a == a_star)]
+        assert rows[x]["greedy_action"] == a_star
+        assert rows[x]["n_matched"] == len(sub)
+        assert abs(rows[x]["replay_value"] - sub.r.mean()) < 1e-4
