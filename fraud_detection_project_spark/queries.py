@@ -21510,3 +21510,202 @@ def q_replay_greedy_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("x")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 twelfth wave: supervised evaluation of the curation heuristics
+# against gold labels.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lang_id_confusion",
+    oracle=r"""
+    WITH toks AS (
+        SELECT lang AS true_lang,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              x -> lower(x)) AS t
+        FROM documents
+    ), s AS (
+        SELECT true_lang,
+            len(list_filter(t, x -> list_contains(
+                ['the','of','and','to','in','a','is','that','for','it'], x))) AS s_en,
+            len(list_filter(t, x -> list_contains(
+                ['de','la','que','el','en','y','los','del','se','las'], x))) AS s_es,
+            len(list_filter(t, x -> list_contains(
+                ['de','la','le','et','les','des','en','un','du','une'], x))) AS s_fr,
+            len(list_filter(t, x -> list_contains(
+                ['der','die','und','in','den','von','zu','das','mit','sich'], x))) AS s_de
+        FROM toks
+    ), pred AS (
+        SELECT true_lang,
+               CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                    WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                    WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                    WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                    ELSE 'de' END AS pred_lang
+        FROM s
+    ),
+    cells AS (
+        SELECT true_lang, pred_lang, COUNT(*) AS n
+        FROM pred GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang,
+           CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY true_lang), 6)
+               AS row_share,
+           ROUND(SUM(CASE WHEN true_lang = pred_lang THEN n ELSE 0 END)
+                     OVER () * 1.0 / SUM(n) OVER (), 6) AS overall_accuracy
+    FROM cells
+    ORDER BY true_lang, pred_lang
+    """,
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised confusion matrix of the stopword-profile language-ID
+    heuristic (functions/text.py:lang_id) against the documents table's
+    GOLD lang column — per (true, predicted) cell count, row share, and
+    overall accuracy.  The gold set includes zh, which the Latin-
+    stopword profiles cannot see (predicted 'und'), so the matrix
+    surfaces the coverage gap rather than flattering the classifier.
+    One fact scan; every window runs over the ≤|langs|² grouped
+    frame."""
+    from .functions.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            lang_id("text").alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrow = Window.partitionBy("true_lang")
+    wall = Window.partitionBy()
+    return (
+        cells.select(
+            "true_lang",
+            "pred_lang",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.sum("n").over(wrow), 6).alias("row_share"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("true_lang") == F.col("pred_lang"), F.col("n")
+                    ).otherwise(F.lit(0))
+                ).over(wall)
+                * 1.0
+                / F.sum("n").over(wall),
+                6,
+            ).alias("overall_accuracy"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+@register(
+    "nearest_centroid_eval",
+    oracle="""
+    WITH longf AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS dim,
+               UNNEST(embedding)::DOUBLE AS x
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS c_label, dim, AVG(x) AS c
+        FROM longf WHERE vec_id % 2 = 0
+        GROUP BY 1, 2
+    ),
+    ev AS (SELECT * FROM longf WHERE vec_id % 2 = 1),
+    d2 AS (
+        SELECT ev.vec_id, MAX(ev.label) AS true_label, cent.c_label,
+               SUM((ev.x - cent.c) * (ev.x - cent.c)) AS dist2
+        FROM ev JOIN cent ON cent.dim = ev.dim
+        GROUP BY ev.vec_id, cent.c_label
+    ),
+    pred AS (
+        SELECT vec_id, true_label, c_label AS pred_label
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY vec_id ORDER BY dist2, c_label) AS r
+              FROM d2)
+        WHERE r = 1
+    ),
+    hits AS (
+        SELECT true_label,
+               COUNT(*) AS n_eval,
+               SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                   AS n_correct
+        FROM pred GROUP BY true_label
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(n_eval AS BIGINT) AS n_eval,
+           CAST(n_correct AS BIGINT) AS n_correct,
+           ROUND(n_correct * 1.0 / n_eval, 6) AS recall,
+           ROUND(SUM(n_correct) OVER () * 1.0 / SUM(n_eval) OVER (), 6)
+               AS overall_accuracy
+    FROM hits ORDER BY true_label
+    """,
+)
+def q_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification of the labeled
+    embeddings: per-label mean vectors fitted on even vec_ids, odd
+    vec_ids assigned to the closest centroid by squared L2, per-label
+    recall + overall accuracy — the cheapest supervised probe of
+    embedding quality, and the evaluation twin of
+    label_centroid_separation.  The centroid table is |labels|·dim
+    rows (bounded) and broadcast, so scoring is one map-side join +
+    partial agg over the exploded eval half; the argmin orders on
+    (dist², label) so ties are deterministic."""
+    longf = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label",
+            F.posexplode("embedding").alias("dim0", "xf"),
+        )
+        .select(
+            "vec_id", "label",
+            (F.col("dim0") + 1).alias("dim"),
+            F.col("xf").cast("double").alias("x"),
+        )
+    )
+    cent = (
+        longf.filter(F.col("vec_id") % 2 == 0)
+        .groupBy(F.col("label").alias("c_label"), "dim")
+        .agg(F.avg("x").alias("c"))
+    )
+    ev = longf.filter(F.col("vec_id") % 2 == 1)
+    c = F.col
+    d2 = (
+        ev.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "c_label")
+        .agg(
+            F.max("label").alias("true_label"),
+            F.sum((c("x") - c("c")) * (c("x") - c("c"))).alias("dist2"),
+        )
+    )
+    wv = Window.partitionBy("vec_id").orderBy("dist2", "c_label")
+    pred = (
+        d2.withColumn("r", F.row_number().over(wv))
+        .filter(c("r") == 1)
+        .select("true_label", (c("c_label") == c("true_label")).alias("hit"))
+    )
+    hits = pred.groupBy("true_label").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(c("hit").cast("int")).alias("n_correct"),
+    )
+    wall = Window.partitionBy()
+    return (
+        hits.select(
+            c("true_label").cast("long").alias("true_label"),
+            c("n_eval").cast("long").alias("n_eval"),
+            c("n_correct").cast("long").alias("n_correct"),
+            F.round(c("n_correct") / c("n_eval"), 6).alias("recall"),
+            F.round(
+                F.sum("n_correct").over(wall) * 1.0
+                / F.sum("n_eval").over(wall),
+                6,
+            ).alias("overall_accuracy"),
+        )
+        .orderBy("true_label")
+    )
