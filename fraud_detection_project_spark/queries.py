@@ -21709,3 +21709,161 @@ def q_nearest_centroid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 thirteenth wave: engagement economics — conversion latency
+# distribution and DAU/WAU stickiness.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_to_convert_stats",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    carried AS (
+        SELECT *,
+               MAX(CASE WHEN event_type = 'view' THEN ts_us END) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS last_view_us
+        FROM t
+    ),
+    conv AS (
+        SELECT (ts_us - last_view_us) / 1000000.0 AS latency_s
+        FROM carried
+        WHERE event_type = 'purchase' AND last_view_us IS NOT NULL
+    ),
+    np AS (
+        SELECT COUNT(*) AS n_purchases FROM t WHERE event_type = 'purchase'
+    )
+    SELECT CAST(np.n_purchases AS BIGINT) AS n_purchases,
+           CAST(COUNT(*) AS BIGINT) AS n_with_prior_view,
+           ROUND(quantile_cont(latency_s, 0.5), 6) AS p50_s,
+           ROUND(quantile_cont(latency_s, 0.9), 6) AS p90_s,
+           ROUND(quantile_cont(latency_s, 0.99), 6) AS p99_s,
+           ROUND(AVG(latency_s), 6) AS mean_s
+    FROM conv CROSS JOIN np GROUP BY np.n_purchases
+    """,
+)
+def q_time_to_convert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion latency: for every purchase, seconds
+    since the user's most recent PRIOR view (carried per-user window
+    max over rows up to 1 preceding, (ts, event_id)-tie-broken), with
+    exact p50/p90/p99 and mean — the funnel-latency twin of
+    funnel_within_1h's count-based gate.  One per-user window pass; the
+    percentile aggregate runs over purchases only."""
+    t = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = t.withColumn(
+        "last_view_us",
+        F.max(
+            F.when(F.col("event_type") == "view", F.col("ts_us"))
+        ).over(w),
+    )
+    conv = carried.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_view_us").isNotNull()
+    ).select(
+        ((F.col("ts_us") - F.col("last_view_us")) / 1_000_000.0).alias(
+            "latency_s"
+        )
+    )
+    np_ = t.filter(F.col("event_type") == "purchase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases")
+    )
+    return (
+        conv.crossJoin(F.broadcast(np_))
+        .groupBy("n_purchases")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_with_prior_view"),
+            F.round(F.percentile("latency_s", 0.5), 6).alias("p50_s"),
+            F.round(F.percentile("latency_s", 0.9), 6).alias("p90_s"),
+            F.round(F.percentile("latency_s", 0.99), 6).alias("p99_s"),
+            F.round(F.avg("latency_s"), 6).alias("mean_s"),
+        )
+        .select(
+            "n_purchases", "n_with_prior_view",
+            "p50_s", "p90_s", "p99_s", "mean_s",
+        )
+    )
+
+
+@register(
+    "dau_wau_stickiness",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, COUNT(*) AS dau FROM du GROUP BY day),
+    wau AS (
+        SELECT days.day, COUNT(DISTINCT du.user_id) AS wau
+        FROM days JOIN du
+          ON du.day BETWEEN days.day - INTERVAL 6 DAY AND days.day
+        GROUP BY days.day
+    )
+    SELECT CAST(dau.day - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           ROUND(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    ORDER BY epoch_day
+    """,
+)
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day: distinct daily actives over distinct
+    trailing-7-day actives — the engagement ratio product teams track.
+    Computed from the deduplicated (day, user) frame: each active-day
+    row fans out to the ≤7 calendar days whose trailing window it
+    falls in (explode of a bounded literal range — NO self-join on the
+    fact table), then one distinct-count per day.  Dates exported as
+    epoch days for the cross-engine comparator."""
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    expanded = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+        "user_id",
+    )
+    days = du.select("day").distinct()
+    wau = (
+        expanded.join(
+            F.broadcast(days),
+            expanded["wday"] == days["day"],
+            "left_semi",
+        )
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    c = F.col
+    return (
+        dau.join(wau, dau["day"] == wau["wday"])
+        .select(
+            F.datediff("day", F.lit("1970-01-01")).cast("long").alias(
+                "epoch_day"
+            ),
+            c("dau").cast("long").alias("dau"),
+            c("wau").cast("long").alias("wau"),
+            F.round(c("dau") * 1.0 / c("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("epoch_day")
+    )

@@ -1090,3 +1090,56 @@ def test_nearest_centroid_matches_numpy(spark):
         sel = ye == l
         assert rows[l]["n_eval"] == int(sel.sum())
         assert rows[l]["n_correct"] == int((pred[sel] == l).sum())
+
+
+def test_time_to_convert_matches_bruteforce(spark):
+    from fraud_detection_project_spark.catalog import load_table
+
+    row = QUERIES["time_to_convert_stats"](spark, SF).collect()[0]
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_id", "event_type",
+                F.expr("ts_ns div 1000").alias("ts_us"))
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+    )
+    lat = []
+    n_purch = 0
+    for _, g in pdf.groupby("user_id"):
+        last_view = None
+        for _, e in g.iterrows():
+            if e.event_type == "purchase":
+                n_purch += 1
+                if last_view is not None:
+                    lat.append((e.ts_us - last_view) / 1e6)
+            if e.event_type == "view":
+                last_view = e.ts_us
+    import numpy as np
+
+    assert row["n_purchases"] == n_purch
+    assert row["n_with_prior_view"] == len(lat)
+    assert abs(row["p50_s"] - np.quantile(lat, 0.5)) < 1e-4
+    assert abs(row["mean_s"] - np.mean(lat)) < 1e-4
+
+
+def test_dau_wau_matches_bruteforce(spark):
+    from fraud_detection_project_spark.catalog import load_table
+
+    rows = {r["epoch_day"]: r for r in QUERIES["dau_wau_stickiness"](spark, SF).collect()}
+    pdf = (
+        load_table(spark, SF, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .toPandas()
+    )
+    pdf["eday"] = (pdf.day - __import__("datetime").date(1970, 1, 1)).map(
+        lambda d: d.days
+    )
+    by_day = pdf.groupby("eday").user_id.apply(set).to_dict()
+    for d, users in by_day.items():
+        wau = set()
+        for k in range(7):
+            wau |= by_day.get(d - k, set())
+        assert rows[d]["dau"] == len(users)
+        assert rows[d]["wau"] == len(wau)
+        assert abs(rows[d]["stickiness"] - len(users) / len(wau)) < 1e-5
