@@ -21867,3 +21867,185 @@ def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 fourteenth wave: l-diversity (completing the k-anonymity /
+# t-closeness / DP governance trio) and positional-index phrase search.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l_diversity_audit",
+    oracle="""
+    WITH f AS (
+        SELECT CAST(hour(ts) // 4 AS BIGINT) AS hb,
+               CAST(isodow(ts) - 1 AS BIGINT) AS dw,
+               event_type AS sensitive
+        FROM events
+    ),
+    cell AS (
+        SELECT hb, dw, sensitive, COUNT(*) AS n
+        FROM f GROUP BY 1, 2, 3
+    ),
+    grp AS (
+        SELECT hb, dw,
+               SUM(n) AS n_rows,
+               COUNT(*) AS distinct_l,
+               exp(ln(SUM(n)) - SUM(n * ln(n)) / SUM(n)) AS entropy_l
+        FROM cell GROUP BY hb, dw
+    )
+    SELECT hb, dw,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(distinct_l AS BIGINT) AS distinct_l,
+           ROUND(entropy_l, 6) AS entropy_l,
+           distinct_l >= 3 AS meets_3_diversity,
+           CAST(MIN(distinct_l) OVER () AS BIGINT) AS min_distinct_l
+    FROM grp ORDER BY hb, dw
+    """,
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of the (hour-band, weekday) quasi-identifier
+    against the sensitive event_type — per QI group the distinct-l and
+    entropy-l (exp of Shannon entropy), the l≥3 flag, and the global
+    minimum (the release gate) — completing the governance trio next to
+    k_anonymity_audit and t_closeness_audit.  Cell counts aggregate
+    map-side; diversity math runs on the ≤|bands|·|days| grouped
+    frame."""
+    f = load_table(spark, sf_dir, "events").select(
+        (F.hour("ts") / F.lit(4)).cast("long").alias("hb"),
+        F.weekday("ts").cast("long").alias("dw"),
+        F.col("event_type").alias("sensitive"),
+    )
+    cell = f.groupBy("hb", "dw", "sensitive").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    c = F.col
+    grp = cell.groupBy("hb", "dw").agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("distinct_l"),
+        # H = ln N − Σ n·ln n / N (single pass; no window-in-agg)
+        F.exp(
+            F.log(F.sum("n")) - F.sum(c("n") * F.log("n")) / F.sum("n")
+        ).alias("entropy_l"),
+    )
+    wall = Window.partitionBy()
+    return (
+        grp.select(
+            "hb", "dw",
+            c("n_rows").cast("long").alias("n_rows"),
+            c("distinct_l").cast("long").alias("distinct_l"),
+            F.round("entropy_l", 6).alias("entropy_l"),
+            (c("distinct_l") >= 3).alias("meets_3_diversity"),
+            F.min("distinct_l").over(wall).cast("long").alias(
+                "min_distinct_l"
+            ),
+        )
+        .orderBy("hb", "dw")
+    )
+
+
+@register(
+    "phrase_search_positional",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(regexp_replace(
+                   text, '[^a-zA-Z0-9]+', ' ', 'g'))), '\s+') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i AS p, t[i] AS w
+        FROM (SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t
+              FROM toks)
+    ),
+    bg AS (
+        SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n
+        FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+        GROUP BY 1, 2
+        ORDER BY n DESC, w1, w2 LIMIT 1
+    ),
+    hits AS (
+        SELECT a.doc_id, COUNT(*) AS n_occurrences
+        FROM pos a
+        JOIN bg ON a.w = bg.w1
+        JOIN pos b ON b.doc_id = a.doc_id AND b.p = a.p + 1
+                   AND b.w = bg.w2
+        GROUP BY a.doc_id
+    )
+    SELECT hits.doc_id,
+           bg.w1 || ' ' || bg.w2 AS phrase,
+           CAST(hits.n_occurrences AS BIGINT) AS n_occurrences,
+           position(bg.w1 || ' ' || bg.w2 IN
+               trim(lower(regexp_replace(d.text, '[^a-zA-Z0-9]+', ' ', 'g'))))
+               > 0 AS substring_check
+    FROM hits
+    JOIN documents d ON d.doc_id = hits.doc_id
+    CROSS JOIN bg
+    ORDER BY n_occurrences DESC, hits.doc_id LIMIT 20
+    """,
+)
+def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search: tokenize with positions, find the
+    corpus's most frequent bigram (deterministic (count, words) argmax
+    — scale-free: the query adapts to whatever the data says), then
+    retrieve documents by POSTING-LIST INTERSECTION — join the w1
+    postings to the w2 postings on (doc_id, pos+1), the classic
+    positional inverted-index primitive BM25-style term search cannot
+    express.  Each row carries a substring re-check against the
+    normalized text as an in-row dual proof.  The phrase is a 1-row
+    broadcast; postings joins co-partition on doc_id."""
+    from .functions.text import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalized_text("text"), r"\s+")).alias(
+            "p0", "w"
+        ),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    a = pos.select("doc_id", F.col("p").alias("pa"), F.col("w").alias("wa"))
+    b = pos.select("doc_id", F.col("p").alias("pb"), F.col("w").alias("wb"))
+    bg = (
+        a.join(b, (a["doc_id"] == b["doc_id"]) & (F.col("pb") == F.col("pa") + 1))
+        .groupBy(F.col("wa").alias("w1"), F.col("wb").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(1)
+        .select("w1", "w2")
+    )
+    c = F.col
+    hits = (
+        pos.join(F.broadcast(bg), pos["w"] == c("w1"))
+        .select("doc_id", "p", "w1", "w2")
+        .alias("l")
+        .join(
+            pos.alias("r"),
+            (c("l.doc_id") == c("r.doc_id"))
+            & (c("r.p") == c("l.p") + 1)
+            & (c("r.w") == c("l.w2")),
+        )
+        .groupBy(c("l.doc_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max(c("l.w1")).alias("w1"),
+            F.max(c("l.w2")).alias("w2"),
+        )
+    )
+    return (
+        hits.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", "w1", "w2").alias("phrase"),
+            c("n_occurrences").cast("long").alias("n_occurrences"),
+            (
+                F.instr(
+                    normalized_text("text"),
+                    F.concat_ws(" ", "w1", "w2"),
+                )
+                > 0
+            ).alias("substring_check"),
+        )
+        .orderBy(F.desc("n_occurrences"), "doc_id")
+        .limit(20)
+    )

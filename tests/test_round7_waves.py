@@ -1143,3 +1143,60 @@ def test_dau_wau_matches_bruteforce(spark):
         assert rows[d]["dau"] == len(users)
         assert rows[d]["wau"] == len(wau)
         assert abs(rows[d]["stickiness"] - len(users) / len(wau)) < 1e-5
+
+
+def test_l_diversity_matches_bruteforce(spark):
+    rows = {
+        (r["hb"], r["dw"]): r
+        for r in QUERIES["l_diversity_audit"](spark, SF).collect()
+    }
+    pdf = (
+        load_table(spark, SF, "events")
+        .select(
+            (F.hour("ts") / F.lit(4)).cast("long").alias("hb"),
+            F.weekday("ts").cast("long").alias("dw"),
+            "event_type",
+        )
+        .toPandas()
+    )
+    for (hb, dw), g in pdf.groupby(["hb", "dw"]):
+        cnt = Counter(g.event_type)
+        n = len(g)
+        ent = -sum(c / n * math.log(c / n) for c in cnt.values())
+        r = rows[(hb, dw)]
+        assert r["n_rows"] == n
+        assert r["distinct_l"] == len(cnt)
+        assert abs(r["entropy_l"] - math.exp(ent)) < 1e-4
+        assert r["meets_3_diversity"] == (len(cnt) >= 3)
+    min_l = min(r["distinct_l"] for r in rows.values())
+    assert all(r["min_distinct_l"] == min_l for r in rows.values())
+
+
+def test_phrase_search_matches_bruteforce(spark):
+    import re
+
+    rows = QUERIES["phrase_search_positional"](spark, SF).collect()
+    assert rows and all(r["substring_check"] for r in rows)
+    pdf = load_table(spark, SF, "documents").toPandas()
+    toks = {
+        r.doc_id: re.sub(r"[^a-zA-Z0-9]+", " ", r.text.lower()).strip().split()
+        for r in pdf.itertuples()
+    }
+    bg = Counter()
+    for t in toks.values():
+        bg.update(zip(t, t[1:]))
+    top = max(bg.items(), key=lambda kv: (kv[1], [-ord(ch) for ch in " ".join(kv[0])]))
+    # deterministic argmax: max count, then lexicographically smallest
+    best_n = max(bg.values())
+    w1, w2 = min(k for k, v in bg.items() if v == best_n)
+    assert rows[0]["phrase"] == f"{w1} {w2}"
+    per_doc = {
+        d: sum(1 for x, y in zip(t, t[1:]) if (x, y) == (w1, w2))
+        for d, t in toks.items()
+    }
+    expected = sorted(
+        ((n, d) for d, n in per_doc.items() if n > 0),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    got = [(r["n_occurrences"], r["doc_id"]) for r in rows]
+    assert got == expected
