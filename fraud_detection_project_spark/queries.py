@@ -22049,3 +22049,267 @@ def q_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 fifteenth wave: nonparametric trend & randomness tests —
+# Mann-Kendall S/z, Wald-Wolfowitz runs test, Hodges-Lehmann shift.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mann_kendall_daily_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day, SUM(o_totalprice) AS y
+        FROM orders GROUP BY 1
+    ),
+    p AS (
+        SELECT CASE WHEN b.y > a.y THEN 1
+                    WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    s AS (
+        SELECT SUM(sgn) AS s_stat,
+               (SELECT COUNT(*) FROM daily) AS n
+        FROM p
+    ),
+    ties AS (
+        SELECT COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS tie_term
+        FROM (SELECT COUNT(*) AS t FROM daily GROUP BY y HAVING COUNT(*) > 1)
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(s_stat AS BIGINT) AS s_stat,
+           ROUND((n * (n - 1.0) * (2 * n + 5) - tie_term) / 18.0, 4)
+               AS var_s,
+           ROUND((s_stat - CASE WHEN s_stat > 0 THEN 1
+                                WHEN s_stat < 0 THEN -1 ELSE 0 END)
+                 / sqrt((n * (n - 1.0) * (2 * n + 5) - tie_term) / 18.0),
+                 6) AS z_mk,
+           CASE WHEN s_stat > 0 THEN 'increasing'
+                WHEN s_stat < 0 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM s CROSS JOIN ties
+    """,
+)
+def q_mann_kendall_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on daily order revenue: S =
+    Σ_{i<j} sign(y_j−y_i) with the tie-corrected variance and
+    continuity-corrected z — the nonparametric complement of
+    theil_sen_revenue_trend (same pair frame, inference instead of a
+    slope).  The pair join is over the CALENDAR-bounded daily
+    aggregate (a few thousand rows regardless of fact size), so the
+    quadratic is bounded forever; sign sums are exact integers."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    c = F.col
+    p = a.join(b, c("db") > c("da")).select(
+        F.when(c("yb") > c("ya"), 1)
+        .when(c("yb") < c("ya"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    s = p.agg(F.sum("sgn").alias("s_stat"))
+    n_ = daily.agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(c("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(c("t") * (c("t") - 1) * (2 * c("t") + 5)), F.lit(0)
+            ).alias("tie_term")
+        )
+    )
+    var_s = (c("n") * (c("n") - 1.0) * (2 * c("n") + 5) - c("tie_term")) / 18.0
+    return (
+        s.crossJoin(F.broadcast(n_))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            c("n").cast("long").alias("n_days"),
+            c("s_stat").cast("long").alias("s_stat"),
+            F.round(var_s, 4).alias("var_s"),
+            F.round(
+                (
+                    c("s_stat")
+                    - F.when(c("s_stat") > 0, 1)
+                    .when(c("s_stat") < 0, -1)
+                    .otherwise(0)
+                )
+                / F.sqrt(var_s),
+                6,
+            ).alias("z_mk"),
+            F.when(c("s_stat") > 0, "increasing")
+            .when(c("s_stat") < 0, "decreasing")
+            .otherwise("none")
+            .alias("trend"),
+        )
+    )
+
+
+@register(
+    "runs_test_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day, SUM(o_totalprice) AS y
+        FROM orders GROUP BY 1
+    ),
+    d AS (
+        SELECT day,
+               CASE WHEN y > LAG(y) OVER (ORDER BY day) THEN 1
+                    WHEN y < LAG(y) OVER (ORDER BY day) THEN -1 END AS sgn
+        FROM daily
+    ),
+    runs AS (
+        SELECT sgn,
+               CASE WHEN sgn IS DISTINCT FROM LAG(sgn) OVER (ORDER BY day)
+                    THEN 1 ELSE 0 END AS new_run
+        FROM d WHERE sgn IS NOT NULL
+    ),
+    agg AS (
+        SELECT SUM(new_run) AS r,
+               SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS n2
+        FROM runs
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_up,
+           CAST(n2 AS BIGINT) AS n_down,
+           CAST(r AS BIGINT) AS n_runs,
+           ROUND(2.0 * n1 * n2 / (n1 + n2) + 1, 6) AS expected_runs,
+           ROUND((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / (POWER(n1 + n2, 2) * (n1 + n2 - 1))), 6)
+               AS z_runs
+    FROM agg
+    """,
+)
+def q_runs_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the up/down signs of daily revenue
+    changes: run count vs its null expectation 2·n1·n2/(n1+n2)+1 — the
+    randomness screen that catches oscillating or momentum-driven
+    series that pass a mean-level test.  Both windows run over the
+    calendar-bounded daily frame; counts are exact integers."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    wd = Window.partitionBy().orderBy("day")
+    c = F.col
+    d = daily.select(
+        "day",
+        F.when(c("y") > F.lag("y").over(wd), 1)
+        .when(c("y") < F.lag("y").over(wd), -1)
+        .alias("sgn"),
+    ).filter(c("sgn").isNotNull())
+    runs = d.select(
+        "sgn",
+        (~c("sgn").eqNullSafe(F.lag("sgn").over(wd))).cast("int").alias(
+            "new_run"
+        ),
+    )
+    agg = runs.agg(
+        F.sum("new_run").alias("r"),
+        F.sum((c("sgn") == 1).cast("int")).alias("n1"),
+        F.sum((c("sgn") == -1).cast("int")).alias("n2"),
+    )
+    er = 2.0 * c("n1") * c("n2") / (c("n1") + c("n2")) + 1
+    vr = (
+        2.0 * c("n1") * c("n2")
+        * (2.0 * c("n1") * c("n2") - c("n1") - c("n2"))
+        / (F.pow(c("n1") + c("n2"), 2) * (c("n1") + c("n2") - 1))
+    )
+    return agg.select(
+        c("n1").cast("long").alias("n_up"),
+        c("n2").cast("long").alias("n_down"),
+        c("r").cast("long").alias("n_runs"),
+        F.round(er, 6).alias("expected_runs"),
+        F.round((c("r") - er) / F.sqrt(vr), 6).alias("z_runs"),
+    )
+
+
+@register(
+    "hodges_lehmann_shift",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY (event_id * 1000003 + 7) % 999983 * 40503
+                            % 999983, event_id) AS r
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+    ),
+    x AS (SELECT value FROM ranked WHERE event_type = 'purchase' AND r <= 200),
+    y AS (SELECT value FROM ranked WHERE event_type = 'view' AND r <= 200),
+    diffs AS (SELECT x.value - y.value AS d FROM x CROSS JOIN y)
+    SELECT CAST((SELECT COUNT(*) FROM x) AS BIGINT) AS n_purchase_sample,
+           CAST((SELECT COUNT(*) FROM y) AS BIGINT) AS n_view_sample,
+           ROUND(quantile_cont(d, 0.5), 6) AS hl_shift,
+           ROUND((SELECT quantile_cont(value, 0.5) FROM x)
+                 - (SELECT quantile_cont(value, 0.5) FROM y), 6)
+               AS median_diff
+    FROM diffs
+    """,
+)
+def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location-shift estimator (median of all pairwise
+    purchase−view value differences) on a DETERMINISTIC 200-per-group
+    sample — the robust effect-size companion to the Mann-Whitney test
+    already in the corpus.  The sample ranks by the engine-independent
+    affine-mod-prime-remultiplied hash of event_id (the ml/split.py
+    convention), so both engines draw the identical 200+200 rows and
+    the 40 000-pair cross join stays BOUNDED at every scale; the naive
+    median difference rides along for comparison."""
+    c = F.col
+    ranked = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            c("value").isNotNull()
+            & c("event_type").isin("purchase", "view")
+        )
+        .select(
+            "event_type", "value", "event_id",
+            (
+                (c("event_id").cast("long") * 1000003 + 7)
+                % 999983 * 40503 % 999983
+            ).alias("h"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h", "event_id")
+            ),
+        )
+        .filter(c("r") <= 200)
+    )
+    x = ranked.filter(c("event_type") == "purchase").select(
+        c("value").alias("xv")
+    )
+    y = ranked.filter(c("event_type") == "view").select(
+        c("value").alias("yv")
+    )
+    nx = x.agg(F.count(F.lit(1)).cast("long").alias("n_purchase_sample"))
+    ny = y.agg(F.count(F.lit(1)).cast("long").alias("n_view_sample"))
+    medx = x.agg(F.percentile("xv", 0.5).alias("mx"))
+    medy = y.agg(F.percentile("yv", 0.5).alias("my"))
+    return (
+        x.crossJoin(y)
+        .select((c("xv") - c("yv")).alias("d"))
+        .agg(F.round(F.percentile("d", 0.5), 6).alias("hl_shift"))
+        .crossJoin(F.broadcast(nx))
+        .crossJoin(F.broadcast(ny))
+        .crossJoin(F.broadcast(medx))
+        .crossJoin(F.broadcast(medy))
+        .select(
+            "n_purchase_sample",
+            "n_view_sample",
+            "hl_shift",
+            F.round(c("mx") - c("my"), 6).alias("median_diff"),
+        )
+    )

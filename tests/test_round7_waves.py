@@ -1200,3 +1200,69 @@ def test_phrase_search_matches_bruteforce(spark):
     )[:20]
     got = [(r["n_occurrences"], r["doc_id"]) for r in rows]
     assert got == expected
+
+
+def test_mann_kendall_matches_bruteforce(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .orderBy("day")
+        .toPandas()
+    )
+    y = daily.y.to_numpy()
+    n = len(y)
+    s = sum(
+        (1 if y[j] > y[i] else -1 if y[j] < y[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    var_s = n * (n - 1) * (2 * n + 5) / 18.0  # continuous: no ties
+    z = (s - (1 if s > 0 else -1 if s < 0 else 0)) / math.sqrt(var_s)
+    r = QUERIES["mann_kendall_daily_trend"](spark, SF).collect()[0]
+    assert r["n_days"] == n and r["s_stat"] == s
+    assert abs(r["z_mk"] - z) < 1e-5
+
+
+def test_runs_test_matches_bruteforce(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .orderBy("day")
+        .toPandas()
+    )
+    y = daily.y.to_numpy()
+    signs = [1 if b > a else -1 for a, b in zip(y, y[1:]) if b != a]
+    runs = 1 + sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+    n1 = signs.count(1)
+    n2 = signs.count(-1)
+    er = 2 * n1 * n2 / (n1 + n2) + 1
+    vr = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    r = QUERIES["runs_test_daily"](spark, SF).collect()[0]
+    assert (r["n_up"], r["n_down"], r["n_runs"]) == (n1, n2, runs)
+    assert abs(r["z_runs"] - (runs - er) / math.sqrt(vr)) < 1e-5
+
+
+def test_hodges_lehmann_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "view")
+        )
+        .select("event_id", "event_type", "value")
+        .toPandas()
+    )
+    pdf["h"] = (pdf.event_id * 1000003 + 7) % 999983 * 40503 % 999983
+    samp = {}
+    for t, g in pdf.groupby("event_type"):
+        samp[t] = g.sort_values(["h", "event_id"]).value.to_numpy()[:200]
+    diffs = np.subtract.outer(samp["purchase"], samp["view"]).ravel()
+    r = QUERIES["hodges_lehmann_shift"](spark, SF).collect()[0]
+    assert r["n_purchase_sample"] == len(samp["purchase"])
+    assert r["n_view_sample"] == len(samp["view"])
+    assert abs(r["hl_shift"] - np.quantile(diffs, 0.5)) < 1e-4
