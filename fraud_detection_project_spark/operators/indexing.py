@@ -141,3 +141,69 @@ def partitioned_prefix_sum(
             yield pd.DataFrame(pdf, columns=cols)
 
     return rp.mapInPandas(kernel, out_schema)
+
+
+def partitioned_prefix_extreme(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "cummax",
+    minimum: bool = False,
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``MAX/MIN(value) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING [AND 1 PRECEDING])`` with NO single-partition stage —
+    the prefix-extreme sibling of :func:`partitioned_prefix_sum`
+    (same two-phase layout: range-partition + sort, per-partition
+    extremes to the driver (|partitions| rows), Arrow kernel emits the
+    carried running extreme).  ``exclusive=True`` shifts the frame to
+    END 1 PRECEDING (the first row of the total order gets NULL) —
+    the shape skyline/dominance queries need.  Emits float64."""
+    import math
+
+    import pandas as pd
+
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    rp = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    agg = F.min(value_col) if minimum else F.max(value_col)
+    pext = sorted(
+        (r["__pid"], r["e"])
+        for r in rp.groupBy("__pid").agg(agg.alias("e")).collect()
+    )
+    neutral = math.inf if minimum else -math.inf
+    offsets, acc = {}, neutral
+    for pid, e in pext:
+        offsets[pid] = acc  # extreme of all PRECEDING partitions
+        if e is not None:
+            acc = min(acc, e) if minimum else max(acc, e)
+
+    out_schema = rp.drop("__pid").schema.add(out_col, "double")
+    cols = [f.name for f in out_schema.fields]
+
+    def kernel(batches):
+        carried = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            start = carried.get(pid, offsets[pid])
+            pdf = pdf.drop(columns="__pid")
+            v = pdf[value_col].astype("float64")
+            inc = v.cummin() if minimum else v.cummax()
+            inc = inc.clip(upper=start) if minimum else inc.clip(lower=start)
+            if exclusive:
+                run = inc.shift(1)
+                run.iloc[0] = start
+            else:
+                run = inc
+            pdf[out_col] = run.replace([math.inf, -math.inf], math.nan)
+            carried[pid] = inc.iloc[-1]
+            yield pd.DataFrame(pdf, columns=cols)
+
+    return rp.mapInPandas(kernel, out_schema)

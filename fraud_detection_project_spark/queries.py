@@ -22313,3 +22313,62 @@ def q_hodges_lehmann_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(c("mx") - c("my"), 6).alias("median_diff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 sixteenth wave: preference queries — the 2-D skyline (Pareto
+# frontier) via the distributed prefix-extreme primitive.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skyline_price_size",
+    oracle="""
+    SELECT p.p_partkey,
+           ROUND(p.p_retailprice, 2) AS price,
+           CAST(p.p_size AS BIGINT) AS size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    ORDER BY price, p.p_partkey
+    """,
+)
+def q_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: minimize retail price,
+    maximize size — no other part is cheaper-and-at-least-as-large or
+    as-cheap-and-larger.  Spark side runs the O(n log n) sweep, not the
+    O(n²) dominance anti-join the DuckDB oracle uses (an independent
+    formulation): per-price max size (one aggregate), then the
+    EXCLUSIVE running max over strictly-cheaper prices via
+    partitioned_prefix_extreme (operators/indexing.py — two-phase
+    range-partitioned scan, no single-task window), and a part is on
+    the frontier iff its size tops its own price group AND strictly
+    exceeds every cheaper group's max.  Same-price-same-size ties are
+    mutually non-dominating and all kept, matching NOT EXISTS."""
+    from .operators.indexing import partitioned_prefix_extreme
+
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    g = part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    m1 = partitioned_prefix_extreme(
+        g, ["p_retailprice"], "gmax", "m1", exclusive=True
+    )
+    c = F.col
+    return (
+        part.join(m1, "p_retailprice")
+        .filter(
+            (c("p_size") == c("gmax"))
+            & (c("m1").isNull() | (c("p_size") > c("m1")))
+        )
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("price"),
+            c("p_size").cast("long").alias("size"),
+        )
+        .orderBy("price", "p_partkey")
+    )

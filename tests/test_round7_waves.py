@@ -1266,3 +1266,48 @@ def test_hodges_lehmann_matches_bruteforce(spark):
     assert r["n_purchase_sample"] == len(samp["purchase"])
     assert r["n_view_sample"] == len(samp["view"])
     assert abs(r["hl_shift"] - np.quantile(diffs, 0.5)) < 1e-4
+
+
+def test_prefix_extreme_matches_window(spark):
+    import random
+
+    from fraud_detection_project_spark.operators.indexing import (
+        partitioned_prefix_extreme,
+    )
+
+    random.seed(11)
+    rows = [(i, float(random.randint(-20, 20))) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = (
+        partitioned_prefix_extreme(df, ["k"], "v", "m", num_partitions=5)
+        .orderBy("k")
+        .collect()
+    )
+    run = None
+    for (k, v), r in zip(sorted(rows), got):
+        run = v if run is None else max(run, v)
+        assert r["m"] == run
+
+
+def test_skyline_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .toPandas()
+    )
+    pts = list(
+        zip(pdf.p_partkey, pdf.p_retailprice, pdf.p_size)
+    )
+    expected = sorted(
+        (round(pr, 2), k, s)
+        for k, pr, s in pts
+        if not any(
+            qpr <= pr and qs >= s and (qpr < pr or qs > s)
+            for _, qpr, qs in pts
+        )
+    )
+    got = [
+        (r["price"], r["p_partkey"], r["size"])
+        for r in QUERIES["skyline_price_size"](spark, SF).collect()
+    ]
+    assert got == expected
