@@ -22372,3 +22372,317 @@ def q_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 seventeenth wave: cross-table reconciliation + Markov
+# removal-effect attribution.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "order_total_reconciliation",
+    oracle="""
+    WITH ls AS (
+        SELECT l_orderkey,
+               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS s
+        FROM lineitem GROUP BY 1
+    ),
+    j AS (
+        SELECT o_orderstatus AS status, o_totalprice, ls.s,
+               CASE WHEN ls.s IS NULL THEN NULL
+                    ELSE ABS(o_totalprice - ls.s)
+                         / GREATEST(o_totalprice, ls.s) END AS rel_gap
+        FROM orders LEFT JOIN ls ON l_orderkey = o_orderkey
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_no_lineitems,
+           CAST(SUM(CASE WHEN rel_gap <= 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_within_1pct,
+           ROUND(quantile_cont(rel_gap, 0.5), 6) AS median_rel_gap,
+           ROUND(MAX(rel_gap), 6) AS max_rel_gap,
+           ROUND(SUM(o_totalprice), 2) AS header_total,
+           ROUND(SUM(s), 2) AS detail_total
+    FROM j GROUP BY status ORDER BY status
+    """,
+)
+def q_order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-detail reconciliation: o_totalprice against the
+    recomputed lineitem total Σ extprice·(1−disc)·(1+tax), per order
+    status — childless headers, within-1% match counts, median/max
+    relative gap, and both ledger totals.  On THIS generator the
+    header column is synthetic noise (0 of 15 000 orders reconcile at
+    sf0.01) — the audit documents that as data, the classic close-of-
+    books check.  One detail aggregate + broadcast-free equi join."""
+    ls = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("s")
+        )
+    )
+    c = F.col
+    j = (
+        load_table(spark, sf_dir, "orders")
+        .join(ls, c("l_orderkey") == c("o_orderkey"), "left")
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            "o_totalprice",
+            "s",
+            F.when(
+                c("s").isNotNull(),
+                F.abs(c("o_totalprice") - c("s"))
+                / F.greatest(c("o_totalprice"), c("s")),
+            ).alias("rel_gap"),
+        )
+    )
+    return (
+        j.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(c("s").isNull().cast("int")).cast("long").alias(
+                "n_no_lineitems"
+            ),
+            F.sum((c("rel_gap") <= 0.01).cast("int")).cast("long").alias(
+                "n_within_1pct"
+            ),
+            F.round(F.percentile("rel_gap", 0.5), 6).alias("median_rel_gap"),
+            F.round(F.max("rel_gap"), 6).alias("max_rel_gap"),
+            F.round(F.sum("o_totalprice"), 2).alias("header_total"),
+            F.round(F.sum("s"), 2).alias("detail_total"),
+        )
+        .orderBy("status")
+    )
+
+
+def _markov_attr_oracle(iters: int = 20) -> str:
+    """Unrolled truncated-absorption oracle for Markov removal-effect
+    attribution: journeys → transition probabilities → ``iters``
+    value-iteration steps for the base chain AND one variant per
+    removed channel, all in one recursive-free chain of MATERIALIZED
+    CTEs (the _hits_oracle pattern — inlining would blow up the
+    expression tree exponentially)."""
+    head = """
+    WITH t AS MATERIALIZED (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'purchase' THEN 'conv'
+                    ELSE event_type END AS state
+        FROM events
+    ),
+    gaps AS MATERIALIZED (
+        SELECT *,
+               CASE WHEN ts_us - LAG(ts_us) OVER (
+                        PARTITION BY user_id ORDER BY ts_us, event_id)
+                        > 1800000000 THEN 1 ELSE 0 END AS new_s
+        FROM t
+    ),
+    sess AS MATERIALIZED (
+        SELECT *,
+               SUM(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    ),
+    j AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *,
+                   COALESCE(SUM(CASE WHEN state = 'conv' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id, sid
+                             ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS nconv_before
+            FROM sess)
+        WHERE nconv_before = 0
+    ),
+    edges AS MATERIALIZED (
+        SELECT COALESCE(LAG(state) OVER (
+                   PARTITION BY user_id, sid ORDER BY ts_us, event_id),
+               'start') AS src,
+               state AS dst
+        FROM j
+        UNION ALL
+        SELECT state AS src, 'null' AS dst
+        FROM (SELECT state,
+                     MAX(CASE WHEN state = 'conv' THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id, sid) AS converted,
+                     ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                         ORDER BY ts_us DESC, event_id DESC) AS rn
+              FROM j)
+        WHERE rn = 1 AND converted = 0
+    ),
+    p AS MATERIALIZED (
+        SELECT src, dst,
+               COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY src) AS p
+        FROM edges GROUP BY src, dst
+    ),
+    rms AS MATERIALIZED (
+        SELECT 'none' AS rm
+        UNION ALL
+        SELECT DISTINCT src FROM p WHERE src <> 'start'
+    ),
+    v0 AS MATERIALIZED (
+        SELECT rm, 'none' AS s, 0.0 AS v FROM rms WHERE FALSE
+    )"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+    v{i} AS MATERIALIZED (
+        SELECT r.rm, p.src AS s,
+               SUM(p.p * CASE WHEN p.dst = 'conv' THEN 1.0
+                              WHEN p.dst = r.rm THEN 0.0
+                              ELSE COALESCE(v{i - 1}.v, 0.0) END) AS v
+        FROM rms r
+        JOIN p ON p.src <> r.rm
+        LEFT JOIN v{i - 1} ON v{i - 1}.rm = r.rm AND v{i - 1}.s = p.dst
+        GROUP BY 1, 2
+    )"""
+        )
+    tail = f""",
+    pc AS (
+        SELECT rm, v FROM v{iters} WHERE s = 'start'
+    ),
+    base AS (SELECT v AS p_base FROM pc WHERE rm = 'none'),
+    eff AS (
+        SELECT pc.rm AS channel, base.p_base, pc.v AS p_removed,
+               (base.p_base - pc.v) / base.p_base AS removal_effect
+        FROM pc CROSS JOIN base WHERE pc.rm <> 'none'
+    )
+    SELECT channel,
+           ROUND(p_base, 6) AS p_conv_base,
+           ROUND(p_removed, 6) AS p_conv_removed,
+           ROUND(removal_effect, 6) AS removal_effect,
+           ROUND(removal_effect / SUM(removal_effect) OVER (), 6)
+               AS attribution_share
+    FROM eff ORDER BY channel"""
+    return head + "".join(steps) + tail
+
+
+@register("markov_removal_attribution", oracle=_markov_attr_oracle())
+def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (the data-driven alternative
+    to last-touch / time-decay / Shapley already in the corpus):
+    30-minute sessions become start→channel→…→conv/null journeys
+    (truncated at the first purchase), the transition matrix is
+    estimated from exact counts, and each channel's value is the drop
+    in absorption probability when every transition INTO it is
+    redirected to the null sink — computed by 20 truncated value-
+    iteration steps for the base chain and each removal variant.  The
+    heavy part (sessionize + edge counts) is fully distributed; the
+    chain solve runs as ONE Arrow task over the ≤|states|² transition
+    frame (hybrid-endgame pattern, same as holt/graph kernels).  The
+    DuckDB twin replays all 20 steps per variant via unrolled
+    materialized CTEs, value-checking every step."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.when(F.col("event_type") == "purchase", "conv")
+        .otherwise(F.col("event_type"))
+        .alias("state"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = ev.withColumn(
+        "sid",
+        F.sum(
+            F.when(
+                F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000, 1
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts_us", "event_id")
+    j = sess.withColumn(
+        "nconv_before",
+        F.coalesce(
+            F.sum((F.col("state") == "conv").cast("int")).over(
+                ws.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).filter(F.col("nconv_before") == 0)
+    step_edges = j.select(
+        F.coalesce(F.lag("state").over(ws), F.lit("start")).alias("src"),
+        F.col("state").alias("dst"),
+    )
+    c = F.col
+    terminal = (
+        j.groupBy("user_id", "sid")
+        .agg(
+            F.max((c("state") == "conv").cast("int")).alias("converted"),
+            F.expr("max_by(state, struct(ts_us, event_id))").alias(
+                "last_state"
+            ),
+        )
+        .filter(c("converted") == 0)
+        .select(c("last_state").alias("src"), F.lit("null").alias("dst"))
+    )
+    trans = (
+        step_edges.unionAll(terminal)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        tot = pdf.groupby("src")["cnt"].transform("sum")
+        pdf = pdf.assign(p=pdf["cnt"] / tot)
+        channels = sorted(
+            s for s in pdf["src"].unique() if s != "start"
+        )
+        rows = []
+        trans_list = list(
+            zip(pdf["src"], pdf["dst"], pdf["p"])
+        )
+
+        def absorb(removed):
+            states = sorted({s for s, _, _ in trans_list if s != removed})
+            v = {s: 0.0 for s in states}
+            for _ in range(20):
+                nv = {}
+                for s in states:
+                    acc = 0.0
+                    for src, dst, pr in trans_list:
+                        if src != s or dst == removed:
+                            continue
+                        acc += pr * (1.0 if dst == "conv" else v.get(dst, 0.0))
+                    nv[s] = acc
+                v = nv
+            return v.get("start", 0.0)
+
+        p_base = absorb(None)
+        effs = {ch: (p_base - absorb(ch)) / p_base for ch in channels}
+        tot_eff = sum(effs.values())
+        for ch in channels:
+            rows.append(
+                (
+                    ch,
+                    round(p_base, 6),
+                    round(p_base - effs[ch] * p_base, 6),
+                    round(effs[ch], 6),
+                    round(effs[ch] / tot_eff, 6),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "channel", "p_conv_base", "p_conv_removed",
+                "removal_effect", "attribution_share",
+            ],
+        )
+
+    out_schema = (
+        "channel string, p_conv_base double, p_conv_removed double, "
+        "removal_effect double, attribution_share double"
+    )
+    return (
+        trans.withColumn("g", F.lit(1))
+        .groupBy("g")
+        .applyInPandas(lambda _, pdf: kernel(pdf), schema=out_schema)
+        .orderBy("channel")
+    )

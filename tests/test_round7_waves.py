@@ -1311,3 +1311,93 @@ def test_skyline_matches_bruteforce(spark):
         for r in QUERIES["skyline_price_size"](spark, SF).collect()
     ]
     assert got == expected
+
+
+def test_markov_attribution_matches_bruteforce(spark):
+    rows = {
+        r["channel"]: r
+        for r in QUERIES["markov_removal_attribution"](spark, SF).collect()
+    }
+    pdf = (
+        load_table(spark, SF, "events")
+        .select(
+            "user_id", "event_id",
+            F.expr("ts_ns div 1000").alias("ts_us"),
+            F.when(F.col("event_type") == "purchase", "conv")
+            .otherwise(F.col("event_type"))
+            .alias("state"),
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+    )
+    edges = Counter()
+    for _, g in pdf.groupby("user_id"):
+        sessions, prev_ts = [], None
+        for _, e in g.iterrows():
+            if prev_ts is None or e.ts_us - prev_ts > 1_800_000_000:
+                sessions.append([])
+            sessions[-1].append(e.state)
+            prev_ts = e.ts_us
+        for states in sessions:
+            journey = []
+            for s in states:
+                journey.append(s)
+                if s == "conv":
+                    break
+            prev = "start"
+            for s in journey:
+                edges[(prev, s)] += 1
+                prev = s
+            if journey[-1] != "conv":
+                edges[(journey[-1], "null")] += 1
+    tot = Counter()
+    for (s, _), n in edges.items():
+        tot[s] += n
+    P = {(s, d): n / tot[s] for (s, d), n in edges.items()}
+
+    def absorb(removed):
+        states = sorted({s for s, _ in P if s != removed})
+        v = {s: 0.0 for s in states}
+        for _ in range(20):
+            v = {
+                s: sum(
+                    pr * (1.0 if d == "conv" else v.get(d, 0.0))
+                    for (src, d), pr in P.items()
+                    if src == s and d != removed
+                )
+                for s in states
+            }
+        return v.get("start", 0.0)
+
+    base = absorb(None)
+    channels = sorted(s for s in tot if s != "start")
+    effs = {ch: (base - absorb(ch)) / base for ch in channels}
+    assert set(rows) == set(channels)
+    for ch in channels:
+        assert abs(rows[ch]["p_conv_base"] - base) < 1e-5
+        assert abs(rows[ch]["removal_effect"] - effs[ch]) < 1e-5
+        assert (
+            abs(rows[ch]["attribution_share"] - effs[ch] / sum(effs.values()))
+            < 1e-5
+        )
+
+
+def test_order_reconciliation_totals(spark):
+    rows = QUERIES["order_total_reconciliation"](spark, SF).collect()
+    pdf_o = load_table(spark, SF, "orders").toPandas()
+    pdf_l = load_table(spark, SF, "lineitem").toPandas()
+    ls = (
+        pdf_l.assign(
+            s=pdf_l.l_extendedprice
+            * (1 - pdf_l.l_discount)
+            * (1 + pdf_l.l_tax)
+        )
+        .groupby("l_orderkey")
+        .s.sum()
+    )
+    for r in rows:
+        sub = pdf_o[pdf_o.o_orderstatus == r["status"]]
+        assert r["n_orders"] == len(sub)
+        matched = sub.o_orderkey.isin(ls.index)
+        assert r["n_no_lineitems"] == int((~matched).sum())
+        assert abs(r["header_total"] - sub.o_totalprice.sum()) < 1.0
