@@ -22686,3 +22686,245 @@ def q_markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(lambda _, pdf: kernel(pdf), schema=out_schema)
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 eighteenth wave: symbolic sequence matching (MATCH_RECOGNIZE
+# via per-session state strings + regex) and a deterministic
+# randomization test.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sequence_pattern_match",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+               CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                    WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                    WHEN 'signup' THEN 's' ELSE 'x' END AS ch
+        FROM events
+    ),
+    gaps AS (
+        SELECT *,
+               CASE WHEN ts_us - LAG(ts_us) OVER (
+                        PARTITION BY user_id ORDER BY ts_us, event_id)
+                        > 1800000000 THEN 1 ELSE 0 END AS new_s
+        FROM t
+    ),
+    sess AS (
+        SELECT *,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    ),
+    strs AS (
+        SELECT user_id, sid,
+               string_agg(ch, '' ORDER BY ts_us, event_id) AS seq
+        FROM sess GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT seq,
+               regexp_matches(seq, 'v[^e]*c[^e]*p') AS clean_funnel,
+               regexp_matches(seq, 'v.*c.*p') AS any_funnel,
+               regexp_matches(seq, 'ee+') AS error_burst
+        FROM strs
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN any_funnel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_funnel_any,
+           CAST(SUM(CASE WHEN clean_funnel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_funnel_clean,
+           CAST(SUM(CASE WHEN error_burst THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_error_burst,
+           ROUND(SUM(CASE WHEN clean_funnel THEN 1 ELSE 0 END) * 1.0
+                 / GREATEST(SUM(CASE WHEN any_funnel THEN 1 ELSE 0 END), 1),
+                 6) AS clean_share_of_funnels
+    FROM m
+    """,
+)
+def q_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching: each 30-minute
+    session is collapsed to a symbol string (v/c/p/e/s per event type,
+    (ts, event_id)-ordered), then matched against regexes — the
+    view→click→purchase funnel WITH and WITHOUT an intervening error,
+    plus the repeated-error burst screen.  Symbolizing + regex is the
+    standard Spark encoding of row-pattern recognition: the strings
+    are session-bounded, the matcher is RE2-class (no backtracking
+    blowup), and everything after the per-session string_agg is a
+    counts-only aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("x")
+        .alias("ch"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = ev.withColumn(
+        "sid",
+        F.sum(
+            F.when(
+                F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000, 1
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    strs = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts_us", "event_id", "ch"))
+                ),
+                lambda x: x["ch"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    c = F.col
+    m = strs.select(
+        c("seq").rlike("v[^e]*c[^e]*p").alias("clean_funnel"),
+        c("seq").rlike("v.*c.*p").alias("any_funnel"),
+        c("seq").rlike("ee+").alias("error_burst"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(c("any_funnel").cast("int")).cast("long").alias("n_funnel_any"),
+        F.sum(c("clean_funnel").cast("int")).cast("long").alias(
+            "n_funnel_clean"
+        ),
+        F.sum(c("error_burst").cast("int")).cast("long").alias(
+            "n_error_burst"
+        ),
+        F.round(
+            F.sum(c("clean_funnel").cast("int"))
+            / F.greatest(F.sum(c("any_funnel").cast("int")), F.lit(1)),
+            6,
+        ).alias("clean_share_of_funnels"),
+    )
+
+
+@register(
+    "randomization_test_value",
+    oracle="""
+    WITH base AS (
+        SELECT event_id, value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS grp
+        FROM events
+        WHERE value IS NOT NULL AND event_type IN ('purchase', 'view')
+    ),
+    obs AS (
+        SELECT AVG(CASE WHEN grp = 1 THEN value END)
+               - AVG(CASE WHEN grp = 0 THEN value END) AS d_obs,
+               SUM(grp) AS n1, COUNT(*) AS n
+        FROM base
+    ),
+    reps AS (
+        SELECT b AS rep, value,
+               CASE WHEN (event_id * (1000003 + 2 * b) + b) % 999983
+                         * 40503 % 999983 % n < n1
+                    THEN 1 ELSE 0 END AS grp
+        FROM base CROSS JOIN obs CROSS JOIN range(0, 200) t(b)
+    ),
+    dist AS (
+        SELECT rep,
+               AVG(CASE WHEN grp = 1 THEN value END)
+               - AVG(CASE WHEN grp = 0 THEN value END) AS d
+        FROM reps GROUP BY rep
+    )
+    SELECT CAST(obs.n1 AS BIGINT) AS n_purchase,
+           CAST(obs.n - obs.n1 AS BIGINT) AS n_view,
+           ROUND(obs.d_obs, 6) AS observed_diff,
+           CAST(200 AS BIGINT) AS n_reps,
+           ROUND(SUM(CASE WHEN ABS(dist.d) >= ABS(obs.d_obs)
+                          THEN 1 ELSE 0 END) * 1.0 / 200, 6) AS p_value,
+           ROUND(AVG(dist.d), 6) AS null_mean,
+           ROUND(stddev_samp(dist.d), 6) AS null_sd
+    FROM dist CROSS JOIN obs
+    GROUP BY obs.n1, obs.n, obs.d_obs
+    """,
+)
+def q_randomization_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-randomization test for the purchase−view mean value
+    gap: 200 pseudo-relabelings, each assigning 'treatment' to a row
+    iff its affine-mod-prime-remultiplied hash (multiplier varied per
+    replicate — additive seeds alone cancel, the ml/split.py
+    convention) lands below the observed treatment share — so both
+    engines draw IDENTICAL null assignments with no RNG.  The p-value
+    is the share of null |diffs| ≥ |observed|.  The 200× replicate
+    fanout carries only (rep, grp, value) into a map-side-combined
+    aggregate — counts move, rows don't."""
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "view")
+        )
+        .select(
+            "event_id", "value",
+            (F.col("event_type") == "purchase").cast("int").alias("grp"),
+        )
+    )
+    c = F.col
+    obs = base.agg(
+        (
+            F.avg(F.when(c("grp") == 1, c("value")))
+            - F.avg(F.when(c("grp") == 0, c("value")))
+        ).alias("d_obs"),
+        F.sum("grp").alias("n1"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    reps = (
+        base.crossJoin(F.broadcast(obs))
+        .crossJoin(
+            F.broadcast(
+                load_table(spark, sf_dir, "events")
+                .sparkSession.range(0, 200)
+                .select(F.col("id").alias("b"))
+            )
+        )
+        .select(
+            "b", "value",
+            (
+                (
+                    (
+                        c("event_id").cast("long")
+                        * (1000003 + 2 * c("b"))
+                        + c("b")
+                    )
+                    % 999983
+                    * 40503
+                    % 999983
+                    % c("n")
+                    < c("n1")
+                ).cast("int")
+            ).alias("grp"),
+        )
+    )
+    dist = reps.groupBy("b").agg(
+        (
+            F.avg(F.when(c("grp") == 1, c("value")))
+            - F.avg(F.when(c("grp") == 0, c("value")))
+        ).alias("d")
+    )
+    return (
+        dist.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("n1").cast("long").alias("n_purchase"),
+            (F.max("n") - F.max("n1")).cast("long").alias("n_view"),
+            F.round(F.max("d_obs"), 6).alias("observed_diff"),
+            F.lit(200).cast("long").alias("n_reps"),
+            F.round(
+                F.sum(
+                    (F.abs(c("d")) >= F.abs(c("d_obs"))).cast("int")
+                )
+                / 200.0,
+                6,
+            ).alias("p_value"),
+            F.round(F.avg("d"), 6).alias("null_mean"),
+            F.round(F.stddev_samp("d"), 6).alias("null_sd"),
+        )
+    )

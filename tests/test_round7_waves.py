@@ -1401,3 +1401,61 @@ def test_order_reconciliation_totals(spark):
         matched = sub.o_orderkey.isin(ls.index)
         assert r["n_no_lineitems"] == int((~matched).sum())
         assert abs(r["header_total"] - sub.o_totalprice.sum()) < 1.0
+
+
+def test_sequence_pattern_matches_bruteforce(spark):
+    import re
+
+    r = QUERIES["sequence_pattern_match"](spark, SF).collect()[0]
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_id",
+                F.expr("ts_ns div 1000").alias("ts_us"), "event_type")
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+    )
+    ch = {"view": "v", "click": "c", "purchase": "p", "error": "e",
+          "signup": "s"}
+    seqs = []
+    for _, g in pdf.groupby("user_id"):
+        prev = None
+        for _, e in g.iterrows():
+            if prev is None or e.ts_us - prev > 1_800_000_000:
+                seqs.append("")
+            seqs[-1] += ch[e.event_type]
+            prev = e.ts_us
+    clean = sum(1 for s in seqs if re.search(r"v[^e]*c[^e]*p", s))
+    anyf = sum(1 for s in seqs if re.search(r"v.*c.*p", s))
+    burst = sum(1 for s in seqs if re.search(r"ee+", s))
+    assert r["n_sessions"] == len(seqs)
+    assert r["n_funnel_any"] == anyf
+    assert r["n_funnel_clean"] == clean
+    assert r["n_error_burst"] == burst
+
+
+def test_randomization_test_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "view")
+        )
+        .select("event_id", "value", "event_type")
+        .toPandas()
+    )
+    grp = (pdf.event_type == "purchase").to_numpy().astype(int)
+    v = pdf.value.to_numpy()
+    eid = pdf.event_id.to_numpy()
+    n, n1 = len(v), int(grp.sum())
+    d_obs = v[grp == 1].mean() - v[grp == 0].mean()
+    ds = []
+    for b in range(200):
+        h = (eid * (1000003 + 2 * b) + b) % 999983 * 40503 % 999983 % n
+        g = (h < n1).astype(int)
+        ds.append(v[g == 1].mean() - v[g == 0].mean())
+    p = sum(1 for d in ds if abs(d) >= abs(d_obs)) / 200
+    r = QUERIES["randomization_test_value"](spark, SF).collect()[0]
+    assert r["n_purchase"] == n1 and r["n_view"] == n - n1
+    assert abs(r["observed_diff"] - d_obs) < 1e-4
+    assert abs(r["p_value"] - p) < 1e-9
+    assert abs(r["null_mean"] - np.mean(ds)) < 1e-4
