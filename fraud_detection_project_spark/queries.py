@@ -22928,3 +22928,255 @@ def q_randomization_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.stddev_samp("d"), 6).alias("null_sd"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 nineteenth wave: rich-club structure + metric-learning triplet
+# margins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rich_club_coefficient",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS v FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.v AS u, b.v AS w, COUNT(*) AS cnt
+        FROM op a JOIN op b ON a.okey = b.okey AND a.v < b.v
+        GROUP BY 1, 2
+    ),
+    e AS (SELECT u, w FROM pairs WHERE cnt >= 2),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT u AS node FROM e UNION ALL SELECT w FROM e
+        ) GROUP BY node
+    ),
+    thr AS (
+        SELECT UNNEST([50, 75, 90]) AS pct,
+               UNNEST(quantile_cont(d, [0.5, 0.75, 0.9])) AS k
+        FROM deg
+    ),
+    club AS (
+        SELECT thr.pct, thr.k, deg.node
+        FROM thr JOIN deg ON deg.d > thr.k
+    ),
+    nk AS (SELECT pct, MAX(k) AS k, COUNT(*) AS n_nodes
+           FROM club GROUP BY pct),
+    ek AS (
+        SELECT cu.pct, COUNT(*) AS n_edges
+        FROM e JOIN club cu ON cu.node = e.u
+               JOIN club cw ON cw.node = e.w AND cw.pct = cu.pct
+        GROUP BY cu.pct
+    )
+    SELECT CAST(nk.pct AS BIGINT) AS pct,
+           ROUND(nk.k, 6) AS degree_threshold,
+           CAST(nk.n_nodes AS BIGINT) AS n_nodes,
+           CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+           ROUND(2.0 * COALESCE(ek.n_edges, 0)
+                 / GREATEST(nk.n_nodes * (nk.n_nodes - 1), 1), 6) AS phi
+    FROM nk LEFT JOIN ek ON ek.pct = nk.pct
+    ORDER BY pct
+    """,
+)
+def q_rich_club_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the part co-purchase graph (edges =
+    part pairs co-occurring in ≥2 orders): at the measured p50/p75/p90
+    degree thresholds, the edge density φ(k) among nodes of degree > k
+    — do hubs preferentially interconnect?  Thresholds are exact
+    percentiles of the measured degree distribution (scale-free — a
+    fixed k would empty out as the graph grows); club membership is a
+    broadcast of the ≤3-level node sets; edges never self-join beyond
+    the basket-bounded pair build shared with the other co-purchase
+    queries."""
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("v"))
+        .distinct()
+    )
+    a = op.select("okey", F.col("v").alias("u"))
+    b = op.select("okey", F.col("v").alias("w"))
+    e = (
+        a.join(b, "okey")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("u", "w")
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("w").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    thr = deg.agg(
+        F.percentile("d", F.array(F.lit(0.5), F.lit(0.75), F.lit(0.9))).alias(
+            "ks"
+        )
+    ).select(
+        F.posexplode("ks").alias("i", "k")
+    ).select(
+        F.when(F.col("i") == 0, 50)
+        .when(F.col("i") == 1, 75)
+        .otherwise(90)
+        .alias("pct"),
+        "k",
+    )
+    c = F.col
+    club = thr.join(deg, deg["d"] > thr["k"]).select("pct", "k", "node")
+    nk = club.groupBy("pct").agg(
+        F.max("k").alias("k"), F.count(F.lit(1)).alias("n_nodes")
+    )
+    cu = club.select(c("pct").alias("pu"), c("node").alias("u"))
+    cw = club.select(c("pct").alias("pw"), c("node").alias("w2"))
+    ek = (
+        e.join(F.broadcast(cu), "u")
+        .join(
+            F.broadcast(cw),
+            (c("w") == c("w2")) & (c("pu") == c("pw")),
+        )
+        .groupBy(c("pu").alias("pct"))
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return (
+        nk.join(F.broadcast(ek), "pct", "left")
+        .select(
+            c("pct").cast("long").alias("pct"),
+            F.round("k", 6).alias("degree_threshold"),
+            c("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            F.round(
+                2.0
+                * F.coalesce("n_edges", F.lit(0))
+                / F.greatest(
+                    c("n_nodes") * (c("n_nodes") - 1), F.lit(1)
+                ),
+                6,
+            ).alias("phi"),
+        )
+        .orderBy("pct")
+    )
+
+
+@register(
+    "triplet_margin_audit",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               (vec_id * 1000003 + 7) % 999983 * 40503 % 999983 AS h
+        FROM embeddings
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY label ORDER BY h, vec_id)
+                   AS r,
+               COUNT(*) OVER (PARTITION BY label) AS cnt
+        FROM e
+    ),
+    labs AS (
+        SELECT label,
+               COALESCE(LEAD(label) OVER (ORDER BY label),
+                        FIRST_VALUE(label) OVER (ORDER BY label))
+                   AS next_label
+        FROM (SELECT DISTINCT label FROM e) ORDER BY label
+    ),
+    reps AS (
+        SELECT label AS rep_label, v AS rep_v FROM ranked WHERE r = 1
+    ),
+    trip AS (
+        SELECT a.label,
+               list_cosine_similarity(a.v, p.v) AS cos_pos,
+               list_cosine_similarity(a.v, reps.rep_v) AS cos_neg
+        FROM ranked a
+        JOIN ranked p ON p.label = a.label
+                     AND p.r = a.r % a.cnt + 1
+        JOIN labs ON labs.label = a.label
+        JOIN reps ON reps.rep_label = labs.next_label
+        WHERE a.cnt >= 2
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_triplets,
+           ROUND(AVG(cos_pos), 6) AS mean_cos_pos,
+           ROUND(AVG(cos_neg), 6) AS mean_cos_neg,
+           ROUND(AVG(cos_pos - cos_neg), 6) AS mean_margin,
+           ROUND(AVG(CASE WHEN cos_pos > cos_neg THEN 1.0 ELSE 0 END), 6)
+               AS satisfied_rate
+    FROM trip GROUP BY label ORDER BY label
+    """,
+)
+def q_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-learning triplet audit of the labeled embeddings: every
+    vector anchors one DETERMINISTIC triplet — positive = its successor
+    in affine-hash order within its own label (wrapping), negative =
+    the hash-first representative of the cyclically next label — and we
+    report per-label mean anchor-positive / anchor-negative cosine,
+    margin, and the triplet-satisfaction rate (cos_pos > cos_neg).
+    No RNG, no all-pairs: one partitioned rank window, a (label, rank)
+    equi self-join, and a ≤|labels|-row broadcast of negatives."""
+    from .functions.vectors import cosine_similarity
+
+    c = F.col
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        (
+            (c("vec_id").cast("long") * 1000003 + 7) % 999983 * 40503 % 999983
+        ).alias("h"),
+    )
+    wl = Window.partitionBy("label").orderBy("h", "vec_id")
+    ranked = e.withColumn("r", F.row_number().over(wl)).withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("label"))
+    )
+    dl = e.select("label").distinct()
+    wo = Window.partitionBy().orderBy("label")
+    labs = dl.select(
+        "label",
+        F.coalesce(
+            F.lead("label").over(wo), F.first("label").over(wo)
+        ).alias("next_label"),
+    )
+    reps = ranked.filter(c("r") == 1).select(
+        c("label").alias("rep_label"), c("v").alias("rep_v")
+    )
+    a = ranked.filter(c("cnt") >= 2).select(
+        "label", "v", "r", "cnt"
+    )
+    p = ranked.select(
+        c("label").alias("p_label"), c("r").alias("p_r"), c("v").alias("p_v")
+    )
+    trip = (
+        a.join(
+            p,
+            (c("p_label") == c("label"))
+            & (c("p_r") == c("r") % c("cnt") + 1),
+        )
+        .join(F.broadcast(labs), "label")
+        .join(F.broadcast(reps), c("rep_label") == c("next_label"))
+        .select(
+            "label",
+            cosine_similarity("v", "p_v").alias("cos_pos"),
+            cosine_similarity("v", "rep_v").alias("cos_neg"),
+        )
+    )
+    return (
+        trip.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_triplets"),
+            F.round(F.avg("cos_pos"), 6).alias("mean_cos_pos"),
+            F.round(F.avg("cos_neg"), 6).alias("mean_cos_neg"),
+            F.round(F.avg(c("cos_pos") - c("cos_neg")), 6).alias(
+                "mean_margin"
+            ),
+            F.round(
+                F.avg((c("cos_pos") > c("cos_neg")).cast("double")), 6
+            ).alias("satisfied_rate"),
+        )
+        .select(
+            c("label").cast("long").alias("label"),
+            "n_triplets", "mean_cos_pos", "mean_cos_neg",
+            "mean_margin", "satisfied_rate",
+        )
+        .orderBy("label")
+    )

@@ -1459,3 +1459,75 @@ def test_randomization_test_matches_bruteforce(spark):
     assert abs(r["observed_diff"] - d_obs) < 1e-4
     assert abs(r["p_value"] - p) < 1e-9
     assert abs(r["null_mean"] - np.mean(ds)) < 1e-4
+
+
+def test_rich_club_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    by_order = {}
+    for o, p in zip(pdf.l_orderkey, pdf.l_partkey):
+        by_order.setdefault(o, set()).add(p)
+    w = Counter()
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            w[(a, b)] += 1
+    edges = [e for e, c in w.items() if c >= 2]
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    ds = np.array(sorted(deg.values()), dtype=float)
+    rows = {r["pct"]: r for r in QUERIES["rich_club_coefficient"](spark, SF).collect()}
+    for pct, q in ((50, 0.5), (75, 0.75), (90, 0.9)):
+        k = np.quantile(ds, q)
+        club = {n for n, d in deg.items() if d > k}
+        ek = sum(1 for a, b in edges if a in club and b in club)
+        nk = len(club)
+        r = rows[pct]
+        assert r["n_nodes"] == nk
+        assert r["n_edges"] == ek
+        assert abs(r["phi"] - 2 * ek / max(nk * (nk - 1), 1)) < 1e-5
+
+
+def test_triplet_margin_matches_bruteforce(spark):
+    pdf = load_table(spark, SF, "embeddings").toPandas()
+    X = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    labs = pdf.label.to_numpy()
+    h = (ids * 1000003 + 7) % 999983 * 40503 % 999983
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    order = {}
+    for l in sorted(set(labs)):
+        sel = np.where(labs == l)[0]
+        sel = sel[np.lexsort((ids[sel], h[sel]))]
+        order[l] = sel
+    lab_sorted = sorted(order)
+    nxt = {l: lab_sorted[(i + 1) % len(lab_sorted)]
+           for i, l in enumerate(lab_sorted)}
+    rows = {r["label"]: r for r in QUERIES["triplet_margin_audit"](spark, SF).collect()}
+    for l in lab_sorted:
+        sel = order[l]
+        if len(sel) < 2:
+            assert l not in rows
+            continue
+        rep_neg = X[order[nxt[l]][0]]
+        margins, pos_cos, neg_cos, sat = [], [], [], 0
+        for i, idx in enumerate(sel):
+            pidx = sel[(i + 1) % len(sel)]
+            cp, cn = cos(X[idx], X[pidx]), cos(X[idx], rep_neg)
+            pos_cos.append(cp)
+            neg_cos.append(cn)
+            margins.append(cp - cn)
+            sat += cp > cn
+        r = rows[l]
+        assert r["n_triplets"] == len(sel)
+        assert abs(r["mean_cos_pos"] - np.mean(pos_cos)) < 1e-5
+        assert abs(r["mean_margin"] - np.mean(margins)) < 1e-5
+        assert abs(r["satisfied_rate"] - sat / len(sel)) < 1e-6
