@@ -7644,6 +7644,22 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   did_estimator, bh_fdr_panel, misra_gries_audit,
 #   hits_supplier_authority, kaplan_meier_weekly, benford_digit_audit,
 #   psi_value_stability, ewma_control_chart, isotonic_pav_calibration
+#   (…continued: the 32 late-round-7 registrations, ALL verify_local-
+#   green at sf0.01 AND sf0.1 on entry — waves 7-19:)
+#   bloom_semi_join_audit, modularity_supplier_nations,
+#   session_paths_top3, woe_iv_hour_band, naive_bayes_event_type,
+#   decision_stump_value, ols_daily_orders_trend,
+#   welch_ttest_purchase_view, brown_forsythe_value_types,
+#   ljung_box_daily_revenue, cramers_v_panel,
+#   dormancy_reactivation_screen, round_number_affinity,
+#   scd2_interval_integrity, off_policy_evaluation,
+#   replay_greedy_policy, lang_id_confusion, nearest_centroid_eval,
+#   time_to_convert_stats, dau_wau_stickiness, l_diversity_audit,
+#   phrase_search_positional, mann_kendall_daily_trend,
+#   runs_test_daily, hodges_lehmann_shift, skyline_price_size,
+#   order_total_reconciliation, markov_removal_attribution,
+#   sequence_pattern_match, randomization_test_value,
+#   rich_club_coefficient, triplet_margin_audit
 
 
 def driver_ordered(registry: dict) -> dict:
