@@ -23196,3 +23196,294 @@ def q_triplet_margin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 twentieth wave: robust IRLS regression + survey raking (IPF).
+# ---------------------------------------------------------------------------
+
+
+def _huber_oracle(iters: int = 3) -> str:
+    """Unrolled Huber-IRLS oracle: OLS seed, MAD scale, then ``iters``
+    reweighted closed-form fits.  Weights w = LEAST(1, k/|r|) are
+    CONTINUOUS in the residual, so cross-engine float noise cannot flip
+    a weight across a cliff (unlike a hard |r|<k gate)."""
+    head = """
+    WITH daily AS MATERIALIZED (
+        SELECT o_orderdate AS day, SUM(o_totalprice) AS y
+        FROM orders GROUP BY 1
+    ),
+    t0 AS MATERIALIZED (SELECT MIN(day) AS d0 FROM daily),
+    x AS MATERIALIZED (
+        SELECT CAST(date_diff('day', d0, day) AS DOUBLE) AS t, y
+        FROM daily CROSS JOIN t0
+    ),
+    f0 AS MATERIALIZED (
+        SELECT (COUNT(*) * SUM(t * y) - SUM(t) * SUM(y))
+               / (COUNT(*) * SUM(t * t) - SUM(t) * SUM(t)) AS b,
+               AVG(y) - (COUNT(*) * SUM(t * y) - SUM(t) * SUM(y))
+               / (COUNT(*) * SUM(t * t) - SUM(t) * SUM(t)) * AVG(t) AS a
+        FROM x
+    ),
+    scale AS MATERIALIZED (
+        SELECT 1.4826 * quantile_cont(ABS(y - (a + b * t)), 0.5) AS s,
+               1.345 * 1.4826 * quantile_cont(ABS(y - (a + b * t)), 0.5)
+                   AS k
+        FROM x CROSS JOIN f0
+    )"""
+    steps = []
+    prev = "f0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+    w{i} AS MATERIALIZED (
+        SELECT t, y,
+               LEAST(1.0, k / NULLIF(ABS(y - (a + b * t)), 0)) AS w
+        FROM x CROSS JOIN {prev} CROSS JOIN scale
+    ),
+    f{i} AS MATERIALIZED (
+        SELECT (SUM(w) * SUM(w * t * y) - SUM(w * t) * SUM(w * y))
+               / (SUM(w) * SUM(w * t * t) - SUM(w * t) * SUM(w * t)) AS b,
+               (SUM(w * y) - (SUM(w) * SUM(w * t * y)
+                              - SUM(w * t) * SUM(w * y))
+                / (SUM(w) * SUM(w * t * t) - SUM(w * t) * SUM(w * t))
+                * SUM(w * t)) / SUM(w) AS a
+        FROM w{i}
+    )"""
+        )
+        prev = f"f{i}"
+    tail = f"""
+    SELECT CAST((SELECT COUNT(*) FROM x) AS BIGINT) AS n_days,
+           ROUND(f0.b, 6) AS beta1_ols,
+           ROUND(f{iters}.a, 6) AS beta0_huber,
+           ROUND(f{iters}.b, 6) AS beta1_huber,
+           ROUND(scale.s, 4) AS scale_mad,
+           ROUND((SELECT SUM(w) FROM w{iters})
+                 / (SELECT COUNT(*) FROM x), 6) AS mean_weight
+    FROM f0 CROSS JOIN f{iters} CROSS JOIN scale"""
+    return head + "".join(steps) + tail
+
+
+@register("huber_irls_daily", oracle=_huber_oracle())
+def q_huber_irls_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber robust regression of daily revenue on the day index via 3
+    IRLS steps: OLS seed, MAD-based scale, then reweighted closed-form
+    fits with the CONTINUOUS weight min(1, k/|r|) — outlier days are
+    downweighted smoothly, and the continuity means cross-engine float
+    noise cannot flip any weight discretely (every step is value-
+    checked by the unrolled oracle).  Each iteration is ONE aggregate
+    over the calendar-bounded daily frame with the previous fit
+    broadcast as a 1-row frame — no collects, no single-task windows;
+    the mean IRLS weight reports how much mass was trimmed."""
+    c = F.col
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    t0 = daily.agg(F.min("day").alias("d0"))
+    x = daily.crossJoin(F.broadcast(t0)).select(
+        F.datediff("day", "d0").cast("double").alias("t"), "y"
+    )
+    x = x.localCheckpoint(eager=True)  # reused by every IRLS pass
+    n_ = x.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    b_expr = (
+        F.count(F.lit(1)) * F.sum(c("t") * c("y"))
+        - F.sum("t") * F.sum("y")
+    ) / (
+        F.count(F.lit(1)) * F.sum(c("t") * c("t"))
+        - F.sum("t") * F.sum("t")
+    )
+    f0 = x.agg(
+        b_expr.alias("b"),
+        (F.avg("y") - b_expr * F.avg("t")).alias("a"),
+    )
+    scale = (
+        x.crossJoin(F.broadcast(f0))
+        .agg(
+            (
+                1.4826
+                * F.percentile(
+                    F.abs(c("y") - (c("a") + c("b") * c("t"))), 0.5
+                )
+            ).alias("s")
+        )
+        .select("s", (1.345 * c("s")).alias("k"))
+    )
+    fit = f0
+    wsum = None
+    for _ in range(3):
+        wx = (
+            x.crossJoin(F.broadcast(fit))
+            .crossJoin(F.broadcast(scale))
+            .select(
+                "t", "y",
+                F.least(
+                    F.lit(1.0),
+                    c("k")
+                    / F.nullif(
+                        F.abs(c("y") - (c("a") + c("b") * c("t"))),
+                        F.lit(0.0),
+                    ),
+                ).alias("w"),
+            )
+        )
+        bw = (
+            F.sum("w") * F.sum(c("w") * c("t") * c("y"))
+            - F.sum(c("w") * c("t")) * F.sum(c("w") * c("y"))
+        ) / (
+            F.sum("w") * F.sum(c("w") * c("t") * c("t"))
+            - F.sum(c("w") * c("t")) * F.sum(c("w") * c("t"))
+        )
+        fit = wx.agg(
+            bw.alias("b"),
+            (
+                (F.sum(c("w") * c("y")) - bw * F.sum(c("w") * c("t")))
+                / F.sum("w")
+            ).alias("a"),
+        )
+        wsum = wx.agg(F.sum("w").alias("sw"))
+    return (
+        f0.select(F.round("b", 6).alias("beta1_ols"))
+        .crossJoin(F.broadcast(n_))
+        .crossJoin(
+            F.broadcast(
+                fit.select(
+                    F.round("a", 6).alias("beta0_huber"),
+                    F.round("b", 6).alias("beta1_huber"),
+                )
+            )
+        )
+        .crossJoin(F.broadcast(scale.select(F.round("s", 4).alias("scale_mad"))))
+        .crossJoin(F.broadcast(wsum))
+        .select(
+            "n_days", "beta1_ols", "beta0_huber", "beta1_huber",
+            "scale_mad",
+            F.round(c("sw") / c("n_days"), 6).alias("mean_weight"),
+        )
+    )
+
+
+def _raking_oracle(iters: int = 3) -> str:
+    """Unrolled IPF raking oracle: ``iters`` full (row-scale,
+    column-scale) sweeps calibrating the (hour-band, weekday) cell
+    counts to uniform margins, every sweep value-checked."""
+    head = """
+    WITH cells AS MATERIALIZED (
+        SELECT CAST(hour(ts) // 4 AS BIGINT) AS hb,
+               CAST(isodow(ts) - 1 AS BIGINT) AS dw,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS MATERIALIZED (
+        SELECT SUM(n) AS nn,
+               COUNT(DISTINCT hb) AS nr, COUNT(DISTINCT dw) AS nc
+        FROM cells
+    ),
+    w0 AS MATERIALIZED (
+        SELECT hb, dw, n, 1.0 AS w FROM cells
+    )"""
+    steps = []
+    prev = "w0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+    r{i} AS MATERIALIZED (
+        SELECT hb, dw, n,
+               w * (tot.nn * 1.0 / tot.nr)
+                 / SUM(n * w) OVER (PARTITION BY hb) AS w
+        FROM {prev} CROSS JOIN tot
+    ),
+    c{i} AS MATERIALIZED (
+        SELECT hb, dw, n,
+               w * (tot.nn * 1.0 / tot.nc)
+                 / SUM(n * w) OVER (PARTITION BY dw) AS w
+        FROM r{i} CROSS JOIN tot
+    )"""
+        )
+        prev = f"c{i}"
+    tail = f"""
+    SELECT hb, dw,
+           CAST(n AS BIGINT) AS n,
+           ROUND(w, 6) AS weight,
+           ROUND(n * w, 4) AS calibrated,
+           ROUND(MAX(ABS(rowsum - nn * 1.0 / nr)) OVER (), 4)
+               AS max_row_err,
+           ROUND(MAX(ABS(colsum - nn * 1.0 / nc)) OVER (), 4)
+               AS max_col_err
+    FROM (
+        SELECT *, SUM(n * w) OVER (PARTITION BY hb) AS rowsum,
+                  SUM(n * w) OVER (PARTITION BY dw) AS colsum
+        FROM {prev} CROSS JOIN tot
+    ) ORDER BY hb, dw"""
+    return head + "".join(steps) + tail
+
+
+@register("raking_ipf_calibration", oracle=_raking_oracle())
+def q_raking_ipf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking (iterative proportional fitting): calibrate the
+    (hour-band, weekday) cell counts to UNIFORM row and column margins
+    with 3 full IPF sweeps — the weighting step behind every panel /
+    post-stratification correction.  After the one distributed cell
+    aggregate everything runs on the ≤42-row grid (partitioned margin
+    windows over a bounded frame); the oracle unrolls and value-checks
+    every sweep, and the residual margin errors ride along as the
+    convergence certificate."""
+    c = F.col
+    cells = load_table(spark, sf_dir, "events").select(
+        (F.hour("ts") / F.lit(4)).cast("long").alias("hb"),
+        F.weekday("ts").cast("long").alias("dw"),
+    ).groupBy("hb", "dw").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        F.countDistinct("hb").alias("nr"),
+        F.countDistinct("dw").alias("nc"),
+    )
+    w = cells.withColumn("w", F.lit(1.0))
+    wr = Window.partitionBy("hb")
+    wc = Window.partitionBy("dw")
+    for _ in range(3):
+        w = w.crossJoin(F.broadcast(tot)).select(
+            "hb", "dw", "n",
+            (
+                c("w")
+                * (c("nn") * 1.0 / c("nr"))
+                / F.sum(c("n") * c("w")).over(wr)
+            ).alias("w"),
+        )
+        w = w.crossJoin(F.broadcast(tot)).select(
+            "hb", "dw", "n",
+            (
+                c("w")
+                * (c("nn") * 1.0 / c("nc"))
+                / F.sum(c("n") * c("w")).over(wc)
+            ).alias("w"),
+        )
+    wall = Window.partitionBy()
+    final = w.crossJoin(F.broadcast(tot)).select(
+        "hb", "dw", "n", "w",
+        F.sum(c("n") * c("w")).over(wr).alias("rowsum"),
+        F.sum(c("n") * c("w")).over(wc).alias("colsum"),
+        "nn", "nr", "nc",
+    )
+    return (
+        final.select(
+            "hb", "dw",
+            c("n").cast("long").alias("n"),
+            F.round("w", 6).alias("weight"),
+            F.round(c("n") * c("w"), 4).alias("calibrated"),
+            F.round(
+                F.max(F.abs(c("rowsum") - c("nn") * 1.0 / c("nr"))).over(
+                    wall
+                ),
+                4,
+            ).alias("max_row_err"),
+            F.round(
+                F.max(F.abs(c("colsum") - c("nn") * 1.0 / c("nc"))).over(
+                    wall
+                ),
+                4,
+            ).alias("max_col_err"),
+        )
+        .orderBy("hb", "dw")
+    )

@@ -1531,3 +1531,70 @@ def test_triplet_margin_matches_bruteforce(spark):
         assert abs(r["mean_cos_pos"] - np.mean(pos_cos)) < 1e-5
         assert abs(r["mean_margin"] - np.mean(margins)) < 1e-5
         assert abs(r["satisfied_rate"] - sat / len(sel)) < 1e-6
+
+
+def test_huber_irls_matches_bruteforce(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .orderBy("day")
+        .toPandas()
+    )
+    t = (daily.day - daily.day.min()).dt.days.to_numpy(dtype=float)
+    y = daily.y.to_numpy(dtype=float)
+    n = len(y)
+
+    def wols(w):
+        b = (w.sum() * (w * t * y).sum() - (w * t).sum() * (w * y).sum()) / (
+            w.sum() * (w * t * t).sum() - (w * t).sum() ** 2
+        )
+        a = ((w * y).sum() - b * (w * t).sum()) / w.sum()
+        return a, b
+
+    a, b = wols(np.ones(n))
+    b_ols = b
+    r = np.abs(y - (a + b * t))
+    s = 1.4826 * np.quantile(r, 0.5)
+    k = 1.345 * s
+    for _ in range(3):
+        r = np.abs(y - (a + b * t))
+        w = np.minimum(1.0, k / np.where(r == 0, np.nan, r))
+        w = np.where(np.isnan(w), 1.0, w)  # |r|=0 -> NULLIF -> weight NULL? engine treats as null; r==0 never happens with doubles
+        a, b = wols(w)
+    row = QUERIES["huber_irls_daily"](spark, SF).collect()[0]
+    assert row["n_days"] == n
+    assert abs(row["beta1_ols"] - b_ols) < 1e-4
+    assert abs(row["beta1_huber"] - b) < 1e-4
+    assert abs(row["beta0_huber"] - a) < 1e-2
+
+
+def test_raking_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select(
+            (F.hour("ts") / F.lit(4)).cast("long").alias("hb"),
+            F.weekday("ts").cast("long").alias("dw"),
+        )
+        .toPandas()
+    )
+    cells = pdf.groupby(["hb", "dw"]).size()
+    hbs = sorted(pdf.hb.unique())
+    dws = sorted(pdf.dw.unique())
+    n = np.zeros((len(hbs), len(dws)))
+    for (hb, dw), cnt in cells.items():
+        n[hbs.index(hb), dws.index(dw)] = cnt
+    w = np.ones_like(n)
+    nn = n.sum()
+    tr, tc = nn / len(hbs), nn / len(dws)
+    for _ in range(3):
+        w *= tr / (n * w).sum(1, keepdims=True)
+        w *= tc / (n * w).sum(0, keepdims=True)
+    rows = {(r["hb"], r["dw"]): r for r in QUERIES["raking_ipf_calibration"](spark, SF).collect()}
+    for i, hb in enumerate(hbs):
+        for j, dw in enumerate(dws):
+            if n[i, j] == 0:
+                continue
+            r = rows[(hb, dw)]
+            assert abs(r["weight"] - w[i, j]) < 1e-4
+            assert abs(r["calibrated"] - n[i, j] * w[i, j]) < 1e-2
