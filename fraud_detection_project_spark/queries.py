@@ -23487,3 +23487,162 @@ def q_raking_ipf_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hb", "dw")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 twenty-first wave: one-way ANOVA + Tukey HSD post-hoc panel.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anova_oneway_value",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, COUNT(*) AS n, AVG(value) AS m,
+               SUM(value * value) AS ss, SUM(value) AS s
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    tot AS (
+        SELECT SUM(n) AS nn, COUNT(*) AS k,
+               SUM(s) / SUM(n) AS gm,
+               SUM(n * m * m) - SUM(n) * POWER(SUM(s) / SUM(n), 2)
+                   AS ss_between,
+               SUM(ss - s * s / n) AS ss_within
+        FROM g
+    )
+    SELECT CAST(nn AS BIGINT) AS n,
+           CAST(k AS BIGINT) AS k_groups,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(nn - k AS BIGINT) AS df_within,
+           ROUND(ss_between / (k - 1), 4) AS ms_between,
+           ROUND(ss_within / (nn - k), 4) AS ms_within,
+           ROUND((ss_between / (k - 1)) / (ss_within / (nn - k)), 6)
+               AS f_stat,
+           ROUND(ss_between / (ss_between + ss_within), 6) AS eta_squared
+    FROM tot
+    """,
+)
+def q_anova_oneway_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical one-way ANOVA of event value across event types: F
+    statistic, dfs, mean squares, and η² effect size, computed from one
+    grouped pass via the algebraic identities SS_between = Σn·m̄² −
+    N·ḡ² and SS_within = Σ(SS − S²/n) — the parametric complement of
+    the Kruskal-Wallis and Brown-Forsythe tests already in the
+    corpus."""
+    c = F.col
+    g = (
+        load_table(spark, sf_dir, "events")
+        .filter(c("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.sum(c("value") * c("value")).alias("ss"),
+            F.sum("value").alias("s"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        (
+            F.sum(c("n") * c("m") * c("m"))
+            - F.sum("n") * F.pow(F.sum("s") / F.sum("n"), 2)
+        ).alias("ss_between"),
+        F.sum(c("ss") - c("s") * c("s") / c("n")).alias("ss_within"),
+    )
+    return tot.select(
+        c("nn").cast("long").alias("n"),
+        c("k").cast("long").alias("k_groups"),
+        (c("k") - 1).cast("long").alias("df_between"),
+        (c("nn") - c("k")).cast("long").alias("df_within"),
+        F.round(c("ss_between") / (c("k") - 1), 4).alias("ms_between"),
+        F.round(c("ss_within") / (c("nn") - c("k")), 4).alias("ms_within"),
+        F.round(
+            (c("ss_between") / (c("k") - 1))
+            / (c("ss_within") / (c("nn") - c("k"))),
+            6,
+        ).alias("f_stat"),
+        F.round(
+            c("ss_between") / (c("ss_between") + c("ss_within")), 6
+        ).alias("eta_squared"),
+    )
+
+
+@register(
+    "tukey_hsd_pairs",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, COUNT(*) AS n, AVG(value) AS m,
+               SUM(value * value) AS ss, SUM(value) AS s
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    mse AS (
+        SELECT SUM(ss - s * s / n) / (SUM(n) - COUNT(*)) AS ms_within,
+               SUM(n) - COUNT(*) AS df
+        FROM g
+    )
+    SELECT a.event_type AS group_a, b.event_type AS group_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           ROUND(a.m - b.m, 6) AS mean_diff,
+           ROUND(sqrt(mse.ms_within / 2.0 * (1.0 / a.n + 1.0 / b.n)), 6)
+               AS se_q,
+           ROUND((a.m - b.m)
+                 / sqrt(mse.ms_within / 2.0 * (1.0 / a.n + 1.0 / b.n)), 6)
+               AS q_stat,
+           CAST(mse.df AS BIGINT) AS df_within
+    FROM g a JOIN g b ON a.event_type < b.event_type
+    CROSS JOIN mse
+    ORDER BY group_a, group_b
+    """,
+)
+def q_tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc panel: all pairwise mean differences between
+    event types with the Tukey-Kramer standard error √(MSE/2·(1/nᵢ +
+    1/nⱼ)) and the studentized-range q statistic — the follow-up every
+    significant ANOVA demands.  The pair join runs over the k-row
+    grouped frame (≤10 pairs), MSE is the same single-pass SS_within
+    identity as the ANOVA query."""
+    c = F.col
+    g = (
+        load_table(spark, sf_dir, "events")
+        .filter(c("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("m"),
+            F.sum(c("value") * c("value")).alias("ss"),
+            F.sum("value").alias("s"),
+        )
+    )
+    mse = g.agg(
+        (
+            F.sum(c("ss") - c("s") * c("s") / c("n"))
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("ms_within"),
+        (F.sum("n") - F.count(F.lit(1))).alias("df"),
+    )
+    a = g.select(
+        c("event_type").alias("group_a"), c("n").alias("n_a"),
+        c("m").alias("m_a"),
+    )
+    b = g.select(
+        c("event_type").alias("group_b"), c("n").alias("n_b"),
+        c("m").alias("m_b"),
+    )
+    se = F.sqrt(
+        c("ms_within") / 2.0 * (1.0 / c("n_a") + 1.0 / c("n_b"))
+    )
+    return (
+        a.join(b, c("group_a") < c("group_b"))
+        .crossJoin(F.broadcast(mse))
+        .select(
+            "group_a", "group_b",
+            c("n_a").cast("long").alias("n_a"),
+            c("n_b").cast("long").alias("n_b"),
+            F.round(c("m_a") - c("m_b"), 6).alias("mean_diff"),
+            F.round(se, 6).alias("se_q"),
+            F.round((c("m_a") - c("m_b")) / se, 6).alias("q_stat"),
+            c("df").cast("long").alias("df_within"),
+        )
+        .orderBy("group_a", "group_b")
+    )

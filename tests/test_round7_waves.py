@@ -1598,3 +1598,37 @@ def test_raking_matches_bruteforce(spark):
             r = rows[(hb, dw)]
             assert abs(r["weight"] - w[i, j]) < 1e-4
             assert abs(r["calibrated"] - n[i, j] * w[i, j]) < 1e-2
+
+
+def test_anova_tukey_match_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .toPandas()
+    )
+    groups = {t: g.value.to_numpy() for t, g in pdf.groupby("event_type")}
+    nn = sum(len(v) for v in groups.values())
+    k = len(groups)
+    gm = np.concatenate(list(groups.values())).mean()
+    ssb = sum(len(v) * (v.mean() - gm) ** 2 for v in groups.values())
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in groups.values())
+    f = (ssb / (k - 1)) / (ssw / (nn - k))
+    r = QUERIES["anova_oneway_value"](spark, SF).collect()[0]
+    assert r["n"] == nn and r["k_groups"] == k
+    assert abs(r["f_stat"] - f) < 1e-4
+    assert abs(r["eta_squared"] - ssb / (ssb + ssw)) < 1e-5
+    mse = ssw / (nn - k)
+    rows = {
+        (t["group_a"], t["group_b"]): t
+        for t in QUERIES["tukey_hsd_pairs"](spark, SF).collect()
+    }
+    names = sorted(groups)
+    for i, ga in enumerate(names):
+        for gb in names[i + 1:]:
+            se = math.sqrt(
+                mse / 2 * (1 / len(groups[ga]) + 1 / len(groups[gb]))
+            )
+            q = (groups[ga].mean() - groups[gb].mean()) / se
+            t = rows[(ga, gb)]
+            assert abs(t["q_stat"] - q) < 1e-4
