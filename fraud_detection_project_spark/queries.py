@@ -23646,3 +23646,156 @@ def q_tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_a", "group_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 twenty-second wave: Bloom-filter advisor — the cost model that
+# decides when bloom_semi_join pays for itself on a join edge.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_filter_advisor",
+    oracle="""
+    WITH edges AS (
+        SELECT 'events_to_purchasers' AS edge,
+               (SELECT COUNT(*) FROM events) AS n_probe_rows,
+               (SELECT COUNT(DISTINCT user_id) FROM events)
+                   AS n_probe_keys,
+               (SELECT COUNT(DISTINCT user_id) FROM events
+                WHERE event_type = 'purchase') AS n_build_keys,
+               (SELECT COUNT(*) FROM events e WHERE EXISTS (
+                    SELECT 1 FROM events p WHERE p.event_type = 'purchase'
+                    AND p.user_id = e.user_id)) AS n_match_rows
+        UNION ALL
+        SELECT 'lineitem_to_urgent_orders',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderpriority = '1-URGENT'),
+               (SELECT COUNT(*) FROM lineitem l WHERE EXISTS (
+                    SELECT 1 FROM orders o
+                    WHERE o.o_orderpriority = '1-URGENT'
+                      AND o.o_orderkey = l.l_orderkey))
+        UNION ALL
+        SELECT 'orders_to_automobile_custs',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders),
+               (SELECT COUNT(*) FROM customer
+                WHERE c_mktsegment = 'AUTOMOBILE'),
+               (SELECT COUNT(*) FROM orders o WHERE EXISTS (
+                    SELECT 1 FROM customer c
+                    WHERE c.c_mktsegment = 'AUTOMOBILE'
+                      AND c.c_custkey = o.o_custkey))
+    )
+    SELECT edge,
+           CAST(n_probe_rows AS BIGINT) AS n_probe_rows,
+           CAST(n_probe_keys AS BIGINT) AS n_probe_keys,
+           CAST(n_build_keys AS BIGINT) AS n_build_keys,
+           CAST(n_match_rows AS BIGINT) AS n_match_rows,
+           ROUND(n_match_rows * 1.0 / n_probe_rows, 6) AS match_rate,
+           ROUND(POWER(1.0 - exp(-3.0 / 32.0), 3), 6) AS fp_bound,
+           CAST(ROUND(n_match_rows
+                + POWER(1.0 - exp(-3.0 / 32.0), 3)
+                  * (n_probe_rows - n_match_rows)) AS BIGINT)
+               AS est_rows_after_bloom,
+           ROUND(n_probe_rows * 1.0
+                 / (n_match_rows
+                    + POWER(1.0 - exp(-3.0 / 32.0), 3)
+                      * (n_probe_rows - n_match_rows)), 4)
+               AS shuffle_reduction_x,
+           n_probe_rows * 1.0
+             / (n_match_rows
+                + POWER(1.0 - exp(-3.0 / 32.0), 3)
+                  * (n_probe_rows - n_match_rows)) >= 2.0
+               AS recommend_bloom
+    FROM edges ORDER BY edge
+    """,
+)
+def q_bloom_filter_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter advisor: for three selective join edges (events ⋉
+    purchasing users, lineitem ⋉ urgent orders, orders ⋉ AUTOMOBILE
+    customers) measure probe/build cardinalities and the true match
+    rate, then project the post-filter row count under
+    bloom_semi_join's design FP bound (1−e^{−3/32})³ and recommend the
+    filter when it cuts the probe-side shuffle ≥2× — the cost model
+    that turns the sketch operator into a planning decision, next to
+    the join/encoding/partition advisors.  Every input is an exact
+    count; the Spark side computes match rows via left-semi joins, the
+    oracle via EXISTS (independent formulations)."""
+    c = F.col
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+
+    def edge(name, probe, key, build_keys):
+        matched = probe.join(
+            F.broadcast(build_keys.distinct()), key, "left_semi"
+        )
+        return (
+            probe.agg(
+                F.count(F.lit(1)).alias("n_probe_rows"),
+                F.countDistinct(key).alias("n_probe_keys"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    build_keys.distinct().agg(
+                        F.count(F.lit(1)).alias("n_build_keys")
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    matched.agg(F.count(F.lit(1)).alias("n_match_rows"))
+                )
+            )
+            .select(F.lit(name).alias("edge"), "*")
+        )
+
+    frames = [
+        edge(
+            "events_to_purchasers",
+            ev.select("user_id"),
+            "user_id",
+            ev.filter(c("event_type") == "purchase").select("user_id"),
+        ),
+        edge(
+            "lineitem_to_urgent_orders",
+            li.select(c("l_orderkey").alias("k")),
+            "k",
+            od.filter(c("o_orderpriority") == "1-URGENT").select(
+                c("o_orderkey").alias("k")
+            ),
+        ),
+        edge(
+            "orders_to_automobile_custs",
+            od.select(c("o_custkey").alias("k")),
+            "k",
+            cu.filter(c("c_mktsegment") == "AUTOMOBILE").select(
+                c("c_custkey").alias("k")
+            ),
+        ),
+    ]
+    allf = frames[0].unionAll(frames[1]).unionAll(frames[2])
+    fp = F.pow(1.0 - F.exp(F.lit(-3.0 / 32.0)), 3)
+    est = c("n_match_rows") + fp * (c("n_probe_rows") - c("n_match_rows"))
+    return (
+        allf.select(
+            "edge",
+            c("n_probe_rows").cast("long").alias("n_probe_rows"),
+            c("n_probe_keys").cast("long").alias("n_probe_keys"),
+            c("n_build_keys").cast("long").alias("n_build_keys"),
+            c("n_match_rows").cast("long").alias("n_match_rows"),
+            F.round(c("n_match_rows") * 1.0 / c("n_probe_rows"), 6).alias(
+                "match_rate"
+            ),
+            F.round(fp, 6).alias("fp_bound"),
+            F.round(est, 0).cast("long").alias("est_rows_after_bloom"),
+            F.round(c("n_probe_rows") * 1.0 / est, 4).alias(
+                "shuffle_reduction_x"
+            ),
+            (c("n_probe_rows") * 1.0 / est >= 2.0).alias("recommend_bloom"),
+        )
+        .orderBy("edge")
+    )
