@@ -23799,3 +23799,222 @@ def q_bloom_filter_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("edge")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 twenty-third wave: distributional effects — quantile treatment
+# effects and the log-rank two-cohort survival test.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quantile_treatment_effects",
+    oracle="""
+    WITH p AS (
+        SELECT quantile_cont(value,
+            [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+        FROM events WHERE value IS NOT NULL AND event_type = 'purchase'
+    ),
+    v AS (
+        SELECT quantile_cont(value,
+            [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+        FROM events WHERE value IS NOT NULL AND event_type = 'view'
+    )
+    SELECT CAST(generate_subscripts(p.q, 1) AS BIGINT) AS decile,
+           ROUND(UNNEST(p.q), 6) AS q_purchase,
+           ROUND(UNNEST(v.q), 6) AS q_view,
+           ROUND(UNNEST(p.q) - UNNEST(v.q), 6) AS qte
+    FROM p CROSS JOIN v
+    ORDER BY decile
+    """,
+)
+def q_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile 'treatment effects': the purchase−view value gap at
+    every decile, not just the mean — the distributional view that
+    catches effects concentrated in the tails (mean tests like Welch's
+    already in the corpus would average them away).  Two exact-
+    percentile aggregates, zipped positionally; nine rows forever."""
+    c = F.col
+    fr = F.array(*[F.lit(d / 10.0) for d in range(1, 10)])
+    base = load_table(spark, sf_dir, "events").filter(
+        c("value").isNotNull()
+    )
+    p = base.filter(c("event_type") == "purchase").agg(
+        F.percentile("value", fr).alias("qp")
+    )
+    v = base.filter(c("event_type") == "view").agg(
+        F.percentile("value", fr).alias("qv")
+    )
+    return (
+        p.crossJoin(F.broadcast(v))
+        .select(
+            F.posexplode(
+                F.zip_with(
+                    "qp", "qv", lambda a, b: F.struct(a.alias("p"), b.alias("v"))
+                )
+            ).alias("i", "z")
+        )
+        .select(
+            (c("i") + 1).cast("long").alias("decile"),
+            F.round(c("z.p"), 6).alias("q_purchase"),
+            F.round(c("z.v"), 6).alias("q_view"),
+            F.round(c("z.p") - c("z.v"), 6).alias("qte"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "logrank_test_cohorts",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS first_us,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS first_purch_us
+        FROM events GROUP BY user_id
+    ),
+    win AS (SELECT MAX(epoch_us(ts)) AS end_us,
+                   quantile_cont(first_us, 0.5) AS med_first
+            FROM events CROSS JOIN u),
+    subj AS (
+        SELECT CASE WHEN first_us <= med_first THEN 1 ELSE 0 END AS grp,
+               CASE WHEN first_purch_us IS NOT NULL
+                    THEN CAST((first_purch_us - first_us)
+                              // 86400000000 AS BIGINT)
+                    ELSE CAST((end_us - first_us)
+                              // 86400000000 AS BIGINT) END AS t_day,
+               CASE WHEN first_purch_us IS NOT NULL THEN 1 ELSE 0 END
+                   AS observed
+        FROM u CROSS JOIN win
+    ),
+    days AS (
+        SELECT DISTINCT t_day FROM subj WHERE observed = 1
+    ),
+    risk AS (
+        SELECT d.t_day,
+               SUM(CASE WHEN s.t_day >= d.t_day THEN 1 ELSE 0 END) AS n,
+               SUM(CASE WHEN s.t_day >= d.t_day AND s.grp = 1
+                        THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN s.t_day = d.t_day AND s.observed = 1
+                        THEN 1 ELSE 0 END) AS d_all,
+               SUM(CASE WHEN s.t_day = d.t_day AND s.observed = 1
+                        AND s.grp = 1 THEN 1 ELSE 0 END) AS d1
+        FROM days d CROSS JOIN subj s GROUP BY d.t_day
+    ),
+    lr AS (
+        SELECT SUM(d1) AS o1,
+               SUM(d_all * n1 * 1.0 / n) AS e1,
+               SUM(CASE WHEN n > 1 THEN
+                   d_all * (n1 * 1.0 / n) * (1.0 - n1 * 1.0 / n)
+                   * (n - d_all) / (n - 1.0) ELSE 0 END) AS v1,
+               COUNT(*) AS n_event_days
+        FROM risk
+    )
+    SELECT CAST((SELECT COUNT(*) FROM subj WHERE grp = 1) AS BIGINT)
+               AS n_early_cohort,
+           CAST((SELECT COUNT(*) FROM subj WHERE grp = 0) AS BIGINT)
+               AS n_late_cohort,
+           CAST(n_event_days AS BIGINT) AS n_event_days,
+           CAST(o1 AS BIGINT) AS observed_events_early,
+           ROUND(e1, 6) AS expected_events_early,
+           ROUND((o1 - e1) * (o1 - e1) / v1, 6) AS logrank_chi2
+    FROM lr
+    """,
+)
+def q_logrank_test_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test comparing time-to-first-purchase between early
+    and late cohorts (split at the MEASURED median first-seen time —
+    scale-free): daily life table with right censoring at the window
+    end, O−E under the hypergeometric null, χ² = (O₁−E₁)²/V₁ — the
+    inferential companion to the Kaplan-Meier curves already in the
+    corpus.  The risk-set join runs |event-days| × |users| with the
+    bounded day frame broadcast; everything else is exact counts."""
+    c = F.col
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.expr("ts_ns div 1000")).alias("first_us"),
+        F.min(
+            F.when(
+                c("event_type") == "purchase", F.expr("ts_ns div 1000")
+            )
+        ).alias("first_purch_us"),
+    )
+    win = u.crossJoin(
+        F.broadcast(ev.agg(F.max(F.expr("ts_ns div 1000")).alias("end_us")))
+    ).agg(
+        F.max("end_us").alias("end_us"),
+        F.percentile("first_us", 0.5).alias("med_first"),
+    )
+    subj = u.crossJoin(F.broadcast(win)).select(
+        (c("first_us") <= c("med_first")).cast("int").alias("grp"),
+        F.when(
+            c("first_purch_us").isNotNull(),
+            ((c("first_purch_us") - c("first_us")) / 86_400_000_000)
+            .cast("long"),
+        )
+        .otherwise(
+            ((c("end_us") - c("first_us")) / 86_400_000_000).cast("long")
+        )
+        .alias("t_day"),
+        c("first_purch_us").isNotNull().cast("int").alias("observed"),
+    )
+    days = subj.filter(c("observed") == 1).select("t_day").distinct()
+    risk = (
+        subj.crossJoin(F.broadcast(days.select(c("t_day").alias("d_day"))))
+        .groupBy("d_day")
+        .agg(
+            F.sum((c("t_day") >= c("d_day")).cast("int")).alias("n"),
+            F.sum(
+                ((c("t_day") >= c("d_day")) & (c("grp") == 1)).cast("int")
+            ).alias("n1"),
+            F.sum(
+                ((c("t_day") == c("d_day")) & (c("observed") == 1)).cast(
+                    "int"
+                )
+            ).alias("d_all"),
+            F.sum(
+                (
+                    (c("t_day") == c("d_day"))
+                    & (c("observed") == 1)
+                    & (c("grp") == 1)
+                ).cast("int")
+            ).alias("d1"),
+        )
+    )
+    lr = risk.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(c("d_all") * c("n1") * 1.0 / c("n")).alias("e1"),
+        F.sum(
+            F.when(
+                c("n") > 1,
+                c("d_all")
+                * (c("n1") * 1.0 / c("n"))
+                * (1.0 - c("n1") * 1.0 / c("n"))
+                * (c("n") - c("d_all"))
+                / (c("n") - 1.0),
+            ).otherwise(0.0)
+        ).alias("v1"),
+        F.count(F.lit(1)).alias("n_event_days"),
+    )
+    cohorts = subj.agg(
+        F.sum((c("grp") == 1).cast("int")).cast("long").alias(
+            "n_early_cohort"
+        ),
+        F.sum((c("grp") == 0).cast("int")).cast("long").alias(
+            "n_late_cohort"
+        ),
+    )
+    return (
+        cohorts.crossJoin(F.broadcast(lr))
+        .select(
+            "n_early_cohort",
+            "n_late_cohort",
+            c("n_event_days").cast("long").alias("n_event_days"),
+            c("o1").cast("long").alias("observed_events_early"),
+            F.round("e1", 6).alias("expected_events_early"),
+            F.round(
+                (c("o1") - c("e1")) * (c("o1") - c("e1")) / c("v1"), 6
+            ).alias("logrank_chi2"),
+        )
+    )

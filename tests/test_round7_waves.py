@@ -1632,3 +1632,55 @@ def test_anova_tukey_match_bruteforce(spark):
             q = (groups[ga].mean() - groups[gb].mean()) / se
             t = rows[(ga, gb)]
             assert abs(t["q_stat"] - q) < 1e-4
+
+
+def test_qte_matches_numpy(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .toPandas()
+    )
+    p = pdf[pdf.event_type == "purchase"].value.to_numpy()
+    v = pdf[pdf.event_type == "view"].value.to_numpy()
+    rows = QUERIES["quantile_treatment_effects"](spark, SF).collect()
+    assert len(rows) == 9
+    for r in rows:
+        q = r["decile"] / 10.0
+        assert abs(r["q_purchase"] - np.quantile(p, q)) < 1e-4
+        assert abs(r["qte"] - (np.quantile(p, q) - np.quantile(v, q))) < 1e-4
+
+
+def test_logrank_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.expr("ts_ns div 1000").alias("ts_us"),
+                "event_type")
+        .toPandas()
+    )
+    end_us = pdf.ts_us.max()
+    subj = []
+    for uid, g in pdf.groupby("user_id"):
+        first = g.ts_us.min()
+        purch = g[g.event_type == "purchase"].ts_us
+        if len(purch):
+            subj.append((first, (purch.min() - first) // 86_400_000_000, 1))
+        else:
+            subj.append((first, (end_us - first) // 86_400_000_000, 0))
+    med = np.quantile([s[0] for s in subj], 0.5)
+    subj = [(1 if f <= med else 0, t, o) for f, t, o in subj]
+    days = sorted({t for _, t, o in subj if o})
+    o1 = e1 = v1 = 0.0
+    for d in days:
+        n = sum(1 for _, t, _ in subj if t >= d)
+        n1 = sum(1 for g, t, _ in subj if t >= d and g == 1)
+        da = sum(1 for _, t, o in subj if t == d and o)
+        d1 = sum(1 for g, t, o in subj if t == d and o and g == 1)
+        o1 += d1
+        e1 += da * n1 / n
+        if n > 1:
+            v1 += da * (n1 / n) * (1 - n1 / n) * (n - da) / (n - 1)
+    r = QUERIES["logrank_test_cohorts"](spark, SF).collect()[0]
+    assert r["observed_events_early"] == int(o1)
+    assert abs(r["expected_events_early"] - e1) < 1e-4
+    assert abs(r["logrank_chi2"] - (o1 - e1) ** 2 / v1) < 1e-3
