@@ -24018,3 +24018,183 @@ def q_logrank_test_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logrank_chi2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 twenty-fourth wave: index numbers + positional attribution.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fisher_price_index_monthly",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', l_shipdate) AS mon, l_partkey AS pk,
+               SUM(l_quantity) AS q,
+               SUM(l_extendedprice) / SUM(l_quantity) AS p
+        FROM lineitem GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT cur.mon,
+               SUM(cur.p * base.q) AS p1q0,
+               SUM(base.p * base.q) AS p0q0,
+               SUM(cur.p * cur.q) AS p1q1,
+               SUM(base.p * cur.q) AS p0q1,
+               COUNT(*) AS n_common_parts
+        FROM m cur
+        JOIN m base ON base.pk = cur.pk
+                   AND base.mon = cur.mon - INTERVAL 1 MONTH
+        GROUP BY cur.mon
+    )
+    SELECT CAST(date_diff('month', DATE '1970-01-01', mon) AS BIGINT)
+               AS epoch_month,
+           CAST(n_common_parts AS BIGINT) AS n_common_parts,
+           ROUND(p1q0 / p0q0, 6) AS laspeyres,
+           ROUND(p1q1 / p0q1, 6) AS paasche,
+           ROUND(sqrt((p1q0 / p0q0) * (p1q1 / p0q1)), 6) AS fisher
+    FROM pairs ORDER BY epoch_month
+    """,
+)
+def q_fisher_price_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices month-over-month on
+    the lineitem basket: per (month, part) unit price = Σext/Σqty and
+    quantity, then each month joins its predecessor on partkey (only
+    parts traded in BOTH months enter — the matched-model convention)
+    and the four cross-weighted sums give all three indices.  One
+    grouped pass + one self-join on the (month, part) aggregate frame
+    — bounded by catalog size × months, never by fact rows.  Months
+    exported as epoch-month ints for the comparator."""
+    c = F.col
+    m = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").alias("mon"),
+            F.col("l_partkey").alias("pk"),
+        )
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        )
+    )
+    cur = m.select(
+        "mon", "pk", c("q").alias("q1"), c("p").alias("p1")
+    )
+    base = m.select(
+        F.add_months("mon", 1).alias("mon"),
+        "pk",
+        c("q").alias("q0"),
+        c("p").alias("p0"),
+    )
+    pairs = (
+        cur.join(base, ["mon", "pk"])
+        .groupBy("mon")
+        .agg(
+            F.sum(c("p1") * c("q0")).alias("p1q0"),
+            F.sum(c("p0") * c("q0")).alias("p0q0"),
+            F.sum(c("p1") * c("q1")).alias("p1q1"),
+            F.sum(c("p0") * c("q1")).alias("p0q1"),
+            F.count(F.lit(1)).alias("n_common_parts"),
+        )
+    )
+    return (
+        pairs.select(
+            (
+                (F.year("mon") - 1970) * 12 + F.month("mon") - 1
+            ).cast("long").alias("epoch_month"),
+            c("n_common_parts").cast("long").alias("n_common_parts"),
+            F.round(c("p1q0") / c("p0q0"), 6).alias("laspeyres"),
+            F.round(c("p1q1") / c("p0q1"), 6).alias("paasche"),
+            F.round(
+                F.sqrt((c("p1q0") / c("p0q0")) * (c("p1q1") / c("p0q1"))), 6
+            ).alias("fisher"),
+        )
+        .orderBy("epoch_month")
+    )
+
+
+@register(
+    "attribution_u_shaped",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
+    ),
+    conv AS (
+        SELECT user_id, MIN(ts_us) AS conv_us
+        FROM t WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    touches AS (
+        SELECT t.user_id, t.event_type AS channel, t.ts_us, t.event_id,
+               ROW_NUMBER() OVER (PARTITION BY t.user_id
+                                  ORDER BY t.ts_us, t.event_id) AS r,
+               COUNT(*) OVER (PARTITION BY t.user_id) AS n
+        FROM t JOIN conv ON conv.user_id = t.user_id
+        WHERE t.ts_us < conv.conv_us AND t.event_type <> 'purchase'
+    ),
+    credit AS (
+        SELECT channel,
+               CASE WHEN n = 1 THEN 1.0
+                    WHEN n = 2 THEN 0.5
+                    WHEN r = 1 OR r = n THEN 0.4
+                    ELSE 0.2 / (n - 2) END AS w
+        FROM touches
+    )
+    SELECT channel,
+           ROUND(SUM(w), 4) AS credit,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(w) / SUM(SUM(w)) OVER (), 6) AS credit_share
+    FROM credit GROUP BY channel ORDER BY channel
+    """,
+)
+def q_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: for each
+    converting user, pre-conversion touches get 40% first / 40% last /
+    20% split across the middle (collapsing correctly for 1- and
+    2-touch paths) — completing the attribution family next to
+    last-touch, time-decay, Shapley, and Markov removal.  One
+    conversion-time broadcastable aggregate + one per-user rank
+    window; credits are exact rational weights so both engines agree
+    bit-for-bit."""
+    c = F.col
+    t = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    conv = (
+        t.filter(c("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("conv_us"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    touches = (
+        t.join(conv, "user_id")
+        .filter((c("ts_us") < c("conv_us")) & (c("event_type") != "purchase"))
+        .select(c("event_type").alias("channel"), "user_id", "ts_us", "event_id")
+        .withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+    )
+    credit = touches.select(
+        "channel",
+        F.when(c("n") == 1, 1.0)
+        .when(c("n") == 2, 0.5)
+        .when((c("r") == 1) | (c("r") == c("n")), 0.4)
+        .otherwise(0.2 / (c("n") - 2))
+        .alias("w"),
+    )
+    wall = Window.partitionBy()
+    return (
+        credit.groupBy("channel")
+        .agg(
+            F.sum("w").alias("sw"),
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+        )
+        .select(
+            "channel",
+            F.round("sw", 4).alias("credit"),
+            "n_touches",
+            F.round(c("sw") / F.sum("sw").over(wall), 6).alias(
+                "credit_share"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -1684,3 +1684,80 @@ def test_logrank_matches_bruteforce(spark):
     assert r["observed_events_early"] == int(o1)
     assert abs(r["expected_events_early"] - e1) < 1e-4
     assert abs(r["logrank_chi2"] - (o1 - e1) ** 2 / v1) < 1e-3
+
+
+def test_fisher_index_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .select(
+            F.date_trunc("month", "l_shipdate").alias("mon"),
+            "l_partkey", "l_quantity", "l_extendedprice",
+        )
+        .toPandas()
+    )
+    g = (
+        pdf.groupby(["mon", "l_partkey"])
+        .agg(q=("l_quantity", "sum"), ext=("l_extendedprice", "sum"))
+        .reset_index()
+    )
+    g["p"] = g.ext / g.q
+    months = sorted(g.mon.unique())
+    rows = {
+        r["epoch_month"]: r
+        for r in QUERIES["fisher_price_index_monthly"](spark, SF).collect()
+    }
+    checked = 0
+    for prev, cur in zip(months, months[1:]):
+        if (cur.year - prev.year) * 12 + cur.month - prev.month != 1:
+            continue
+        a = g[g.mon == prev].set_index("l_partkey")
+        b = g[g.mon == cur].set_index("l_partkey")
+        common = a.index.intersection(b.index)
+        if not len(common):
+            continue
+        p0, q0 = a.loc[common].p, a.loc[common].q
+        p1, q1 = b.loc[common].p, b.loc[common].q
+        em = (cur.year - 1970) * 12 + cur.month - 1
+        r = rows[em]
+        assert r["n_common_parts"] == len(common)
+        las = (p1 * q0).sum() / (p0 * q0).sum()
+        paa = (p1 * q1).sum() / (p0 * q1).sum()
+        assert abs(r["laspeyres"] - las) < 1e-4
+        assert abs(r["paasche"] - paa) < 1e-4
+        assert abs(r["fisher"] - math.sqrt(las * paa)) < 1e-4
+        checked += 1
+    assert checked >= 5
+
+
+def test_u_shaped_attribution_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_id", "event_type",
+                F.expr("ts_ns div 1000").alias("ts_us"))
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+    )
+    credit = Counter()
+    touches = Counter()
+    for uid, g in pdf.groupby("user_id"):
+        purch = g[g.event_type == "purchase"]
+        if purch.empty:
+            continue
+        conv = purch.ts_us.min()
+        pre = g[(g.ts_us < conv) & (g.event_type != "purchase")]
+        n = len(pre)
+        for i, (_, e) in enumerate(pre.iterrows(), 1):
+            touches[e.event_type] += 1
+            if n == 1:
+                credit[e.event_type] += 1.0
+            elif n == 2:
+                credit[e.event_type] += 0.5
+            elif i in (1, n):
+                credit[e.event_type] += 0.4
+            else:
+                credit[e.event_type] += 0.2 / (n - 2)
+    rows = {r["channel"]: r for r in QUERIES["attribution_u_shaped"](spark, SF).collect()}
+    assert set(rows) == set(credit)
+    for ch in credit:
+        assert rows[ch]["n_touches"] == touches[ch]
+        assert abs(rows[ch]["credit"] - credit[ch]) < 1e-3
