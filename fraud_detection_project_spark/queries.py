@@ -24451,3 +24451,175 @@ def q_net_revenue_retention_monthly(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("epoch_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 twenty-sixth wave: empirical-Bayes shrinkage + shift-share
+# decomposition.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "empirical_bayes_shrinkage",
+    oracle="""
+    WITH per AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS k
+        FROM events GROUP BY user_id HAVING COUNT(*) >= 10
+    ),
+    mom AS (
+        SELECT AVG(k * 1.0 / n) AS m,
+               var_samp(k * 1.0 / n) AS v
+        FROM per
+    ),
+    ab AS (
+        SELECT m, v,
+               m * (m * (1 - m) / v - 1) AS alpha,
+               (1 - m) * (m * (1 - m) / v - 1) AS beta
+        FROM mom
+    )
+    SELECT user_id,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(k AS BIGINT) AS n_purchases,
+           ROUND(k * 1.0 / n, 6) AS raw_rate,
+           ROUND((k + alpha) / (n + alpha + beta), 6) AS shrunk_rate,
+           ROUND(ABS(k * 1.0 / n - (k + alpha) / (n + alpha + beta)), 6)
+               AS shrinkage,
+           ROUND(alpha, 6) AS alpha,
+           ROUND(beta, 6) AS beta
+    FROM per CROSS JOIN ab
+    ORDER BY shrinkage DESC, user_id LIMIT 20
+    """,
+)
+def q_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (beta-binomial) shrinkage of per-user purchase
+    rates: method-of-moments α/β from the cross-user rate distribution
+    (users with ≥10 events), posterior-mean rates (k+α)/(n+α+β), and
+    the 20 most-shrunk users — the James-Stein-style stabilizer every
+    per-entity rate dashboard needs before ranking small samples.  One
+    grouped pass + a broadcast 1-row prior."""
+    c = F.col
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (c("event_type") == "purchase").cast("int")
+            ).alias("k"),
+        )
+        .filter(c("n") >= 10)
+    )
+    mom = per.agg(
+        F.avg(c("k") * 1.0 / c("n")).alias("m"),
+        F.var_samp(c("k") * 1.0 / c("n")).alias("v"),
+    )
+    ab = mom.select(
+        (c("m") * (c("m") * (1 - c("m")) / c("v") - 1)).alias("alpha"),
+        ((1 - c("m")) * (c("m") * (1 - c("m")) / c("v") - 1)).alias("beta"),
+    )
+    shrunk = (c("k") + c("alpha")) / (c("n") + c("alpha") + c("beta"))
+    return (
+        per.crossJoin(F.broadcast(ab))
+        .select(
+            "user_id",
+            c("n").cast("long").alias("n_events"),
+            c("k").cast("long").alias("n_purchases"),
+            F.round(c("k") * 1.0 / c("n"), 6).alias("raw_rate"),
+            F.round(shrunk, 6).alias("shrunk_rate"),
+            F.round(F.abs(c("k") * 1.0 / c("n") - shrunk), 6).alias(
+                "shrinkage"
+            ),
+            F.round("alpha", 6).alias("alpha"),
+            F.round("beta", 6).alias("beta"),
+        )
+        .orderBy(F.desc("shrinkage"), "user_id")
+        .limit(20)
+    )
+
+
+@register(
+    "shift_share_decomposition",
+    oracle="""
+    WITH med AS (
+        SELECT quantile_cont(epoch_us(ts), 0.5) AS cut FROM events
+    ),
+    per AS (
+        SELECT event_type,
+               CASE WHEN epoch_us(ts) <= cut THEN 1 ELSE 2 END AS half,
+               COUNT(*) AS n,
+               SUM(COALESCE(value, 0)) AS rev
+        FROM events CROSS JOIN med
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT event_type,
+               MAX(CASE WHEN half = 1 THEN n ELSE 0 END) AS n1,
+               MAX(CASE WHEN half = 1 THEN rev ELSE 0 END) AS r1,
+               MAX(CASE WHEN half = 2 THEN n ELSE 0 END) AS n2,
+               MAX(CASE WHEN half = 2 THEN rev ELSE 0 END) AS r2
+        FROM per GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_first,
+           CAST(n2 AS BIGINT) AS n_second,
+           ROUND(r2 - r1, 4) AS total_change,
+           ROUND((n2 - n1) * (r1 / n1), 4) AS volume_effect,
+           ROUND(n1 * (r2 / n2 - r1 / n1), 4) AS rate_effect,
+           ROUND((n2 - n1) * (r2 / n2 - r1 / n1), 4) AS interaction,
+           ROUND(SUM(r2 - r1) OVER (), 4) AS total_change_all
+    FROM wide ORDER BY event_type
+    """,
+)
+def q_shift_share_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share decomposition of the value change between the first
+    and second half of the window (cut at the MEASURED median
+    timestamp): per event type, Δrev splits exactly into volume effect
+    (Δn·rate₁), rate effect (n₁·Δrate), and interaction — the
+    mix-vs-performance question behind every 'why did revenue move'
+    review, and the identity volume+rate+interaction ≡ Δ is checkable
+    per row.  One grouped pass, 5-row pivot, bounded total window."""
+    c = F.col
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.agg(
+        F.percentile(F.expr("ts_ns div 1000"), 0.5).alias("cut")
+    )
+    per = (
+        ev.crossJoin(F.broadcast(med))
+        .select(
+            "event_type",
+            F.when(F.expr("ts_ns div 1000") <= c("cut"), 1)
+            .otherwise(2)
+            .alias("half"),
+            F.coalesce("value", F.lit(0.0)).alias("v"),
+        )
+        .groupBy("event_type", "half")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("rev"))
+    )
+    wide = per.groupBy("event_type").agg(
+        F.max(F.when(c("half") == 1, c("n")).otherwise(0)).alias("n1"),
+        F.max(F.when(c("half") == 1, c("rev")).otherwise(0.0)).alias("r1"),
+        F.max(F.when(c("half") == 2, c("n")).otherwise(0)).alias("n2"),
+        F.max(F.when(c("half") == 2, c("rev")).otherwise(0.0)).alias("r2"),
+    )
+    wall = Window.partitionBy()
+    return wide.select(
+        "event_type",
+        c("n1").cast("long").alias("n_first"),
+        c("n2").cast("long").alias("n_second"),
+        F.round(c("r2") - c("r1"), 4).alias("total_change"),
+        F.round((c("n2") - c("n1")) * (c("r1") / c("n1")), 4).alias(
+            "volume_effect"
+        ),
+        F.round(
+            c("n1") * (c("r2") / c("n2") - c("r1") / c("n1")), 4
+        ).alias("rate_effect"),
+        F.round(
+            (c("n2") - c("n1")) * (c("r2") / c("n2") - c("r1") / c("n1")),
+            4,
+        ).alias("interaction"),
+        F.round(F.sum(c("r2") - c("r1")).over(wall), 4).alias(
+            "total_change_all"
+        ),
+    ).orderBy("event_type")

@@ -1842,3 +1842,42 @@ def test_nrr_matches_bruteforce(spark):
         assert abs(r["nrr"] - retained.o_totalprice.sum() / a.o_totalprice.sum()) < 1e-4
         checked += 1
     assert checked >= 5
+
+
+def test_eb_shrinkage_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("k"),
+        )
+        .filter(F.col("n") >= 10)
+        .toPandas()
+    )
+    r = pdf.k / pdf.n
+    m, v = r.mean(), r.var(ddof=1)
+    common = m * (1 - m) / v - 1
+    alpha, beta = m * common, (1 - m) * common
+    pdf["shrunk"] = (pdf.k + alpha) / (pdf.n + alpha + beta)
+    pdf["delta"] = (pdf.k / pdf.n - pdf.shrunk).abs().round(6)
+    top = pdf.sort_values(["delta", "user_id"], ascending=[False, True]).head(20)
+    rows = QUERIES["empirical_bayes_shrinkage"](spark, SF).collect()
+    assert [r_["user_id"] for r_ in rows] == top.user_id.tolist()
+    for r_, (_, e) in zip(rows, top.iterrows()):
+        assert abs(r_["shrunk_rate"] - e.shrunk) < 1e-4
+        assert abs(r_["alpha"] - alpha) < 1e-3
+
+
+def test_shift_share_identity_and_values(spark):
+    rows = QUERIES["shift_share_decomposition"](spark, SF).collect()
+    assert rows
+    total = None
+    for r in rows:
+        # exact decomposition identity per row (to rounding)
+        assert abs(
+            r["volume_effect"] + r["rate_effect"] + r["interaction"]
+            - r["total_change"]
+        ) < 0.02
+        total = r["total_change_all"]
+    assert abs(sum(r["total_change"] for r in rows) - total) < 0.05
