@@ -24623,3 +24623,181 @@ def q_shift_share_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_change_all"
         ),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Round-7 twenty-seventh wave: extreme-value tail fitting + survey
+# design.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gpd_tail_fit_pwm",
+    oracle="""
+    WITH thr AS (
+        SELECT quantile_cont(value, 0.95) AS u
+        FROM events WHERE value IS NOT NULL
+    ),
+    exc AS (
+        SELECT value - u AS x,
+               ROW_NUMBER() OVER (ORDER BY value - u, event_id) AS i,
+               COUNT(*) OVER () AS n
+        FROM events CROSS JOIN thr
+        WHERE value IS NOT NULL AND value > u
+    ),
+    pwm AS (
+        SELECT MAX(u) AS u, MAX(n) AS n,
+               AVG(x) AS a0,
+               SUM((n - i) * 1.0 / (n - 1.0) * x) / MAX(n) AS a1
+        FROM exc CROSS JOIN thr
+    ),
+    fit AS (
+        SELECT u, n, a0, a1,
+               -(a0 / (a0 - 2.0 * a1) - 2.0) AS xi,
+               2.0 * a0 * a1 / (a0 - 2.0 * a1) AS sigma
+        FROM pwm
+    )
+    SELECT ROUND(u, 6) AS threshold,
+           CAST(n AS BIGINT) AS n_exceedances,
+           ROUND(a0, 6) AS pwm_a0,
+           ROUND(a1, 6) AS pwm_a1,
+           ROUND(xi, 6) AS gpd_shape,
+           ROUND(sigma, 6) AS gpd_scale,
+           ROUND(u + sigma / xi * (POWER(0.05 / 0.001, xi) - 1.0), 4)
+               AS q999_estimate
+    FROM fit
+    """,
+)
+def q_gpd_tail_fit_pwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value tail fit: generalized Pareto over the exceedances
+    above the MEASURED p95 (peaks-over-threshold), shape/scale by
+    probability-weighted moments (Hosking-Wallis α-moments: with
+    a1 = E[X(1−F)], κ = a0/(a0−2a1) − 2, ξ = −κ, σ = 2·a0·a1/(a0−2a1)
+    — uniform exceedances recover ξ = −1 exactly), plus the implied p99.9 quantile — the EVT
+    machinery behind fraud-loss tail risk.  b1 needs the exceedance
+    ORDER STATISTICS, so the rank comes from dense_global_index
+    (operators/indexing.py) — the two-phase range-partitioned index,
+    not a single-task window; everything else is one aggregate.
+    Equal-value ties cannot perturb b1 (their weights swap under equal
+    x), so the (x, event_id) order is engine-stable."""
+    from .operators.indexing import dense_global_index
+
+    c = F.col
+    base = load_table(spark, sf_dir, "events").filter(
+        c("value").isNotNull()
+    )
+    thr = base.agg(F.percentile("value", 0.95).alias("u"))
+    exc = (
+        base.crossJoin(F.broadcast(thr))
+        .filter(c("value") > c("u"))
+        .select((c("value") - c("u")).alias("x"), "event_id", "u")
+    )
+    idx = dense_global_index(exc, ["x", "event_id"], "i0")
+    n_ = idx.agg(F.count(F.lit(1)).alias("n"))
+    pwm = (
+        idx.crossJoin(F.broadcast(n_))
+        .agg(
+            F.max("u").alias("u"),
+            F.max("n").alias("n"),
+            F.avg("x").alias("a0"),
+            # α₁ = E[X(1−F)]: ascending 0-based rank i0 → weight
+            # (n−1−i0)/(n−1), matching the oracle's (n−i)/(n−1) 1-based
+            (
+                F.sum(
+                    (c("n") - 1.0 - c("i0")).cast("double")
+                    / (c("n") - 1.0)
+                    * c("x")
+                )
+                / F.max("n")
+            ).alias("a1"),
+        )
+    )
+    xi = -(c("a0") / (c("a0") - 2.0 * c("a1")) - 2.0)
+    sigma = 2.0 * c("a0") * c("a1") / (c("a0") - 2.0 * c("a1"))
+    return pwm.select(
+        F.round("u", 6).alias("threshold"),
+        c("n").cast("long").alias("n_exceedances"),
+        F.round("a0", 6).alias("pwm_a0"),
+        F.round("a1", 6).alias("pwm_a1"),
+        F.round(xi, 6).alias("gpd_shape"),
+        F.round(sigma, 6).alias("gpd_scale"),
+        F.round(
+            c("u")
+            + sigma / xi * (F.pow(F.lit(0.05 / 0.001), xi) - 1.0),
+            4,
+        ).alias("q999_estimate"),
+    )
+
+
+@register(
+    "neyman_allocation_plan",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, COUNT(*) AS nh, stddev_samp(value) AS sh
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    ),
+    tot AS (
+        SELECT SUM(nh) AS nn, SUM(nh * sh) AS sum_ns FROM g
+    )
+    SELECT event_type,
+           CAST(nh AS BIGINT) AS stratum_size,
+           ROUND(sh, 6) AS stratum_sd,
+           ROUND(nh * 1000.0 / nn, 4) AS proportional_n,
+           ROUND(nh * sh * 1000.0 / sum_ns, 4) AS neyman_n,
+           ROUND(nh * sh * 1000.0 / sum_ns - nh * 1000.0 / nn, 4)
+               AS reallocation,
+           ROUND(POWER(sum_ns / nn, 2) / 1000.0, 6) AS neyman_variance,
+           ROUND(SUM(nh * sh * sh) OVER () / nn / 1000.0, 6)
+               AS proportional_variance
+    FROM g CROSS JOIN tot ORDER BY event_type
+    """,
+)
+def q_neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling plan for a 1000-row budget
+    over event types: allocation n_h ∝ N_h·S_h from measured stratum
+    sizes and standard deviations, side-by-side with proportional
+    allocation and both designs' estimator variances (Neyman's
+    (ΣW_h S_h)²/n vs proportional's ΣW_h S_h²/n) — the design step
+    upstream of the stratified samplers already in the corpus.  One
+    grouped pass; all windows over the 5-row stratum frame."""
+    c = F.col
+    g = (
+        load_table(spark, sf_dir, "events")
+        .filter(c("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("nh"),
+            F.stddev_samp("value").alias("sh"),
+        )
+    )
+    tot = g.agg(
+        F.sum("nh").alias("nn"), F.sum(c("nh") * c("sh")).alias("sum_ns")
+    )
+    wall = Window.partitionBy()
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            c("nh").cast("long").alias("stratum_size"),
+            F.round("sh", 6).alias("stratum_sd"),
+            F.round(c("nh") * 1000.0 / c("nn"), 4).alias("proportional_n"),
+            F.round(c("nh") * c("sh") * 1000.0 / c("sum_ns"), 4).alias(
+                "neyman_n"
+            ),
+            F.round(
+                c("nh") * c("sh") * 1000.0 / c("sum_ns")
+                - c("nh") * 1000.0 / c("nn"),
+                4,
+            ).alias("reallocation"),
+            F.round(F.pow(c("sum_ns") / c("nn"), 2) / 1000.0, 6).alias(
+                "neyman_variance"
+            ),
+            F.round(
+                F.sum(c("nh") * c("sh") * c("sh")).over(wall)
+                / c("nn")
+                / 1000.0,
+                6,
+            ).alias("proportional_variance"),
+        )
+        .orderBy("event_type")
+    )

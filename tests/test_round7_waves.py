@@ -1881,3 +1881,49 @@ def test_shift_share_identity_and_values(spark):
         ) < 0.02
         total = r["total_change_all"]
     assert abs(sum(r["total_change"] for r in rows) - total) < 0.05
+
+
+def test_gpd_pwm_matches_bruteforce_and_uniform_identity(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value", "event_id")
+        .toPandas()
+    )
+    v = pdf.value.to_numpy()
+    u = np.quantile(v, 0.95)
+    exc = np.sort(v[v > u] - u)
+    n = len(exc)
+    a0 = exc.mean()
+    a1 = ((n - np.arange(1, n + 1)) / (n - 1.0) * exc).sum() / n
+    k = a0 / (a0 - 2 * a1) - 2
+    xi, sigma = -k, 2 * a0 * a1 / (a0 - 2 * a1)
+    r = QUERIES["gpd_tail_fit_pwm"](spark, SF).collect()[0]
+    assert r["n_exceedances"] == n
+    assert abs(r["gpd_shape"] - xi) < 1e-4
+    assert abs(r["gpd_scale"] - sigma) < 1e-3
+    # identity check: exact uniform order stats recover xi = -1
+    m = 1001
+    ex = np.arange(1, m + 1, dtype=float)  # uniform grid
+    b = ex.mean()
+    a1u = ((m - np.arange(1, m + 1)) / (m - 1.0) * ex).sum() / m
+    assert abs(-(b / (b - 2 * a1u) - 2) - (-1.0)) < 0.01
+
+
+def test_neyman_allocation_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .toPandas()
+    )
+    g = pdf.groupby("event_type").value.agg(["count", "std"])
+    sum_ns = (g["count"] * g["std"]).sum()
+    rows = {r["event_type"]: r for r in QUERIES["neyman_allocation_plan"](spark, SF).collect()}
+    for t, row in g.iterrows():
+        r = rows[t]
+        assert r["stratum_size"] == row["count"]
+        assert abs(r["neyman_n"] - row["count"] * row["std"] * 1000 / sum_ns) < 1e-2
+    # allocations sum to the budget
+    assert abs(sum(r["neyman_n"] for r in rows.values()) - 1000) < 0.01
+    assert abs(sum(r["proportional_n"] for r in rows.values()) - 1000) < 0.01
