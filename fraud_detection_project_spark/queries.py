@@ -24801,3 +24801,143 @@ def q_neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 twenty-eighth wave: beyond-accuracy recommender metrics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recsys_beyond_accuracy",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem
+    ),
+    co AS (
+        SELECT a.pk AS src, b.pk AS rec, COUNT(*) AS w
+        FROM op a JOIN op b ON a.okey = b.okey AND a.pk <> b.pk
+        GROUP BY 1, 2
+    ),
+    pop AS (
+        SELECT pk, COUNT(*) AS n_orders FROM op GROUP BY pk
+    ),
+    catalog AS (SELECT COUNT(*) AS n_cat FROM part),
+    topk AS (
+        SELECT src, rec, w
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY src ORDER BY w DESC, rec) AS r FROM co)
+        WHERE r <= 3
+    ),
+    novelty AS (
+        SELECT topk.src, topk.rec,
+               -log2(pop.n_orders * 1.0
+                     / (SELECT COUNT(DISTINCT okey) FROM op)) AS nov
+        FROM topk JOIN pop ON pop.pk = topk.rec
+    ),
+    ild AS (
+        SELECT n.src,
+               AVG(CASE WHEN pa.p_brand = pb.p_brand
+                        THEN 1.0 ELSE 0 END) AS same_brand
+        FROM topk a JOIN topk b
+          ON a.src = b.src AND a.rec < b.rec
+        JOIN part pa ON pa.p_partkey = a.rec
+        JOIN part pb ON pb.p_partkey = b.rec
+        JOIN (SELECT DISTINCT src FROM topk) n ON n.src = a.src
+        GROUP BY n.src
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT src) FROM topk) AS BIGINT)
+               AS n_parts_with_recs,
+           CAST((SELECT COUNT(DISTINCT rec) FROM topk) AS BIGINT)
+               AS n_distinct_recommended,
+           ROUND((SELECT COUNT(DISTINCT rec) FROM topk) * 1.0
+                 / (SELECT n_cat FROM catalog), 6) AS catalog_coverage,
+           ROUND((SELECT AVG(nov) FROM novelty), 6) AS mean_novelty_bits,
+           ROUND((SELECT AVG(same_brand) FROM ild), 6)
+               AS mean_intra_list_same_brand
+    """,
+)
+def q_recsys_beyond_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-accuracy evaluation of the co-purchase top-3 recommender:
+    catalog coverage (share of parts that ever appear in a rec list),
+    mean novelty −log₂(popularity) of recommended items, and intra-list
+    redundancy (same-brand share among the ≤3 pairwise combinations per
+    list) — the coverage/diversity/novelty triple that accuracy-only
+    metrics like NDCG (already in the corpus) miss.  Candidate pairs
+    exist only within orders; rec lists are 3-row partitioned top-k;
+    ILD pairs are ≤3 per source."""
+    c = F.col
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = op.select("okey", c("pk").alias("src"))
+    b = op.select("okey", c("pk").alias("rec"))
+    co = (
+        a.join(b, "okey")
+        .filter(c("src") != c("rec"))
+        .groupBy("src", "rec")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wsrc = Window.partitionBy("src").orderBy(F.desc("w"), "rec")
+    topk = (
+        co.withColumn("r", F.row_number().over(wsrc))
+        .filter(c("r") <= 3)
+        .select("src", "rec", "w")
+    )
+    pop = op.groupBy("pk").agg(F.count(F.lit(1)).alias("n_orders"))
+    n_orders_tot = op.agg(
+        F.countDistinct("okey").alias("n_ord")
+    )
+    ncat = load_table(spark, sf_dir, "part").agg(
+        F.count(F.lit(1)).alias("n_cat")
+    )
+    nov = (
+        topk.join(pop, topk["rec"] == pop["pk"])
+        .crossJoin(F.broadcast(n_orders_tot))
+        .agg(
+            F.avg(
+                -F.log2(c("n_orders") * 1.0 / c("n_ord"))
+            ).alias("mean_nov")
+        )
+    )
+    brand = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand"
+    )
+    ta = topk.select("src", c("rec").alias("ra"))
+    tb = topk.select(c("src").alias("src_b"), c("rec").alias("rb"))
+    ild = (
+        ta.join(tb, (c("src") == c("src_b")) & (c("ra") < c("rb")))
+        .join(
+            F.broadcast(brand.select(c("p_partkey").alias("ra"), c("p_brand").alias("ba"))),
+            "ra",
+        )
+        .join(
+            F.broadcast(brand.select(c("p_partkey").alias("rb"), c("p_brand").alias("bb"))),
+            "rb",
+        )
+        .groupBy("src")
+        .agg(
+            F.avg((c("ba") == c("bb")).cast("double")).alias("same_brand")
+        )
+        .agg(F.avg("same_brand").alias("mean_ild"))
+    )
+    stats = topk.agg(
+        F.countDistinct("src").alias("n_src"),
+        F.countDistinct("rec").alias("n_rec"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(ncat))
+        .crossJoin(F.broadcast(nov))
+        .crossJoin(F.broadcast(ild))
+        .select(
+            c("n_src").cast("long").alias("n_parts_with_recs"),
+            c("n_rec").cast("long").alias("n_distinct_recommended"),
+            F.round(c("n_rec") * 1.0 / c("n_cat"), 6).alias(
+                "catalog_coverage"
+            ),
+            F.round("mean_nov", 6).alias("mean_novelty_bits"),
+            F.round("mean_ild", 6).alias("mean_intra_list_same_brand"),
+        )
+    )

@@ -1927,3 +1927,50 @@ def test_neyman_allocation_matches_bruteforce(spark):
     # allocations sum to the budget
     assert abs(sum(r["neyman_n"] for r in rows.values()) - 1000) < 0.01
     assert abs(sum(r["proportional_n"] for r in rows.values()) - 1000) < 0.01
+
+
+def test_recsys_beyond_accuracy_matches_bruteforce(spark):
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    part = load_table(spark, SF, "part").select("p_partkey", "p_brand").toPandas()
+    brand = dict(zip(part.p_partkey, part.p_brand))
+    by_order = {}
+    for o, p in zip(li.l_orderkey, li.l_partkey):
+        by_order.setdefault(o, set()).add(p)
+    co = Counter()
+    pop = Counter()
+    for parts in by_order.values():
+        for p in parts:
+            pop[p] += 1
+        for x in parts:
+            for y in parts:
+                if x != y:
+                    co[(x, y)] += 1
+    recs = {}
+    for (s, r), w in co.items():
+        recs.setdefault(s, []).append((-w, r))
+    topk = {s: [r for _, r in sorted(v)[:3]] for s, v in recs.items()}
+    n_ord = len(by_order)
+    all_recs = {r for v in topk.values() for r in v}
+    nov = [
+        -math.log2(pop[r] / n_ord) for v in topk.values() for r in v
+    ]
+    ild = []
+    for v in topk.values():
+        pairs = [
+            (a, b) for i, a in enumerate(v) for b in v[i + 1:]
+        ]
+        if pairs:
+            ild.append(
+                sum(brand[a] == brand[b] for a, b in pairs) / len(pairs)
+            )
+    r = QUERIES["recsys_beyond_accuracy"](spark, SF).collect()[0]
+    assert r["n_parts_with_recs"] == len(topk)
+    assert r["n_distinct_recommended"] == len(all_recs)
+    assert abs(r["catalog_coverage"] - len(all_recs) / len(part)) < 1e-5
+    assert abs(r["mean_novelty_bits"] - np.mean(nov)) < 1e-4
+    assert abs(r["mean_intra_list_same_brand"] - np.mean(ild)) < 1e-4
