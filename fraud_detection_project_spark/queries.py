@@ -24941,3 +24941,171 @@ def q_recsys_beyond_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mean_ild", 6).alias("mean_intra_list_same_brand"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 twenty-ninth wave: interval forecasting calibration + the
+# attributes control chart.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "forecast_pi_coverage",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day, SUM(o_totalprice) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i,
+               COUNT(*) OVER () AS n, day, y
+        FROM daily
+    ),
+    fc AS (
+        SELECT a.i, a.n, a.y, b.y AS yhat,
+               CAST(FLOOR(a.n * 0.8) AS BIGINT) AS cut
+        FROM idx a JOIN idx b ON b.i = a.i - 7
+    ),
+    resid AS (
+        SELECT quantile_cont(y - yhat, 0.1) AS lo,
+               quantile_cont(y - yhat, 0.9) AS hi
+        FROM fc WHERE i <= cut
+    ),
+    test AS (
+        SELECT fc.y, fc.yhat, resid.lo, resid.hi
+        FROM fc CROSS JOIN resid WHERE fc.i > fc.cut
+    )
+    SELECT CAST((SELECT COUNT(*) FROM fc WHERE i <= cut) AS BIGINT)
+               AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           ROUND(MAX(lo), 4) AS pi_lo_offset,
+           ROUND(MAX(hi), 4) AS pi_hi_offset,
+           ROUND(AVG(CASE WHEN y BETWEEN yhat + lo AND yhat + hi
+                          THEN 1.0 ELSE 0 END), 6) AS empirical_coverage,
+           ROUND(MAX(hi) - MAX(lo), 4) AS interval_width
+    FROM test
+    """,
+)
+def q_forecast_pi_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prediction-interval calibration for the seasonal-naive (lag-7)
+    daily-revenue forecast: 80% intervals from the TRAIN residual
+    quantiles (first 80% of days), then the empirical coverage on the
+    held-out tail — the 'are my intervals honest' check that point
+    backtests (seasonal_naive_backtest, holt, smape_mase) never ask.
+    All windows and the lag join live on the calendar-bounded daily
+    frame; nominal 80% vs empirical coverage is the deliverable."""
+    c = F.col
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    wd = Window.partitionBy().orderBy("day")
+    idx = daily.select(
+        F.row_number().over(wd).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        "y",
+    )
+    a = idx.select("i", "n", "y")
+    b = idx.select((c("i") + 7).alias("i"), c("y").alias("yhat"))
+    fc = a.join(b, "i").withColumn(
+        "cut", F.floor(c("n") * 0.8).cast("long")
+    )
+    resid = fc.filter(c("i") <= c("cut")).agg(
+        F.percentile(c("y") - c("yhat"), 0.1).alias("lo"),
+        F.percentile(c("y") - c("yhat"), 0.9).alias("hi"),
+    )
+    ntr = fc.filter(c("i") <= c("cut")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_train")
+    )
+    test = fc.filter(c("i") > c("cut")).crossJoin(F.broadcast(resid))
+    return (
+        test.agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(F.max("lo"), 4).alias("pi_lo_offset"),
+            F.round(F.max("hi"), 4).alias("pi_hi_offset"),
+            F.round(
+                F.avg(
+                    (
+                        (c("y") >= c("yhat") + c("lo"))
+                        & (c("y") <= c("yhat") + c("hi"))
+                    ).cast("double")
+                ),
+                6,
+            ).alias("empirical_coverage"),
+            F.round(F.max("hi") - F.max("lo"), 4).alias("interval_width"),
+        )
+        .crossJoin(F.broadcast(ntr))
+        .select(
+            "n_train", "n_test", "pi_lo_offset", "pi_hi_offset",
+            "empirical_coverage", "interval_width",
+        )
+    )
+
+
+@register(
+    "p_chart_daily_purchase",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               COUNT(*) AS n,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS x
+        FROM events GROUP BY 1
+    ),
+    pbar AS (SELECT SUM(x) * 1.0 / SUM(n) AS p FROM daily)
+    SELECT CAST(day - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+           CAST(n AS BIGINT) AS n_events,
+           CAST(x AS BIGINT) AS n_purchases,
+           ROUND(x * 1.0 / n, 6) AS p_hat,
+           ROUND(p, 6) AS p_bar,
+           ROUND(p - 3 * sqrt(p * (1 - p) / n), 6) AS lcl,
+           ROUND(p + 3 * sqrt(p * (1 - p) / n), 6) AS ucl,
+           x * 1.0 / n < p - 3 * sqrt(p * (1 - p) / n)
+             OR x * 1.0 / n > p + 3 * sqrt(p * (1 - p) / n)
+               AS out_of_control
+    FROM daily CROSS JOIN pbar ORDER BY epoch_day
+    """,
+)
+def q_p_chart_daily_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attributes control chart (p-chart) for the daily purchase
+    proportion: centre line p̄ pooled over the window, per-day 3σ
+    binomial limits p̄ ± 3√(p̄(1−p̄)/nᵢ) (variable width — each day has
+    its own sample size), and the out-of-control flag — the
+    proportions counterpart to the EWMA/CUSUM variables charts already
+    in the corpus.  One grouped pass + a broadcast scalar; all exact
+    counts, so both engines agree bit-for-bit."""
+    c = F.col
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (c("event_type") == "purchase").cast("int")
+            ).alias("x"),
+        )
+    )
+    pbar = daily.agg(
+        (F.sum("x") * 1.0 / F.sum("n")).alias("p")
+    )
+    lim = 3 * F.sqrt(c("p") * (1 - c("p")) / c("n"))
+    return (
+        daily.crossJoin(F.broadcast(pbar))
+        .select(
+            F.datediff("day", F.lit("1970-01-01")).cast("long").alias(
+                "epoch_day"
+            ),
+            c("n").cast("long").alias("n_events"),
+            c("x").cast("long").alias("n_purchases"),
+            F.round(c("x") * 1.0 / c("n"), 6).alias("p_hat"),
+            F.round("p", 6).alias("p_bar"),
+            F.round(c("p") - lim, 6).alias("lcl"),
+            F.round(c("p") + lim, 6).alias("ucl"),
+            (
+                (c("x") * 1.0 / c("n") < c("p") - lim)
+                | (c("x") * 1.0 / c("n") > c("p") + lim)
+            ).alias("out_of_control"),
+        )
+        .orderBy("epoch_day")
+    )

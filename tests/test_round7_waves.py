@@ -1974,3 +1974,53 @@ def test_recsys_beyond_accuracy_matches_bruteforce(spark):
     assert abs(r["catalog_coverage"] - len(all_recs) / len(part)) < 1e-5
     assert abs(r["mean_novelty_bits"] - np.mean(nov)) < 1e-4
     assert abs(r["mean_intra_list_same_brand"] - np.mean(ild)) < 1e-4
+
+
+def test_forecast_pi_matches_bruteforce(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .orderBy("day")
+        .toPandas()
+    )
+    y = daily.y.to_numpy()
+    n = len(y)
+    resid = y[7:] - y[:-7]  # fc at index i (8-based) pairs y[i] with y[i-7]
+    cut = int(n * 0.8)
+    # fc rows are i=8..n with residual y[i-1]-y[i-8] (1-based); train = i<=cut
+    train = [y[i - 1] - y[i - 8] for i in range(8, cut + 1)]
+    test = [(y[i - 1], y[i - 8]) for i in range(cut + 1, n + 1)]
+    lo, hi = np.quantile(train, 0.1), np.quantile(train, 0.9)
+    cov = np.mean([lo <= yy - yh <= hi for yy, yh in test])
+    r = QUERIES["forecast_pi_coverage"](spark, SF).collect()[0]
+    assert r["n_train"] == len(train) and r["n_test"] == len(test)
+    assert abs(r["pi_lo_offset"] - lo) < 1e-2
+    assert abs(r["pi_hi_offset"] - hi) < 1e-2
+    assert abs(r["empirical_coverage"] - cov) < 1e-6
+
+
+def test_p_chart_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select(F.to_date("ts").alias("day"), "event_type")
+        .toPandas()
+    )
+    g = pdf.groupby("day").agg(
+        n=("event_type", "size"),
+        x=("event_type", lambda s: (s == "purchase").sum()),
+    )
+    p = g.x.sum() / g.n.sum()
+    rows = {r["epoch_day"]: r for r in QUERIES["p_chart_daily_purchase"](spark, SF).collect()}
+    import datetime
+
+    for day, row in g.iterrows():
+        ed = (day - datetime.date(1970, 1, 1)).days
+        r = rows[ed]
+        lim = 3 * math.sqrt(p * (1 - p) / row.n)
+        assert r["n_events"] == row.n and r["n_purchases"] == row.x
+        assert abs(r["lcl"] - (p - lim)) < 1e-5
+        assert abs(r["ucl"] - (p + lim)) < 1e-5
+        assert r["out_of_control"] == (
+            row.x / row.n < p - lim or row.x / row.n > p + lim
+        )
