@@ -25109,3 +25109,160 @@ def q_p_chart_daily_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("epoch_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 thirtieth wave: partial correlation + autocorrelation on a
+# graph (Moran's I on the hour ring).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "partial_correlation_panel",
+    oracle="""
+    WITH f AS (
+        SELECT value AS x,
+               hour(ts) * 1.0 AS h,
+               (isodow(ts) - 1) * 1.0 AS d
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT corr(x, h) AS r_xh, corr(x, d) AS r_xd,
+               corr(h, d) AS r_hd, COUNT(*) AS n
+        FROM f
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(r_xh, 6) AS corr_value_hour,
+           ROUND(r_xd, 6) AS corr_value_weekday,
+           ROUND(r_hd, 6) AS corr_hour_weekday,
+           ROUND((r_xh - r_xd * r_hd)
+                 / sqrt((1 - r_xd * r_xd) * (1 - r_hd * r_hd)), 6)
+               AS partial_value_hour_given_weekday,
+           ROUND((r_xd - r_xh * r_hd)
+                 / sqrt((1 - r_xh * r_xh) * (1 - r_hd * r_hd)), 6)
+               AS partial_value_weekday_given_hour
+    FROM r
+    """,
+)
+def q_partial_correlation_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlations: value↔hour controlling for weekday and
+    value↔weekday controlling for hour, via the three pairwise Pearson
+    correlations and the first-order recursion r_xy.z = (r_xy −
+    r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) — separates a direct association
+    from one merely routed through the confounder.  One aggregate
+    pass; corr() is the same ddof convention in both engines."""
+    c = F.col
+    f = (
+        load_table(spark, sf_dir, "events")
+        .filter(c("value").isNotNull())
+        .select(
+            c("value").alias("x"),
+            F.hour("ts").cast("double").alias("h"),
+            F.weekday("ts").cast("double").alias("d"),
+        )
+    )
+    r = f.agg(
+        F.corr("x", "h").alias("r_xh"),
+        F.corr("x", "d").alias("r_xd"),
+        F.corr("h", "d").alias("r_hd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return r.select(
+        c("n").cast("long").alias("n"),
+        F.round("r_xh", 6).alias("corr_value_hour"),
+        F.round("r_xd", 6).alias("corr_value_weekday"),
+        F.round("r_hd", 6).alias("corr_hour_weekday"),
+        F.round(
+            (c("r_xh") - c("r_xd") * c("r_hd"))
+            / F.sqrt(
+                (1 - c("r_xd") * c("r_xd")) * (1 - c("r_hd") * c("r_hd"))
+            ),
+            6,
+        ).alias("partial_value_hour_given_weekday"),
+        F.round(
+            (c("r_xd") - c("r_xh") * c("r_hd"))
+            / F.sqrt(
+                (1 - c("r_xh") * c("r_xh")) * (1 - c("r_hd") * c("r_hd"))
+            ),
+            6,
+        ).alias("partial_value_weekday_given_hour"),
+    )
+
+
+@register(
+    "morans_i_hour_ring",
+    oracle="""
+    WITH h AS (
+        SELECT CAST(hour(ts) AS BIGINT) AS hr,
+               AVG(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0 END)
+                   AS rate
+        FROM events GROUP BY 1
+    ),
+    m AS (SELECT AVG(rate) AS mu, COUNT(*) AS n FROM h),
+    dev AS (
+        SELECT hr, rate - mu AS z FROM h CROSS JOIN m
+    ),
+    w AS (
+        SELECT a.hr, a.z AS za, b.z AS zb
+        FROM dev a JOIN dev b
+          ON b.hr = (a.hr + 1) % 24 OR b.hr = (a.hr + 23) % 24
+    ),
+    s AS (
+        SELECT SUM(za * zb) AS cross_sum, COUNT(*) AS n_links FROM w
+    ),
+    v AS (SELECT SUM(z * z) AS ss FROM dev)
+    SELECT CAST(m.n AS BIGINT) AS n_hours,
+           CAST(s.n_links AS BIGINT) AS n_links,
+           ROUND(m.mu, 6) AS mean_rate,
+           ROUND((m.n * 1.0 / s.n_links) * s.cross_sum / v.ss, 6)
+               AS morans_i,
+           ROUND(-1.0 / (m.n - 1), 6) AS expected_i_null
+    FROM m CROSS JOIN s CROSS JOIN v
+    """,
+)
+def q_morans_i_hour_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation of the purchase rate on the
+    24-hour RING graph (each hour adjacent to its two neighbors, mod
+    24): I = (n/ΣW)·Σwᵢⱼzᵢzⱼ/Σz² against the null expectation
+    −1/(n−1) — do adjacent hours co-move?  The 'spatial' machinery on
+    a temporal ring: one grouped pass to the 24-row frame, then a
+    24×2-link join; the same pattern drops onto any region adjacency
+    at scale."""
+    c = F.col
+    h = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.hour("ts").cast("long").alias("hr"))
+        .agg(
+            F.avg(
+                (c("event_type") == "purchase").cast("double")
+            ).alias("rate")
+        )
+    )
+    m = h.agg(F.avg("rate").alias("mu"), F.count(F.lit(1)).alias("n"))
+    dev = h.crossJoin(F.broadcast(m)).select(
+        "hr", (c("rate") - c("mu")).alias("z")
+    )
+    a = dev.select(c("hr").alias("ha"), c("z").alias("za"))
+    b = dev.select(c("hr").alias("hb"), c("z").alias("zb"))
+    w = a.join(
+        F.broadcast(b),
+        (c("hb") == (c("ha") + 1) % 24) | (c("hb") == (c("ha") + 23) % 24),
+    )
+    s = w.agg(
+        F.sum(c("za") * c("zb")).alias("cross_sum"),
+        F.count(F.lit(1)).alias("n_links"),
+    )
+    v = dev.agg(F.sum(c("z") * c("z")).alias("ss"))
+    return (
+        m.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(v))
+        .select(
+            c("n").cast("long").alias("n_hours"),
+            c("n_links").cast("long").alias("n_links"),
+            F.round("mu", 6).alias("mean_rate"),
+            F.round(
+                (c("n") * 1.0 / c("n_links")) * c("cross_sum") / c("ss"), 6
+            ).alias("morans_i"),
+            F.round(-1.0 / (c("n") - 1), 6).alias("expected_i_null"),
+        )
+    )

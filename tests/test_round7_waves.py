@@ -2024,3 +2024,51 @@ def test_p_chart_matches_bruteforce(spark):
         assert r["out_of_control"] == (
             row.x / row.n < p - lim or row.x / row.n > p + lim
         )
+
+
+def test_partial_correlation_matches_numpy(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value", F.hour("ts").alias("h"), F.weekday("ts").alias("d"))
+        .toPandas()
+    )
+    x, h, d = (
+        pdf.value.to_numpy(),
+        pdf.h.to_numpy(float),
+        pdf.d.to_numpy(float),
+    )
+    r_xh = np.corrcoef(x, h)[0, 1]
+    r_xd = np.corrcoef(x, d)[0, 1]
+    r_hd = np.corrcoef(h, d)[0, 1]
+    part = (r_xh - r_xd * r_hd) / math.sqrt(
+        (1 - r_xd**2) * (1 - r_hd**2)
+    )
+    r = QUERIES["partial_correlation_panel"](spark, SF).collect()[0]
+    assert abs(r["corr_value_hour"] - r_xh) < 1e-5
+    assert abs(r["partial_value_hour_given_weekday"] - part) < 1e-5
+
+
+def test_morans_i_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select(F.hour("ts").alias("hr"), "event_type")
+        .toPandas()
+    )
+    g = pdf.groupby("hr").event_type.apply(
+        lambda s: (s == "purchase").mean()
+    )
+    hrs = sorted(g.index)
+    n = len(hrs)
+    mu = g.mean()
+    z = {h: g[h] - mu for h in hrs}
+    cross = n_links = 0
+    for h in hrs:
+        for nb in ((h + 1) % 24, (h + 23) % 24):
+            if nb in z:
+                cross += z[h] * z[nb]
+                n_links += 1
+    ss = sum(v * v for v in z.values())
+    r = QUERIES["morans_i_hour_ring"](spark, SF).collect()[0]
+    assert r["n_hours"] == n and r["n_links"] == n_links
+    assert abs(r["morans_i"] - (n / n_links) * cross / ss) < 1e-5
