@@ -2072,3 +2072,82 @@ def test_morans_i_matches_bruteforce(spark):
     r = QUERIES["morans_i_hour_ring"](spark, SF).collect()[0]
     assert r["n_hours"] == n and r["n_links"] == n_links
     assert abs(r["morans_i"] - (n / n_links) * cross / ss) < 1e-5
+
+
+def test_c_index_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.expr("ts_ns div 1000").alias("ts_us"),
+                "event_type")
+        .toPandas()
+    )
+    end = pdf.ts_us.max()
+    subs = []
+    for uid, g in pdf.groupby("user_id"):
+        first = g.ts_us.min()
+        purch = g[g.event_type == "purchase"].ts_us
+        score = len(g)
+        if len(purch):
+            subs.append((uid, score, purch.min() - first, 1))
+        else:
+            subs.append((uid, score, end - first, 0))
+    subs.sort(key=lambda s: ((s[0] * 1000003 + 7) % 999983 * 40503 % 999983, s[0]))
+    subs = subs[:400]
+    conc = tied = usable = 0
+    for ua, sa, ta, oa in subs:
+        if not oa:
+            continue
+        for ub, sb, tb, _ in subs:
+            if ua != ub and ta < tb:
+                usable += 1
+                conc += sa > sb
+                tied += sa == sb
+    r = QUERIES["c_index_activity_ttp"](spark, SF).collect()[0]
+    assert r["n_sampled"] == len(subs)
+    assert r["n_usable_pairs"] == usable
+    assert r["n_concordant"] == conc and r["n_tied"] == tied
+    assert abs(r["c_index"] - (conc + 0.5 * tied) / usable) < 1e-6
+
+
+def test_bradley_terry_matches_bruteforce(spark):
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+        .toPandas()
+    )
+    part = load_table(spark, SF, "part").select("p_partkey", "p_brand").toPandas()
+    li = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    obr = (
+        li.groupby(["l_orderkey", "p_brand"]).l_extendedprice.sum().round(2)
+    )
+    wins = Counter()
+    for okey, g in obr.groupby(level=0):
+        brands = [(b, v) for (_, b), v in g.items()]
+        for i, (ba, va) in enumerate(brands):
+            for bb, vb in brands:
+                if ba != bb and va > vb:
+                    wins[(ba, bb)] += 1
+    nm = Counter()
+    for (a, b), w in wins.items():
+        nm[(a, b)] = w + wins.get((b, a), 0)
+    brands = sorted({a for a, _ in nm} | {b for _, b in nm})
+    W = Counter()
+    for (a, _), w in wins.items():
+        W[a] += w
+    p = {b: 1.0 for b in brands}
+    for _ in range(5):
+        nxt = {}
+        for a in brands:
+            denom = sum(
+                nm[(a, b)] / (p[a] + p[b])
+                for b in brands
+                if (a, b) in nm
+            )
+            nxt[a] = W[a] / denom
+        mean = sum(nxt.values()) / len(nxt)
+        p = {b: v / mean for b, v in nxt.items()}
+    rows = {r["brand"]: r for r in QUERIES["bradley_terry_brands"](spark, SF).collect()}
+    assert set(rows) == set(brands)
+    for b in brands:
+        assert rows[b]["n_wins"] == W[b]
+        assert abs(rows[b]["bt_strength"] - p[b]) < 1e-4
