@@ -7660,6 +7660,16 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   order_total_reconciliation, markov_removal_attribution,
 #   sequence_pattern_match, randomization_test_value,
 #   rich_club_coefficient, triplet_margin_audit
+#   (…and waves 20-31:) huber_irls_daily, raking_ipf_calibration,
+#   anova_oneway_value, tukey_hsd_pairs, bloom_filter_advisor,
+#   quantile_treatment_effects, logrank_test_cohorts,
+#   fisher_price_index_monthly, attribution_u_shaped,
+#   cumulative_incidence_competing, net_revenue_retention_monthly,
+#   empirical_bayes_shrinkage, shift_share_decomposition,
+#   gpd_tail_fit_pwm, neyman_allocation_plan, recsys_beyond_accuracy,
+#   forecast_pi_coverage, p_chart_daily_purchase,
+#   partial_correlation_panel, morans_i_hour_ring,
+#   c_index_activity_ttp, bradley_terry_brands
 
 
 def driver_ordered(registry: dict) -> dict:
