@@ -25560,3 +25560,118 @@ def q_bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 thirty-second wave: changepoint search by binary segmentation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "binseg_changepoint_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day, SUM(o_totalprice) AS y
+        FROM orders GROUP BY 1
+    ),
+    idx AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cs,
+               SUM(y * y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS css,
+               SUM(y) OVER () AS ts, SUM(y * y) OVER () AS tss,
+               day, y
+        FROM daily
+    ),
+    cand AS (
+        SELECT i, n, day,
+               tss - ts * ts / n AS sst,
+               (tss - ts * ts / n)
+               - (css - cs * cs / i)
+               - ((tss - css) - (ts - cs) * (ts - cs) / (n - i))
+                   AS gain,
+               cs / i AS mean_left,
+               (ts - cs) / (n - i) AS mean_right
+        FROM idx WHERE i >= 5 AND i <= n - 5
+    ),
+    best AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY ROUND(gain / sst, 6) DESC, day) AS r
+            FROM cand)
+        WHERE r = 1
+    )
+    SELECT CAST(best.n AS BIGINT) AS n_days,
+           CAST(CAST(best.day AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS split_epoch_day,
+           CAST(best.i AS BIGINT) AS split_index,
+           ROUND(best.gain / best.sst, 6) AS gain_fraction,
+           ROUND((best.mean_right - best.mean_left)
+                 / (best.mean_left), 6) AS relative_shift
+    FROM best
+    """,
+)
+def q_binseg_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint search on daily revenue: the
+    split k maximizing the SSE reduction SST − SSE_left − SSE_right,
+    where every candidate's cost comes from PREFIX sums (Σy, Σy²) so
+    the whole scan over candidates is two cumulative windows on the
+    calendar-bounded daily frame — no per-candidate pass, no n² join.
+    The argmax orders on the 4-dp-ROUNDED gain with a day tie-break
+    (cross-engine float-noise-proof); a ≥5-day margin guards the
+    degenerate edge splits.  Complements the fixed-date Chow test with
+    an actual SEARCH."""
+    c = F.col
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    wd = Window.partitionBy().orderBy("day")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    idx = daily.select(
+        "day",
+        F.row_number().over(wd).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("y").over(wcum).alias("cs"),
+        F.sum(c("y") * c("y")).over(wcum).alias("css"),
+        F.sum("y").over(wall).alias("ts"),
+        F.sum(c("y") * c("y")).over(wall).alias("tss"),
+    )
+    cand = idx.filter((c("i") >= 5) & (c("i") <= c("n") - 5)).select(
+        "i", "n", "day",
+        (c("tss") - c("ts") * c("ts") / c("n")).alias("sst"),
+        (
+            (c("tss") - c("ts") * c("ts") / c("n"))
+            - (c("css") - c("cs") * c("cs") / c("i"))
+            - (
+                (c("tss") - c("css"))
+                - (c("ts") - c("cs")) * (c("ts") - c("cs")) / (c("n") - c("i"))
+            )
+        ).alias("gain"),
+        (c("cs") / c("i")).alias("mean_left"),
+        ((c("ts") - c("cs")) / (c("n") - c("i"))).alias("mean_right"),
+    )
+    # gain is a difference of ~1e12-magnitude squared sums: outputs are
+    # RATIOS only (gain/SST, relative mean shift) — raw SSEs at fixed
+    # decimals straddle rounding boundaries under float-sum-order noise
+    # (the trillion-scale ROUND class).
+    wbest = Window.partitionBy().orderBy(
+        F.desc(F.round(c("gain") / c("sst"), 6)), "day"
+    )
+    best = cand.withColumn("r", F.row_number().over(wbest)).filter(
+        c("r") == 1
+    )
+    return best.select(
+        c("n").cast("long").alias("n_days"),
+        F.datediff("day", F.lit("1970-01-01")).cast("long").alias(
+            "split_epoch_day"
+        ),
+        c("i").cast("long").alias("split_index"),
+        F.round(c("gain") / c("sst"), 6).alias("gain_fraction"),
+        F.round(
+            (c("mean_right") - c("mean_left")) / c("mean_left"), 6
+        ).alias("relative_shift"),
+    )

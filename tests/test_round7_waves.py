@@ -2151,3 +2151,27 @@ def test_bradley_terry_matches_bruteforce(spark):
     for b in brands:
         assert rows[b]["n_wins"] == W[b]
         assert abs(rows[b]["bt_strength"] - p[b]) < 1e-4
+
+
+def test_binseg_matches_bruteforce(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .orderBy("day")
+        .toPandas()
+    )
+    y = daily.y.to_numpy(dtype=float)
+    n = len(y)
+    sst = ((y - y.mean()) ** 2).sum()
+    best = None
+    for k in range(5, n - 4):
+        l, r_ = y[:k], y[k:]
+        gain = sst - ((l - l.mean()) ** 2).sum() - ((r_ - r_.mean()) ** 2).sum()
+        key = (round(gain / sst, 6), -k)
+        if best is None or key > best[0]:
+            best = (key, k, gain)
+    r = QUERIES["binseg_changepoint_daily"](spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert r["split_index"] == best[1]
+    assert abs(r["gain_fraction"] - best[2] / sst) < 1e-5
