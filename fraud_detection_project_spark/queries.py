@@ -25675,3 +25675,105 @@ def q_binseg_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             (c("mean_right") - c("mean_left")) / c("mean_left"), 6
         ).alias("relative_shift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 thirty-third wave: cross-validated metric stability.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fold_auc_stability",
+    oracle="""
+    WITH base AS (
+        SELECT value,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               CAST((event_id * 1000003 + 7) % 999983 * 40503 % 999983 % 5
+                    AS BIGINT) AS fold
+        FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT fold, y,
+               RANK() OVER (PARTITION BY fold ORDER BY value) AS r,
+               COUNT(*) OVER (PARTITION BY fold, value) AS tie_n
+        FROM base
+    ),
+    -- mid-rank for ties: RANK + (tie_n - 1)/2
+    per AS (
+        SELECT fold,
+               SUM(CASE WHEN y = 1 THEN r + (tie_n - 1) / 2.0 END)
+                   AS rank_sum_pos,
+               SUM(y) AS n_pos,
+               COUNT(*) - SUM(y) AS n_neg
+        FROM ranked GROUP BY fold
+    ),
+    auc AS (
+        SELECT fold, n_pos, n_neg,
+               (rank_sum_pos - n_pos * (n_pos + 1) / 2.0)
+                 / (n_pos * n_neg) AS auc
+        FROM per
+    )
+    SELECT fold,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND(auc, 6) AS fold_auc,
+           ROUND(AVG(auc) OVER (), 6) AS mean_auc,
+           ROUND(stddev_samp(auc) OVER (), 6) AS sd_auc
+    FROM auc ORDER BY fold
+    """,
+)
+def q_fold_auc_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validated metric stability: the value→purchase ROC AUC
+    computed independently in 5 deterministic affine-hash folds (the
+    ml/split.py convention), via the tie-corrected Mann-Whitney
+    mid-rank identity AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻), with the
+    cross-fold mean and SD — the fold-variance report that says
+    whether a single-split AUC (model_eval_auc in the corpus) is
+    trustworthy.  Ranks are per-fold partitioned windows; the fold
+    frame is 5 rows."""
+    c = F.col
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(c("value").isNotNull())
+        .select(
+            "value",
+            (c("event_type") == "purchase").cast("int").alias("y"),
+            (
+                (c("event_id").cast("long") * 1000003 + 7)
+                % 999983 * 40503 % 999983 % 5
+            ).alias("fold"),
+        )
+    )
+    wr = Window.partitionBy("fold").orderBy("value")
+    wt = Window.partitionBy("fold", "value")
+    ranked = base.select(
+        "fold", "y",
+        F.rank().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wt).alias("tie_n"),
+    )
+    per = ranked.groupBy("fold").agg(
+        F.sum(
+            F.when(c("y") == 1, c("r") + (c("tie_n") - 1) / 2.0)
+        ).alias("rank_sum_pos"),
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+    )
+    auc = per.select(
+        "fold", "n_pos", "n_neg",
+        (
+            (c("rank_sum_pos") - c("n_pos") * (c("n_pos") + 1) / 2.0)
+            / (c("n_pos") * c("n_neg"))
+        ).alias("auc"),
+    )
+    wall = Window.partitionBy()
+    return (
+        auc.select(
+            c("fold").cast("long").alias("fold"),
+            c("n_pos").cast("long").alias("n_pos"),
+            c("n_neg").cast("long").alias("n_neg"),
+            F.round("auc", 6).alias("fold_auc"),
+            F.round(F.avg("auc").over(wall), 6).alias("mean_auc"),
+            F.round(F.stddev_samp("auc").over(wall), 6).alias("sd_auc"),
+        )
+        .orderBy("fold")
+    )

@@ -2175,3 +2175,40 @@ def test_binseg_matches_bruteforce(spark):
     assert r["n_days"] == n
     assert r["split_index"] == best[1]
     assert abs(r["gain_fraction"] - best[2] / sst) < 1e-5
+
+
+def test_fold_auc_matches_sklearn_free_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value", "event_type")
+        .toPandas()
+    )
+    pdf["fold"] = (pdf.event_id * 1000003 + 7) % 999983 * 40503 % 999983 % 5
+    pdf["y"] = (pdf.event_type == "purchase").astype(int)
+    rows = {r["fold"]: r for r in QUERIES["fold_auc_stability"](spark, SF).collect()}
+    aucs = []
+    for f, g in pdf.groupby("fold"):
+        v = g.value.to_numpy()
+        y = g.y.to_numpy()
+        # mid-rank AUC
+        order = np.argsort(v, kind="mergesort")
+        ranks = np.empty(len(v))
+        sv = v[order]
+        i = 0
+        while i < len(sv):
+            j = i
+            while j < len(sv) and sv[j] == sv[i]:
+                j += 1
+            ranks[order[i:j]] = (i + 1 + j) / 2.0
+            i = j
+        n_pos, n_neg = y.sum(), len(y) - y.sum()
+        auc = (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2) / (
+            n_pos * n_neg
+        )
+        aucs.append(auc)
+        r = rows[f]
+        assert r["n_pos"] == n_pos and r["n_neg"] == n_neg
+        assert abs(r["fold_auc"] - auc) < 1e-5
+    assert abs(rows[0]["mean_auc"] - np.mean(aucs)) < 1e-5
+    assert abs(rows[0]["sd_auc"] - np.std(aucs, ddof=1)) < 1e-5
