@@ -7670,6 +7670,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   forecast_pi_coverage, p_chart_daily_purchase,
 #   partial_correlation_panel, morans_i_hour_ring,
 #   c_index_activity_ttp, bradley_terry_brands
+#   binseg_changepoint_daily, fold_auc_stability
 
 
 def driver_ordered(registry: dict) -> dict:
