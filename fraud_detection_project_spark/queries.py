@@ -7670,7 +7670,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   forecast_pi_coverage, p_chart_daily_purchase,
 #   partial_correlation_panel, morans_i_hour_ring,
 #   c_index_activity_ttp, bradley_terry_brands
-#   binseg_changepoint_daily, fold_auc_stability
+#   binseg_changepoint_daily, fold_auc_stability, info_gain_feature_panel
 
 
 def driver_ordered(registry: dict) -> dict:
@@ -25778,3 +25778,112 @@ def q_fold_auc_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+@register(
+    "info_gain_feature_panel",
+    oracle="""
+    WITH base AS (
+        SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+               CAST(hour(ts) // 4 AS VARCHAR) AS f_hourband,
+               CAST(isodow(ts) - 1 AS VARCHAR) AS f_weekday,
+               CASE WHEN value IS NULL THEN 'null'
+                    WHEN value < 50 THEN 'lo'
+                    WHEN value < 200 THEN 'mid'
+                    ELSE 'hi' END AS f_valueband
+        FROM events
+    ),
+    stacked AS (
+        SELECT 'hourband' AS feature, f_hourband AS v, y FROM base
+        UNION ALL
+        SELECT 'weekday', f_weekday, y FROM base
+        UNION ALL
+        SELECT 'valueband', f_valueband, y FROM base
+    ),
+    cell AS (
+        SELECT feature, v, COUNT(*) AS n, SUM(y) AS k
+        FROM stacked GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT feature, SUM(n) AS nn, SUM(k) AS kk,
+               -- H(Y): binary entropy of the global label
+               -(SUM(k) * 1.0 / SUM(n)) * ln(SUM(k) * 1.0 / SUM(n))
+               - (1 - SUM(k) * 1.0 / SUM(n))
+                 * ln(1 - SUM(k) * 1.0 / SUM(n)) AS h_y,
+               -- H(F): ln N − Σ n ln n / N
+               ln(SUM(n)) - SUM(n * ln(n)) / SUM(n) AS h_f,
+               -- H(Y|F): Σ n·h(k/n) / N with 0·ln0 = 0
+               SUM(n * (CASE WHEN k > 0 AND k < n THEN
+                        -(k * 1.0 / n) * ln(k * 1.0 / n)
+                        - (1 - k * 1.0 / n) * ln(1 - k * 1.0 / n)
+                      ELSE 0 END)) / SUM(n) AS h_y_f
+        FROM cell GROUP BY feature
+    )
+    SELECT feature,
+           CAST((SELECT COUNT(*) FROM cell c WHERE c.feature = tot.feature)
+                AS BIGINT) AS n_levels,
+           ROUND(h_y, 6) AS h_label,
+           ROUND(h_y - h_y_f, 6) AS info_gain,
+           ROUND(h_f, 6) AS h_feature,
+           ROUND((h_y - h_y_f) / h_f, 6) AS gain_ratio
+    FROM tot ORDER BY feature
+    """,
+)
+def q_info_gain_feature_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-gain / gain-ratio feature panel for the purchase
+    label across three categorical encodings (hour band, weekday,
+    value band): IG = H(Y) − H(Y|F) and Quinlan's gain ratio IG/H(F)
+    (penalizing many-level features) — the C4.5 split criterion as a
+    feature-screening report, generalizing decision_stump_value's
+    single numeric sweep.  One stacked scan, all entropies from the
+    Σn·ln n identity on grouped counts."""
+    c = F.col
+    base = load_table(spark, sf_dir, "events").select(
+        (c("event_type") == "purchase").cast("int").alias("y"),
+        (F.hour("ts") / F.lit(4)).cast("long").cast("string").alias(
+            "f_hourband"
+        ),
+        F.weekday("ts").cast("long").cast("string").alias("f_weekday"),
+        F.when(c("value").isNull(), "null")
+        .when(c("value") < 50, "lo")
+        .when(c("value") < 200, "mid")
+        .otherwise("hi")
+        .alias("f_valueband"),
+    )
+    stacked = (
+        base.select(F.lit("hourband").alias("feature"),
+                    c("f_hourband").alias("v"), "y")
+        .unionAll(
+            base.select(F.lit("weekday"), c("f_weekday"), c("y"))
+        )
+        .unionAll(
+            base.select(F.lit("valueband"), c("f_valueband"), c("y"))
+        )
+    )
+    cell = stacked.groupBy("feature", "v").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("k")
+    )
+    py = F.sum("k") * 1.0 / F.sum("n")
+    hcond = F.when(
+        (c("k") > 0) & (c("k") < c("n")),
+        -(c("k") * 1.0 / c("n")) * F.log(c("k") * 1.0 / c("n"))
+        - (1 - c("k") * 1.0 / c("n"))
+        * F.log(1 - c("k") * 1.0 / c("n")),
+    ).otherwise(F.lit(0.0))
+    # H(Y|F) via Σ n·h(k/n) / N (no window-in-agg)
+    tot = cell.groupBy("feature").agg(
+        F.count(F.lit(1)).alias("n_levels"),
+        (-py * F.log(py) - (1 - py) * F.log(1 - py)).alias("h_y"),
+        (
+            F.log(F.sum("n")) - F.sum(c("n") * F.log("n")) / F.sum("n")
+        ).alias("h_f"),
+        (F.sum(c("n") * hcond) / F.sum("n")).alias("h_y_f"),
+    )
+    return tot.select(
+        "feature",
+        c("n_levels").cast("long").alias("n_levels"),
+        F.round("h_y", 6).alias("h_label"),
+        F.round(c("h_y") - c("h_y_f"), 6).alias("info_gain"),
+        F.round("h_f", 6).alias("h_feature"),
+        F.round((c("h_y") - c("h_y_f")) / c("h_f"), 6).alias("gain_ratio"),
+    ).orderBy("feature")

@@ -2212,3 +2212,40 @@ def test_fold_auc_matches_sklearn_free_bruteforce(spark):
         assert abs(r["fold_auc"] - auc) < 1e-5
     assert abs(rows[0]["mean_auc"] - np.mean(aucs)) < 1e-5
     assert abs(rows[0]["sd_auc"] - np.std(aucs, ddof=1)) < 1e-5
+
+
+def test_info_gain_panel_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("event_type", F.hour("ts").alias("hr"),
+                F.weekday("ts").alias("dw"), "value")
+        .toPandas()
+    )
+    y = (pdf.event_type == "purchase").astype(int)
+
+    def h(p):
+        return 0.0 if p <= 0 or p >= 1 else -p * math.log(p) - (1 - p) * math.log(1 - p)
+
+    feats = {
+        "hourband": (pdf.hr // 4).astype(str),
+        "weekday": pdf.dw.astype(str),
+        "valueband": pdf.value.map(
+            lambda v: "null" if v != v or v is None
+            else ("lo" if v < 50 else "mid" if v < 200 else "hi")
+        ),
+    }
+    rows = {r["feature"]: r for r in QUERIES["info_gain_feature_panel"](spark, SF).collect()}
+    hy = h(y.mean())
+    for name, f in feats.items():
+        n = len(f)
+        hyf = sum(
+            (len(g) / n) * h(y[g.index].mean())
+            for _, g in f.groupby(f)
+        )
+        hf = -sum(
+            (len(g) / n) * math.log(len(g) / n) for _, g in f.groupby(f)
+        )
+        r = rows[name]
+        assert abs(r["h_label"] - hy) < 1e-5
+        assert abs(r["info_gain"] - (hy - hyf)) < 1e-5
+        assert abs(r["gain_ratio"] - (hy - hyf) / hf) < 1e-5
