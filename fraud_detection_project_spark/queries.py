@@ -7670,7 +7670,8 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   forecast_pi_coverage, p_chart_daily_purchase,
 #   partial_correlation_panel, morans_i_hour_ring,
 #   c_index_activity_ttp, bradley_terry_brands
-#   binseg_changepoint_daily, fold_auc_stability, info_gain_feature_panel
+#   binseg_changepoint_daily, fold_auc_stability, info_gain_feature_panel,
+#   rmst_time_to_purchase
 
 
 def driver_ordered(registry: dict) -> dict:
@@ -25887,3 +25888,167 @@ def q_info_gain_feature_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h_f", 6).alias("h_feature"),
         F.round((c("h_y") - c("h_y_f")) / c("h_f"), 6).alias("gain_ratio"),
     ).orderBy("feature")
+
+
+@register(
+    "rmst_time_to_purchase",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS first_us,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS p_us
+        FROM events GROUP BY user_id
+    ),
+    win AS (SELECT MAX(epoch_us(ts)) AS end_us FROM events),
+    subj AS (
+        SELECT CASE WHEN p_us IS NOT NULL
+                    THEN CAST((p_us - first_us) // 86400000000 AS BIGINT)
+                    ELSE CAST((end_us - first_us) // 86400000000 AS BIGINT)
+               END AS t_day,
+               CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS obs
+        FROM u CROSS JOIN win
+    ),
+    tau AS (
+        SELECT CAST(MAX(t_day) // 2 AS BIGINT) AS tau FROM subj
+    ),
+    days AS (
+        SELECT DISTINCT t_day FROM subj CROSS JOIN tau
+        WHERE obs = 1 AND t_day <= tau
+    ),
+    lt AS (
+        SELECT d.t_day,
+               SUM(CASE WHEN s.t_day >= d.t_day THEN 1 ELSE 0 END) AS n,
+               SUM(CASE WHEN s.t_day = d.t_day AND s.obs = 1
+                        THEN 1 ELSE 0 END) AS d_ev
+        FROM days d CROSS JOIN subj s GROUP BY d.t_day
+    ),
+    surv AS (
+        SELECT t_day, n, d_ev,
+               exp(SUM(ln(1.0 - d_ev * 1.0 / n)) OVER (
+                   ORDER BY t_day ROWS UNBOUNDED PRECEDING)) AS s_after,
+               COALESCE(exp(SUM(ln(1.0 - d_ev * 1.0 / n)) OVER (
+                   ORDER BY t_day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), 1.0)
+                   AS s_before,
+               COALESCE(LAG(t_day) OVER (ORDER BY t_day), 0) AS prev_day
+        FROM lt WHERE d_ev * 1.0 / n < 1.0
+    ),
+    pieces AS (
+        SELECT SUM(s_before * (t_day - prev_day)) AS partial_area,
+               MAX(s_after) FILTER (WHERE t_day = (SELECT MAX(t_day)
+                                                   FROM surv)) AS s_last,
+               MAX(t_day) AS t_last
+        FROM surv
+    )
+    SELECT CAST(tau.tau AS BIGINT) AS tau_days,
+           CAST((SELECT COUNT(*) FROM subj) AS BIGINT) AS n_users,
+           CAST((SELECT SUM(obs) FROM subj) AS BIGINT) AS n_converted,
+           ROUND(pieces.partial_area
+                 + pieces.s_last * (tau.tau - pieces.t_last), 6)
+               AS rmst_days,
+           ROUND(pieces.s_last, 6) AS km_at_tau
+    FROM pieces CROSS JOIN tau
+    """,
+)
+def q_rmst_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time for time-to-first-purchase: the
+    area under the Kaplan-Meier step curve up to τ = half the maximum
+    observed follow-up (a MEASURED horizon — scale-free), i.e. the
+    expected purchase-free days within τ — the clinically-standard
+    single-number summary that, unlike the median, is defined even
+    when S(τ) > 0.5.  Daily life table with right censoring; the
+    product-limit, its 1-lagged twin, and the step integration all run
+    on the bounded event-day frame."""
+    c = F.col
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.expr("ts_ns div 1000")).alias("first_us"),
+        F.min(
+            F.when(c("event_type") == "purchase", F.expr("ts_ns div 1000"))
+        ).alias("p_us"),
+    )
+    win = ev.agg(F.max(F.expr("ts_ns div 1000")).alias("end_us"))
+    subj = u.crossJoin(F.broadcast(win)).select(
+        F.when(
+            c("p_us").isNotNull(),
+            ((c("p_us") - c("first_us")) / 86_400_000_000).cast("long"),
+        )
+        .otherwise(
+            ((c("end_us") - c("first_us")) / 86_400_000_000).cast("long")
+        )
+        .alias("t_day"),
+        c("p_us").isNotNull().cast("int").alias("obs"),
+    )
+    tau = subj.agg(
+        F.floor(F.max("t_day") / 2).cast("long").alias("tau")
+    )
+    days = (
+        subj.crossJoin(F.broadcast(tau))
+        .filter((c("obs") == 1) & (c("t_day") <= c("tau")))
+        .select(c("t_day").alias("d_day"))
+        .distinct()
+    )
+    lt = (
+        subj.crossJoin(F.broadcast(days))
+        .groupBy("d_day")
+        .agg(
+            F.sum((c("t_day") >= c("d_day")).cast("int")).alias("n"),
+            F.sum(
+                ((c("t_day") == c("d_day")) & (c("obs") == 1)).cast("int")
+            ).alias("d_ev"),
+        )
+        .filter(c("d_ev") * 1.0 / c("n") < 1.0)
+    )
+    wcur = Window.partitionBy().orderBy("d_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wprev = Window.partitionBy().orderBy("d_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wd = Window.partitionBy().orderBy("d_day")
+    surv = lt.select(
+        "d_day",
+        F.exp(
+            F.sum(F.log(1.0 - c("d_ev") * 1.0 / c("n"))).over(wcur)
+        ).alias("s_after"),
+        F.coalesce(
+            F.exp(
+                F.sum(F.log(1.0 - c("d_ev") * 1.0 / c("n"))).over(wprev)
+            ),
+            F.lit(1.0),
+        ).alias("s_before"),
+        F.coalesce(F.lag("d_day").over(wd), F.lit(0)).alias("prev_day"),
+    )
+    t_last = surv.agg(F.max("d_day").alias("t_last"))
+    pieces = (
+        surv.crossJoin(F.broadcast(t_last))
+        .agg(
+            F.sum(c("s_before") * (c("d_day") - c("prev_day"))).alias(
+                "partial_area"
+            ),
+            F.max(
+                F.when(c("d_day") == c("t_last"), c("s_after"))
+            ).alias("s_last"),
+            F.max("d_day").alias("t_last_day"),
+        )
+    )
+    tots = subj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("obs").cast("long").alias("n_converted"),
+    )
+    return (
+        pieces.crossJoin(F.broadcast(tau))
+        .crossJoin(F.broadcast(tots))
+        .select(
+            c("tau").cast("long").alias("tau_days"),
+            "n_users",
+            "n_converted",
+            F.round(
+                c("partial_area")
+                + c("s_last") * (c("tau") - c("t_last_day")),
+                6,
+            ).alias("rmst_days"),
+            F.round("s_last", 6).alias("km_at_tau"),
+        )
+    )

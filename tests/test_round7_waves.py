@@ -2249,3 +2249,40 @@ def test_info_gain_panel_matches_bruteforce(spark):
         assert abs(r["h_label"] - hy) < 1e-5
         assert abs(r["info_gain"] - (hy - hyf)) < 1e-5
         assert abs(r["gain_ratio"] - (hy - hyf) / hf) < 1e-5
+
+
+def test_rmst_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.expr("ts_ns div 1000").alias("ts_us"),
+                "event_type")
+        .toPandas()
+    )
+    end = pdf.ts_us.max()
+    subs = []
+    for _, g in pdf.groupby("user_id"):
+        first = g.ts_us.min()
+        p = g[g.event_type == "purchase"].ts_us
+        if len(p):
+            subs.append(((p.min() - first) // 86_400_000_000, 1))
+        else:
+            subs.append(((end - first) // 86_400_000_000, 0))
+    tau = max(t for t, _ in subs) // 2
+    days = sorted({t for t, o in subs if o and t <= tau})
+    s = 1.0
+    area = 0.0
+    prev = 0
+    for d in days:
+        n = sum(1 for t, _ in subs if t >= d)
+        de = sum(1 for t, o in subs if t == d and o)
+        if de / n >= 1.0:
+            continue
+        area += s * (d - prev)
+        s *= 1 - de / n
+        prev = d
+    area += s * (tau - prev)
+    r = QUERIES["rmst_time_to_purchase"](spark, SF).collect()[0]
+    assert r["tau_days"] == tau
+    assert r["n_users"] == len(subs)
+    assert abs(r["rmst_days"] - area) < 1e-4
+    assert abs(r["km_at_tau"] - s) < 1e-5
