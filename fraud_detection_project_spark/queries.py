@@ -7671,7 +7671,7 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   partial_correlation_panel, morans_i_hour_ring,
 #   c_index_activity_ttp, bradley_terry_brands
 #   binseg_changepoint_daily, fold_auc_stability, info_gain_feature_panel,
-#   rmst_time_to_purchase
+#   rmst_time_to_purchase, tost_equivalence_aa, kupiec_var_backtest
 
 
 def driver_ordered(registry: dict) -> dict:
@@ -26051,4 +26051,168 @@ def q_rmst_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rmst_days"),
             F.round("s_last", 6).alias("km_at_tau"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 thirty-sixth wave: equivalence testing (TOST) + VaR backtest
+# (Kupiec POF).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tost_equivalence_aa",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN (user_id * 1000003 + 7) % 999983 * 40503
+                         % 999983 % 2 = 0 THEN 'A' ELSE 'B' END AS grp,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events
+    ),
+    g AS (
+        SELECT
+            SUM(CASE WHEN grp = 'A' THEN y ELSE 0 END) AS xa,
+            SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS na,
+            SUM(CASE WHEN grp = 'B' THEN y ELSE 0 END) AS xb,
+            SUM(CASE WHEN grp = 'B' THEN 1 ELSE 0 END) AS nb
+        FROM s
+    ),
+    t AS (
+        SELECT xa, na, xb, nb,
+               xa * 1.0 / na - xb * 1.0 / nb AS diff,
+               sqrt((xa * 1.0 / na) * (1 - xa * 1.0 / na) / na
+                    + (xb * 1.0 / nb) * (1 - xb * 1.0 / nb) / nb) AS se
+        FROM g
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND(xa * 1.0 / na, 6) AS rate_a,
+           ROUND(xb * 1.0 / nb, 6) AS rate_b,
+           ROUND(diff, 6) AS rate_diff,
+           ROUND((diff + 0.01) / se, 6) AS z_lower,
+           ROUND((diff - 0.01) / se, 6) AS z_upper,
+           (diff + 0.01) / se > 1.6449 AND (diff - 0.01) / se < -1.6449
+               AS equivalent_at_1pct
+    FROM t
+    """,
+)
+def q_tost_equivalence_aa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-one-sided-tests (TOST) equivalence check on a deterministic
+    A/A split of the purchase rate: with margin δ = ±1 pp, equivalence
+    is declared when z_lower > 1.645 AND z_upper < −1.645 — the test
+    every experimentation platform runs to validate its bucketing
+    BEFORE trusting A/B results (a significance test can only fail to
+    reject; TOST positively demonstrates sameness).  The split is the
+    affine-hash convention, so both engines bucket identically and the
+    A/A should pass."""
+    c = F.col
+    s = load_table(spark, sf_dir, "events").select(
+        (
+            (c("user_id").cast("long") * 1000003 + 7)
+            % 999983 * 40503 % 999983 % 2
+            == 0
+        ).alias("is_a"),
+        (c("event_type") == "purchase").cast("int").alias("y"),
+    )
+    g = s.agg(
+        F.sum(F.when(c("is_a"), c("y")).otherwise(0)).alias("xa"),
+        F.sum(c("is_a").cast("int")).alias("na"),
+        F.sum(F.when(~c("is_a"), c("y")).otherwise(0)).alias("xb"),
+        F.sum((~c("is_a")).cast("int")).alias("nb"),
+    )
+    ra = c("xa") * 1.0 / c("na")
+    rb = c("xb") * 1.0 / c("nb")
+    diff = ra - rb
+    se = F.sqrt(ra * (1 - ra) / c("na") + rb * (1 - rb) / c("nb"))
+    return g.select(
+        c("na").cast("long").alias("n_a"),
+        c("nb").cast("long").alias("n_b"),
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round(diff, 6).alias("rate_diff"),
+        F.round((diff + 0.01) / se, 6).alias("z_lower"),
+        F.round((diff - 0.01) / se, 6).alias("z_upper"),
+        (
+            ((diff + 0.01) / se > 1.6449)
+            & ((diff - 0.01) / se < -1.6449)
+        ).alias("equivalent_at_1pct"),
+    )
+
+
+@register(
+    "kupiec_var_backtest",
+    oracle="""
+    WITH base AS (
+        SELECT value, epoch_us(ts) AS ts_us
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS (SELECT quantile_cont(ts_us, 0.5) AS cut FROM base),
+    var_ AS (
+        SELECT quantile_cont(value, 0.95) AS var95
+        FROM base CROSS JOIN med WHERE ts_us <= cut
+    ),
+    test AS (
+        SELECT value > var95 AS viol
+        FROM base CROSS JOIN med CROSS JOIN var_
+        WHERE ts_us > cut
+    ),
+    cnt AS (
+        SELECT COUNT(*) AS n, SUM(CASE WHEN viol THEN 1 ELSE 0 END) AS x
+        FROM test
+    )
+    SELECT CAST(n AS BIGINT) AS n_test,
+           CAST(x AS BIGINT) AS n_violations,
+           ROUND(x * 1.0 / n, 6) AS violation_rate,
+           0.05 AS expected_rate,
+           ROUND(-2.0 * ((n - x) * ln(0.95) + x * ln(0.05)
+                 - (n - x) * ln(1.0 - x * 1.0 / n) - x * ln(x * 1.0 / n)),
+                 6) AS kupiec_lr,
+           -2.0 * ((n - x) * ln(0.95) + x * ln(0.05)
+                 - (n - x) * ln(1.0 - x * 1.0 / n) - x * ln(x * 1.0 / n))
+               <= 3.8415 AS pass_95
+    FROM cnt
+    """,
+)
+def q_kupiec_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kupiec proportion-of-failures backtest of a historical-
+    simulation VaR: the 95% value threshold is fitted on the first
+    time-half (measured median cut) and violations are counted on the
+    second; LR_pof = −2·ln[binomial(0.05)/binomial(x/n)] against the
+    χ²₁ 95% critical value 3.84 — the regulatory test for 'is the risk
+    model's violation rate consistent with its confidence level',
+    complementing the GPD tail fit.  Two exact percentiles + one
+    counting pass."""
+    c = F.col
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(c("value").isNotNull())
+        .select("value", F.expr("ts_ns div 1000").alias("ts_us"))
+    )
+    med = base.agg(F.percentile("ts_us", 0.5).alias("cut"))
+    var_ = (
+        base.crossJoin(F.broadcast(med))
+        .filter(c("ts_us") <= c("cut"))
+        .agg(F.percentile("value", 0.95).alias("var95"))
+    )
+    cnt = (
+        base.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(var_))
+        .filter(c("ts_us") > c("cut"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((c("value") > c("var95")).cast("int")).alias("x"),
+        )
+    )
+    lr = -2.0 * (
+        (c("n") - c("x")) * F.log(F.lit(0.95))
+        + c("x") * F.log(F.lit(0.05))
+        - (c("n") - c("x")) * F.log(1.0 - c("x") * 1.0 / c("n"))
+        - c("x") * F.log(c("x") * 1.0 / c("n"))
+    )
+    return cnt.select(
+        c("n").cast("long").alias("n_test"),
+        c("x").cast("long").alias("n_violations"),
+        F.round(c("x") * 1.0 / c("n"), 6).alias("violation_rate"),
+        F.lit(0.05).alias("expected_rate"),
+        F.round(lr, 6).alias("kupiec_lr"),
+        (lr <= 3.8415).alias("pass_95"),
     )

@@ -2286,3 +2286,50 @@ def test_rmst_matches_bruteforce(spark):
     assert r["n_users"] == len(subs)
     assert abs(r["rmst_days"] - area) < 1e-4
     assert abs(r["km_at_tau"] - s) < 1e-5
+
+
+def test_tost_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type")
+        .toPandas()
+    )
+    grp_a = (pdf.user_id * 1000003 + 7) % 999983 * 40503 % 999983 % 2 == 0
+    y = (pdf.event_type == "purchase").astype(int)
+    xa, na = y[grp_a].sum(), grp_a.sum()
+    xb, nb = y[~grp_a].sum(), (~grp_a).sum()
+    ra, rb = xa / na, xb / nb
+    se = math.sqrt(ra * (1 - ra) / na + rb * (1 - rb) / nb)
+    r = QUERIES["tost_equivalence_aa"](spark, SF).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert abs(r["z_lower"] - (ra - rb + 0.01) / se) < 1e-4
+    assert abs(r["z_upper"] - (ra - rb - 0.01) / se) < 1e-4
+    assert r["equivalent_at_1pct"] == (
+        (ra - rb + 0.01) / se > 1.6449 and (ra - rb - 0.01) / se < -1.6449
+    )
+
+
+def test_kupiec_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value", F.expr("ts_ns div 1000").alias("ts_us"))
+        .toPandas()
+    )
+    cut = np.quantile(pdf.ts_us, 0.5)
+    train = pdf[pdf.ts_us <= cut]
+    test = pdf[pdf.ts_us > cut]
+    var95 = np.quantile(train.value, 0.95)
+    x = int((test.value > var95).sum())
+    n = len(test)
+    p_hat = x / n
+    lr = -2 * (
+        (n - x) * math.log(0.95)
+        + x * math.log(0.05)
+        - (n - x) * math.log(1 - p_hat)
+        - x * math.log(p_hat)
+    )
+    r = QUERIES["kupiec_var_backtest"](spark, SF).collect()[0]
+    assert (r["n_test"], r["n_violations"]) == (n, x)
+    assert abs(r["kupiec_lr"] - lr) < 1e-4
+    assert r["pass_95"] == (lr <= 3.8415)
