@@ -7671,7 +7671,8 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   partial_correlation_panel, morans_i_hour_ring,
 #   c_index_activity_ttp, bradley_terry_brands
 #   binseg_changepoint_daily, fold_auc_stability, info_gain_feature_panel,
-#   rmst_time_to_purchase, tost_equivalence_aa, kupiec_var_backtest
+#   rmst_time_to_purchase, tost_equivalence_aa, kupiec_var_backtest,
+#   capture_recapture_users, chao1_vocab_richness
 
 
 def driver_ordered(registry: dict) -> dict:
@@ -26215,4 +26216,155 @@ def q_kupiec_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.05).alias("expected_rate"),
         F.round(lr, 6).alias("kupiec_lr"),
         (lr <= 3.8415).alias("pass_95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 thirty-seventh wave: unseen-mass estimation — capture-
+# recapture population size and Chao1 / Good-Turing vocabulary
+# richness.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "capture_recapture_users",
+    oracle="""
+    WITH med AS (
+        SELECT quantile_cont(epoch_us(ts), 0.5) AS cut FROM events
+    ),
+    c1 AS (
+        SELECT DISTINCT user_id FROM events CROSS JOIN med
+        WHERE epoch_us(ts) <= cut
+    ),
+    c2 AS (
+        SELECT DISTINCT user_id FROM events CROSS JOIN med
+        WHERE epoch_us(ts) > cut
+    ),
+    s AS (
+        SELECT (SELECT COUNT(*) FROM c1) AS n1,
+               (SELECT COUNT(*) FROM c2) AS n2,
+               (SELECT COUNT(*) FROM c1 WHERE user_id IN
+                   (SELECT user_id FROM c2)) AS m,
+               (SELECT COUNT(DISTINCT user_id) FROM events) AS n_true
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_capture1,
+           CAST(n2 AS BIGINT) AS n_capture2,
+           CAST(m AS BIGINT) AS n_recaptured,
+           CAST(n_true AS BIGINT) AS n_observed_total,
+           ROUND(n1 * 1.0 * n2 / m, 4) AS lincoln_petersen,
+           ROUND((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0, 4)
+               AS chapman_estimate,
+           ROUND(((n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0) / n_true, 6)
+               AS chapman_over_observed
+    FROM s
+    """,
+)
+def q_capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Lincoln-Petersen + Chapman bias-corrected)
+    estimate of the user population from two 'capture occasions' —
+    the first and second time-half (measured median cut): N̂ =
+    n₁n₂/m from the recapture overlap, compared to the directly
+    observed distinct count — the mark-recapture machinery fraud teams
+    use to size UNSEEN populations (how many actors evade both
+    windows).  Two distinct-sets + one semi-join overlap count."""
+    c = F.col
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    med = ev.agg(F.percentile("ts_us", 0.5).alias("cut"))
+    tagged = ev.crossJoin(F.broadcast(med))
+    c1 = tagged.filter(c("ts_us") <= c("cut")).select("user_id").distinct()
+    c2 = tagged.filter(c("ts_us") > c("cut")).select("user_id").distinct()
+    n1 = c1.agg(F.count(F.lit(1)).alias("n1"))
+    n2 = c2.agg(F.count(F.lit(1)).alias("n2"))
+    m = c1.join(c2, "user_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    nt = ev.agg(F.countDistinct("user_id").alias("n_true"))
+    chap = (c("n1") + 1.0) * (c("n2") + 1.0) / (c("m") + 1.0) - 1.0
+    return (
+        n1.crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            c("n1").cast("long").alias("n_capture1"),
+            c("n2").cast("long").alias("n_capture2"),
+            c("m").cast("long").alias("n_recaptured"),
+            c("n_true").cast("long").alias("n_observed_total"),
+            F.round(c("n1") * 1.0 * c("n2") / c("m"), 4).alias(
+                "lincoln_petersen"
+            ),
+            F.round(chap, 4).alias("chapman_estimate"),
+            F.round(chap / c("n_true"), 6).alias("chapman_over_observed"),
+        )
+    )
+
+
+@register(
+    "chao1_vocab_richness",
+    oracle=r"""
+    WITH toks AS (
+        SELECT UNNEST(string_split_regex(trim(lower(regexp_replace(
+                   text, '[^a-zA-Z0-9]+', ' ', 'g'))), '\s+')) AS w
+        FROM documents
+    ),
+    freq AS (
+        SELECT w, COUNT(*) AS n FROM toks WHERE w <> '' GROUP BY w
+    ),
+    fof AS (
+        SELECT SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS f1,
+               SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS f2,
+               COUNT(*) AS v,
+               SUM(n) AS total_tokens
+        FROM freq
+    )
+    SELECT CAST(total_tokens AS BIGINT) AS n_tokens,
+           CAST(v AS BIGINT) AS vocab_observed,
+           CAST(f1 AS BIGINT) AS n_hapax,
+           CAST(f2 AS BIGINT) AS n_dis,
+           ROUND(v + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)), 4)
+               AS chao1_estimate,
+           ROUND((v + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0))) / v, 6)
+               AS chao1_over_observed,
+           ROUND(f1 * 1.0 / total_tokens, 6) AS good_turing_unseen_mass
+    FROM fof
+    """,
+)
+def q_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 (bias-corrected) nonparametric richness estimate of the
+    UNSEEN vocabulary: V̂ = V + F₁(F₁−1)/(2(F₂+1)) from the hapax/
+    dis-legomena counts (defined even when F₂ = 0), plus the
+    Good-Turing unseen probability mass F₁/N — 'how much vocabulary
+    does this corpus still hide', the coverage question Heaps-law
+    extrapolation (heaps_law_vocab_growth) answers parametrically and
+    this answers distribution-free.  Tokenize-once, two grouped
+    passes, no text shuffle beyond the word frequency aggregate."""
+    from .functions.text import tokens
+
+    c = F.col
+    freq = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.lower(c("text")))).alias("w"))
+        .filter(c("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fof = freq.agg(
+        F.sum((c("n") == 1).cast("int")).alias("f1"),
+        F.sum((c("n") == 2).cast("int")).alias("f2"),
+        F.count(F.lit(1)).alias("v"),
+        F.sum("n").alias("total_tokens"),
+    )
+    # bias-corrected Chao1: defined even when F2 = 0
+    chao = c("v") + c("f1") * (c("f1") - 1.0) / (2.0 * (c("f2") + 1.0))
+    return fof.select(
+        c("total_tokens").cast("long").alias("n_tokens"),
+        c("v").cast("long").alias("vocab_observed"),
+        c("f1").cast("long").alias("n_hapax"),
+        c("f2").cast("long").alias("n_dis"),
+        F.round(chao, 4).alias("chao1_estimate"),
+        F.round(chao / c("v"), 6).alias("chao1_over_observed"),
+        F.round(c("f1") * 1.0 / c("total_tokens"), 6).alias(
+            "good_turing_unseen_mass"
+        ),
     )

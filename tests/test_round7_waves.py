@@ -2333,3 +2333,45 @@ def test_kupiec_matches_bruteforce(spark):
     assert (r["n_test"], r["n_violations"]) == (n, x)
     assert abs(r["kupiec_lr"] - lr) < 1e-4
     assert r["pass_95"] == (lr <= 3.8415)
+
+
+def test_capture_recapture_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.expr("ts_ns div 1000").alias("ts_us"))
+        .toPandas()
+    )
+    cut = np.quantile(pdf.ts_us, 0.5)
+    c1 = set(pdf[pdf.ts_us <= cut].user_id)
+    c2 = set(pdf[pdf.ts_us > cut].user_id)
+    m = len(c1 & c2)
+    r = QUERIES["capture_recapture_users"](spark, SF).collect()[0]
+    assert (r["n_capture1"], r["n_capture2"], r["n_recaptured"]) == (
+        len(c1), len(c2), m,
+    )
+    assert abs(r["lincoln_petersen"] - len(c1) * len(c2) / m) < 1e-2
+    chap = (len(c1) + 1) * (len(c2) + 1) / (m + 1) - 1
+    assert abs(r["chapman_estimate"] - chap) < 1e-2
+
+
+def test_chao1_matches_bruteforce(spark):
+    import re
+
+    pdf = load_table(spark, SF, "documents").toPandas()
+    freq = Counter()
+    for t in pdf.text:
+        freq.update(
+            w for w in re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split()
+            if w
+        )
+    f1 = sum(1 for v in freq.values() if v == 1)
+    f2 = sum(1 for v in freq.values() if v == 2)
+    v = len(freq)
+    n = sum(freq.values())
+    r = QUERIES["chao1_vocab_richness"](spark, SF).collect()[0]
+    assert (r["n_tokens"], r["vocab_observed"]) == (n, v)
+    assert (r["n_hapax"], r["n_dis"]) == (f1, f2)
+    assert abs(
+        r["chao1_estimate"] - (v + f1 * (f1 - 1) / (2 * (f2 + 1)))
+    ) < 1e-2
+    assert abs(r["good_turing_unseen_mass"] - f1 / n) < 1e-6
