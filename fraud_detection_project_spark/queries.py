@@ -7672,7 +7672,8 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   c_index_activity_ttp, bradley_terry_brands
 #   binseg_changepoint_daily, fold_auc_stability, info_gain_feature_panel,
 #   rmst_time_to_purchase, tost_equivalence_aa, kupiec_var_backtest,
-#   capture_recapture_users, chao1_vocab_richness
+#   capture_recapture_users, chao1_vocab_richness,
+#   clumpiness_top_users, taylors_law_users
 
 
 def driver_ordered(registry: dict) -> dict:
@@ -26367,4 +26368,184 @@ def q_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c("f1") * 1.0 / c("total_tokens"), 6).alias(
             "good_turing_unseen_mass"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-7 thirty-eighth wave: behavioral-law metrics — visit clumpiness
+# and Taylor's variance-mean power law.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "clumpiness_top_users",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+    ),
+    win AS (
+        SELECT MIN(ts_us) AS t0, MAX(ts_us) AS t1 FROM t
+    ),
+    gaps AS (
+        -- inter-event gaps INCLUDING the window edges (standard
+        -- clumpiness construction: n events -> n+1 gaps)
+        SELECT user_id, gap FROM (
+            SELECT user_id,
+                   ts_us - COALESCE(LAG(ts_us) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id),
+                       (SELECT t0 FROM win)) AS gap
+            FROM t
+            UNION ALL
+            SELECT user_id,
+                   (SELECT t1 FROM win) - MAX(ts_us) AS gap
+            FROM t GROUP BY user_id
+        ) WHERE gap > 0
+    ),
+    per AS (
+        SELECT user_id, COUNT(*) AS n_gaps, SUM(gap) AS total
+        FROM gaps GROUP BY user_id HAVING COUNT(*) >= 4
+    ),
+    hp AS (
+        SELECT per.user_id, per.n_gaps,
+               SUM((gap * 1.0 / total) * ln(gap * 1.0 / total)) AS negent
+        FROM gaps JOIN per USING (user_id)
+        GROUP BY per.user_id, per.n_gaps
+    )
+    SELECT user_id,
+           CAST(n_gaps - 1 AS BIGINT) AS n_events,
+           ROUND(1.0 + negent / ln(n_gaps), 6) AS clumpiness
+    FROM hp
+    ORDER BY clumpiness DESC, user_id LIMIT 20
+    """,
+)
+def q_clumpiness_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visit clumpiness (Zhang-Bradlow-Small): C = 1 + Σp·ln p / ln(n+1)
+    over each user's normalized inter-event gaps (window-edge-padded),
+    0 = perfectly regular, →1 = one dense burst — the CLV/bot signal
+    that event COUNTS alone cannot see.  Top-20 clumpiest users with
+    ≥3 events; per-user lag window + one grouped entropy pass."""
+    c = F.col
+    t = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    win = t.agg(F.min("ts_us").alias("t0"), F.max("ts_us").alias("t1"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    inner = t.crossJoin(F.broadcast(win)).select(
+        "user_id",
+        (
+            c("ts_us")
+            - F.coalesce(F.lag("ts_us").over(w), c("t0"))
+        ).alias("gap"),
+    )
+    tail = (
+        t.groupBy("user_id")
+        .agg(F.max("ts_us").alias("mx"))
+        .crossJoin(F.broadcast(win))
+        .select("user_id", (c("t1") - c("mx")).alias("gap"))
+    )
+    gaps = inner.unionAll(tail).filter(c("gap") > 0)
+    per = (
+        gaps.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_gaps"), F.sum("gap").alias("total"))
+        .filter(c("n_gaps") >= 4)
+    )
+    hp = (
+        gaps.join(per, "user_id")
+        .groupBy("user_id", "n_gaps")
+        .agg(
+            F.sum(
+                (c("gap") * 1.0 / c("total"))
+                * F.log(c("gap") * 1.0 / c("total"))
+            ).alias("negent")
+        )
+    )
+    return (
+        hp.select(
+            "user_id",
+            (c("n_gaps") - 1).cast("long").alias("n_events"),
+            F.round(1.0 + c("negent") / F.log(c("n_gaps")), 6).alias(
+                "clumpiness"
+            ),
+        )
+        .orderBy(F.desc("clumpiness"), "user_id")
+        .limit(20)
+    )
+
+
+@register(
+    "taylors_law_users",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT COUNT(DISTINCT day) AS n_days FROM daily),
+    per AS (
+        -- zero days included via the calendar span: mean = total/D,
+        -- var  = (Σn² − D·mean²)/(D−1)
+        SELECT user_id,
+               SUM(n) * 1.0 / n_days AS mu,
+               (SUM(n * n) - POWER(SUM(n), 2) * 1.0 / n_days)
+                 / (n_days - 1) AS v
+        FROM daily CROSS JOIN span
+        GROUP BY user_id, n_days
+    ),
+    pts AS (
+        SELECT ln(mu) AS x, ln(v) AS y FROM per WHERE mu > 0 AND v > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           ROUND((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6)
+               AS taylor_slope,
+           ROUND(AVG(y) - (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+                 / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) * AVG(x), 6)
+               AS taylor_intercept,
+           ROUND(corr(x, y) * corr(x, y), 6) AS r_squared
+    FROM pts
+    """,
+)
+def q_taylors_law_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taylor's power law across users: regress ln(variance) on
+    ln(mean) of per-user DAILY event counts (zero days included via the
+    calendar span) — slope ≈ 1 is Poisson-like independence, ≈ 2 is
+    synchronized/bursty; a population slope shift is a bot-cohort
+    fingerprint.  Per-user moments come from one grouped pass using
+    Σn²-based identities (no day×user densification), the log-log OLS
+    from a second 1-row aggregate."""
+    c = F.col
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    span = daily.agg(F.countDistinct("day").alias("n_days"))
+    per = (
+        daily.crossJoin(F.broadcast(span))
+        .groupBy("user_id", "n_days")
+        .agg(F.sum("n").alias("s"), F.sum(c("n") * c("n")).alias("ss"))
+        .select(
+            (c("s") * 1.0 / c("n_days")).alias("mu"),
+            (
+                (c("ss") - F.pow(c("s"), 2) * 1.0 / c("n_days"))
+                / (c("n_days") - 1)
+            ).alias("v"),
+        )
+    )
+    pts = per.filter((c("mu") > 0) & (c("v") > 0)).select(
+        F.log("mu").alias("x"), F.log("v").alias("y")
+    )
+    slope = (
+        F.count(F.lit(1)) * F.sum(c("x") * c("y"))
+        - F.sum("x") * F.sum("y")
+    ) / (
+        F.count(F.lit(1)) * F.sum(c("x") * c("x"))
+        - F.sum("x") * F.sum("x")
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(slope, 6).alias("taylor_slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias(
+            "taylor_intercept"
+        ),
+        F.round(F.corr("x", "y") * F.corr("x", "y"), 6).alias("r_squared"),
     )

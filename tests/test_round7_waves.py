@@ -2375,3 +2375,59 @@ def test_chao1_matches_bruteforce(spark):
         r["chao1_estimate"] - (v + f1 * (f1 - 1) / (2 * (f2 + 1)))
     ) < 1e-2
     assert abs(r["good_turing_unseen_mass"] - f1 / n) < 1e-6
+
+
+def test_clumpiness_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.expr("ts_ns div 1000").alias("ts_us"),
+                "event_id")
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+    )
+    t0, t1 = pdf.ts_us.min(), pdf.ts_us.max()
+    scores = {}
+    for uid, g in pdf.groupby("user_id"):
+        ts = g.ts_us.tolist()
+        gaps = [ts[0] - t0] + [b - a for a, b in zip(ts, ts[1:])] + [t1 - ts[-1]]
+        gaps = [g_ for g_ in gaps if g_ > 0]
+        if len(gaps) < 4:
+            continue
+        tot = sum(gaps)
+        negent = sum(g_ / tot * math.log(g_ / tot) for g_ in gaps)
+        scores[uid] = (len(ts), round(1 + negent / math.log(len(gaps)), 6))
+    rows = QUERIES["clumpiness_top_users"](spark, SF).collect()
+    expected = sorted(
+        ((c_, uid) for uid, (_, c_) in scores.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    got = [(r["clumpiness"], r["user_id"]) for r in rows]
+    assert got == expected
+
+
+def test_taylors_law_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .toPandas()
+    )
+    n_days = pdf.day.nunique()
+    xs, ys = [], []
+    for uid, g in pdf.groupby("user_id"):
+        counts = g.groupby("day").size()
+        s = counts.sum()
+        ss = (counts**2).sum()
+        mu = s / n_days
+        v = (ss - s**2 / n_days) / (n_days - 1)
+        if mu > 0 and v > 0:
+            xs.append(math.log(mu))
+            ys.append(math.log(v))
+    x, y = np.array(xs), np.array(ys)
+    n = len(x)
+    slope = (n * (x * y).sum() - x.sum() * y.sum()) / (
+        n * (x * x).sum() - x.sum() ** 2
+    )
+    r = QUERIES["taylors_law_users"](spark, SF).collect()[0]
+    assert r["n_users"] == n
+    assert abs(r["taylor_slope"] - slope) < 1e-4
+    assert abs(r["r_squared"] - np.corrcoef(x, y)[0, 1] ** 2) < 1e-4
