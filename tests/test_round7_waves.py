@@ -2431,3 +2431,64 @@ def test_taylors_law_matches_bruteforce(spark):
     assert r["n_users"] == n
     assert abs(r["taylor_slope"] - slope) < 1e-4
     assert abs(r["r_squared"] - np.corrcoef(x, y)[0, 1] ** 2) < 1e-4
+
+
+def test_cost_sensitive_threshold_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value", (F.col("event_type") == "purchase").alias("y"))
+        .toPandas()
+    )
+    v = pdf.value.to_numpy()
+    y = pdf.y.to_numpy()
+    rows = {r["decile"]: r for r in QUERIES["cost_sensitive_threshold"](spark, SF).collect()}
+    costs = {}
+    for d in range(1, 10):
+        thr = np.quantile(v, d / 10)
+        pred = v > thr
+        fp = int((pred & ~y).sum())
+        fn = int((~pred & y).sum())
+        tp = int((pred & y).sum())
+        r = rows[d]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+        assert r["utility"] == -(fp + 10 * fn)
+        costs[d] = fp + 10 * fn
+    ranked = sorted(costs, key=lambda d: (costs[d], d))
+    assert rows[ranked[0]]["cost_rank"] == 1
+
+
+def test_littles_law_matches_bruteforce(spark):
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("s")
+    ).toPandas()
+    li = (
+        load_table(spark, SF, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("e"))
+        .toPandas()
+    )
+    m = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    m = m[m.e > m.s]
+    n = len(m)
+    w = (m.e - m.s).map(lambda td: td.days).mean()
+    span = (m.e.max() - m.s.min()).days
+    # sweep line
+    deltas = Counter()
+    for _, r_ in m.iterrows():
+        deltas[r_.s] += 1
+        deltas[r_.e] -= 1
+    days = sorted(deltas)
+    open_n = 0
+    area = tot = 0
+    for d, nd in zip(days, days[1:]):
+        open_n += deltas[d]
+        gap = (nd - d).days
+        area += open_n * gap
+        tot += gap
+    l_meas = area / tot
+    r = QUERIES["littles_law_audit"](spark, SF).collect()[0]
+    assert r["n_orders"] == n and r["span_days"] == span
+    assert abs(r["mean_wait_days"] - w) < 1e-4
+    assert abs(r["l_measured"] - l_meas) < 1e-4
+    assert abs(r["l_predicted"] - n / span * w) < 1e-4
