@@ -2492,3 +2492,26 @@ def test_littles_law_matches_bruteforce(spark):
     assert abs(r["mean_wait_days"] - w) < 1e-4
     assert abs(r["l_measured"] - l_meas) < 1e-4
     assert abs(r["l_predicted"] - n / span * w) < 1e-4
+
+
+def test_newsvendor_matches_bruteforce(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .toPandas()
+    )
+    d = daily.d.to_numpy(dtype=float)
+    s_opt = np.quantile(d, 0.9)
+    s_mean = d.mean()
+
+    def cost(s):
+        return (np.maximum(s - d, 0) + 9 * np.maximum(d - s, 0)).mean()
+
+    r = QUERIES["newsvendor_stock_level"](spark, SF).collect()[0]
+    assert r["n_days"] == len(d)
+    assert abs(r["stock_optimal_q90"] - s_opt) < 1e-4
+    assert abs(r["expected_cost_optimal"] - cost(s_opt)) < 1e-4
+    assert abs(r["expected_cost_mean_policy"] - cost(s_mean)) < 1e-4
+    # the critical fractile must not cost more than the naive policy
+    assert r["expected_cost_optimal"] <= r["expected_cost_mean_policy"] + 1e-9
