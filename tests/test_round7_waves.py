@@ -2515,3 +2515,27 @@ def test_newsvendor_matches_bruteforce(spark):
     assert abs(r["expected_cost_mean_policy"] - cost(s_mean)) < 1e-4
     # the critical fractile must not cost more than the naive policy
     assert r["expected_cost_optimal"] <= r["expected_cost_mean_policy"] + 1e-9
+
+
+def test_min_variance_matches_numpy(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase",
+                         F.coalesce("value", F.lit(0.0))).otherwise(0.0)).alias("r1"),
+            F.sum(F.when(F.col("event_type") == "click",
+                         F.coalesce("value", F.lit(0.0))).otherwise(0.0)).alias("r2"),
+        )
+        .toPandas()
+    )
+    v1 = pdf.r1.var(ddof=1)
+    v2 = pdf.r2.var(ddof=1)
+    c12 = pdf.r1.cov(pdf.r2)
+    w1 = (v2 - c12) / (v1 + v2 - 2 * c12)
+    pv = w1**2 * v1 + (1 - w1) ** 2 * v2 + 2 * w1 * (1 - w1) * c12
+    r = QUERIES["two_asset_min_variance"](spark, SF).collect()[0]
+    assert abs(r["weight_purchase"] - w1) < 1e-4
+    assert abs(r["portfolio_sd"] - math.sqrt(pv)) < 1e-2
+    # min-variance blend never beats... never loses to the best single asset
+    assert r["variance_ratio"] <= 1.0 + 1e-9
