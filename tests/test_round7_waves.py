@@ -2539,3 +2539,41 @@ def test_min_variance_matches_numpy(spark):
     assert abs(r["portfolio_sd"] - math.sqrt(pv)) < 1e-2
     # min-variance blend never beats... never loses to the best single asset
     assert r["variance_ratio"] <= 1.0 + 1e-9
+
+
+def test_greenwood_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.expr("ts_ns div 1000").alias("ts_us"),
+                "event_type")
+        .toPandas()
+    )
+    end = pdf.ts_us.max()
+    subs = []
+    for _, g in pdf.groupby("user_id"):
+        first = g.ts_us.min()
+        p = g[g.event_type == "purchase"].ts_us
+        if len(p):
+            subs.append(((p.min() - first) // 86_400_000_000, 1))
+        else:
+            subs.append(((end - first) // 86_400_000_000, 0))
+    days = sorted({t for t, o in subs if o})
+    s, gw = 1.0, 0.0
+    expected = {}
+    for d in days:
+        n = sum(1 for t, _ in subs if t >= d)
+        de = sum(1 for t, o in subs if t == d and o)
+        if de >= n:
+            continue
+        s *= 1 - de / n
+        gw += de / (n * (n - de))
+        se = s * math.sqrt(gw)
+        expected[d] = (n, de, s, se)
+    rows = {r["t_day"]: r for r in QUERIES["greenwood_km_ci"](spark, SF).collect()}
+    assert set(rows) == set(expected)
+    for d, (n, de, s_, se) in expected.items():
+        r = rows[d]
+        assert (r["n_risk"], r["d_events"]) == (n, de)
+        assert abs(r["km_surv"] - s_) < 1e-5
+        assert abs(r["greenwood_se"] - se) < 1e-5
+        assert abs(r["ci_lo"] - max(s_ - 1.96 * se, 0)) < 1e-5
