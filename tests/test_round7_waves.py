@@ -2577,3 +2577,33 @@ def test_greenwood_matches_bruteforce(spark):
         assert abs(r["km_surv"] - s_) < 1e-5
         assert abs(r["greenwood_se"] - se) < 1e-5
         assert abs(r["ci_lo"] - max(s_ - 1.96 * se, 0)) < 1e-5
+
+
+def test_effect_sizes_match_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "view")
+        )
+        .select("value", "event_type")
+        .toPandas()
+    )
+    a = pdf[pdf.event_type == "purchase"].value.to_numpy()
+    b = pdf[pdf.event_type == "view"].value.to_numpy()
+    n1, n2 = len(a), len(b)
+    sp = math.sqrt(
+        ((n1 - 1) * a.var(ddof=1) + (n2 - 1) * b.var(ddof=1))
+        / (n1 + n2 - 2)
+    )
+    d = (a.mean() - b.mean()) / sp
+    # Cliff's delta brute: P(a>b) - P(a<b)
+    gt = sum((a[:, None] > b[None, :]).sum() for _ in [0])
+    lt = sum((a[:, None] < b[None, :]).sum() for _ in [0])
+    cliffs = (gt - lt) / (n1 * n2)
+    r = QUERIES["effect_size_panel"](spark, SF).collect()[0]
+    assert (r["n_purchase"], r["n_view"]) == (n1, n2)
+    assert abs(r["cohens_d"] - d) < 1e-4
+    assert abs(r["hedges_g"] - d * (1 - 3 / (4 * (n1 + n2) - 9))) < 1e-4
+    assert abs(r["glass_delta"] - (a.mean() - b.mean()) / b.std(ddof=1)) < 1e-4
+    assert abs(r["cliffs_delta"] - cliffs) < 1e-4
