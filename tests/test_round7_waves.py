@@ -2607,3 +2607,61 @@ def test_effect_sizes_match_bruteforce(spark):
     assert abs(r["hedges_g"] - d * (1 - 3 / (4 * (n1 + n2) - 9))) < 1e-4
     assert abs(r["glass_delta"] - (a.mean() - b.mean()) / b.std(ddof=1)) < 1e-4
     assert abs(r["cliffs_delta"] - cliffs) < 1e-4
+
+
+def test_seasonal_index_matches_bruteforce(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .orderBy("day")
+        .toPandas()
+    )
+    y = daily.y.to_numpy()
+    ratios = {}
+    for i in range(3, len(y) - 3):
+        ma = y[i - 3:i + 4].mean()
+        wd = daily.day.iloc[i].weekday()
+        ratios.setdefault(wd, []).append(y[i] / ma)
+    raw = {wd: np.mean(v) for wd, v in ratios.items()}
+    tot = sum(raw.values())
+    rows = {r["weekday"]: r for r in QUERIES["seasonal_index_weekday"](spark, SF).collect()}
+    for wd, v in raw.items():
+        assert rows[wd]["n_days"] == len(ratios[wd])
+        assert abs(rows[wd]["raw_index"] - v) < 1e-5
+        assert abs(rows[wd]["normalized_index"] - v * 7 / tot) < 1e-5
+
+
+def test_kendalls_w_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .select("l_suppkey",
+                F.date_trunc("month", "l_shipdate").alias("mon"),
+                "l_extendedprice")
+        .toPandas()
+    )
+    m = (
+        pdf.groupby(["l_suppkey", "mon"]).l_extendedprice.sum().reset_index()
+    )
+    months = (
+        m.groupby("mon").l_extendedprice.sum().sort_values(ascending=False)
+    )
+    # deterministic tie-break on month asc among equal totals
+    top3 = sorted(months.index[:3].tolist())
+    sub = m[m.mon.isin(top3)]
+    full = sub.groupby("l_suppkey").size()
+    keep = set(full[full == 3].index)
+    sub = sub[sub.l_suppkey.isin(keep)]
+    rank_sums = Counter()
+    for mon, g in sub.groupby("mon"):
+        g = g.sort_values(["l_extendedprice", "l_suppkey"],
+                          ascending=[False, True])
+        for rank, (_, row) in enumerate(g.iterrows(), 1):
+            rank_sums[row.l_suppkey] += rank
+    n = len(rank_sums)
+    vals = np.array(list(rank_sums.values()), dtype=float)
+    s = ((vals - vals.mean()) ** 2).sum()
+    w = 12 * s / (9 * (n**3 - n))
+    r = QUERIES["kendalls_w_supplier_ranks"](spark, SF).collect()[0]
+    assert r["n_suppliers"] == n
+    assert abs(r["kendalls_w"] - w) < 1e-5
