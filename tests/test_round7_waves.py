@@ -2665,3 +2665,31 @@ def test_kendalls_w_matches_bruteforce(spark):
     r = QUERIES["kendalls_w_supplier_ranks"](spark, SF).collect()[0]
     assert r["n_suppliers"] == n
     assert abs(r["kendalls_w"] - w) < 1e-5
+
+
+def test_loo_popularity_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("okey"),
+                 F.col("l_partkey").alias("pk"))
+        .agg(F.min("l_linenumber").alias("ln"))
+        .toPandas()
+    )
+    held = {}
+    for okey, g in pdf.groupby("okey"):
+        if len(g) < 2:
+            continue
+        g = g.sort_values(["ln", "pk"], ascending=[False, False])
+        held[okey] = g.pk.iloc[0]
+    pop = Counter()
+    for _, r_ in pdf.iterrows():
+        if held.get(r_.okey) == r_.pk:
+            continue
+        pop[r_.pk] += 1
+    ranked = sorted(pop, key=lambda p: (-pop[p], p))
+    top10, top20 = set(ranked[:10]), set(ranked[:20])
+    h10 = sum(1 for p in held.values() if p in top10)
+    h20 = sum(1 for p in held.values() if p in top20)
+    r = QUERIES["loo_popularity_hitrate"](spark, SF).collect()[0]
+    assert r["n_eval_orders"] == len(held)
+    assert r["hits_at_10"] == h10 and r["hits_at_20"] == h20
