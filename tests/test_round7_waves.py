@@ -2693,3 +2693,54 @@ def test_loo_popularity_matches_bruteforce(spark):
     r = QUERIES["loo_popularity_hitrate"](spark, SF).collect()[0]
     assert r["n_eval_orders"] == len(held)
     assert r["hits_at_10"] == h10 and r["hits_at_20"] == h20
+
+
+def test_abc_xyz_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .select("l_partkey",
+                F.date_trunc("month", "l_shipdate").alias("mon"),
+                "l_quantity",
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .toPandas()
+    )
+    mq = (
+        pdf.groupby(["l_partkey", "mon"])
+        .agg(q=("l_quantity", "sum"), mrev=("rev", "sum"))
+        .reset_index()
+    )
+    per = mq.groupby("l_partkey").agg(
+        rev=("mrev", "sum"), mu=("q", "mean"), sd=("q", "std")
+    ).fillna({"sd": 0.0})
+    per = per.sort_values(["rev", "l_partkey"],
+                          ascending=[False, True]).reset_index()
+    per["cum_share"] = per.rev.cumsum() / per.rev.sum()
+    cells = Counter()
+    revs = Counter()
+    for _, r_ in per.iterrows():
+        abc = "A" if r_.cum_share <= 0.8 else "B" if r_.cum_share <= 0.95 else "C"
+        cv = r_.sd / r_.mu if r_.mu else float("inf")
+        xyz = "X" if cv <= 0.5 else "Y" if cv <= 1.0 else "Z"
+        cells[(abc, xyz)] += 1
+        revs[(abc, xyz)] += r_.rev
+    rows = {(r["abc"], r["xyz"]): r for r in QUERIES["abc_xyz_segmentation"](spark, SF).collect()}
+    assert set(rows) == set(cells)
+    for k in cells:
+        assert rows[k]["n_parts"] == cells[k]
+        assert abs(rows[k]["revenue"] - revs[k]) < 1.0
+
+
+def test_discount_curve_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .select("l_discount", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    pdf["dp"] = (pdf.l_discount * 100).round().astype(int)
+    rows = {r["disc_pct"]: r for r in QUERIES["discount_response_curve"](spark, SF).collect()}
+    base = pdf[pdf.dp == 0].l_quantity.mean()
+    for dp, g in pdf.groupby("dp"):
+        r = rows[dp]
+        assert r["n_lines"] == len(g)
+        assert abs(r["avg_quantity"] - g.l_quantity.mean()) < 1e-4
+        assert abs(r["qty_lift_vs_no_discount"] - g.l_quantity.mean() / base) < 1e-4
