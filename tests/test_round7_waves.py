@@ -2744,3 +2744,35 @@ def test_discount_curve_matches_bruteforce(spark):
         assert r["n_lines"] == len(g)
         assert abs(r["avg_quantity"] - g.l_quantity.mean()) < 1e-4
         assert abs(r["qty_lift_vs_no_discount"] - g.l_quantity.mean() / base) < 1e-4
+
+
+def test_anderson_darling_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "view")
+        )
+        .select("value", "event_type")
+        .toPandas()
+    )
+    vals = sorted(pdf.value.unique())
+    m = int((pdf.event_type == "purchase").sum())
+    nn = len(pdf)
+    by_val = pdf.groupby("value").event_type.agg(
+        ca=lambda s: (s == "purchase").sum(), cnt="size"
+    )
+    mj = bj = 0
+    ad = 0.0
+    for v in vals:
+        ca, cnt = by_val.loc[v, "ca"], by_val.loc[v, "cnt"]
+        mj += ca
+        bj += cnt
+        if bj < nn:
+            ad += cnt * (nn * mj - m * bj) ** 2 / (
+                m * (nn - m) * bj * (nn - bj)
+            )
+    r = QUERIES["anderson_darling_2sample"](spark, SF).collect()[0]
+    assert (r["n_purchase"], r["n_view"]) == (m, nn - m)
+    assert r["n_distinct"] == len(vals)
+    assert abs(r["ad_stat"] - ad) < 1e-4
