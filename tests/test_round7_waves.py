@@ -2776,3 +2776,26 @@ def test_anderson_darling_matches_bruteforce(spark):
     assert (r["n_purchase"], r["n_view"]) == (m, nn - m)
     assert r["n_distinct"] == len(vals)
     assert abs(r["ad_stat"] - ad) < 1e-4
+
+
+def test_mcnemar_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("value", "event_type", F.hour("ts").alias("hr"))
+        .toPandas()
+    )
+    y_all = (pdf.event_type == "purchase").astype(int)
+    g = y_all.mean()
+    band_rate = y_all.groupby(pdf.hr // 4).mean()
+    sub = pdf[pdf.value.notna()].copy()
+    mv = np.quantile(pdf[pdf.value.notna()].value, 0.5)
+    y = (sub.event_type == "purchase").astype(int).to_numpy()
+    pa = (sub.value > mv).astype(int).to_numpy()
+    pb = (sub.hr // 4).map(lambda hb: int(band_rate[hb] > g)).to_numpy()
+    a_only = int(((pa == y) & (pb != y)).sum())
+    b_only = int(((pa != y) & (pb == y)).sum())
+    chi = (abs(a_only - b_only) - 1) ** 2 / (a_only + b_only)
+    r = QUERIES["mcnemar_paired_classifiers"](spark, SF).collect()[0]
+    assert r["a_right_b_wrong"] == a_only
+    assert r["b_right_a_wrong"] == b_only
+    assert abs(r["mcnemar_chi2_cc"] - chi) < 1e-4
