@@ -2799,3 +2799,48 @@ def test_mcnemar_matches_bruteforce(spark):
     assert r["a_right_b_wrong"] == a_only
     assert r["b_right_a_wrong"] == b_only
     assert abs(r["mcnemar_chi2_cc"] - chi) < 1e-4
+
+
+def test_simpsons_detector_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select((F.hour("ts") / F.lit(4)).cast("long").alias("hb"),
+                (F.weekday("ts") >= 5).alias("wkd"),
+                (F.col("event_type") == "purchase").alias("y"))
+        .toPandas()
+    )
+    agg = pdf[pdf.wkd].y.mean() - pdf[~pdf.wkd].y.mean()
+    rows = {r["hb"]: r for r in QUERIES["simpsons_paradox_detector"](spark, SF).collect()}
+    for hb, g in pdf.groupby("hb"):
+        d = g[g.wkd].y.mean() - g[~g.wkd].y.mean()
+        r = rows[hb]
+        assert abs(r["stratum_diff"] - d) < 1e-5
+        assert abs(r["aggregate_diff"] - agg) < 1e-5
+        assert r["sign_reversal"] == (np.sign(d) != np.sign(agg))
+
+
+def test_burstiness_matches_bruteforce(spark):
+    import re
+
+    pdf = load_table(spark, SF, "documents").toPandas()
+    cf = Counter()
+    df = Counter()
+    for _, row in pdf.iterrows():
+        ws = [w for w in re.sub(r"[^a-z0-9]+", " ", row.text.lower()).split() if w]
+        cf.update(ws)
+        df.update(set(ws))
+    d = len(pdf)
+    top50 = sorted(cf, key=lambda w: (-cf[w], w))[:50]
+    scored = sorted(
+        (
+            (round(d * (1 - math.exp(-cf[w] / d)) / df[w], 6), w)
+            for w in top50
+        ),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    rows = QUERIES["term_burstiness_church_gale"](spark, SF).collect()
+    got = [(r["burstiness_ratio"], r["term"]) for r in rows]
+    assert got == scored
+    for r in rows:
+        assert r["collection_freq"] == cf[r["term"]]
+        assert r["doc_freq"] == df[r["term"]]
