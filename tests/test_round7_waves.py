@@ -2844,3 +2844,28 @@ def test_burstiness_matches_bruteforce(spark):
     for r in rows:
         assert r["collection_freq"] == cf[r["term"]]
         assert r["doc_freq"] == df[r["term"]]
+
+
+def test_theil_decomposition_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull() & (F.col("value") > 0))
+        .select("event_type", "value")
+        .toPandas()
+    )
+    x = pdf.value.to_numpy()
+    mu = x.mean()
+    t_direct = float(np.mean(x / mu * np.log(x / mu)))
+    rows = QUERIES["theil_index_decomposition"](spark, SF).collect()
+    r0 = rows[0]
+    # decomposition reproduces the direct total Theil-T
+    assert abs(r0["theil_total"] - t_direct) < 1e-4
+    assert abs(
+        r0["theil_between"] + r0["theil_within_total"] - r0["theil_total"]
+    ) < 1e-9
+    for r in rows:
+        g = pdf[pdf.event_type == r["event_type"]].value.to_numpy()
+        mug = g.mean()
+        tw = float(np.mean(g / mug * np.log(g / mug)))
+        assert abs(r["theil_within_group"] - tw) < 1e-5
+        assert abs(r["value_share"] - g.sum() / x.sum()) < 1e-5
