@@ -2860,9 +2860,11 @@ def test_theil_decomposition_matches_bruteforce(spark):
     r0 = rows[0]
     # decomposition reproduces the direct total Theil-T
     assert abs(r0["theil_total"] - t_direct) < 1e-4
+    # columns are individually rounded to 6 dp, so the identity holds
+    # to one rounding unit
     assert abs(
         r0["theil_between"] + r0["theil_within_total"] - r0["theil_total"]
-    ) < 1e-9
+    ) < 2e-6
     for r in rows:
         g = pdf[pdf.event_type == r["event_type"]].value.to_numpy()
         mug = g.mean()
