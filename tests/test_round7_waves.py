@@ -2871,3 +2871,37 @@ def test_theil_decomposition_matches_bruteforce(spark):
         tw = float(np.mean(g / mug * np.log(g / mug)))
         assert abs(r["theil_within_group"] - tw) < 1e-5
         assert abs(r["value_share"] - g.sum() / x.sum()) < 1e-5
+
+
+def test_user_profile_kl_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type")
+        .toPandas()
+    )
+    types = sorted(pdf.event_type.unique())
+    k = len(types)
+    pop = pdf.event_type.value_counts(normalize=True)
+    scores = {}
+    for uid, g in pdf.groupby("user_id"):
+        nu = len(g)
+        if nu < 30:
+            continue
+        cnt = Counter(g.event_type)
+        kl = sum(
+            ((cnt.get(t, 0) + 0.5) / (nu + 0.5 * k))
+            * math.log(
+                ((cnt.get(t, 0) + 0.5) / (nu + 0.5 * k)) / pop[t]
+            )
+            for t in types
+        )
+        scores[uid] = (round(kl, 6), nu)
+    expected = sorted(
+        ((kl, uid) for uid, (kl, _) in scores.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    rows = QUERIES["user_profile_kl_outliers"](spark, SF).collect()
+    got = [(r["kl_from_population"], r["user_id"]) for r in rows]
+    assert got == expected
+    for r in rows:
+        assert r["n_events"] == scores[r["user_id"]][1]
