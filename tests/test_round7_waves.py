@@ -2905,3 +2905,47 @@ def test_user_profile_kl_matches_bruteforce(spark):
     assert got == expected
     for r in rows:
         assert r["n_events"] == scores[r["user_id"]][1]
+
+
+def test_mde_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type")
+        .toPandas()
+    )
+    grp = (pdf.user_id * 1000003 + 7) % 999983 * 40503 % 999983 % 2 == 0
+    p = (pdf.event_type == "purchase").mean()
+    n1, n2 = int(grp.sum()), int((~grp).sum())
+    zsum = 1.96 + 0.8416
+    mde = zsum * math.sqrt(p * (1 - p) * (1 / n1 + 1 / n2))
+    r = QUERIES["mde_power_analysis"](spark, SF).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (n1, n2)
+    assert abs(r["mde_absolute"] - mde) < 1e-5
+    assert r["n_per_arm_for_1pp"] == math.ceil(
+        2 * zsum**2 * p * (1 - p) / 0.01**2
+    )
+
+
+def test_group_sequential_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.expr("ts_ns div 1000").alias("ts_us"),
+                "event_type")
+        .toPandas()
+    )
+    pdf["grp"] = (pdf.user_id * 1000003 + 7) % 999983 * 40503 % 999983 % 2 == 0
+    pdf["y"] = (pdf.event_type == "purchase").astype(int)
+    t0, t1 = pdf.ts_us.min(), pdf.ts_us.max()
+    bounds = {1: 4.5617, 2: 3.2256, 3: 2.6337, 4: 2.2809, 5: 2.0401}
+    rows = {r["look"]: r for r in QUERIES["group_sequential_looks"](spark, SF).collect()}
+    for k in range(1, 6):
+        sub = pdf[pdf.ts_us <= t0 + (t1 - t0) * k / 5.0]
+        a, b = sub[sub.grp], sub[~sub.grp]
+        pp = sub.y.mean()
+        z = (a.y.mean() - b.y.mean()) / math.sqrt(
+            pp * (1 - pp) * (1 / len(a) + 1 / len(b))
+        )
+        r = rows[k]
+        assert r["n_cumulative"] == len(sub)
+        assert abs(r["z_stat"] - z) < 1e-5
+        assert r["crosses_boundary"] == (abs(z) > bounds[k])
