@@ -2949,3 +2949,63 @@ def test_group_sequential_matches_bruteforce(spark):
         assert r["n_cumulative"] == len(sub)
         assert abs(r["z_stat"] - z) < 1e-5
         assert r["crosses_boundary"] == (abs(z) > bounds[k])
+
+
+def test_attribute_assortativity_matches_bruteforce(spark):
+    adj_edges = []
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    part = load_table(spark, SF, "part").select("p_partkey", "p_brand").toPandas()
+    brand = dict(zip(part.p_partkey, part.p_brand))
+    by_order = {}
+    for o, p in zip(pdf.l_orderkey, pdf.l_partkey):
+        by_order.setdefault(o, set()).add(p)
+    w = Counter()
+    for parts in by_order.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            w[(a, b)] += 1
+    edges = [e for e, c_ in w.items() if c_ >= 2]
+    mix = Counter()
+    for a, b in edges:
+        mix[(brand[a], brand[b])] += 1
+        mix[(brand[b], brand[a])] += 1
+    mm = sum(mix.values())
+    tr_e = sum(v for (i, j), v in mix.items() if i == j) / mm
+    marg = Counter()
+    for (i, _), v in mix.items():
+        marg[i] += v
+    sum_ab = sum((v / mm) ** 2 for v in marg.values())
+    r_exp = (tr_e - sum_ab) / (1 - sum_ab)
+    r = QUERIES["attribute_assortativity_brands"](spark, SF).collect()[0]
+    assert r["n_edges"] == len(edges)
+    assert abs(r["same_brand_edge_share"] - tr_e) < 1e-5
+    assert abs(r["assortativity_r"] - r_exp) < 1e-5
+
+
+def test_data_temperature_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .select("l_partkey", F.to_date("l_shipdate").alias("d"),
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .toPandas()
+    )
+    mend = pdf.d.max()
+    per = pdf.groupby("l_partkey").agg(
+        last_d=("d", "max"), rev=("rev", "sum"), n=("rev", "size")
+    )
+    tiers = Counter()
+    revs = Counter()
+    for _, r_ in per.iterrows():
+        age = (mend - r_.last_d).days
+        t = "hot" if age <= 90 else "warm" if age <= 365 else "cold"
+        tiers[t] += 1
+        revs[t] += r_.rev
+    rows = {r["tier"]: r for r in QUERIES["data_temperature_tiering"](spark, SF).collect()}
+    assert set(rows) == set(tiers)
+    for t in tiers:
+        assert rows[t]["n_parts"] == tiers[t]
+        assert abs(rows[t]["revenue"] - revs[t]) < 1.0
