@@ -3009,3 +3009,34 @@ def test_data_temperature_matches_bruteforce(spark):
     for t in tiers:
         assert rows[t]["n_parts"] == tiers[t]
         assert abs(rows[t]["revenue"] - revs[t]) < 1.0
+
+
+def test_mmd_energy_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "view")
+        )
+        .select("event_id", "event_type", "value")
+        .toPandas()
+    )
+    pdf["h"] = (pdf.event_id * 1000003 + 7) % 999983 * 40503 % 999983
+    samp = {
+        t: g.sort_values(["h", "event_id"]).value.to_numpy()[:200]
+        for t, g in pdf.groupby("event_type")
+    }
+    x, y = samp["purchase"], samp["view"]
+    pool = np.concatenate([x, y])
+    hh = np.quantile(np.abs(pool[:, None] - pool[None, :]).ravel(), 0.5)
+
+    def k(a, b):
+        return np.exp(-((a[:, None] - b[None, :]) ** 2) / (2 * hh * hh)).mean()
+
+    mmd2 = k(x, x) + k(y, y) - 2 * k(x, y)
+    e = lambda a, b: np.abs(a[:, None] - b[None, :]).mean()
+    energy = 2 * e(x, y) - e(x, x) - e(y, y)
+    r = QUERIES["mmd_energy_two_sample"](spark, SF).collect()[0]
+    assert abs(r["rbf_bandwidth"] - hh) < 1e-4
+    assert abs(r["mmd2"] - mmd2) < 1e-4
+    assert abs(r["energy_distance"] - energy) < 1e-3
