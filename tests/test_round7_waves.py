@@ -3040,3 +3040,32 @@ def test_mmd_energy_matches_bruteforce(spark):
     assert abs(r["rbf_bandwidth"] - hh) < 1e-4
     assert abs(r["mmd2"] - mmd2) < 1e-4
     assert abs(r["energy_distance"] - energy) < 1e-3
+
+
+def test_granger_matches_numpy(spark):
+    daily = (
+        load_table(spark, SF, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("p"),
+            F.sum((F.col("event_type") == "click").cast("int")).alias("cc"),
+        )
+        .orderBy("day")
+        .toPandas()
+    )
+    p = daily.p.to_numpy(float)
+    cl = daily.cc.to_numpy(float)
+    y, pl, clag = p[1:], p[:-1], cl[:-1]
+    n = len(y)
+    Xf = np.column_stack([np.ones(n), pl, clag])
+    Xr = np.column_stack([np.ones(n), pl])
+    bf, *_ = np.linalg.lstsq(Xf, y, rcond=None)
+    br, *_ = np.linalg.lstsq(Xr, y, rcond=None)
+    sse_f = ((y - Xf @ bf) ** 2).sum()
+    sse_r = ((y - Xr @ br) ** 2).sum()
+    fstat = (sse_r - sse_f) / (sse_f / (n - 3))
+    r = QUERIES["granger_click_to_purchase"](spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert abs(r["click_lag_coef"] - bf[2]) < 1e-4
+    assert abs(r["granger_f"] - fstat) < 1e-3
+    assert abs(r["partial_r2"] - (1 - sse_f / sse_r)) < 1e-5
