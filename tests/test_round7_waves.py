@@ -3069,3 +3069,45 @@ def test_granger_matches_numpy(spark):
     assert abs(r["click_lag_coef"] - bf[2]) < 1e-4
     assert abs(r["granger_f"] - fstat) < 1e-3
     assert abs(r["partial_r2"] - (1 - sse_f / sse_r)) < 1e-5
+
+
+def test_survivorship_audit_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.expr("ts_ns div 1000").alias("ts_us"),
+                "value")
+        .toPandas()
+    )
+    t1 = pdf.ts_us.max()
+    survivors = set(
+        pdf[pdf.ts_us > t1 - 7 * 86_400_000_000].user_id
+    )
+    vv = pdf[pdf.value.notna()]
+    per = vv.groupby("user_id").value.agg(["mean", "size"])
+    all_mean = per["mean"].mean()
+    surv = per[per.index.isin(survivors)]
+    r = QUERIES["survivorship_bias_audit"](spark, SF).collect()[0]
+    assert r["n_users"] == len(per)
+    assert r["n_survivors"] == len(surv)
+    assert abs(r["all_users_mean"] - all_mean) < 1e-4
+    assert abs(r["survivors_mean"] - surv["mean"].mean()) < 1e-4
+
+
+def test_base_rate_panel_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("value", "event_type")
+        .toPandas()
+    )
+    vv = pdf[pdf.value.notna()]
+    t = np.quantile(vv.value, 0.9)
+    pos = vv.event_type == "purchase"
+    alert = vv.value > t
+    sens = (alert & pos).sum() / pos.sum()
+    spec = (~alert & ~pos).sum() / (~pos).sum()
+    prev = pos.mean()
+    ppv = sens * prev / (sens * prev + (1 - spec) * (1 - prev))
+    r = QUERIES["base_rate_ppv_panel"](spark, SF).collect()[0]
+    assert abs(r["sensitivity"] - sens) < 1e-5
+    assert abs(r["specificity"] - spec) < 1e-5
+    assert abs(r["ppv_at_prevalence"] - ppv) < 1e-5
