@@ -3111,3 +3111,29 @@ def test_base_rate_panel_matches_bruteforce(spark):
     assert abs(r["sensitivity"] - sens) < 1e-5
     assert abs(r["specificity"] - spec) < 1e-5
     assert abs(r["ppv_at_prevalence"] - ppv) < 1e-5
+
+
+def test_ruzicka_matches_bruteforce(spark):
+    import re
+
+    pdf = load_table(spark, SF, "documents").toPandas()
+    tf = {}
+    for _, row in pdf.iterrows():
+        ws = [w for w in re.sub(r"[^a-z0-9]+", " ", row.text.lower()).split() if w]
+        d = tf.setdefault(row.source, Counter())
+        d.update(ws)
+    rel = {
+        s: {w: n / sum(cnt.values()) for w, n in cnt.items()}
+        for s, cnt in tf.items()
+    }
+    rows = {(r["src_a"], r["src_b"]): r for r in QUERIES["ruzicka_source_similarity"](spark, SF).collect()}
+    srcs = sorted(rel)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            pa, pb = rel[sa], rel[sb]
+            union = set(pa) | set(pb)
+            num = sum(min(pa.get(w, 0), pb.get(w, 0)) for w in union)
+            den = sum(max(pa.get(w, 0), pb.get(w, 0)) for w in union)
+            r = rows[(sa, sb)]
+            assert abs(r["ruzicka_similarity"] - num / den) < 1e-5
+            assert r["shared_vocab"] == len(set(pa) & set(pb))
