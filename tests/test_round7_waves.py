@@ -3137,3 +3137,29 @@ def test_ruzicka_matches_bruteforce(spark):
             r = rows[(sa, sb)]
             assert abs(r["ruzicka_similarity"] - num / den) < 1e-5
             assert r["shared_vocab"] == len(set(pa) & set(pb))
+
+
+def test_kpss_matches_bruteforce(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .orderBy("day")
+        .toPandas()
+    )
+    y = daily.y.to_numpy(dtype=float)
+    n = len(y)
+    e = y - y.mean()
+    s = np.cumsum(e)
+    g0 = (e @ e) / n
+    s2 = g0
+    for k in range(1, 8):
+        gk = (e[k:] @ e[:-k]) / n
+        s2 += 2 * (1 - k / 8.0) * gk
+    eta = (s @ s) / (n * n) / s2
+    r = QUERIES["kpss_stationarity_daily"](spark, SF).collect()[0]
+    assert r["n_days"] == n
+    assert abs(r["kpss_eta"] - eta) < 1e-4
+    assert r["reject_stationarity_95"] == (eta > 0.463)
+    mant = s2 / 10 ** math.floor(math.log10(s2))
+    assert abs(r["lrv_mantissa"] - mant) < 1e-3
