@@ -3163,3 +3163,57 @@ def test_kpss_matches_bruteforce(spark):
     assert r["reject_stationarity_95"] == (eta > 0.463)
     mant = s2 / 10 ** math.floor(math.log10(s2))
     assert abs(r["lrv_mantissa"] - mant) < 1e-3
+
+
+def test_retention_half_life_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .toPandas()
+    )
+    t0 = pdf.groupby("user_id").d.min()
+    n0 = len(t0)
+    weeks = Counter()
+    pairs = set()
+    for uid, d in zip(pdf.user_id, pdf.d):
+        wk = (d - t0[uid]).days // 7
+        if wk >= 1 and (uid, wk) not in pairs:
+            pairs.add((uid, wk))
+            weeks[wk] += 1
+    xs, ys = [], []
+    for wk, nw in sorted(weeks.items()):
+        ret = nw / n0
+        if ret > 0:
+            xs.append(wk)
+            ys.append(math.log(ret))
+    x, yv = np.array(xs, float), np.array(ys)
+    k = len(x)
+    slope = (k * (x * yv).sum() - x.sum() * yv.sum()) / (
+        k * (x * x).sum() - x.sum() ** 2
+    )
+    r = QUERIES["retention_half_life"](spark, SF).collect()[0]
+    assert r["n_weeks"] == k
+    assert abs(r["log_decay_per_week"] - slope) < 1e-4
+    assert abs(r["half_life_weeks"] - (-math.log(2) / slope)) < 1e-2
+
+
+def test_icc_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "value")
+        .toPandas()
+    )
+    groups = [g.value.to_numpy() for _, g in pdf.groupby("user_id")]
+    nn = sum(len(g) for g in groups)
+    k = len(groups)
+    gm = pdf.value.mean()
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    msb, msw = ssb / (k - 1), ssw / (nn - k)
+    k_bar = (nn - sum(len(g) ** 2 for g in groups) / nn) / (k - 1)
+    icc = (msb - msw) / (msb + (k_bar - 1) * msw)
+    r = QUERIES["icc_values_by_user"](spark, SF).collect()[0]
+    assert (r["n_obs"], r["n_users"]) == (nn, k)
+    assert abs(r["icc1"] - icc) < 1e-5
+    assert abs(r["design_effect"] - (1 + (k_bar - 1) * icc)) < 1e-4
