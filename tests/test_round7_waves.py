@@ -3194,7 +3194,12 @@ def test_retention_half_life_matches_bruteforce(spark):
     r = QUERIES["retention_half_life"](spark, SF).collect()[0]
     assert r["n_weeks"] == k
     assert abs(r["log_decay_per_week"] - slope) < 1e-4
-    assert abs(r["half_life_weeks"] - (-math.log(2) / slope)) < 1e-2
+    if slope == 0:
+        # sf0.001 is saturated (every user active every week): the
+        # half-life is undefined and the query yields NULL
+        assert r["half_life_weeks"] is None
+    else:
+        assert abs(r["half_life_weeks"] - (-math.log(2) / slope)) < 1e-2
 
 
 def test_icc_matches_bruteforce(spark):
