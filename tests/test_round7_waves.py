@@ -3222,3 +3222,26 @@ def test_icc_matches_bruteforce(spark):
     assert (r["n_obs"], r["n_users"]) == (nn, k)
     assert abs(r["icc1"] - icc) < 1e-5
     assert abs(r["design_effect"] - (1 + (k_bar - 1) * icc)) < 1e-4
+
+
+def test_rayleigh_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("event_type",
+                F.hour("ts").alias("h"), F.minute("ts").alias("m"),
+                F.second("ts").alias("s"))
+        .toPandas()
+    )
+    th = 2 * np.pi * (pdf.h * 3600 + pdf.m * 60 + pdf.s) / 86400.0
+    rows = {r["event_type"]: r for r in QUERIES["rayleigh_circular_hours"](spark, SF).collect()}
+    for t, g in th.groupby(pdf.event_type):
+        cbar, sbar = np.cos(g).mean(), np.sin(g).mean()
+        rr = math.hypot(cbar, sbar)
+        mu = math.atan2(sbar, cbar)
+        if mu < 0:
+            mu += 2 * np.pi
+        r = rows[t]
+        assert r["n"] == len(g)
+        assert abs(r["mean_hour"] - mu * 24 / (2 * np.pi)) < 1e-4
+        assert abs(r["resultant_length"] - rr) < 1e-5
+        assert abs(r["rayleigh_z"] - len(g) * rr * rr) < 1e-4
