@@ -3245,3 +3245,23 @@ def test_rayleigh_matches_bruteforce(spark):
         assert abs(r["mean_hour"] - mu * 24 / (2 * np.pi)) < 1e-4
         assert abs(r["resultant_length"] - rr) < 1e-5
         assert abs(r["rayleigh_z"] - len(g) * rr * rr) < 1e-4
+
+
+def test_circular_linear_matches_numpy(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value", F.hour("ts").alias("h"), F.minute("ts").alias("m"),
+                F.second("ts").alias("s"))
+        .toPandas()
+    )
+    x = pdf.value.to_numpy()
+    th = 2 * np.pi * (pdf.h * 3600 + pdf.m * 60 + pdf.s).to_numpy() / 86400.0
+    rxc = np.corrcoef(x, np.cos(th))[0, 1]
+    rxs = np.corrcoef(x, np.sin(th))[0, 1]
+    rcs = np.corrcoef(np.cos(th), np.sin(th))[0, 1]
+    r2 = (rxc**2 + rxs**2 - 2 * rxc * rxs * rcs) / (1 - rcs**2)
+    r = QUERIES["circular_linear_correlation"](spark, SF).collect()[0]
+    assert r["n"] == len(x)
+    assert abs(r["circular_linear_r"] - math.sqrt(r2)) < 1e-5
+    assert abs(r["test_statistic_chi2_2df"] - len(x) * r2) < 1e-3
