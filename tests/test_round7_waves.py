@@ -3265,3 +3265,30 @@ def test_circular_linear_matches_numpy(spark):
     assert r["n"] == len(x)
     assert abs(r["circular_linear_r"] - math.sqrt(r2)) < 1e-5
     assert abs(r["test_statistic_chi2_2df"] - len(x) * r2) < 1e-3
+
+
+def test_spectral_entropy_matches_numpy(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .orderBy("day")
+        .toPandas()
+    )
+    y = daily.y.to_numpy(float)
+    e = y - y.mean()
+    n = len(e)
+    t = np.arange(n)
+    ps = []
+    for k in range(1, 121):
+        cpart = (e * np.cos(2 * np.pi * k * t / n)).sum()
+        spart = (e * np.sin(2 * np.pi * k * t / n)).sum()
+        ps.append(cpart**2 + spart**2)
+    q = np.array(ps)
+    q = q / q.sum()
+    q = q[q > 0]
+    ent = -(q * np.log(q)).sum() / math.log(len(q))
+    r = QUERIES["spectral_entropy_daily"](spark, SF).collect()[0]
+    assert r["n_freqs"] == len(q)
+    assert abs(r["spectral_entropy"] - ent) < 1e-4
+    assert abs(r["peak_power_share"] - q.max()) < 1e-5
