@@ -3292,3 +3292,39 @@ def test_spectral_entropy_matches_numpy(spark):
     assert r["n_freqs"] == len(q)
     assert abs(r["spectral_entropy"] - ent) < 1e-4
     assert abs(r["peak_power_share"] - q.max()) < 1e-5
+
+
+def test_records_and_turning_points_match_bruteforce(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .orderBy("day")
+        .toPandas()
+    )
+    y = daily.y.to_numpy()
+    n = len(y)
+    run = -np.inf
+    recs = 0
+    last = None
+    for i, v in enumerate(y, 1):
+        if v > run:
+            recs += 1
+            last = i
+            run = v
+    h_n = sum(1 / k for k in range(1, n + 1))
+    r = QUERIES["record_breaking_days"](spark, SF).collect()[0]
+    assert (r["n_days"], r["n_records"], r["last_record_index"]) == (
+        n, recs, last,
+    )
+    assert abs(r["expected_records_iid"] - h_n) < 1e-4
+    tp = sum(
+        1
+        for i in range(1, n - 1)
+        if (y[i] > y[i - 1] and y[i] > y[i + 1])
+        or (y[i] < y[i - 1] and y[i] < y[i + 1])
+    )
+    z = (tp - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90)
+    t = QUERIES["turning_points_test"](spark, SF).collect()[0]
+    assert t["n_turning_points"] == tp
+    assert abs(t["z_stat"] - z) < 1e-4
