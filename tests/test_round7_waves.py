@@ -3328,3 +3328,45 @@ def test_records_and_turning_points_match_bruteforce(spark):
     t = QUERIES["turning_points_test"](spark, SF).collect()[0]
     assert t["n_turning_points"] == tp
     assert abs(t["z_stat"] - z) < 1e-4
+
+
+def test_wilson_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select((F.hour("ts") / F.lit(4)).cast("long").alias("hb"),
+                (F.col("event_type") == "purchase").alias("y"))
+        .toPandas()
+    )
+    rows = {r["hb"]: r for r in QUERIES["wilson_rate_intervals"](spark, SF).collect()}
+    z = 1.96
+    for hb, g in pdf.groupby("hb"):
+        n, x = len(g), int(g.y.sum())
+        p = x / n
+        half = z * math.sqrt(p * (1 - p) / n + z**2 / (4 * n * n))
+        lo = (p + z**2 / (2 * n) - half) / (1 + z**2 / n)
+        hi = (p + z**2 / (2 * n) + half) / (1 + z**2 / n)
+        r = rows[hb]
+        assert (r["n"], r["n_purchases"]) == (n, x)
+        assert abs(r["wilson_lo"] - lo) < 1e-5
+        assert abs(r["wilson_hi"] - hi) < 1e-5
+        assert 0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1
+
+
+def test_median_ci_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .toPandas()
+    )
+    rows = {r["event_type"]: r for r in QUERIES["median_order_statistic_ci"](spark, SF).collect()}
+    for t, g in pdf.groupby("event_type"):
+        v = np.sort(g.value.to_numpy())
+        n = len(v)
+        k_lo = math.floor(n / 2 - 1.96 * math.sqrt(n) / 2)
+        k_hi = math.ceil(n / 2 + 1.96 * math.sqrt(n) / 2)
+        r = rows[t]
+        assert r["n"] == n
+        assert abs(r["ci_lo"] - v[k_lo - 1]) < 1e-6
+        assert abs(r["ci_hi"] - v[k_hi - 1]) < 1e-6
+        assert r["ci_lo"] <= r["median_value"] <= r["ci_hi"]
