@@ -3370,3 +3370,53 @@ def test_median_ci_matches_bruteforce(spark):
         assert abs(r["ci_lo"] - v[k_lo - 1]) < 1e-6
         assert abs(r["ci_hi"] - v[k_hi - 1]) < 1e-6
         assert r["ci_lo"] <= r["median_value"] <= r["ci_hi"]
+
+
+def test_step_hazard_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_id", "event_type",
+                F.expr("ts_ns div 1000").alias("ts_us"))
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+    )
+    sessions = []
+    for _, g in pdf.groupby("user_id"):
+        prev = None
+        for _, e in g.iterrows():
+            if prev is None or e.ts_us - prev > 1_800_000_000:
+                sessions.append([])
+            sessions[-1].append(e.event_type)
+            prev = e.ts_us
+    rows = {r["step"]: r for r in QUERIES["step_hazard_first_error"](spark, SF).collect()}
+    for k in range(1, 11):
+        at_risk = d = 0
+        for s in sessions:
+            fe = next((i + 1 for i, t in enumerate(s) if t == "error"), None)
+            if len(s) >= k and (fe is None or fe >= k):
+                at_risk += 1
+                if fe == k:
+                    d += 1
+        if at_risk == 0:
+            assert k not in rows
+            continue
+        r = rows[k]
+        assert (r["n_at_risk"], r["n_first_errors"]) == (at_risk, d)
+
+
+def test_negbin_fit_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    m, v = pdf.n.mean(), pdf.n.var(ddof=1)
+    r = QUERIES["negbin_fit_user_activity"](spark, SF).collect()[0]
+    assert r["n_users"] == len(pdf)
+    assert abs(r["dispersion_index"] - v / m) < 1e-4
+    if v > m:
+        assert abs(r["nb_r"] - m * m / (v - m)) < 1e-3
+        assert abs(r["nb_p"] - m / v) < 1e-5
+    else:
+        assert r["nb_r"] is None
