@@ -3420,3 +3420,41 @@ def test_negbin_fit_matches_bruteforce(spark):
         assert abs(r["nb_p"] - m / v) < 1e-5
     else:
         assert r["nb_r"] is None
+
+
+def test_price_dispersion_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select("l_partkey",
+                (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"))
+        .toPandas()
+    )
+    per = pdf.groupby("l_partkey").up.agg(["count", "mean", "std"])
+    per = per[per["count"] >= 5]
+    per["cv"] = (per["std"] / per["mean"]).round(6)
+    top = per.sort_values(["cv"], ascending=False)
+    expected = sorted(
+        ((row.cv, pk) for pk, row in per.iterrows()),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    rows = QUERIES["price_dispersion_topk"](spark, SF).collect()
+    got = [(r["cv"], r["p_partkey"]) for r in rows]
+    assert got == expected
+
+
+def test_concentration_ratios_match_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .toPandas()
+        .sort_values(["rev", "o_custkey"], ascending=[False, True])
+    )
+    trev = pdf.rev.sum()
+    cr4 = pdf.rev.iloc[:4].sum() / trev
+    cr8 = pdf.rev.iloc[:8].sum() / trev
+    r = QUERIES["concentration_ratios"](spark, SF).collect()[0]
+    assert r["n_customers"] == len(pdf)
+    assert abs(r["cr4"] - cr4) < 1e-5
+    assert abs(r["cr8"] - cr8) < 1e-5
