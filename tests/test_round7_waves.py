@@ -3458,3 +3458,55 @@ def test_concentration_ratios_match_bruteforce(spark):
     assert r["n_customers"] == len(pdf)
     assert abs(r["cr4"] - cr4) < 1e-5
     assert abs(r["cr8"] - cr8) < 1e-5
+
+
+def test_dwell_matrix_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_id", "event_type",
+                F.expr("ts_ns div 1000").alias("ts_us"))
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+    )
+    cells = {}
+    for _, g in pdf.groupby("user_id"):
+        prev_t = prev_ts = None
+        for _, e in g.iterrows():
+            if prev_t is not None:
+                d = (e.ts_us - prev_ts) / 1e6
+                if d <= 1800:
+                    cells.setdefault((prev_t, e.event_type), []).append(d)
+            prev_t, prev_ts = e.event_type, e.ts_us
+    rows = {(r["prev_type"], r["cur_type"]): r for r in QUERIES["dwell_time_transition_matrix"](spark, SF).collect()}
+    assert set(rows) == set(cells)
+    for k, v in cells.items():
+        r = rows[k]
+        assert r["n"] == len(v)
+        assert abs(r["p50_s"] - np.quantile(v, 0.5)) < 1e-4
+        assert abs(r["mean_s"] - np.mean(v)) < 1e-4
+
+
+def test_ccf_matches_numpy(spark):
+    daily = (
+        load_table(spark, SF, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("int")).alias("c"),
+            F.sum((F.col("event_type") == "purchase").cast("int")).alias("p"),
+        )
+        .orderBy("day")
+        .toPandas()
+    )
+    cv = daily.c.to_numpy(float)
+    pv = daily.p.to_numpy(float)
+    n = len(cv)
+    mc, mp = cv.mean(), pv.mean()
+    sc, sp = cv.std(), pv.std()
+    rows = {r["lag_days"]: r for r in QUERIES["ccf_click_purchase"](spark, SF).collect()}
+    for lag in range(-7, 8):
+        if lag >= 0:
+            num = ((cv[: n - lag] - mc) * (pv[lag:] - mp)).sum()
+        else:
+            num = ((cv[-lag:] - mc) * (pv[: n + lag] - mp)).sum()
+        r = rows[lag]
+        assert abs(r["ccf"] - num / (n * sc * sp)) < 1e-5
