@@ -3510,3 +3510,46 @@ def test_ccf_matches_numpy(spark):
             num = ((cv[-lag:] - mc) * (pv[: n + lag] - mp)).sum()
         r = rows[lag]
         assert abs(r["ccf"] - num / (n * sc * sp)) < 1e-5
+
+
+def test_calendar_anomalies_match_bruteforce(spark):
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"),
+                 F.weekday("o_orderdate").alias("wd"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .toPandas()
+    )
+    import datetime
+
+    zs = []
+    for wd, g in daily.groupby("wd"):
+        med = np.quantile(g.y, 0.5)
+        mad = np.quantile(np.abs(g.y - med), 0.5)
+        for _, r_ in g.iterrows():
+            z = (r_.y - med) / (1.4826 * mad)
+            zs.append((round(z, 6), (r_.day - datetime.date(1970, 1, 1)).days))
+    expected = sorted(zs, key=lambda x: (-abs(x[0]), x[1]))[:10]
+    rows = QUERIES["calendar_adjusted_anomalies"](spark, SF).collect()
+    got = [(r["robust_z"], r["epoch_day"]) for r in rows]
+    assert got == expected
+
+
+def test_churn_sensitivity_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.max(F.expr("ts_ns div 1000")).alias("last_us"))
+        .toPandas()
+    )
+    t1 = (
+        load_table(spark, SF, "events")
+        .agg(F.max(F.expr("ts_ns div 1000")))
+        .collect()[0][0]
+    )
+    rows = {r["inactivity_days"]: r for r in QUERIES["churn_definition_sensitivity"](spark, SF).collect()}
+    for d in (7, 14, 21):
+        churned = int((t1 - pdf.last_us > d * 86_400_000_000).sum())
+        r = rows[d]
+        assert r["n_users"] == len(pdf)
+        assert r["n_churned"] == churned
