@@ -3553,3 +3553,22 @@ def test_churn_sensitivity_matches_bruteforce(spark):
         r = rows[d]
         assert r["n_users"] == len(pdf)
         assert r["n_churned"] == churned
+
+
+def test_cvar_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .toPandas()
+    )
+    rows = {r["event_type"]: r for r in QUERIES["expected_shortfall_cvar"](spark, SF).collect()}
+    for t, g in pdf.groupby("event_type"):
+        v = g.value.to_numpy()
+        var95 = np.quantile(v, 0.95)
+        es95 = v[v > var95].mean()
+        r = rows[t]
+        assert r["n"] == len(v)
+        assert abs(r["var_95"] - var95) < 1e-4
+        assert abs(r["es_95"] - es95) < 1e-4
+        assert r["es_95"] >= r["var_95"]
