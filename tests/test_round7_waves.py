@@ -3572,3 +3572,29 @@ def test_cvar_matches_bruteforce(spark):
         assert abs(r["var_95"] - var95) < 1e-4
         assert abs(r["es_95"] - es95) < 1e-4
         assert r["es_95"] >= r["var_95"]
+
+
+def test_supplier_diversity_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("ns"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .toPandas()
+    )
+    q1, q2, q3 = np.quantile(pdf.ns, [0.25, 0.5, 0.75])
+    def tier(ns):
+        return ("q1_most_concentrated" if ns <= q1 else
+                "q2" if ns <= q2 else "q3" if ns <= q3
+                else "q4_most_diversified")
+    pdf["tier"] = pdf.ns.map(tier)
+    rows = {r["tier"]: r for r in QUERIES["supplier_diversity_risk_audit"](spark, SF).collect()}
+    for t, g in pdf.groupby("tier"):
+        r = rows[t]
+        assert r["n_parts"] == len(g)
+        assert (r["min_suppliers"], r["max_suppliers"]) == (
+            g.ns.min(), g.ns.max(),
+        )
+        assert abs(r["revenue"] - g.rev.sum()) < 1.0
