@@ -3598,3 +3598,39 @@ def test_supplier_diversity_matches_bruteforce(spark):
             g.ns.min(), g.ns.max(),
         )
         assert abs(r["revenue"] - g.rev.sum()) < 1.0
+
+
+def test_dose_response_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_id", "event_type",
+                F.expr("ts_ns div 1000").alias("ts_us"))
+        .toPandas()
+        .sort_values(["user_id", "ts_us", "event_id"])
+    )
+    buckets = Counter()
+    convs = Counter()
+    for _, g in pdf.groupby("user_id"):
+        prev = None
+        cur = []
+        sessions = []
+        for _, e in g.iterrows():
+            if prev is None or e.ts_us - prev > 1_800_000_000:
+                if cur:
+                    sessions.append(cur)
+                cur = []
+            cur.append(e.event_type)
+            prev = e.ts_us
+        if cur:
+            sessions.append(cur)
+        for s in sessions:
+            n = len(s)
+            b = "1" if n == 1 else "2" if n == 2 else "3-4" if n <= 4 else "5+"
+            buckets[b] += 1
+            convs[b] += "purchase" in s
+    rows = {r["len_bucket"]: r for r in QUERIES["dose_response_session_length"](spark, SF).collect()}
+    assert set(rows) == {b for b in buckets}
+    for b in buckets:
+        r = rows[b]
+        assert r["n_sessions"] == buckets[b]
+        assert abs(r["conversion_rate"] - convs[b] / buckets[b]) < 1e-5
