@@ -3634,3 +3634,39 @@ def test_dose_response_matches_bruteforce(spark):
         r = rows[b]
         assert r["n_sessions"] == buckets[b]
         assert abs(r["conversion_rate"] - convs[b] / buckets[b]) < 1e-5
+
+
+def test_event_study_matches_bruteforce(spark):
+    import calendar
+    import datetime
+
+    daily = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .toPandas()
+    )
+    mu = daily.y.mean()
+    cells = {}
+    for _, r_ in daily.iterrows():
+        d = r_.day
+        last = datetime.date(
+            d.year, d.month, calendar.monthrange(d.year, d.month)[1]
+        )
+        pm_y, pm_m = (d.year, d.month - 1) if d.month > 1 else (d.year - 1, 12)
+        prev_last = datetime.date(
+            pm_y, pm_m, calendar.monthrange(pm_y, pm_m)[1]
+        )
+        if (d - last).days >= -3:
+            off = (d - last).days
+        elif (d - prev_last).days <= 3:
+            off = (d - prev_last).days
+        else:
+            continue
+        cells.setdefault(off, []).append(r_.y)
+    rows = {r["day_offset"]: r for r in QUERIES["month_end_event_study"](spark, SF).collect()}
+    assert set(rows) == set(cells)
+    for off, ys in cells.items():
+        r = rows[off]
+        assert r["n_days"] == len(ys)
+        assert abs(r["abnormal_return"] - (np.mean(ys) / mu - 1)) < 1e-5
