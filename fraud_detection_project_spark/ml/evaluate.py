@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -89,14 +89,18 @@ def _pair_count_auc(per_score: DataFrame, precision: int) -> DataFrame:
 
     i.e. P(score⁺ > score⁻) + ½·P(score⁺ = score⁻) — the Mann-Whitney
     U statistic with tie averaging, identical to sklearn's
-    ``roc_auc_score``. The prefix sum runs over the *aggregated* frame.
+    ``roc_auc_score``. The cumulation runs through
+    ``partitioned_prefix_sum`` (range-partitioned two-phase scan), so
+    even a CONTINUOUS score — where |distinct scores| ≈ n and the old
+    ``Window.orderBy`` form funneled everything through one task
+    (VERDICT r6 item 3) — stays fully parallel; ``score_key`` is the
+    groupBy key, hence already a unique total order.
     """
-    w = Window.orderBy("score_key").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    cum = per_score.withColumn(
-        "neg_below", F.coalesce(F.sum("neg_s").over(w), F.lit(0.0))
-    )
+    from ..operators.indexing import partitioned_prefix_sum
+
+    cum = partitioned_prefix_sum(
+        per_score, ["score_key"], "neg_s", "neg_cum"
+    ).withColumn("neg_below", F.col("neg_cum") - F.col("neg_s"))
     return cum.agg(
         F.round(
             F.sum(F.col("pos_s") * (F.col("neg_below") + F.col("neg_s") / 2))
@@ -172,10 +176,14 @@ def average_precision(
 
     where threshold k admits every row scoring >= s_k. Same scale
     contract as auc_roc: collapse to distinct scores first (hash agg
-    with map-side partials), then one ordered prefix-sum over the
-    small aggregated frame — the global window runs over |distinct
-    scores| rows, not the dataset.
+    with map-side partials), then range-partitioned prefix sums over
+    the aggregated frame (``partitioned_prefix_sum`` — no single-task
+    ordered window even for continuous scores, VERDICT r6 item 3).
+    The DESCENDING cumulations fall out of ascending ones via the
+    complement identity ``sum(key >= s) = total − sum(key < s)``.
     """
+    from ..operators.indexing import partitioned_prefix_sum
+
     s, y = _as_col(score), _as_col(label).cast("int")
     per_score = (
         df.filter(s.isNotNull() & y.isNotNull())
@@ -184,15 +192,18 @@ def average_precision(
             F.sum(y).cast("double").alias("pos_s"),
             F.sum(1 - y).cast("double").alias("neg_s"),
         )
+        .withColumn("tot_s", F.col("pos_s") + F.col("neg_s"))
     )
-    w = Window.orderBy(F.desc("score_key")).rowsBetween(
-        Window.unboundedPreceding, 0
+    asc = partitioned_prefix_sum(per_score, ["score_key"], "pos_s", "pos_cum")
+    asc = partitioned_prefix_sum(asc, ["score_key"], "tot_s", "tot_cum")
+    totals = asc.agg(
+        F.sum("pos_s").alias("__p_tot"), F.sum("tot_s").alias("__n_tot")
     )
-    cum = per_score.select(
+    cum = asc.crossJoin(F.broadcast(totals)).select(
         "pos_s",
         "neg_s",
-        F.sum("pos_s").over(w).alias("tp"),
-        F.sum(F.col("pos_s") + F.col("neg_s")).over(w).alias("pp"),
+        (F.col("__p_tot") - F.col("pos_cum") + F.col("pos_s")).alias("tp"),
+        (F.col("__n_tot") - F.col("tot_cum") + F.col("tot_s")).alias("pp"),
     )
     return cum.agg(
         F.round(

@@ -129,58 +129,66 @@ def as_of_join(
     lcols = left.columns
     # tag: right rows sort before left rows at equal timestamps so exact
     # matches are visible to the left row (merge_asof allow_exact_matches).
+    # The payload travels as ONE struct column so the carry is ROW-ATOMIC
+    # (VERDICT r6 item 5 / ADVICE r6): a struct of NULL fields is itself
+    # non-NULL, so last(ignorenulls) carries the matched right row whole —
+    # a NULL payload field can never backfill from an older right row,
+    # matching pandas merge_asof exactly.
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(p) for p in payload]).alias("__pl"),
+    )
     l_tagged = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
         F.struct(*[F.col(c) for c in lcols]).alias("__row"),
-        *[F.lit(None).cast(right.schema[p].dataType).alias(f"__p_{p}") for p in payload],
+        F.lit(None).cast(r_tagged.schema["__pl"].dataType).alias("__pl"),
     )
-    r_tagged = right.select(
-        F.col(on).alias("__k"),
-        F.col(right_time).alias("__t"),
-        F.lit(0).alias("__side"),
-        F.lit(None).cast(l_tagged.schema["__row"].dataType).alias("__row"),
-        *[F.col(p).alias(f"__p_{p}") for p in payload],
+    r_tagged = r_tagged.withColumn(
+        "__row", F.lit(None).cast(l_tagged.schema["__row"].dataType)
     )
     unioned = l_tagged.unionByName(r_tagged)
 
     # Deterministic tie-break on duplicate (key, time) right rows: append
-    # the payload columns to the window ordering so the carried row is the
-    # MAX payload tuple (backward) / MIN payload tuple (forward) — the
-    # same convention as DuckDB's arg_max / arg_min and the engine-wide
-    # max_by rule for same-timestamp carries. Without this, two right
-    # rows at the same (k, t) have no defined order and last() carries
-    # whichever duplicate the shuffle ordered last (round-5 VERDICT #1).
+    # the payload STRUCT to the window ordering (struct comparison is
+    # field-by-field lexicographic, nulls-first ascending — the same
+    # tuple order the old per-column asc_nulls_first spelled out) so the
+    # carried row is the MAX payload tuple (backward) / MIN payload
+    # tuple (forward) — the same convention as DuckDB's arg_max /
+    # arg_min and the engine-wide max_by rule for same-timestamp
+    # carries. Without this, two right rows at the same (k, t) have no
+    # defined order and last() carries whichever duplicate the shuffle
+    # ordered last (round-5 VERDICT #1).
     if direction == "backward":
         w = (
             Window.partitionBy("__k")
             .orderBy(
                 F.col("__t").asc(),
                 F.col("__side").asc(),
-                *[F.col(f"__p_{p}").asc_nulls_first() for p in payload],
+                F.col("__pl").asc_nulls_first(),
             )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        filled = [
-            F.last(f"__p_{p}", ignorenulls=True).over(w).alias(p) for p in payload
-        ]
     else:
         w = (
             Window.partitionBy("__k")
             .orderBy(
                 F.col("__t").desc(),
                 F.col("__side").asc(),
-                *[F.col(f"__p_{p}").desc_nulls_last() for p in payload],
+                F.col("__pl").desc_nulls_last(),
             )
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        filled = [
-            F.last(f"__p_{p}", ignorenulls=True).over(w).alias(p) for p in payload
-        ]
+    carried = F.last("__pl", ignorenulls=True).over(w).alias("__plc")
 
-    out = unioned.select("__side", "__row", *filled).filter(F.col("__side") == 1)
-    return out.select(*[F.col(f"__row.{c}").alias(c) for c in lcols], *payload)
+    out = unioned.select("__side", "__row", carried).filter(F.col("__side") == 1)
+    return out.select(
+        *[F.col(f"__row.{c}").alias(c) for c in lcols],
+        *[F.col(f"__plc.{p}").alias(p) for p in payload],
+    )
 
 
 def binned_range_join(

@@ -248,6 +248,57 @@ def test_as_of_join_forward_matches_bruteforce(spark, left, right):
 
 
 @given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=15
+    ),
+    right=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 50),
+            st.one_of(st.none(), st.integers(0, 9)),
+            st.one_of(st.none(), st.integers(0, 9)),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+)
+@settings(**SETTINGS)
+def test_as_of_join_payload_carry_is_row_atomic(spark, left, right):
+    """ADVICE r6 / VERDICT r6 item 5: when the matched right row holds a
+    NULL in one payload field, that NULL must be carried whole (pandas
+    merge_asof semantics). The old per-column last(ignorenulls) carry
+    backfilled the NULL field from an OLDER right row, mixing fields of
+    different rows; the struct carry makes the payload row-atomic."""
+    from fraud_detection_project_spark.operators.joins import as_of_join
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k long, t long, lid long"
+    )
+    rdf = spark.createDataFrame(right, "k long, t long, pa int, pb int")
+    got = {
+        r["lid"]: (r["pa"], r["pb"])
+        for r in as_of_join(
+            ldf, rdf, on="k", left_time="t", right_time="t", payload=["pa", "pb"]
+        ).collect()
+    }
+
+    def order_key(c):
+        # mirrors the operator: (t, payload struct) with NULL fields
+        # sorting FIRST ascending — the carried row is the max tuple
+        rt, pa, pb = c
+        return (
+            rt,
+            (pa is not None, pa if pa is not None else 0),
+            (pb is not None, pb if pb is not None else 0),
+        )
+
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, pa, pb) for (rk, rt, pa, pb) in right if rk == k and rt <= t]
+        want = tuple(max(cands, key=order_key)[1:]) if cands else (None, None)
+        assert got[i] == want, (i, k, t, cands)
+
+
+@given(
     texts=st.lists(
         st.text(
             alphabet=st.sampled_from(
