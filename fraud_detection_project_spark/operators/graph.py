@@ -355,70 +355,78 @@ def k_core(
             .applyInPandas(lambda pdf: _peel(pdf), out_schema)
         )
 
-    spark = und.sparkSession
-    default_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    # Iteration shuffles are sized by EXPLICIT repartition(nparts, key)
+    # on the loop frames rather than by flipping the session-global
+    # spark.sql.shuffle.partitions conf (ADVICE r6: a concurrent query
+    # on the same SparkSession would inherit the graph-sized count).
+    # Hash-partitioned inputs with matching key and count satisfy the
+    # joins'/aggregates' clustered distribution, so no second exchange
+    # is inserted; AQE may still coalesce or broadcast small sides.
     nparts = max(4, min(4096, -(-n_edges // 600_000)))
-    core = None
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
-        und = und.repartition(nparts, "u").localCheckpoint(eager=True)
-        core = und.groupBy("u").agg(
-            F.count(F.lit(1)).cast("int").alias("c")
+    und = und.repartition(nparts, "u").localCheckpoint(eager=True)
+    # v-keyed copy, shuffled ONCE and reused by every round's two
+    # v-joins (neighbor gather + frontier expansion)
+    undv = und.repartition(nparts, "v").localCheckpoint(eager=True)
+    core = und.groupBy("u").agg(
+        F.count(F.lit(1)).cast("int").alias("c")
+    )
+    frontier = None  # None = first round, recompute everyone
+    for _ in range(max_iter):
+        if frontier is None:
+            base = und
+        else:
+            affected = (
+                undv.join(
+                    frontier.select(F.col("u").alias("v"))
+                    .repartition(nparts, "v"),
+                    "v",
+                    "left_semi",
+                )
+                .select("u")
+                .repartition(nparts, "u")
+                .distinct()
+            )
+            base = und.join(affected, "u", "left_semi")
+        nbc = base.repartition(nparts, "v").join(
+            core.select(F.col("u").alias("v"), F.col("c").alias("cv"))
+            .repartition(nparts, "v"),
+            "v",
         )
-        frontier = None  # None = first round, recompute everyone
-        for _ in range(max_iter):
-            if frontier is None:
-                base = und
-            else:
-                affected = (
-                    und.join(
-                        frontier.select(F.col("u").alias("v")),
-                        "v",
-                        "left_semi",
+        # H-index: with estimates sorted desc, the indicator
+        # cs[i] >= i+1 is a prefix; its length is the H-index
+        upd = (
+            nbc.select("u", "cv")
+            .repartition(nparts, "u")
+            .groupBy("u")
+            .agg(F.sort_array(F.collect_list("cv"), asc=False).alias("cs"))
+            .select(
+                "u",
+                F.size(
+                    F.filter(
+                        F.transform("cs", lambda x, i: x >= i + F.lit(1)),
+                        lambda b: b,
                     )
-                    .select("u")
-                    .distinct()
-                )
-                base = und.join(affected, "u", "left_semi")
-            nbc = base.join(
-                core.select(F.col("u").alias("v"), F.col("c").alias("cv")),
-                "v",
+                ).alias("h"),
             )
-            # H-index: with estimates sorted desc, the indicator
-            # cs[i] >= i+1 is a prefix; its length is the H-index
-            upd = (
-                nbc.groupBy("u")
-                .agg(F.sort_array(F.collect_list("cv"), asc=False).alias("cs"))
-                .select(
-                    "u",
-                    F.size(
-                        F.filter(
-                            F.transform("cs", lambda x, i: x >= i + F.lit(1)),
-                            lambda b: b,
-                        )
-                    ).alias("h"),
-                )
+        )
+        merged = (
+            core.join(upd, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("c"), F.coalesce(F.col("h"), F.col("c"))
+                ).alias("c"),
+                (F.coalesce(F.col("h"), F.col("c")) < F.col("c")).alias(
+                    "chg"
+                ),
             )
-            merged = (
-                core.join(upd, "u", "left")
-                .select(
-                    "u",
-                    F.least(
-                        F.col("c"), F.coalesce(F.col("h"), F.col("c"))
-                    ).alias("c"),
-                    (F.coalesce(F.col("h"), F.col("c")) < F.col("c")).alias(
-                        "chg"
-                    ),
-                )
-                .localCheckpoint(eager=True)
-            )
-            core = merged.select("u", "c")
-            changed = merged.agg(F.sum(F.col("chg").cast("long"))).first()[0]
-            frontier = merged.filter(F.col("chg")).select("u")
-            if not changed:
-                break
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", default_parts)
+            .localCheckpoint(eager=True)
+        )
+        core = merged.select("u", "c")
+        changed = merged.agg(F.sum(F.col("chg").cast("long"))).first()[0]
+        frontier = merged.filter(F.col("chg")).select("u")
+        if not changed:
+            break
     return core.select(F.col("u").alias("id"), F.col("c").alias("core"))
 
 

@@ -159,7 +159,14 @@ def partitioned_prefix_extreme(
     extremes to the driver (|partitions| rows), Arrow kernel emits the
     carried running extreme).  ``exclusive=True`` shifts the frame to
     END 1 PRECEDING (the first row of the total order gets NULL) —
-    the shape skyline/dominance queries need.  Emits float64."""
+    the shape skyline/dominance queries need.  Emits float64.
+
+    NULL values contribute nothing to the running extreme and INHERIT
+    it (SQL MAX() OVER semantics — ADVICE r6): the inclusive extreme is
+    forward-filled inside each Arrow batch and the cross-batch carry is
+    always the last non-NaN inclusive extreme, so a batch ending on a
+    NULL can no longer drop the running extreme.  Rows before the first
+    non-NULL value (inclusive) / the first row (exclusive) emit NULL."""
     import math
 
     import pandas as pd
@@ -196,6 +203,11 @@ def partitioned_prefix_extreme(
             pdf = pdf.drop(columns="__pid")
             v = pdf[value_col].astype("float64")
             inc = v.cummin() if minimum else v.cummax()
+            # pandas cummax/cummin leaves NaN at null positions and
+            # (via clip) a trailing NaN would poison the batch carry —
+            # forward-fill the inclusive extreme, seeding NULL-prefix
+            # rows with the carried start (ADVICE r6)
+            inc = inc.ffill().fillna(start)
             inc = inc.clip(upper=start) if minimum else inc.clip(lower=start)
             if exclusive:
                 run = inc.shift(1)

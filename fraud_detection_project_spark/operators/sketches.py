@@ -290,7 +290,10 @@ def misra_gries(
     with true count > n/(k+1) is present).
 
     Layout: per-partition MG (Arrow-batched ``mapInPandas``, counter
-    dict carried across batches — O(k) memory per task), then the
+    dict carried across batches — peak memory O(k + distinct-per-Arrow-
+    batch): each batch's value_counts is ingested whole before the
+    compress step, so the ~10k-row Arrow batch bounds the transient,
+    not k alone — ADVICE r6), then the
     Agarwal-et-al mergeable-summary merge: sum counters per item, rank
     the merged multiset, subtract the (k+1)-th largest merged value
     from all, keep positives.  The merge is pure DataFrame ops — the
@@ -393,10 +396,27 @@ def bloom_semi_join(
     positions is present.  The affine-mod-prime hash family is
     deliberately SQL-replicable so a DuckDB oracle can rebuild the
     filter bit-for-bit (see the bloom_semi_join_audit query) — swap in
-    xxhash64 for production entropy if oracle parity is not needed."""
+    xxhash64 for production entropy if oracle parity is not needed.
+
+    Non-integral key types are pre-hashed through ``xxhash64`` (pmod'd
+    into the prime field) before the affine family — a raw
+    ``cast('long')`` of a string is NULL, which would make every probe
+    position NULL and silently return EMPTY, violating the
+    no-false-negative guarantee (ADVICE r6). Integral keys keep the
+    bit-exact affine path the audit oracle replicates."""
     from pyspark.sql import functions as F
 
-    bkeys = build.select(F.col(build_col).alias("__k")).distinct()
+    integral = {"tinyint", "smallint", "int", "bigint"}
+
+    def _key_expr(df, col):
+        dt = df.schema[col].dataType.simpleString()
+        if dt in integral:
+            return F.col(col).cast("long")
+        # xxhash64 → long; fold into [0, P) so the affine family's
+        # modular arithmetic never sees a negative operand
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(_BLOOM_P))
+
+    bkeys = build.select(_key_expr(build, build_col).alias("__k")).distinct()
     mrow = bkeys.agg(
         (F.count(F.lit(1)) * bits_per_key).cast("long").alias("__m")
     )
@@ -406,12 +426,15 @@ def bloom_semi_join(
         .distinct()
     )
     ppos = (
-        probe.select(F.col(probe_col).alias("__k"))
+        probe.select(
+            F.col(probe_col).alias("__k"),
+            _key_expr(probe, probe_col).alias("__kh"),
+        )
         .distinct()
         .crossJoin(F.broadcast(mrow))
         .select(
             "__k",
-            F.explode(_bloom_positions(F.col("__k"), F.col("__m"))).alias("pos"),
+            F.explode(_bloom_positions(F.col("__kh"), F.col("__m"))).alias("pos"),
         )
         .distinct()
     )

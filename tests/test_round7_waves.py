@@ -768,6 +768,31 @@ def test_bloom_semi_join_no_false_negatives(spark):
     assert fp / non_members <= 5 * (1 - math.exp(-3 / 32.0)) ** 3 + 0.01
 
 
+def test_bloom_semi_join_string_keys_no_false_negatives(spark):
+    """ADVICE r6: a non-numeric key used to cast('long') to NULL, making
+    every probe fail the all-positions check — the join silently
+    returned EMPTY. String keys now route through xxhash64; every true
+    member must survive."""
+    from fraud_detection_project_spark.operators.sketches import (
+        bloom_semi_join,
+    )
+
+    build = spark.range(0, 150).select(
+        F.concat(F.lit("key_"), (F.col("id") * 7).cast("string")).alias("k")
+    )
+    probe = spark.range(0, 700).select(
+        F.concat(F.lit("key_"), F.col("id").cast("string")).alias("k")
+    )
+    kept = {
+        r["k"] for r in bloom_semi_join(probe, "k", build, "k").collect()
+    }
+    members = {f"key_{i * 7}" for i in range(150) if i * 7 < 700}
+    assert members <= kept
+    non_members = 700 - len(members)
+    fp = len(kept) - len(members)
+    assert fp / non_members <= 5 * (1 - math.exp(-3 / 32.0)) ** 3 + 0.01
+
+
 def test_naive_bayes_matches_bruteforce(spark):
     import collections
 
@@ -1287,6 +1312,44 @@ def test_prefix_extreme_matches_window(spark):
     for (k, v), r in zip(sorted(rows), got):
         run = v if run is None else max(run, v)
         assert r["m"] == run
+
+
+def test_prefix_extreme_null_rows_inherit_running_extreme(spark):
+    """ADVICE r6: NULL values must INHERIT the running extreme (SQL
+    MAX() OVER semantics) instead of emitting NULL, and a partition
+    whose tail rows are NULL must still carry the extreme into the next
+    range partition. NULL-prefix rows (before any value) emit NULL."""
+    import random
+
+    from fraud_detection_project_spark.operators.indexing import (
+        partitioned_prefix_extreme,
+    )
+
+    random.seed(13)
+    rows = [
+        (i, None if random.random() < 0.4 else float(random.randint(-20, 20)))
+        for i in range(400)
+    ]
+    # force NULL runs at range-partition boundaries (leading + trailing)
+    rows[0] = (0, None)
+    rows[1] = (1, None)
+    for i in range(75, 85):
+        rows[i] = (i, None)
+    df = spark.createDataFrame(rows, "k long, v double")
+    for minimum in (False, True):
+        got = (
+            partitioned_prefix_extreme(
+                df, ["k"], "v", "m", minimum=minimum, num_partitions=5
+            )
+            .orderBy("k")
+            .collect()
+        )
+        run = None
+        pick = min if minimum else max
+        for (k, v), r in zip(sorted(rows, key=lambda t: t[0]), got):
+            if v is not None:
+                run = v if run is None else pick(run, v)
+            assert r["m"] == run, (k, v, run, r["m"], minimum)
 
 
 def test_skyline_matches_bruteforce(spark):
