@@ -117,7 +117,15 @@ def ks_two_sample(
     pre-bucketed and D is computed over bucket upper edges — the
     bounded-state form for continuous columns at scale. Returns one
     row: ``ks, n_a, n_b``.
+
+    The ECDF cumulation runs through ``partitioned_prefix_sum``
+    (range-partitioned two-phase scan, VERDICT r6 item 3's AUC class):
+    even when |distinct values| ≈ n — a continuous column without
+    ``bins`` — no single-task ordered window appears anywhere in the
+    plan; the totals ride a broadcast 1-row frame.
     """
+    from ..operators.indexing import partitioned_prefix_sum
+
     key = (
         _bin_key(F.col("x"), *bins).alias("k")
         if bins is not None
@@ -131,21 +139,19 @@ def ks_two_sample(
             F.sum(1 - F.col("is_e")).alias("cb"),
         )
     )
-    w_cum = Window.orderBy("k").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    cum = partitioned_prefix_sum(
+        grouped, ["k"], ["ca", "cb"], ["ca_cum", "cb_cum"]
     )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    totals = cum.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
-    with_cum = grouped.select(
+    with_cum = cum.crossJoin(F.broadcast(totals)).select(
         (
-            F.sum("ca").over(w_cum).cast("double")
-            / F.sum("ca").over(w_all)
-            - F.sum("cb").over(w_cum).cast("double")
-            / F.sum("cb").over(w_all)
+            F.col("ca_cum").cast("double") / F.col("na")
+            - F.col("cb_cum").cast("double") / F.col("nb")
         ).alias("diff"),
-        F.sum("ca").over(w_all).alias("na"),
-        F.sum("cb").over(w_all).alias("nb"),
+        "na",
+        "nb",
     )
     return with_cum.agg(
         F.round(F.max(F.abs(F.col("diff"))), precision).alias("ks"),

@@ -194,8 +194,9 @@ def average_precision(
         )
         .withColumn("tot_s", F.col("pos_s") + F.col("neg_s"))
     )
-    asc = partitioned_prefix_sum(per_score, ["score_key"], "pos_s", "pos_cum")
-    asc = partitioned_prefix_sum(asc, ["score_key"], "tot_s", "tot_cum")
+    asc = partitioned_prefix_sum(
+        per_score, ["score_key"], ["pos_s", "tot_s"], ["pos_cum", "tot_cum"]
+    )
     totals = asc.agg(
         F.sum("pos_s").alias("__p_tot"), F.sum("tot_s").alias("__n_tot")
     )

@@ -76,8 +76,8 @@ def dense_global_index(
 def partitioned_prefix_sum(
     df: DataFrame,
     order_cols: Sequence[str],
-    value_col: str,
-    out_col: str = "cumsum",
+    value_col: str | Sequence[str],
+    out_col: str | Sequence[str] = "cumsum",
     num_partitions: int | None = None,
 ) -> DataFrame:
     """``SUM(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING
@@ -97,13 +97,26 @@ def partitioned_prefix_sum(
     whole dataset through ONE task (VERDICT r4 "What's wrong" #1/#3).
     Integral value columns accumulate as int64, everything else as
     float64.
+
+    ``value_col``/``out_col`` also take SEQUENCES (matched pairwise) so
+    several running sums share ONE range shuffle + scan — the
+    ECDF-style callers (KS, CvM, Jonckheere–Terpstra, average
+    precision) cumulate 2-4 counters over the same total order and
+    would otherwise pay the two-phase layout once per column.
     """
     import pandas as pd
 
+    vcols = [value_col] if isinstance(value_col, str) else list(value_col)
+    ocols = [out_col] if isinstance(out_col, str) else list(out_col)
+    if len(vcols) != len(ocols):
+        raise ValueError("value_col and out_col lengths differ")
+
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    integral = df.schema[value_col].dataType.simpleString() in (
-        "tinyint", "smallint", "int", "bigint",
-    )
+    integral = {
+        v: df.schema[v].dataType.simpleString()
+        in ("tinyint", "smallint", "int", "bigint")
+        for v in vcols
+    }
     rp = (
         df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -111,19 +124,21 @@ def partitioned_prefix_sum(
         .localCheckpoint(eager=True)
     )
     psums = sorted(
-        (r["__pid"], r["s"])
+        (r["__pid"], tuple(r[f"s_{v}"] for v in vcols))
         for r in rp.groupBy("__pid")
-        .agg(F.sum(value_col).alias("s"))
+        .agg(*[F.sum(v).alias(f"s_{v}") for v in vcols])
         .collect()
     )
-    offsets, acc = {}, 0 if integral else 0.0
-    for pid, s in psums:
-        offsets[pid] = acc
-        acc += s if s is not None else 0
+    offsets: dict[int, tuple] = {}
+    acc = [0 if integral[v] else 0.0 for v in vcols]
+    for pid, sums in psums:
+        offsets[pid] = tuple(acc)
+        for i, s in enumerate(sums):
+            acc[i] += s if s is not None else 0
 
-    out_schema = rp.drop("__pid").schema.add(
-        out_col, "long" if integral else "double"
-    )
+    out_schema = rp.drop("__pid").schema
+    for v, o in zip(vcols, ocols):
+        out_schema = out_schema.add(o, "long" if integral[v] else "double")
     cols = [f.name for f in out_schema.fields]
 
     def kernel(batches):
@@ -132,12 +147,14 @@ def partitioned_prefix_sum(
             if len(pdf) == 0:
                 continue
             pid = int(pdf["__pid"].iloc[0])
-            start = carried.get(pid, offsets[pid])
+            starts = carried.get(pid, offsets[pid])
             pdf = pdf.drop(columns="__pid")
-            local = pdf[value_col].fillna(0).cumsum()
-            run = start + local
-            pdf[out_col] = run.astype("int64") if integral else run
-            carried[pid] = run.iloc[-1]
+            lasts = []
+            for (v, o), start in zip(zip(vcols, ocols), starts):
+                run = start + pdf[v].fillna(0).cumsum()
+                pdf[o] = run.astype("int64") if integral[v] else run
+                lasts.append(run.iloc[-1])
+            carried[pid] = tuple(lasts)
             yield pd.DataFrame(pdf, columns=cols)
 
     return rp.mapInPandas(kernel, out_schema)

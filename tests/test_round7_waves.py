@@ -3733,3 +3733,149 @@ def test_event_study_matches_bruteforce(spark):
         r = rows[off]
         assert r["n_days"] == len(ys)
         assert abs(r["abnormal_return"] - (np.mean(ys) / mu - 1)) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Wave A (round 7): CvM two-sample, Gumbel block maxima, Cochran's Q,
+# Jonckheere–Terpstra, Törnqvist index — brute-force numpy/pandas twins.
+# ---------------------------------------------------------------------------
+
+
+def _vp_values(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("view", "purchase")
+        )
+        .select("event_type", "value")
+        .toPandas()
+    )
+    a = np.sort(pdf[pdf.event_type == "view"].value.to_numpy())
+    b = np.sort(pdf[pdf.event_type == "purchase"].value.to_numpy())
+    return a, b
+
+
+def test_cvm_matches_bruteforce(spark):
+    a, b = _vp_values(spark)
+    ks = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(a, ks, side="right") / len(a)
+    fb = np.searchsorted(b, ks, side="right") / len(b)
+    w = np.array(
+        [np.sum(a == k) + np.sum(b == k) for k in ks], dtype=float
+    )
+    t = len(a) * len(b) / (len(a) + len(b)) ** 2 * np.sum((fa - fb) ** 2 * w)
+    r = QUERIES["cramer_von_mises_2sample"](spark, SF).collect()[0]
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert abs(r["cvm_t"] - t) < 1e-4
+
+
+def test_gumbel_fit_matches_moments(spark):
+    pdf = load_table(spark, SF, "orders").select(
+        F.to_date("o_orderdate").alias("d"), "o_totalprice"
+    ).toPandas()
+    mx = pdf.groupby("d").o_totalprice.max().to_numpy()
+    s = float(np.sqrt(np.mean((mx - mx.mean()) ** 2)))
+    beta = s * math.sqrt(6) / math.pi
+    mu = float(mx.mean()) - 0.5772156649015329 * beta
+    r = QUERIES["gumbel_block_maxima_fit"](spark, SF).collect()[0]
+    assert r["n_blocks"] == len(mx)
+    assert abs(r["mu"] - mu) < 1e-2
+    assert abs(r["beta"] - beta) < 1e-2
+    p = 1 - math.exp(-math.exp(-(mx.max() - mu) / beta))
+    assert abs(r["p_exceed_max"] - p) < 1e-5
+    # moment identity: a uniform-ish spread still yields beta > 0
+    assert r["beta"] > 0
+
+
+def test_cochran_q_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value", F.hour("ts").alias("h"))
+        .toPandas()
+    )
+    y = (pdf.event_type == "purchase").to_numpy().astype(int)
+    x = np.stack(
+        [
+            ((pdf.value > 500).to_numpy().astype(int) == y).astype(int),
+            ((pdf.h >= 12).to_numpy().astype(int) == y).astype(int),
+            ((pdf.event_id % 2 == 0).to_numpy().astype(int) == y).astype(int),
+        ],
+        axis=1,
+    )
+    g = x.sum(axis=0)
+    l = x.sum(axis=1)
+    q = 2.0 * (3 * np.sum(g**2) - g.sum() ** 2) / (3 * l.sum() - np.sum(l**2))
+    r = QUERIES["cochran_q_classifiers"](spark, SF).collect()[0]
+    assert r["n_rows"] == len(pdf)
+    assert abs(r["q_stat"] - q) < 1e-4
+    assert r["reject_h0"] == (q > 5.991464547107979)
+
+
+def test_jonckheere_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value", (F.hour("ts") / 6).cast("int").alias("g"))
+        .toPandas()
+    )
+    groups = [pdf[pdf.g == i].value.to_numpy() for i in range(4)]
+    j = 0.0
+    for gi in range(4):
+        for hi in range(gi + 1, 4):
+            a, b = groups[gi], groups[hi]
+            j += np.sum(a[:, None] < b[None, :]) + 0.5 * np.sum(
+                a[:, None] == b[None, :]
+            )
+    r = QUERIES["jonckheere_terpstra_hours"](spark, SF).collect()[0]
+    assert abs(r["j_stat"] - j) < 0.51
+    n = sum(len(g) for g in groups)
+    sq = sum(len(g) ** 2 for g in groups)
+    e_j = (n**2 - sq) / 4.0
+    var = (
+        n**2 * (2 * n + 3) - sum(len(g) ** 2 * (2 * len(g) + 3) for g in groups)
+    ) / 72.0
+    assert abs(r["z"] - (j - e_j) / math.sqrt(var)) < 1e-4
+
+
+def test_tornqvist_matches_pandas(spark):
+    li = (
+        load_table(spark, SF, "lineitem")
+        .select("l_partkey", "l_shipdate", "l_extendedprice", "l_quantity")
+        .toPandas()
+    )
+    part = load_table(spark, SF, "part").select("p_partkey", "p_brand").toPandas()
+    df = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    df["mo"] = df.l_shipdate.dt.to_period("M")
+    pm = df.groupby(["mo", "p_brand"]).agg(
+        rev=("l_extendedprice", "sum"), qty=("l_quantity", "sum")
+    )
+    pm["price"] = pm.rev / pm.qty
+    pm["share"] = pm.rev / pm.groupby("mo").rev.transform("sum")
+    got = {
+        r["month"]: (r["ln_tornqvist"], r["n_brands"])
+        for r in QUERIES["tornqvist_price_index_monthly"](spark, SF).collect()
+    }
+    months = sorted(pm.index.get_level_values(0).unique())
+    checked = 0
+    for prev, cur in zip(months, months[1:]):
+        if (cur - prev).n != 1:
+            continue
+        a, b = pm.loc[prev], pm.loc[cur]
+        common = a.index.intersection(b.index)
+        if len(common) == 0:
+            continue
+        ln_p = float(
+            (
+                0.5
+                * (a.loc[common, "share"] + b.loc[common, "share"])
+                * np.log(b.loc[common, "price"] / a.loc[common, "price"])
+            ).sum()
+        )
+        key = str(cur.start_time.date())
+        assert key in got, key
+        assert got[key][1] == len(common)
+        assert abs(got[key][0] - ln_p) < 1e-4
+        checked += 1
+    assert checked >= 5

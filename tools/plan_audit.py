@@ -34,11 +34,121 @@ def plan_of(df) -> str:
 
 _TREE_PREFIX = " :+-"
 _BOUNDED_OPS = (
-    "HashAggregate", "ObjectHashAggregate", "SortAggregate",
     "TakeOrderedAndProject", "GlobalLimit", "CollectLimit",
     "LocalTableScan", "Scan ExistingRDD", "ReusedExchange",
     "BroadcastExchange",  # broadcast inputs are bounded by definition
 )
+_AGG_OPS = ("HashAggregate", "ObjectHashAggregate", "SortAggregate")
+
+# An aggregate bounds a global window ONLY when grouped on
+# bounded-DOMAIN keys (VERDICT r6 item 4: "aggregated" is not
+# "low-cardinality" — a per-customer aggregate feeding a global NTILE
+# is still |customers| rows through one task, the exact hole
+# rfm_segments_customers slipped through). Domain-bounded means the
+# key's value space is structurally small regardless of data size:
+# calendar units, bins/deciles, enum-ish dimension attributes. The
+# token list is an explicit allowlist over the identifier words in the
+# key expression (underscore-split, so `o_custkey` ≠ `key` and
+# `event_type` → `type` matches).
+_BOUNDED_KEY_TOKENS = frozenset({
+    "bin", "bins", "bucket", "decile", "quintile", "ntile", "band",
+    "tier", "week", "day", "days", "date", "month", "year", "hour",
+    "hours", "minute", "dow", "weekday", "flag", "type", "segment",
+    "lang", "source", "grade", "label", "side", "kind", "category",
+    "region", "nation", "priority", "status", "brand", "mode", "fold",
+    "grp", "group", "level", "stage", "quantile", "pct", "percentile",
+    "channel", "topic", "returnflag", "linestatus", "shipmode",
+    "mktsegment", "container", "true", "false",
+    # calendar-granularity raw columns (dates, not entities)
+    "orderdate", "shipdate",
+})
+
+# Domain-REDUCING functions: a group key computed through one of these
+# has a structurally small codomain even when its input is an entity
+# or a continuous measure (calendar truncations; fixed-width binning
+# clamps). Residual hole, documented: floor(entity_id / 2) would pass —
+# the raw-entity-column case (the rfm shape) still always flags because
+# direct column keys print their names.
+_DOMAIN_REDUCING_FNS = (
+    "to_date(", "date_trunc(", "year(", "month(", "hour(", "minute(",
+    "dayofweek(", "weekday(", "dayofmonth(", "weekofyear(", "quarter(",
+    "floor(", "ceil(", "least(", "greatest(", "width_bucket(",
+)
+
+# CASE with only literal THEN/ELSE branches: codomain = the literal set
+import re as _re
+
+_LITERAL_CASE = _re.compile(
+    r"CASE WHEN .+? THEN -?\d+(?:\.\d+)?(?:E-?\d+)? "
+    r"(?:WHEN .+? THEN -?\d+(?:\.\d+)?(?:E-?\d+)? )*"
+    r"ELSE -?\d+(?:\.\d+)?(?:E-?\d+)? END"
+)
+
+
+def _key_definition(plan: str, key: str) -> str:
+    """Defining-expression CONTEXT of ``name#id`` — physical plans bind
+    aliases in Project/Aggregate lines as ``<expr> AS name#id``; group
+    keys synthesized from expressions print as ``_groupingexpression#N``
+    whose definition carries the real semantics. Expression boundaries
+    in plan text are not cleanly parseable (nested commas/parens), so
+    this returns the 200 characters PRECEDING each binding — enough
+    context for the token / function-name checks, at worst
+    over-permissive for neighbouring expressions (raw entity keys, the
+    protected shape, have no AS binding and are unaffected)."""
+    key = key.strip()
+    if not _re.match(r"^.*#\d+L?$", key):
+        return ""
+    ctx = []
+    for mm in _re.finditer(r" AS " + _re.escape(key) + r"[,\]\)]", plan):
+        ctx.append(plan[max(0, mm.start() - 200):mm.start()])
+    return " ".join(ctx)
+
+
+def _agg_group_keys(op: str) -> list[str] | None:
+    """The top-level comma-split contents of ``keys=[...]`` in an
+    aggregate operator line, or None when no keys= group is present."""
+    i = op.find("keys=[")
+    if i < 0:
+        return None
+    j = i + len("keys=[")
+    depth, start, keys = 1, j, []
+    while j < len(op) and depth:
+        ch = op[j]
+        if ch in "[(":
+            depth += 1
+        elif ch in "])":
+            depth -= 1
+            if depth == 0:
+                keys.append(op[start:j])
+                break
+        elif ch == "," and depth == 1:
+            keys.append(op[start:j])
+            start = j + 1
+        j += 1
+    return [k.strip() for k in keys if k.strip()]
+
+
+def _agg_bounds(op: str, plan: str = "") -> bool:
+    """True when an aggregate line's group keys are all domain-bounded
+    (or it is a keyless global aggregate — at most 1 row). A key is
+    bounded when its name OR its defining expression (resolved through
+    the plan's ``AS name#id`` bindings) carries a bounded-domain token,
+    a domain-reducing function, or a literal-branch CASE."""
+    keys = _agg_group_keys(op)
+    if keys is None or not keys:
+        return True  # keyless: global aggregate, ≤ 1 row
+    for k in keys:
+        text = k + " " + _key_definition(plan, k)
+        words = set(_re.findall(r"[a-zA-Z]+", text.lower()))
+        if words & _BOUNDED_KEY_TOKENS:
+            continue
+        low = text.lower()
+        if any(fn in low for fn in _DOMAIN_REDUCING_FNS):
+            continue
+        if _LITERAL_CASE.search(text):
+            continue
+        return False
+    return True
 
 
 def _node(line: str) -> tuple[int, str]:
@@ -103,6 +213,12 @@ def unbounded_global_windows(plan: str) -> list[str]:
             if any(op2.startswith(b) for b in _BOUNDED_OPS):
                 bounded = True
                 break
+            if any(op2.startswith(a) for a in _AGG_OPS):
+                if _agg_bounds(op2, plan):
+                    bounded = True
+                    break
+                continue  # entity-keyed aggregate bounds nothing — keep
+                # scanning deeper for a limit/local relation
         if not bounded:
             offenders.append(op.strip()[:120])
     return offenders
@@ -489,6 +605,26 @@ def audit(spark, sf_dir: str) -> list[str]:
     check("detector self-test: post-limit window is NOT flagged",
           not unbounded_global_windows(plan_of(bounded_probe)),
           plan_of(bounded_probe)[:400])
+    # VERDICT r6 item 4: a PER-ENTITY aggregate (|users| output rows)
+    # feeding a global rank must be flagged — "aggregated" does not
+    # mean "low-cardinality"; this is the exact shape the old
+    # any-HashAggregate whitelist let through (rfm quintiles).
+    entity_probe = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .groupBy("user_id").count()
+        .withColumn("rn", F.row_number().over(W.orderBy(F.desc("count"))))
+    )
+    check("detector self-test: per-entity-aggregate global rank IS flagged",
+          bool(unbounded_global_windows(plan_of(entity_probe))),
+          plan_of(entity_probe)[:400])
+    bounded_agg_probe = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .groupBy("event_type").count()
+        .withColumn("rn", F.row_number().over(W.orderBy(F.desc("count"))))
+    )
+    check("detector self-test: bounded-domain-key aggregate is NOT flagged",
+          not unbounded_global_windows(plan_of(bounded_agg_probe)),
+          plan_of(bounded_agg_probe)[:400])
 
     # whole-stage codegen compiles for the scan→agg path ("codegen"
     # explain mode generates the code without executing). The adaptive
