@@ -3879,3 +3879,160 @@ def test_tornqvist_matches_pandas(spark):
         assert abs(got[key][0] - ln_p) < 1e-4
         checked += 1
     assert checked >= 5
+
+
+# ---------------------------------------------------------------------------
+# Wave B (round 7): Bass diffusion, Erlang-C, Hurst R/S, burstiness,
+# pairwise JSD.
+# ---------------------------------------------------------------------------
+
+
+def test_bass_diffusion_matches_numpy_ols(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .toPandas()
+    )
+    first = pdf.groupby("user_id").d.min()
+    daily = first.value_counts().sort_index()
+    n_t = daily.to_numpy().astype(float)
+    nprev = np.concatenate([[0.0], np.cumsum(n_t)[:-1]])
+    X = np.stack([np.ones_like(nprev), nprev, nprev**2], axis=1)
+    coef, *_ = np.linalg.lstsq(X, n_t, rcond=None)
+    r = QUERIES["bass_diffusion_fit"](spark, SF).collect()[0]
+    assert r["n_days"] == len(n_t)
+    assert abs(r["coef_a"] - coef[0]) < 1e-3
+    assert abs(r["coef_b"] - coef[1]) < 1e-3
+    assert abs(r["coef_c"] - coef[2]) < 1e-5
+    a, b, c = coef
+    disc = b * b - 4 * a * c
+    if c < 0 and disc >= 0:
+        m = (-b - math.sqrt(disc)) / (2 * c)
+        assert abs(r["market_size_m"] - m) < 1e-1
+        assert abs(r["p_innovation"] - a / m) < 1e-4
+        assert abs(r["q_imitation"] - (-c * m)) < 1e-4
+
+
+def _erlang_c_prob(a, c):
+    terms = [1.0]
+    for k in range(1, c + 1):
+        terms.append(terms[-1] * a / k)
+    tail = terms[c] * c / (c - a)
+    return tail / (sum(terms[:c]) + tail)
+
+
+def test_erlang_c_matches_scalar_formula(spark):
+    pdf = load_table(spark, SF, "events").select(
+        F.hour("ts").alias("h"), F.to_date("ts").alias("d")
+    ).toPandas()
+    ndays = pdf.d.nunique()
+    rows = QUERIES["erlang_c_staffing"](spark, SF).collect()
+    got = {r["hour"]: r for r in rows}
+    for h, cnt in pdf.h.value_counts().items():
+        lam = cnt / ndays
+        a = lam / 12.0
+        c = next(
+            cc for cc in range(1, 41)
+            if cc > a and _erlang_c_prob(a, cc) < 0.2
+        )
+        r = got[h]
+        assert abs(r["lambda_per_hour"] - lam) < 1e-4
+        assert r["servers_required"] == c
+        assert abs(r["p_wait"] - _erlang_c_prob(a, c)) < 1e-4
+        # the next-smaller staffing must violate the SLA (minimality)
+        if c - 1 > a:
+            assert _erlang_c_prob(a, c - 1) >= 0.2
+
+
+def test_hurst_rs_matches_numpy(spark):
+    pdf = (
+        load_table(spark, SF, "orders")
+        .select(F.to_date("o_orderdate").alias("d"), "o_totalprice")
+        .toPandas()
+    )
+    y = pdf.groupby("d").o_totalprice.sum().sort_index().to_numpy()
+    want = {}
+    pts = []
+    for nsz in (8, 16, 32, 64):
+        rss = []
+        for b in range(len(y) // nsz):
+            blk = y[b * nsz:(b + 1) * nsz]
+            z = np.cumsum(blk - blk.mean())
+            s = blk.std()
+            if s > 0:
+                rss.append((z.max() - z.min()) / s)
+        want[nsz] = (len(rss), float(np.mean(rss)))
+        pts.append((math.log(nsz), math.log(np.mean(rss))))
+    xs, ys = zip(*pts)
+    n = len(xs)
+    h = (n * np.dot(xs, ys) - sum(xs) * sum(ys)) / (
+        n * np.dot(xs, xs) - sum(xs) ** 2
+    )
+    rows = QUERIES["hurst_rs_daily"](spark, SF).collect()
+    for r in rows:
+        nb, mrs = want[r["block_size"]]
+        assert r["n_blocks"] == nb
+        assert abs(r["mean_rs"] - mrs) < 1e-4
+        assert abs(r["hurst"] - h) < 1e-4
+    # R/S of any real series is positive and H is a sane exponent
+    assert 0.0 < rows[0]["hurst"] < 1.5
+
+
+def test_burstiness_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_id", F.expr("ts_ns div 1000").alias("us"))
+        .toPandas()
+        .sort_values(["user_id", "us", "event_id"])
+    )
+    bins = Counter()
+    sums = Counter()
+    for _, g in pdf.groupby("user_id"):
+        gaps = np.diff(g.us.to_numpy()).astype(float)
+        if len(gaps) < 2:
+            continue
+        mu, sd = gaps.mean(), math.sqrt(np.mean(gaps**2) - gaps.mean() ** 2)
+        bi = (sd - mu) / (sd + mu)
+        bn = int(min(max(math.floor((bi + 1) * 5), 0), 9))
+        bins[bn] += 1
+        sums[bn] += bi
+    rows = QUERIES["burstiness_goh_barabasi"](spark, SF).collect()
+    assert {r["b_bin"]: r["n_users"] for r in rows} == dict(bins)
+    for r in rows:
+        assert abs(r["avg_burstiness"] - sums[r["b_bin"]] / bins[r["b_bin"]]) < 1e-4
+
+
+def test_jsd_sources_matches_bruteforce(spark):
+    import re as _re
+
+    pdf = load_table(spark, SF, "documents").select("source", "text").toPandas()
+    dist = {}
+    for src, g in pdf.groupby("source"):
+        cnt = Counter()
+        for t in g.text:
+            cnt.update(
+                w for w in _re.sub(r"[^a-zA-Z0-9]+", " ", t.lower()).split() if w
+            )
+        tot = sum(cnt.values())
+        dist[src] = {w: c / tot for w, c in cnt.items()}
+    want = {}
+    srcs = sorted(dist)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1:]:
+            p, q = dist[sa], dist[sb]
+            jsd = 0.0
+            for w in set(p) | set(q):
+                pw, qw = p.get(w, 0.0), q.get(w, 0.0)
+                m = (pw + qw) / 2
+                if pw > 0:
+                    jsd += 0.5 * pw * math.log(pw / m)
+                if qw > 0:
+                    jsd += 0.5 * qw * math.log(qw / m)
+            want[(sa, sb)] = jsd
+    rows = QUERIES["jsd_source_similarity_topk"](spark, SF).collect()
+    expected_top = sorted(want.items(), key=lambda kv: (round(kv[1], 6), kv[0]))[:10]
+    assert [(r["src_a"], r["src_b"]) for r in rows] == [k for k, _ in expected_top]
+    for r in rows:
+        assert abs(r["jsd"] - want[(r["src_a"], r["src_b"])]) < 1e-4
+        assert 0.0 <= r["jsd"] <= math.log(2) + 1e-9
