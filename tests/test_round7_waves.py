@@ -4036,3 +4036,169 @@ def test_jsd_sources_matches_bruteforce(spark):
     for r in rows:
         assert abs(r["jsd"] - want[(r["src_a"], r["src_b"])]) < 1e-4
         assert 0.0 <= r["jsd"] <= math.log(2) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Wave C (round 7): seasonal MK, gains deciles, funnel z, Nelson–Aalen,
+# gamma / Somers' D.
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_mann_kendall_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "orders")
+        .select(F.to_date("o_orderdate").alias("d"), "o_totalprice")
+        .toPandas()
+    )
+    daily = pdf.groupby("d").o_totalprice.sum().sort_index()
+    s_all, var_s = 0, 0.0
+    for wd in range(7):
+        ser = daily[[d.isoweekday() % 7 + 1 == wd + 1 for d in daily.index]]
+        y = ser.to_numpy()
+        n = len(y)
+        for i in range(n):
+            for j in range(i + 1, n):
+                s_all += int(np.sign(y[j] - y[i]))
+        var_s += n * (n - 1) * (2 * n + 5) / 18.0
+    r = QUERIES["seasonal_mann_kendall"](spark, SF).collect()[0]
+    assert r["s_stat"] == s_all
+    assert abs(r["var_s"] - var_s) < 0.01
+    z = (
+        (s_all - 1) / math.sqrt(var_s)
+        if s_all > 0
+        else ((s_all + 1) / math.sqrt(var_s) if s_all < 0 else 0.0)
+    )
+    assert abs(r["z"] - z) < 1e-4
+
+
+def test_lift_gains_deciles_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "event_type", "value")
+        .toPandas()
+    )
+    pdf["sc"] = round(1.0 / (1.0 + np.exp(-(pdf.value - 50.0) / 25.0)), 9)
+    pdf["y"] = (pdf.event_type == "purchase").astype(int)
+    pdf = pdf.sort_values(["sc", "event_id"], ascending=[False, True]).reset_index()
+    n = len(pdf)
+    q, rr = divmod(n, 10)
+    cut = rr * (q + 1)
+    pdf["decile"] = [
+        i // (q + 1) if i < cut else rr + (i - cut) // q for i in range(n)
+    ]
+    g = pdf.groupby("decile").agg(n_rows=("y", "size"), n_pos=("y", "sum"))
+    base = g.n_pos.sum() / g.n_rows.sum()
+    rows = QUERIES["lift_gains_deciles"](spark, SF).collect()
+    cum = 0
+    for r in rows:
+        e = g.loc[r["decile"]]
+        cum += e.n_pos
+        assert r["n_rows"] == e.n_rows and r["n_pos"] == e.n_pos
+        assert abs(r["lift"] - (e.n_pos / e.n_rows) / base) < 1e-4
+        assert abs(r["cum_capture"] - cum / g.n_pos.sum()) < 1e-4
+    # monotone capture reaching 1.0
+    assert abs(rows[-1]["cum_capture"] - 1.0) < 1e-9
+
+
+def test_funnel_step_z_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type", F.expr("ts_ns div 1000").alias("us"))
+        .toPandas()
+    )
+    per = {}
+    for uid, g in pdf.groupby("user_id"):
+        tv = g[g.event_type == "view"].us.min()
+        tc = g[g.event_type == "click"].us.min()
+        tp = g[g.event_type == "purchase"].us.min()
+        per[uid] = (g.us.min(), tv, tc, tp)
+    firsts = [v[0] for v in per.values()]
+    cutoff = min(firsts) + (max(firsts) - min(firsts)) // 2
+    agg = {"early": [0, 0, 0], "late": [0, 0, 0]}
+    for first, tv, tc, tp in per.values():
+        c = "early" if first < cutoff else "late"
+        s1 = not math.isnan(tv) if tv == tv else False
+        s1 = tv == tv
+        s2 = s1 and tc == tc and tc > tv
+        s3 = s2 and tp == tp and tp > tc
+        agg[c][0] += int(s1)
+        agg[c][1] += int(s2)
+        agg[c][2] += int(s3)
+    rows = {r["step"]: r for r in QUERIES["funnel_step_significance"](spark, SF).collect()}
+
+    def check(step, bi, ci):
+        ne, ce = agg["early"][bi], agg["early"][ci]
+        nl, cl = agg["late"][bi], agg["late"][ci]
+        r = rows[step]
+        assert r["n_early"] == ne and r["n_late"] == nl
+        pp = (ce + cl) / (ne + nl)
+        z = (ce / ne - cl / nl) / math.sqrt(pp * (1 - pp) * (1 / ne + 1 / nl))
+        assert abs(r["z"] - z) < 1e-4
+
+    check("view_to_click", 0, 1)
+    check("click_to_purchase", 1, 2)
+
+
+def test_nelson_aalen_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type", F.expr("ts_ns div 1000").alias("us"))
+        .toPandas()
+    )
+    durations = []
+    horizon = 0
+    per = []
+    for uid, g in pdf.groupby("user_id"):
+        entry = g.us.min()
+        pu = g[g.event_type == "purchase"].us.min()
+        last = g.us.max()
+        horizon = max(horizon, last)
+        per.append((entry, pu))
+    for entry, pu in per:
+        if pu == pu and pu > entry:
+            durations.append(((pu - entry) // 86_400_000_000, 1))
+        else:
+            durations.append(((horizon - entry) // 86_400_000_000, 0))
+    rows = QUERIES["nelson_aalen_hazard"](spark, SF).collect()
+    days = sorted({t for t, e in durations if e == 1})
+    h = 0.0
+    got = {r["day"]: r for r in rows}
+    assert set(got) == set(days)
+    for t in days:
+        d = sum(1 for tt, e in durations if e == 1 and tt == t)
+        n_risk = sum(1 for tt, _ in durations if tt >= t)
+        h += d / n_risk
+        assert got[t]["n_events"] == d and got[t]["n_risk"] == n_risk
+        assert abs(got[t]["na_cum_hazard"] - round(h, 6)) < 2e-6
+    # cumulative hazard is nondecreasing by construction
+    vals = [got[t]["na_cum_hazard"] for t in days]
+    assert vals == sorted(vals)
+
+
+def test_gamma_somers_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.hour("ts").alias("h"), "value")
+        .toPandas()
+    )
+    qv = np.quantile(pdf.value, [0.25, 0.5, 0.75], method="linear")
+    x = (pdf.h // 6).to_numpy()
+    y = np.digitize(pdf.value, qv, right=True)
+    ct = Counter(zip(x, y))
+    conc = disc = tx = 0
+    items = list(ct.items())
+    for (xa, ya), na in items:
+        for (xb, yb), nb in items:
+            if xb > xa and yb > ya:
+                conc += na * nb
+            elif xb > xa and yb < ya:
+                disc += na * nb
+            elif xb == xa and yb > ya:
+                tx += na * nb
+    r = QUERIES["gamma_somers_d_ordinal"](spark, SF).collect()[0]
+    assert r["n_rows"] == len(pdf)
+    assert r["concordant"] == conc and r["discordant"] == disc
+    assert abs(r["gamma"] - (conc - disc) / (conc + disc)) < 1e-6
+    assert abs(r["somers_d_yx"] - (conc - disc) / (conc + disc + tx)) < 1e-6
