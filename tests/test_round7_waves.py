@@ -4202,3 +4202,133 @@ def test_gamma_somers_matches_bruteforce(spark):
     assert r["concordant"] == conc and r["discordant"] == disc
     assert abs(r["gamma"] - (conc - disc) / (conc + disc)) < 1e-6
     assert abs(r["somers_d_yx"] - (conc - disc) / (conc + disc + tx)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Wave D (round 7): pipeline audits — decontam rates, pack efficiency,
+# Fisher dims, dup cluster sizes.
+# ---------------------------------------------------------------------------
+
+
+def _tokenize(t):
+    import re as _re
+
+    return [w for w in _re.sub(r"[^a-zA-Z0-9]+", " ", t.lower()).split() if w]
+
+
+def test_decontam_rate_by_source_matches_bruteforce(spark):
+    pdf = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    ).toPandas()
+    sh = {}
+    for _, r in pdf.iterrows():
+        toks = _tokenize(r.text)
+        if len(toks) >= 13:
+            s = {" ".join(toks[i:i + 13]) for i in range(len(toks) - 12)}
+        else:
+            s = {" ".join(toks)}
+        sh[r.doc_id] = s
+    probe = set().union(*(sh[d] for d in sh if d % 50 == 0)) if sh else set()
+    per_source = {}
+    for _, r in pdf.iterrows():
+        if r.doc_id % 50 == 0:
+            continue
+        n, k = per_source.get(r.source, (0, 0))
+        per_source[r.source] = (n + 1, k + (1 if sh[r.doc_id] & probe else 0))
+    rows = {r["source"]: r for r in QUERIES["decontam_rate_by_source"](spark, SF).collect()}
+    assert set(rows) == set(per_source)
+    for src, (n, k) in per_source.items():
+        r = rows[src]
+        assert r["n_docs"] == n and r["n_contaminated"] == k
+        p = k / n
+        lo = (p + 1.9208 / n - 1.96 * math.sqrt(p * (1 - p) / n + 0.9604 / n**2)) / (
+            1 + 3.8416 / n
+        )
+        hi = (p + 1.9208 / n + 1.96 * math.sqrt(p * (1 - p) / n + 0.9604 / n**2)) / (
+            1 + 3.8416 / n
+        )
+        assert abs(r["wilson_lo"] - lo) < 1e-5 and abs(r["wilson_hi"] - hi) < 1e-5
+        assert r["wilson_lo"] <= r["rate"] <= r["wilson_hi"]
+
+
+def test_pack_efficiency_matches_bruteforce(spark):
+    pdf = load_table(spark, SF, "documents").select("doc_id", "text").toPandas()
+    pdf = pdf.sort_values("doc_id")
+    lens = [len(_tokenize(t)) for t in pdf.text]
+    cum = 0
+    bins = Counter()
+    for ln in lens:
+        cum += ln
+        bins[(cum - ln) // 512] += ln
+    n_bins = len(bins)
+    fills = list(bins.values())
+    last_bin = max(bins)
+    r = QUERIES["pack_efficiency_audit"](spark, SF).collect()[0]
+    assert r["n_bins"] == n_bins and r["n_docs"] == len(lens)
+    assert abs(r["mean_fill_ratio"] - np.mean([f / 512 for f in fills])) < 1e-5
+    assert abs(
+        r["frac_overflow_bins"] - sum(1 for f in fills if f > 512) / n_bins
+    ) < 1e-6
+    assert abs(
+        r["waste_share"] - (1 - sum(fills) / (512 * (last_bin + 1)))
+    ) < 1e-6
+
+
+def test_fisher_dims_matches_numpy(spark):
+    pdf = load_table(spark, SF, "embeddings").select("embedding", "label").toPandas()
+    X = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    y = pdf.label.to_numpy()
+    mu_all = X.mean(axis=0)
+    between = np.zeros(X.shape[1])
+    within = np.zeros(X.shape[1])
+    for lab in np.unique(y):
+        Xl = X[y == lab]
+        between += len(Xl) * (Xl.mean(axis=0) - mu_all) ** 2
+        within += len(Xl) * Xl.var(axis=0)
+    between /= len(X)
+    within /= len(X)
+    ratio = between / within
+    order = sorted(range(64), key=lambda d: (-round(ratio[d], 6), d))[:10]
+    rows = QUERIES["fisher_discriminative_dims"](spark, SF).collect()
+    assert [r["dim"] - 1 for r in rows] == order
+    for r in rows:
+        assert abs(r["fisher_ratio"] - ratio[r["dim"] - 1]) < 1e-4
+
+
+def test_dup_cluster_sizes_match_unionfind(spark):
+    pdf = load_table(spark, SF, "documents").select("doc_id", "text").toPandas()
+    sh = {}
+    for _, r in pdf.iterrows():
+        toks = _tokenize(r.text)
+        sh[r.doc_id] = {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+    ids = sorted(sh)
+    parent = {i: i for i in ids}
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    clustered = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter and inter / len(sh[a] | sh[b]) >= 0.5:
+                clustered |= {a, b}
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    sizes = Counter()
+    comp = Counter(find(a) for a in clustered)
+    for _, sz in comp.items():
+        sizes[sz] += 1
+    rows = QUERIES["dup_cluster_size_distribution"](spark, SF).collect()
+    assert {r["cluster_size"]: r["n_clusters"] for r in rows} == dict(sizes)
+    n_total = len(ids)
+    for r in rows:
+        assert r["n_docs_in"] == r["cluster_size"] * r["n_clusters"]
+        want = (r["cluster_size"] - 1) * r["n_clusters"] / n_total
+        assert abs(r["removable_share"] - want) < 1e-6
