@@ -129,6 +129,10 @@ def main() -> None:
         "first_run_queries": first_run,
         "first_run_total": round(sum(first_run.values()), 3),
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        # host-contention context (VERDICT r6 item 7): this box is a
+        # co-tenant VM with a documented ±50% timing band — 1/5/15-min
+        # load averages let a reader judge whether a swing is noise
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     # attach the measured 10x scaling decade when tools/bench_scale.py
     # has produced one (SCALING.md is the human-readable twin)
