@@ -4332,3 +4332,115 @@ def test_dup_cluster_sizes_match_unionfind(spark):
         assert r["n_docs_in"] == r["cluster_size"] * r["n_clusters"]
         want = (r["cluster_size"] - 1) * r["n_clusters"] / n_total
         assert abs(r["removable_share"] - want) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Wave E (round 7): Haar wavelets, KS-exponential, Yule's K, FWL,
+# Krippendorff's alpha.
+# ---------------------------------------------------------------------------
+
+
+def test_haar_wavelet_matches_numpy(spark):
+    pdf = (
+        load_table(spark, SF, "orders")
+        .select(F.to_date("o_orderdate").alias("d"), "o_totalprice")
+        .toPandas()
+    )
+    y = pdf.groupby("d").o_totalprice.sum().sort_index().to_numpy()
+    energies = {}
+    for j in (1, 2, 3, 4):
+        size = 2**j
+        es = []
+        for b in range(len(y) // size):
+            blk = y[b * size:(b + 1) * size]
+            d = (blk[: size // 2].mean() - blk[size // 2:].mean()) * math.sqrt(size) / 2
+            es.append(d * d)
+        energies[j] = (len(es), sum(es))
+    te = sum(e for _, e in energies.values())
+    rows = QUERIES["haar_wavelet_variance"](spark, SF).collect()
+    assert len(rows) == 4
+    for r in rows:
+        n, e = energies[r["level"]]
+        assert r["n_coefs"] == n and r["block_days"] == 2 ** r["level"]
+        assert abs(r["energy_share"] - e / te) < 1e-5
+    assert abs(sum(r["energy_share"] for r in rows) - 1.0) < 1e-4
+
+
+def test_ks_exponential_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_id", F.expr("ts_ns div 1000").alias("us"))
+        .toPandas()
+        .sort_values(["user_id", "us", "event_id"])
+    )
+    gaps = []
+    for _, g in pdf.groupby("user_id"):
+        gaps.extend(np.diff(g.us.to_numpy()) / 1e6)
+    gaps = np.array([g for g in gaps if g > 0])
+    lam = 1.0 / gaps.mean()
+    ks_vals = np.sort(gaps)
+    n = len(gaps)
+    cdf = 1 - np.exp(-lam * ks_vals)
+    ecdf_hi = np.arange(1, n + 1) / n
+    ecdf_lo = np.arange(0, n) / n
+    d = max(np.abs(ecdf_hi - cdf).max(), np.abs(ecdf_lo - cdf).max())
+    r = QUERIES["ks_exponential_gaps"](spark, SF).collect()[0]
+    assert r["n_gaps"] == n
+    assert abs(r["lambda_hat"] - lam) < 1e-8
+    assert abs(r["ks_d"] - d) < 1e-5
+    assert r["reject_exponential"] == (d > 1.358 / math.sqrt(n))
+
+
+def test_yule_k_matches_bruteforce(spark):
+    pdf = load_table(spark, SF, "documents").select("lang", "text").toPandas()
+    rows = {r["lang"]: r for r in QUERIES["yule_k_lexical_richness"](spark, SF).collect()}
+    for lang, g in pdf.groupby("lang"):
+        cnt = Counter()
+        for t in g.text:
+            cnt.update(_tokenize(t))
+        n = sum(cnt.values())
+        sc2 = sum(c * c for c in cnt.values())
+        f1 = sum(1 for c in cnt.values() if c == 1)
+        r = rows[lang]
+        assert r["n_tokens"] == n and r["vocab"] == len(cnt)
+        assert abs(r["yule_k"] - 1e4 * (sc2 - n) / n**2) < 1e-4
+        assert abs(r["hapax_share"] - f1 / len(cnt)) < 1e-6
+
+
+def test_fwl_matches_numpy_multivariate_ols(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.hour("ts").alias("h"), "value", F.dayofweek(F.to_date("ts")).alias("wd"))
+        .toPandas()
+    )
+    # full multivariate OLS: value ~ hour + weekday dummies
+    wd = np.asarray(pdf.wd)
+    dummies = np.stack([(wd == k).astype(float) for k in np.unique(wd)], axis=1)
+    X = np.column_stack([pdf.h.to_numpy().astype(float), dummies])
+    beta, *_ = np.linalg.lstsq(X, pdf.value.to_numpy(), rcond=None)
+    r = QUERIES["fwl_partial_regression"](spark, SF).collect()[0]
+    # FWL identity: residualized slope == the multivariate coefficient
+    assert abs(r["partial_slope"] - beta[0]) < 1e-4
+    assert r["n_rows"] == len(pdf)
+    assert -1.0 <= r["partial_corr"] <= 1.0
+
+
+def test_krippendorff_alpha_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value", F.hour("ts").alias("h"))
+        .toPandas()
+    )
+    r1 = (pdf.value > 500).astype(int).to_numpy()
+    r2 = (pdf.h >= 12).astype(int).to_numpy()
+    n = len(pdf)
+    d_o = float(np.mean(r1 != r2))
+    n1 = int(r1.sum() + r2.sum())
+    n0 = 2 * n - n1
+    d_e = ((2 * n) ** 2 - (n1**2 + n0**2)) / (2 * n * (2 * n - 1))
+    r = QUERIES["krippendorff_alpha_nominal"](spark, SF).collect()[0]
+    assert r["n_units"] == n
+    assert abs(r["observed_disagreement"] - d_o) < 1e-6
+    assert abs(r["alpha"] - (1 - d_o / d_e)) < 1e-5
