@@ -4444,3 +4444,107 @@ def test_krippendorff_alpha_matches_bruteforce(spark):
     assert r["n_units"] == n
     assert abs(r["observed_disagreement"] - d_o) < 1e-6
     assert abs(r["alpha"] - (1 - d_o / d_e)) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Wave F (round 7): Weibull fit, EOQ, meta-analysis pooling, CJK share.
+# ---------------------------------------------------------------------------
+
+
+def test_weibull_fit_matches_moments(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .select("user_id", "event_type", F.expr("ts_ns div 1000").alias("us"))
+        .toPandas()
+    )
+    lts = []
+    for _, g in pdf.groupby("user_id"):
+        entry = g.us.min()
+        pu = g[g.event_type == "purchase"].us.min()
+        if pu == pu and pu > entry:
+            lts.append(math.log((pu - entry) / 3_600_000_000.0))
+    lts = np.array(lts)
+    sd = math.sqrt(np.mean(lts**2) - lts.mean() ** 2)
+    k = math.pi / (sd * math.sqrt(6))
+    scale = math.exp(lts.mean() + 0.5772156649015329 / k)
+    r = QUERIES["weibull_fit_time_to_purchase"](spark, SF).collect()[0]
+    assert r["n_converted"] == len(lts)
+    assert abs(r["shape_k"] - k) < 1e-4
+    assert abs(r["scale_hours"] - scale) < 1e-2
+    assert abs(r["median_hours"] - scale * math.log(2) ** (1 / k)) < 1e-2
+
+
+def test_eoq_matches_bruteforce(spark):
+    pdf = load_table(spark, SF, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_shipdate"
+    ).toPandas()
+    years = (pdf.l_shipdate.max() - pdf.l_shipdate.min()).days / 365.25
+    g = pdf.groupby("l_partkey").agg(
+        q=("l_quantity", "sum"), rev=("l_extendedprice", "sum")
+    )
+    g["unit"] = g.rev / g.q
+    g["d"] = g.q / years
+    g["eoq"] = np.sqrt(2 * g.d * 100.0 / (0.2 * g.unit))
+    top = g.sort_values(["d"], ascending=False)
+    top = top.reset_index().sort_values(
+        ["d", "l_partkey"], ascending=[False, True]
+    ).head(20)
+    rows = QUERIES["eoq_inventory_plan"](spark, SF).collect()
+    # compare as sets on rounded demand (ordering ties broken identically)
+    assert [r["partkey"] for r in rows] == list(top.l_partkey)
+    for r, (_, e) in zip(rows, top.iterrows()):
+        assert abs(r["eoq_units"] - e.eoq) < 1e-2
+        assert abs(r["orders_per_year"] - e.d / e.eoq) < 1e-2
+
+
+def test_meta_analysis_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isin("purchase", "view")
+        )
+        .select(F.dayofweek(F.to_date("ts")).alias("wd"), "event_type", "value")
+        .toPandas()
+    )
+    es, ws = [], []
+    for wd, g in pdf.groupby("wd"):
+        p = g[g.event_type == "purchase"].value.to_numpy()
+        v = g[g.event_type == "view"].value.to_numpy()
+        e = p.mean() - v.mean()
+        se2 = (np.mean(p**2) - p.mean() ** 2) / len(p) + (
+            np.mean(v**2) - v.mean() ** 2
+        ) / len(v)
+        es.append(e)
+        ws.append(1 / se2)
+    es, ws = np.array(es), np.array(ws)
+    pooled = float(np.sum(ws * es) / ws.sum())
+    q = float(np.sum(ws * (es - pooled) ** 2))
+    r = QUERIES["meta_analysis_weekday_effects"](spark, SF).collect()[0]
+    assert r["n_strata"] == len(es)
+    assert abs(r["pooled_effect"] - pooled) < 1e-4
+    assert abs(r["se_pooled"] - math.sqrt(1 / ws.sum())) < 1e-5
+    assert abs(r["cochran_q"] - q) < 1e-3
+    assert abs(r["i_squared"] - max(0.0, (q - (len(es) - 1)) / q)) < 1e-4
+
+
+def test_cjk_share_matches_bruteforce(spark):
+    pdf = load_table(spark, SF, "documents").select("lang", "text").toPandas()
+    rows = {r["lang"]: r for r in QUERIES["cjk_script_share_by_lang"](spark, SF).collect()}
+    for lang, g in pdf.groupby("lang"):
+        shares, nmaj = [], 0
+        for t in g.text:
+            n = len(t)
+            c = sum(1 for ch in t if "一" <= ch <= "鿿")
+            shares.append(c / n if n else None)
+            nmaj += int(2 * c > n)
+        vals = [s for s in shares if s is not None]
+        r = rows[lang]
+        assert r["n_docs"] == len(g)
+        assert abs(r["avg_cjk_share"] - np.mean(vals)) < 1e-5
+        assert r["n_majority_cjk"] == nmaj
+    # the synthetic corpus labels Latin text as zh — the audit must
+    # EXPOSE that: zero majority-CJK docs under every declared lang
+    # (documented in the query docstring; real corpora flip this)
+    assert all(rows[lg]["n_majority_cjk"] == 0 for lg in rows)
+    assert rows["zh"]["avg_cjk_share"] < 0.01
