@@ -4548,3 +4548,87 @@ def test_cjk_share_matches_bruteforce(spark):
     # (documented in the query docstring; real corpora flip this)
     assert all(rows[lg]["n_majority_cjk"] == 0 for lg in rows)
     assert rows["zh"]["avg_cjk_share"] < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Wave G (round 7): AMS F2, randomized response, pivot, cube.
+# ---------------------------------------------------------------------------
+
+
+def test_ams_f2_matches_bruteforce(spark):
+    pdf = load_table(spark, SF, "events").select("user_id").toPandas()
+    cnt = pdf.user_id.value_counts()
+    f2 = int((cnt**2).sum())
+    ests = []
+    for j in range(8):
+        s = 0
+        for uid, c in cnt.items():
+            h = (uid * (1000003 + 2 * j) + 7) % 999983 * 40503 % 999983
+            s += c if h < 499991 else -c
+        ests.append(float(s * s))
+    r = QUERIES["ams_f2_sketch_audit"](spark, SF).collect()[0]
+    assert r["exact_f2"] == f2
+    assert abs(r["mean_est_ratio"] - np.mean(ests) / f2) < 1e-4
+    assert abs(r["median_est_ratio"] - np.median(ests) / f2) < 1e-4
+    # AMS unbiasedness: the 8-estimator mean lands within a loose
+    # sampling band of the truth
+    assert 0.2 < r["mean_est_ratio"] < 5.0
+
+
+def test_randomized_response_matches_bruteforce(spark):
+    pdf = load_table(spark, SF, "events").select("event_id", "event_type").toPandas()
+    b = (pdf.event_type == "purchase").astype(int).to_numpy()
+    h = (pdf.event_id.to_numpy() * 1000003 + 7) % 999983 * 40503 % 999983
+    keep = h < 749987
+    reported = np.where(keep, b, 1 - b)
+    lam = reported.mean()
+    r = QUERIES["randomized_response_debias"](spark, SF).collect()[0]
+    assert r["n_rows"] == len(pdf)
+    assert abs(r["lambda_observed"] - lam) < 1e-6
+    assert abs(r["pi_debiased"] - (lam - 0.25) / 0.5) < 1e-6
+    assert abs(r["pi_true"] - b.mean()) < 1e-6
+    # the debiased estimate must beat the raw noised rate
+    assert abs(r["pi_debiased"] - r["pi_true"]) < abs(lam - b.mean())
+
+
+def test_pivot_and_cube_match_pandas(spark):
+    o = load_table(spark, SF, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    ).toPandas()
+    c = load_table(spark, SF, "customer").select("c_custkey", "c_nationkey").toPandas()
+    n = load_table(spark, SF, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).toPandas()
+    rg = load_table(spark, SF, "region").select("r_regionkey", "r_name").toPandas()
+    df = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .merge(rg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    pv = df.pivot_table(
+        index="n_name", columns="o_orderpriority", values="o_totalprice",
+        aggfunc="sum", fill_value=0.0,
+    )
+    rows = QUERIES["pivot_revenue_nation_priority"](spark, SF).collect()
+    colmap = {
+        "p1_urgent": "1-URGENT", "p2_high": "2-HIGH", "p3_medium": "3-MEDIUM",
+        "p4_notspec": "4-NOT SPECIFIED", "p5_low": "5-LOW",
+    }
+    for r in rows:
+        for out_col, prio in colmap.items():
+            want = float(pv.loc[r["nation"]].get(prio, 0.0)) if r["nation"] in pv.index else 0.0
+            assert abs(r[out_col] - round(want, 2)) < 0.02, (r["nation"], prio)
+    cube_rows = QUERIES["cube_revenue_region_priority"](spark, SF).collect()
+    got = {(r["region"], r["priority"]): (r["n_orders"], r["revenue"]) for r in cube_rows}
+    # grand total
+    assert got[("ALL", "ALL")][0] == len(df)
+    assert abs(got[("ALL", "ALL")][1] - round(df.o_totalprice.sum(), 2)) < 0.02
+    # one marginal each way
+    for reg, g in df.groupby("r_name"):
+        assert got[(reg, "ALL")][0] == len(g)
+    for pr, g in df.groupby("o_orderpriority"):
+        assert got[("ALL", pr)][0] == len(g)
+    # full lattice size: (5 regions + ALL) x (5 priorities + ALL)
+    present_regions = df.r_name.nunique()
+    present_prios = df.o_orderpriority.nunique()
+    assert len(got) == (present_regions + 1) * (present_prios + 1)
