@@ -4632,3 +4632,106 @@ def test_pivot_and_cube_match_pandas(spark):
     present_regions = df.r_name.nunique()
     present_prios = df.o_orderpriority.nunique()
     assert len(got) == (present_regions + 1) * (present_prios + 1)
+
+
+# ---------------------------------------------------------------------------
+# Wave H (round 7): advisors — histogram scheme, DKW, shuffle skew,
+# MinHash banding.
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_scheme_advisor_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value")
+        .toPandas()
+    )
+    v = pdf.value.to_numpy()
+    lo, hi, n = v.min(), v.max(), len(v)
+    ew = Counter(np.minimum(((v - lo) / ((hi - lo) / 16.0)).astype(int), 15))
+    qs = np.quantile(v, [i / 16 for i in range(1, 16)], method="linear")
+    ed = Counter(np.searchsorted(qs, v, side="left"))
+    # searchsorted(left) counts qs[j] < value  (strict), matching len(filter(q < v))
+    ed = Counter(int(np.sum(qs < x)) for x in v)
+    rows = {r["scheme"]: r for r in QUERIES["histogram_scheme_advisor"](spark, SF).collect()}
+    assert rows["equi_width"]["n_nonempty_bins"] == len(ew)
+    assert abs(rows["equi_width"]["max_bin_share"] - max(ew.values()) / n) < 1e-5
+    assert rows["equi_depth"]["n_nonempty_bins"] == len(ed)
+    assert abs(rows["equi_depth"]["max_bin_share"] - max(ed.values()) / n) < 1e-5
+    # equi-depth must beat (or tie) equi-width on the worst bin
+    assert (
+        rows["equi_depth"]["max_bin_share"]
+        <= rows["equi_width"]["max_bin_share"] + 1e-9
+    )
+
+
+def test_dkw_sample_audit_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+        .toPandas()
+    )
+    h = (pdf.event_id.to_numpy() * 1000003 + 7) % 999983 * 40503 % 999983
+    samp = pdf.value.to_numpy()[h < 99998]
+    full = np.sort(pdf.value.to_numpy())
+    samp_sorted = np.sort(samp)
+    ks = np.unique(full)
+    ff = np.searchsorted(full, ks, side="right") / len(full)
+    fs = np.searchsorted(samp_sorted, ks, side="right") / len(samp)
+    d = np.abs(ff - fs).max()
+    r = QUERIES["dkw_sample_size_audit"](spark, SF).collect()[0]
+    assert r["n_sample"] == len(samp)
+    eps = math.sqrt(math.log(2 / 0.05) / (2 * len(samp)))
+    assert abs(r["epsilon_dkw"] - eps) < 1e-6
+    assert abs(r["observed_sup_error"] - d) < 1e-5
+    assert r["within_bound"] == (d <= eps)
+
+
+def test_shuffle_skew_advisor_matches_bruteforce(spark):
+    ev = load_table(spark, SF, "events").select("user_id").toPandas()
+    li = load_table(spark, SF, "lineitem").select(
+        "l_partkey", "l_orderkey"
+    ).toPandas()
+    rows = {r["join_key"]: r for r in QUERIES["shuffle_skew_advisor"](spark, SF).collect()}
+    for key, series in [
+        ("events.user_id", ev.user_id),
+        ("lineitem.l_partkey", li.l_partkey),
+        ("lineitem.l_orderkey", li.l_orderkey),
+    ]:
+        cnt = series.value_counts()
+        n = len(series)
+        r = rows[key]
+        assert r["n_distinct_keys"] == len(cnt)
+        assert abs(r["top_key_share"] - cnt.iloc[0] / n) < 1e-6
+        assert abs(
+            r["skew_factor"] - float((cnt**2).sum()) / n**2 * len(cnt)
+        ) < 1e-4
+        assert r["recommended_salt"] == max(1, math.ceil(cnt.iloc[0] / (n / 32)))
+        assert r["needs_salting"] == (cnt.iloc[0] > 2 * n / 32)
+
+
+def test_minhash_banding_advisor_s_curve_invariants(spark):
+    rows = QUERIES["minhash_banding_advisor"](spark, SF).collect()
+    assert len(rows) == 12
+    for r in rows:
+        b, rr = r["n_bands"], r["rows_per_band"]
+        assert abs(
+            r["p_detect_at_080"] - (1 - (1 - 0.8**rr) ** b)
+        ) < 1e-6
+        assert abs(
+            r["p_detect_at_040"] - (1 - (1 - 0.4**rr) ** b)
+        ) < 1e-6
+        # expected detections bounded by the candidate-pair census
+        assert 0 <= r["expected_detected_pairs"] <= r["n_candidate_pairs"]
+    # more bands at fixed r can only raise detection probability
+    by_r = {}
+    for r in rows:
+        by_r.setdefault(r["rows_per_band"], []).append(
+            (r["n_bands"], r["p_detect_at_080"])
+        )
+    for rr, pts in by_r.items():
+        pts.sort()
+        ps = [p for _, p in pts]
+        assert ps == sorted(ps)
