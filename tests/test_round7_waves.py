@@ -4735,3 +4735,33 @@ def test_minhash_banding_advisor_s_curve_invariants(spark):
         pts.sort()
         ps = [p for _, p in pts]
         assert ps == sorted(ps)
+
+
+# ---------------------------------------------------------------------------
+# Wave I (round 7): TPC-H shape analogues Q3/Q5/Q13/Q16 — plan-shape +
+# invariant pins (the DuckDB oracle is the value check).
+# ---------------------------------------------------------------------------
+
+
+def test_q13_distribution_accounts_for_every_customer(spark):
+    rows = QUERIES["customer_order_distribution_q13"](spark, SF).collect()
+    n_cust = load_table(spark, SF, "customer").count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    by_orders = {r["n_orders"]: r["n_customers"] for r in rows}
+    o = load_table(spark, SF, "orders").select("o_custkey").distinct().count()
+    # zero-order bucket = customers the inner join would silently drop
+    assert by_orders.get(0, 0) == n_cust - o
+
+
+def test_q3_q5_q16_plan_shapes(spark):
+    from tools.plan_audit import plan_of
+
+    p = plan_of(QUERIES["shipping_priority_q3"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    assert "PushedFilters" in p
+    p = plan_of(QUERIES["local_supplier_volume_q5"](spark, SF))
+    assert p.count("BroadcastHashJoin") >= 3 and "SortMergeJoin" not in p
+    p = plan_of(QUERIES["parts_supplier_variety_q16"](spark, SF))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
