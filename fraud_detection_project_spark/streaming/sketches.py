@@ -209,3 +209,111 @@ def streaming_histogram(
         .outputMode("update")
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming AMS F₂ maintenance (round 7): the second-frequency-moment
+# sketch is ADD-mergeable at the atom level — each estimator's state is
+# the signed sum Z_j = Σ_u sign_j(u)·c_u, and a micro-batch contributes
+# Σ_rows sign_j(key) to it, so state' = state + delta exactly. 8 rows
+# of state forever; estimate F₂ ≈ Z_j² served via mean/median across
+# estimators (see queries.ams_f2_sketch_audit for the batch twin and
+# the sign-hash convention). Same versioned-manifest + epoch-replay
+# contract as the count-min/histogram paths above.
+# ---------------------------------------------------------------------------
+
+_AMS_SCHEMA = "j INT, z BIGINT"
+
+
+def read_ams(spark, path: str) -> DataFrame:
+    """Current AMS state (empty before the first batch)."""
+    manifest = os.path.join(path, "AMS_MANIFEST.json")
+    if not os.path.exists(manifest):
+        return spark.createDataFrame([], _AMS_SCHEMA)
+    with open(manifest) as f:
+        version = json.load(f)["version"]
+    return spark.read.parquet(os.path.join(path, f"av={version}"))
+
+
+def _ams_batch_delta(batch: DataFrame, key: str, n_estimators: int) -> DataFrame:
+    sign = F.when(
+        (F.col(key).cast("long") * (1000003 + 2 * F.col("j")) + 7)
+        % 999983
+        * 40503
+        % 999983
+        < 499991,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        batch.select(F.col(key))
+        .withColumn(
+            "j", F.explode(F.sequence(F.lit(0), F.lit(n_estimators - 1)))
+        )
+        .groupBy("j")
+        .agg(F.sum(sign).cast("long").alias("z"))
+    )
+
+
+def merge_ams_batch(
+    spark,
+    batch: DataFrame,
+    key: str,
+    path: str,
+    n_estimators: int = 8,
+    epoch: int | None = None,
+) -> None:
+    """state' = state + ams(batch): per-estimator signed sums add.
+    Atomic version-flip commit; a replayed foreachBatch epoch
+    (``epoch <=`` the manifest's last applied) is a NO-OP."""
+    manifest = os.path.join(path, "AMS_MANIFEST.json")
+    state = _manifest_state(manifest)
+    if epoch is not None and epoch <= state["epoch"]:
+        return
+    delta = _ams_batch_delta(batch, key, n_estimators)
+    merged = (
+        read_ams(spark, path)
+        .unionByName(delta.select(F.col("j").cast("int"), "z"))
+        .groupBy("j")
+        .agg(F.sum("z").cast("long").alias("z"))
+    )
+    version = state["version"] + 1
+    merged.write.mode("overwrite").parquet(os.path.join(path, f"av={version}"))
+    _commit_manifest(manifest, version, epoch)
+
+
+def ams_f2_estimate(spark, path: str) -> DataFrame:
+    """Serve the current F₂ estimate: mean and median of Z_j² across
+    the estimators — one row, computable at any time from the 8-row
+    state."""
+    state = read_ams(spark, path)
+    sq = state.select((F.col("z") * F.col("z")).cast("double").alias("e"))
+    return sq.agg(
+        F.avg("e").alias("f2_mean"),
+        F.percentile("e", F.lit(0.5)).alias("f2_median"),
+        F.count(F.lit(1)).cast("long").alias("n_estimators"),
+    )
+
+
+def streaming_ams_f2(
+    stream: DataFrame,
+    key: str,
+    path: str,
+    checkpoint: str,
+    n_estimators: int = 8,
+):
+    """Maintain the AMS F₂ sketch over a stream; serve with
+    :func:`ams_f2_estimate` at any time."""
+    spark = stream.sparkSession
+
+    def _merge(batch: DataFrame, epoch: int) -> None:
+        merge_ams_batch(
+            spark, batch, key, path,
+            n_estimators=n_estimators, epoch=epoch,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .start()
+    )

@@ -672,6 +672,51 @@ def test_partitioned_prefix_sum_matches_sequential(spark, vals, n_parts):
 
 
 @given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**6),  # order key
+            st.integers(min_value=-100, max_value=100),  # int value
+            st.one_of(  # nullable float value
+                st.none(),
+                st.floats(-100, 100, allow_nan=False),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    n_parts=st.integers(min_value=1, max_value=8),
+)
+@settings(**SETTINGS)
+def test_partitioned_prefix_sum_multicolumn_matches_sequential(
+    spark, vals, n_parts
+):
+    """Round-7: the multi-column form cumulates k columns in ONE range
+    shuffle; each output must equal its own sequential scan, mixed
+    int64/double dtypes and NULLs included (NULLs contribute 0)."""
+    from fraud_detection_project_spark.operators.indexing import (
+        partitioned_prefix_sum,
+    )
+
+    df = spark.createDataFrame(
+        vals, "k long, a long, b double"
+    ).repartition(3)
+    out = partitioned_prefix_sum(
+        df, ["k"], ["a", "b"], ["ca", "cb"], num_partitions=n_parts
+    )
+    got = {r["k"]: (r["ca"], r["cb"]) for r in out.collect()}
+    acc_a, acc_b, want = 0, 0.0, {}
+    for k, a, b in sorted(vals, key=lambda t: t[0]):
+        acc_a += a
+        acc_b += b if b is not None else 0.0
+        want[k] = (acc_a, acc_b)
+    for k, (wa, wb) in want.items():
+        ga, gb = got[k]
+        assert ga == wa
+        assert abs(gb - wb) < 1e-9
+
+
+@given(
     iv=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=3),  # user

@@ -1221,3 +1221,74 @@ class TestStreamingPageHinkley:
             g = got[k]
             assert abs(g["m"] - w["m"]) <= 1e-6 * max(1.0, abs(w["m"]))
             assert g["alarm"] == w["alarm"], k
+
+
+class TestStreamingAmsF2:
+    """Round-7: the AMS F2 sketch streams by per-estimator signed-sum
+    addition — stream == batch exactly, replays are no-ops."""
+
+    def test_sequential_merge_equals_one_shot(self, spark, tmp_path):
+        from fraud_detection_project_spark.streaming.sketches import (
+            _ams_batch_delta,
+            merge_ams_batch,
+            read_ams,
+        )
+
+        b1 = spark.createDataFrame([(i % 11,) for i in range(60)], "k long")
+        b2 = spark.createDataFrame([(i % 17,) for i in range(45)], "k long")
+        path = str(tmp_path / "ams_state")
+        merge_ams_batch(spark, b1, "k", path, epoch=0)
+        merge_ams_batch(spark, b2, "k", path, epoch=1)
+        got = {r["j"]: r["z"] for r in read_ams(spark, path).collect()}
+        want = {
+            r["j"]: r["z"]
+            for r in _ams_batch_delta(b1.union(b2), "k", 8).collect()
+        }
+        assert got == want and len(got) == 8
+
+    def test_replayed_epoch_is_noop_and_estimate_sane(self, spark, tmp_path):
+        from fraud_detection_project_spark.streaming.sketches import (
+            ams_f2_estimate,
+            merge_ams_batch,
+            read_ams,
+        )
+
+        rows = [(i % 9,) for i in range(90)]
+        b = spark.createDataFrame(rows, "k long")
+        path = str(tmp_path / "ams_state2")
+        merge_ams_batch(spark, b, "k", path, epoch=0)
+        before = {r["j"]: r["z"] for r in read_ams(spark, path).collect()}
+        merge_ams_batch(spark, b, "k", path, epoch=0)  # replay
+        after = {r["j"]: r["z"] for r in read_ams(spark, path).collect()}
+        assert after == before
+        est = ams_f2_estimate(spark, path).first()
+        from collections import Counter
+
+        f2 = sum(c * c for c in Counter(k for (k,) in rows).values())
+        assert est["n_estimators"] == 8
+        # 8-estimator mean is unbiased; allow a wide sampling band
+        assert 0.1 * f2 < est["f2_mean"] < 10 * f2
+
+    def test_stream_equals_batch_over_files(self, spark, events_src, tmp_path):
+        from fraud_detection_project_spark.streaming.sketches import (
+            _ams_batch_delta,
+            read_ams,
+            streaming_ams_f2,
+        )
+
+        src = spark.readStream.schema(
+            spark.read.parquet(events_src).schema
+        ).option("maxFilesPerTrigger", 1).parquet(events_src)
+        path = str(tmp_path / "ams_stream")
+        q = streaming_ams_f2(
+            src, "user_id", path, checkpoint=str(tmp_path / "ams_ckpt")
+        )
+        _drain_stream(q)
+        got = {r["j"]: r["z"] for r in read_ams(spark, path).collect()}
+        want = {
+            r["j"]: r["z"]
+            for r in _ams_batch_delta(
+                spark.read.parquet(events_src), "user_id", 8
+            ).collect()
+        }
+        assert got == want and len(got) == 8
