@@ -41,7 +41,8 @@ _TOKEN_CLEAN = "[^a-zA-Z0-9]+"
 
 
 def ngram_counts(
-    docs: DataFrame, id_col: str, text_col: str, n: int = 1
+    docs: DataFrame, id_col: str, text_col: str, n: int = 1,
+    hashed: bool = False,
 ) -> DataFrame:
     """Per-document n-gram multiset: ``(id_col, gram, c)``.
 
@@ -51,6 +52,12 @@ def ngram_counts(
     '[^a-zA-Z0-9]+', ' ', 'g'))), '\\s+')`` used throughout the query
     corpus (e.g. the 13-gram decontamination oracle). Documents shorter
     than ``n`` tokens contribute no grams.
+
+    ``hashed=True`` folds each gram to ``xxhash64`` BEFORE the count
+    aggregation, so the shuffle carries 8-byte longs instead of gram
+    strings — the right mode when grams are only ever compared for
+    EQUALITY downstream (the ROUGE overlap join); a 2⁻⁶⁴ per-pair
+    collision is accepted, as in exact_dedup / ngram_contamination.
     """
     toks = F.split(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), _TOKEN_CLEAN, " ")),
@@ -70,6 +77,10 @@ def ngram_counts(
         exploded = d.select(id_col, "toks", idx).select(
             id_col,
             F.array_join(F.slice("toks", F.col("i"), n), " ").alias("gram"),
+        )
+    if hashed:
+        exploded = exploded.select(
+            id_col, F.xxhash64("gram").alias("gram")
         )
     return exploded.groupBy(id_col, "gram").agg(
         F.count(F.lit(1)).alias("c")
@@ -96,8 +107,13 @@ def rouge_n(
         .union(pairs.select(F.col(ref_col).alias(id_col)))
         .distinct()
     )
+    # grams only ever meet an EQUALITY join below — hash them to longs
+    # before the count shuffle (≈2-5× narrower shuffle rows for word
+    # bigrams; 2⁻⁶⁴ per-pair collision accepted, oracle-checked by
+    # rouge2_adjacent_docs)
     counts = ngram_counts(
-        docs.join(participant, id_col, "left_semi"), id_col, text_col, n
+        docs.join(participant, id_col, "left_semi"), id_col, text_col, n,
+        hashed=True,
     )
     totals = counts.groupBy(id_col).agg(F.sum("c").alias("total"))
 
