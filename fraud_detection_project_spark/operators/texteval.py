@@ -69,19 +69,29 @@ def ngram_counts(
     if n == 1:
         gram = F.explode("toks").alias("gram")
         exploded = d.select(id_col, gram)
+        if hashed:
+            exploded = exploded.select(
+                id_col, F.xxhash64("gram").alias("gram")
+            )
     else:
         # slice is 1-indexed; i ∈ [1, len-n+1]
         idx = F.explode(
             F.sequence(F.lit(1), F.size("toks") - F.lit(n - 1))
         ).alias("i")
-        exploded = d.select(id_col, "toks", idx).select(
-            id_col,
-            F.array_join(F.slice("toks", F.col("i"), n), " ").alias("gram"),
-        )
-    if hashed:
-        exploded = exploded.select(
-            id_col, F.xxhash64("gram").alias("gram")
-        )
+        if hashed:
+            # hash the token SLICE directly — xxhash64 folds arrays
+            # natively, so no per-gram string is ever materialized
+            exploded = d.select(id_col, "toks", idx).select(
+                id_col,
+                F.xxhash64(F.slice("toks", F.col("i"), n)).alias("gram"),
+            )
+        else:
+            exploded = d.select(id_col, "toks", idx).select(
+                id_col,
+                F.array_join(
+                    F.slice("toks", F.col("i"), n), " "
+                ).alias("gram"),
+            )
     return exploded.groupBy(id_col, "gram").agg(
         F.count(F.lit(1)).alias("c")
     )
