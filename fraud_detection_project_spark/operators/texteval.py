@@ -121,17 +121,24 @@ def rouge_n(
     # before the count shuffle (≈2-5× narrower shuffle rows for word
     # bigrams; 2⁻⁶⁴ per-pair collision accepted, oracle-checked by
     # rouge2_adjacent_docs)
+    # counts feeds THREE consumers (cand grams, ref grams, totals) and
+    # the pair key two — checkpoint both so the corpus tokenizes ONCE
+    # (the bm25/tfidf compacted-relation precedent; un-checkpointed,
+    # the tokenize+hash+agg pipeline re-executed per consumer and
+    # dominated the sf1 decade at 3× cost)
     counts = ngram_counts(
         docs.join(participant, id_col, "left_semi"), id_col, text_col, n,
         hashed=True,
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.groupBy(id_col).agg(F.sum("c").alias("total"))
 
     # a duplicated (cand, ref) row would fan out BOTH gram frames, so
     # the clipped overlap join inflates quadratically per duplicate
     # while the totals join inflates linearly — silently wrong metrics;
     # dedup the pair key up front (ADVICE r4)
-    p = pairs.select(cand_col, ref_col).distinct()
+    p = pairs.select(cand_col, ref_col).distinct().localCheckpoint(
+        eager=False
+    )
     cgrams = p.join(
         counts.withColumnRenamed(id_col, cand_col), cand_col
     ).select(cand_col, ref_col, "gram", F.col("c").alias("c_cand"))
