@@ -4765,3 +4765,76 @@ def test_q3_q5_q16_plan_shapes(spark):
     p = plan_of(QUERIES["parts_supplier_variety_q16"](spark, SF))
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# Wave J (round 7): copula tail dependence, sample entropy, Engle–Granger.
+# ---------------------------------------------------------------------------
+
+
+def test_copula_tail_dependence_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "orders")
+        .select("o_custkey", "o_totalprice")
+        .toPandas()
+    )
+    g = pdf.groupby("o_custkey").o_totalprice.agg(["count", "sum"])
+    f, m = g["count"].to_numpy().astype(float), g["sum"].to_numpy()
+    r = QUERIES["copula_tail_dependence"](spark, SF).collect()[0]
+    assert r["n_customers"] == len(g)
+    for q, lo_col in ((0.90, "lambda_u_q90"), (0.95, "lambda_u_q95")):
+        qf = np.quantile(f, q, method="linear")
+        qm = np.quantile(m, q, method="linear")
+        both = int(np.sum((f > qf) & (m > qm)))
+        mm = int(np.sum(m > qm))
+        assert abs(r[lo_col] - both / mm) < 1e-6
+    assert 0.0 <= r["lambda_u_q90"] <= 1.0
+
+
+def test_sample_entropy_matches_bruteforce(spark):
+    pdf = (
+        load_table(spark, SF, "orders")
+        .select(F.to_date("o_orderdate").alias("d"), "o_totalprice")
+        .toPandas()
+    )
+    y = pdf.groupby("d").o_totalprice.sum().sort_index().to_numpy()
+    rr = 0.2 * math.sqrt(np.mean(y**2) - y.mean() ** 2)
+    v = np.stack([y[:-2], y[1:-1], y[2:]], axis=1)
+    b2 = a3 = 0
+    for i in range(len(v)):
+        d = np.abs(v[i + 1:] - v[i])
+        m2 = (d[:, 0] < rr) & (d[:, 1] < rr)
+        b2 += int(m2.sum())
+        a3 += int((m2 & (d[:, 2] < rr)).sum())
+    r = QUERIES["sample_entropy_daily"](spark, SF).collect()[0]
+    assert r["n_days"] == len(y)
+    assert r["template_matches_m2"] == b2
+    assert r["template_matches_m3"] == a3
+    assert abs(r["sampen"] - (-math.log(a3 / b2))) < 1e-5
+
+
+def test_engle_granger_matches_numpy(spark):
+    pdf = (
+        load_table(spark, SF, "orders")
+        .select(F.to_date("o_orderdate").alias("d"), "o_totalprice")
+        .toPandas()
+    )
+    g = pdf.groupby("d").o_totalprice.agg(["sum", "count"]).sort_index()
+    y = np.log(g["sum"].to_numpy())
+    x = np.log(g["count"].to_numpy().astype(float))
+    b = (len(x) * np.dot(x, y) - x.sum() * y.sum()) / (
+        len(x) * np.dot(x, x) - x.sum() ** 2
+    )
+    a = y.mean() - b * x.mean()
+    e = y - a - b * x
+    e1, de = e[:-1], np.diff(e)
+    rho = np.dot(e1, de) / np.dot(e1, e1)
+    s = np.sum((de - rho * e1) ** 2)
+    t_stat = rho / math.sqrt((s / (len(e1) - 2)) / np.dot(e1, e1))
+    r = QUERIES["engle_granger_cointegration"](spark, SF).collect()[0]
+    assert r["n_days"] == len(y)
+    assert abs(r["longrun_beta"] - b) < 1e-4
+    assert abs(r["df_rho"] - rho) < 1e-4
+    assert abs(r["df_t_stat"] - t_stat) < 1e-3
+    # revenue = count x stationary AOV: must cointegrate decisively
+    assert r["cointegrated_5pct"] is True
