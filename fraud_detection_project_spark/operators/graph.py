@@ -56,17 +56,26 @@ def pagerank(
     )
 
     if e.count() <= local_threshold_edges:
-        import pandas as pd  # noqa: F401
 
-        def _local_pr(pdf):
+        def _local_pr(batches):
             import numpy as np
             import pandas as pd
 
-            ss = pdf["src"].to_numpy()
-            ds = pdf["dst"].to_numpy()
-            ids, inv = np.unique(np.concatenate([ss, ds]), return_inverse=True)
-            si = inv[: len(ss)]
-            di = inv[len(ss):]
+            sp, dp = [], []
+            for pdf in batches:
+                sp.append(pdf["src"].to_numpy())
+                dp.append(pdf["dst"].to_numpy())
+            if not sp:
+                return
+            ss = np.concatenate(sp)
+            ds = np.concatenate(dp)
+            # hash-based id compaction (pd.factorize) — ~20x cheaper
+            # than the sort-based np.unique(return_inverse=True); node
+            # indexing order is irrelevant to the power iteration.
+            codes, uniq = pd.factorize(np.concatenate([ss, ds]))
+            ids = np.asarray(uniq, dtype=np.int64)
+            si = codes[: len(ss)]
+            di = codes[len(ss):]
             m = len(ids)
             outdeg = np.bincount(si, minlength=m)
             dangling = outdeg == 0
@@ -77,13 +86,11 @@ def pagerank(
                 )
                 dm = r[dangling].sum()
                 r = (1.0 - damping) / m + damping * (contrib + dm / m)
-            return pd.DataFrame({"id": ids, "rank": r})
+            yield pd.DataFrame({"id": ids, "rank": r})
 
-        return (
-            e.withColumn("__g", F.lit(0))
-            .groupBy("__g")
-            .applyInPandas(_local_pr, "id long, rank double")
-        )
+        # coalesce(1) + mapInPandas: stream checkpointed partitions into
+        # the one task — no single-bucket shuffle of the edge list.
+        return e.coalesce(1).mapInPandas(_local_pr, "id long, rank double")
 
     nodes = (
         e.select(F.col("src").alias("id"))
@@ -227,7 +234,8 @@ def triangle_count(
 def _peel_cores_numpy(us, vs):
     """Exact Batagelj–Žaveršnik bucket peeling over a DISTINCT,
     BOTH-DIRECTIONS, self-loop-free edge array — vectorized numpy, no
-    per-edge Python loop. Returns ``(node_ids_sorted, core_numbers)``.
+    per-edge Python loop. Returns ``(node_ids, core_numbers)`` with
+    node ids in first-seen order.
 
     Repeatedly peel every node whose residual degree <= k (cascading),
     then raise k to the minimum surviving degree. Each node is peeled
@@ -236,10 +244,16 @@ def _peel_cores_numpy(us, vs):
     ``subtract.at`` scatter per cascade round.
     """
     import numpy as np
+    import pandas as pd
 
-    nodes, inv = np.unique(np.concatenate([us, vs]), return_inverse=True)
-    ui = inv[: len(us)]
-    vi = inv[len(us):]
+    # hash-based id compaction (pd.factorize) — ~20x cheaper than the
+    # sort-based np.unique(return_inverse=True); peeling is indifferent
+    # to node indexing order (returned node ids are first-seen order,
+    # not sorted).
+    codes, uniq = pd.factorize(np.concatenate([us, vs]))
+    nodes = np.asarray(uniq)
+    ui = codes[: len(us)]
+    vi = codes[len(us):]
     n = len(nodes)
     deg0 = np.bincount(ui, minlength=n)
     order = np.argsort(ui, kind="stable")
@@ -339,21 +353,24 @@ def k_core(
             ]
         )
 
-        def _peel(pdf):
+        def _peel(batches):
+            import numpy as np
             import pandas as pd
 
+            up, vp = [], []
+            for pdf in batches:
+                up.append(pdf["u"].to_numpy())
+                vp.append(pdf["v"].to_numpy())
+            if not up:
+                return
             nodes, core = _peel_cores_numpy(
-                pdf["u"].to_numpy(), pdf["v"].to_numpy()
+                np.concatenate(up), np.concatenate(vp)
             )
-            return pd.DataFrame(
-                {"id": nodes, "core": core.astype("int32")}
-            )
+            yield pd.DataFrame({"id": nodes, "core": core.astype("int32")})
 
-        return (
-            und.withColumn("__g", F.lit(0))
-            .groupBy("__g")
-            .applyInPandas(lambda pdf: _peel(pdf), out_schema)
-        )
+        # coalesce(1) + mapInPandas: stream checkpointed partitions into
+        # the one task — no single-bucket shuffle of the edge list.
+        return und.coalesce(1).mapInPandas(_peel, out_schema)
 
     # Iteration shuffles are sized by EXPLICIT repartition(nparts, key)
     # on the loop frames rather than by flipping the session-global

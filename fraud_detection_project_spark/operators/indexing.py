@@ -110,6 +110,15 @@ def partitioned_prefix_sum(
     ocols = [out_col] if isinstance(out_col, str) else list(out_col)
     if len(vcols) != len(ocols):
         raise ValueError("value_col and out_col lengths differ")
+    # ADVICE r7: schema.add on a colliding name creates a duplicate
+    # field and the pandas kernel silently overwrites the input column.
+    if len(set(ocols)) != len(ocols):
+        raise ValueError(f"out_col names must be distinct: {ocols}")
+    clash = sorted(set(ocols) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"out_col names already exist in the input schema: {clash}"
+        )
 
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     integral = {

@@ -66,7 +66,7 @@ def _matrix_lit(m: "np.ndarray") -> Column:
 
 
 def hyperplane_bucket(
-    vec_col: Column | str, dim: int, bits: int = 16, seed: int = 42
+    vec_col: Column | str, dim: int | None, bits: int = 16, seed: int = 42
 ) -> Column:
     """Sign-random-projection bucket id: bit i = sign(v · r_i) for
     ``bits`` seeded Gaussian hyperplanes.
@@ -75,19 +75,31 @@ def hyperplane_bucket(
     matrix in one BLAS call, signs pack into the bucket int. A pure
     column form exists (HOFs over a folded plane literal) but Spark
     interprets HOF lambdas — measured ~100× slower at bits×dim×rows
-    scale, and this bucket pass fronts every LSH operator."""
+    scale, and this bucket pass fronts every LSH operator.
+
+    ``dim=None`` derives the dimensionality lazily from the first
+    non-null vector each worker sees (VERDICT r7 item 5: no extra
+    driver job). The plane draw depends only on (seed, bits, dim), so
+    every worker rebuilds the IDENTICAL matrix — bit-equal to passing
+    the true ``dim`` explicitly."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(bits, dim))
+    planes = None if dim is None else np.random.RandomState(seed).normal(
+        size=(bits, dim)
+    )
     weights = (np.uint64(1) << np.arange(bits, dtype=np.uint64)).astype(np.int64)
 
     def bucket(vs):
+        nonlocal planes
         res = [None] * len(vs)
         valid = [i for i, v in enumerate(vs) if v is not None]
         if valid:
             m = np.asarray([list(vs.iloc[i]) for i in valid], dtype=np.float64)
+            if planes is None:
+                planes = np.random.RandomState(seed).normal(
+                    size=(bits, m.shape[1])
+                )
             b = ((m @ planes.T > 0) * weights).sum(axis=1).astype(np.int64)
             for j, i in enumerate(valid):
                 res[i] = int(b[j])
@@ -156,10 +168,8 @@ def cosine_near_dup_pairs(
     if bucket_col is not None:
         bucket = F.col(bucket_col)
     else:
-        if dim is None:
-            dim = len(
-                df.select(vec_col).filter(F.col(vec_col).isNotNull()).first()[0]
-            )
+        # dim=None resolves lazily inside the bucket kernel — no
+        # .first() driver job on the default path (VERDICT r7 item 5).
         bucket = hyperplane_bucket(vec_col, dim, bits, seed)
     bucketed = df.select(
         F.col(id_col).alias("id"),

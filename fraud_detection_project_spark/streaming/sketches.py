@@ -235,12 +235,32 @@ def read_ams(spark, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, f"av={version}"))
 
 
+_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
 def _ams_batch_delta(batch: DataFrame, key: str, n_estimators: int) -> DataFrame:
+    """Per-estimator signed-sum delta for one micro-batch.
+
+    Sign-hash hygiene (ADVICE r7): ``cast('long')`` on a non-integral
+    key yields NULL, the ``when`` condition is NULL, and every row
+    would take ``otherwise(-1)`` — Z_j = −batch_count and the F₂
+    estimate silently becomes n². Non-integral keys therefore pre-hash
+    through ``pmod(xxhash64(key), 999983)`` (the bloom_semi_join
+    convention, operators/sketches.py), and the integral path runs
+    through ``pmod`` rather than ``%`` so a NEGATIVE key (Spark ``%``
+    keeps the dividend's sign) still spreads across both signs. For
+    non-negative integral keys pmod ≡ %, so the draw is bit-identical
+    to the batch twin's oracle (queries.ams_f2_sketch_audit)."""
+    if dict(batch.dtypes).get(key) in _INTEGRAL_TYPES:
+        base = F.col(key).cast("long")
+    else:
+        base = F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(999983))
     sign = F.when(
-        (F.col(key).cast("long") * (1000003 + 2 * F.col("j")) + 7)
-        % 999983
-        * 40503
-        % 999983
+        F.pmod(
+            F.pmod(base * (1000003 + 2 * F.col("j")) + 7, F.lit(999983))
+            * 40503,
+            F.lit(999983),
+        )
         < 499991,
         F.lit(1),
     ).otherwise(F.lit(-1))

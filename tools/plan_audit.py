@@ -54,13 +54,24 @@ _BOUNDED_KEY_TOKENS = frozenset({
     "bin", "bins", "bucket", "decile", "quintile", "ntile", "band",
     "tier", "week", "day", "days", "date", "month", "year", "hour",
     "hours", "minute", "dow", "weekday", "flag", "type", "segment",
-    "lang", "source", "grade", "label", "side", "kind", "category",
-    "region", "nation", "priority", "status", "brand", "mode", "fold",
-    "grp", "group", "level", "stage", "quantile", "pct", "percentile",
+    "lang", "source", "grade", "side", "category",
+    "region", "nation", "priority", "status", "brand", "fold",
+    "level", "stage", "quantile", "pct", "percentile",
     "channel", "topic", "returnflag", "linestatus", "shipmode",
     "mktsegment", "container", "true", "false",
     # calendar-granularity raw columns (dates, not entities)
     "orderdate", "shipdate",
+})
+
+# The MOST generic domain words match only as the FULL identifier, not
+# as one underscore-split word of a longer name (ADVICE r7: an
+# entity-cardinality key like ``user_group`` or ``cluster_label`` must
+# NOT pass the boundedness check just because it contains "group" —
+# the detector was failing open for that whole name class). A column
+# literally named ``group``/``label``/… is an enum-ish dimension; a
+# ``*_group`` compound is as likely an entity id.
+_BOUNDED_FULLNAME_TOKENS = frozenset({
+    "group", "grp", "label", "kind", "mode",
 })
 
 # Domain-REDUCING functions: a group key computed through one of these
@@ -141,6 +152,10 @@ def _agg_bounds(op: str, plan: str = "") -> bool:
         text = k + " " + _key_definition(plan, k)
         words = set(_re.findall(r"[a-zA-Z]+", text.lower()))
         if words & _BOUNDED_KEY_TOKENS:
+            continue
+        # generic words bound only as the WHOLE identifier (ADVICE r7)
+        idents = set(_re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", text.lower()))
+        if idents & _BOUNDED_FULLNAME_TOKENS:
             continue
         low = text.lower()
         if any(fn in low for fn in _DOMAIN_REDUCING_FNS):
@@ -625,6 +640,31 @@ def audit(spark, sf_dir: str) -> list[str]:
     check("detector self-test: bounded-domain-key aggregate is NOT flagged",
           not unbounded_global_windows(plan_of(bounded_agg_probe)),
           plan_of(bounded_agg_probe)[:400])
+    # ADVICE r7: an entity-cardinality key whose NAME contains a
+    # generic bounded word ("user_group") must still be flagged — the
+    # word matches only as the full identifier now.
+    entity_group_probe = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .groupBy(F.col("user_id").alias("user_group")).count()
+        .withColumn("rn", F.row_number().over(W.orderBy(F.desc("count"))))
+    )
+    check("detector self-test: *_group entity-key aggregate IS flagged",
+          bool(unbounded_global_windows(plan_of(entity_group_probe))),
+          plan_of(entity_group_probe)[:400])
+    # ...while a column literally NAMED "group" (enum-ish dimension)
+    # stays bounded under the full-identifier rule. (The alias must be
+    # a plain renamed attribute: grouping by an EXPRESSION synthesizes
+    # a `_groupingexpression#N` key whose name never says "group" —
+    # such keys fail closed, which is the wanted posture.)
+    literal_group_probe = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(F.col("props").alias("group"))
+        .groupBy("group").count()
+        .withColumn("rn", F.row_number().over(W.orderBy(F.desc("count"))))
+    )
+    check("detector self-test: literal 'group' key is NOT flagged",
+          not unbounded_global_windows(plan_of(literal_group_probe)),
+          plan_of(literal_group_probe)[:400])
 
     # whole-stage codegen compiles for the scan→agg path ("codegen"
     # explain mode generates the code without executing). The adaptive
