@@ -599,6 +599,14 @@ def audit(spark, sf_dir: str) -> list[str]:
     check("ALL queries: plans build cleanly", not plan_errors,
           str(plan_errors[:3]))
 
+    # VERDICT r7 item 4: the banding advisor's 12-row (b, r) grid must
+    # ride an EXPLICIT broadcast onto the pair spectrum — a conf change
+    # (AQE off / threshold 0) must not be able to turn grid × spectrum
+    # into a shuffle.
+    p = plan_of(QUERIES["minhash_banding_advisor"](spark, sf_dir))
+    check("minhash_banding_advisor: grid rides broadcast",
+          "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p[:400])
+
     # Detector self-test: a deliberately planted Window.orderBy over the
     # raw events scan MUST be flagged (guards the detector itself against
     # plan-format drift making it silently vacuous).
