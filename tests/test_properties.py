@@ -823,3 +823,62 @@ def test_bz_peel_kernel_matches_brute_force(raw_edges):
 
     ids, got = _peel_cores_numpy(us, vs)
     assert {int(i): int(c) for i, c in zip(ids, got)} == core
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=-40, max_value=40),  # negatives included:
+        st.integers(min_value=-40, max_value=40),  # min-id semantics must
+    ),                                             # survive signed ids
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(edges=edge_lists)
+@settings(**SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    """The single-task CC endgame (round 8: pd.factorize compaction +
+    final min-id scatter) must label every node with the smallest node
+    id of its component — checked against a plain python union-find
+    over the same edges (self-loops, duplicates, both orientations,
+    NEGATIVE ids all in the generator's range)."""
+    from fraud_detection_project_spark.operators.dedup import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+
+    # reference union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        nodes.update((a, b))
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for n in nodes:
+        comp.setdefault(find(n), []).append(n)
+    want = {}
+    for members in comp.values():
+        lo = min(members)
+        for n in members:
+            want[n] = lo
+
+    assert got == want
