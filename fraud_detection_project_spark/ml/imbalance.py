@@ -164,9 +164,16 @@ def smote(
     SAME class-count aggregate — no separate ``.first()`` driver job
     (VERDICT r7 item 5).
     """
+    # F.size(NULL array) is -1 under non-ANSI semantics, so size() is
+    # guarded with a when(): an all-null class must yield __d = NULL
+    # (not -1) for the no-vectors ValueError below to be reachable.
     stats0 = df.groupBy(label_col).agg(
         F.count(F.lit(1)).alias("__n"),
-        F.max(F.size(F.col(features_col))).alias("__d"),
+        F.max(
+            F.when(
+                F.col(features_col).isNotNull(), F.size(F.col(features_col))
+            )
+        ).alias("__d"),
     ).collect()
     counts = {r[0]: r["__n"] for r in stats0}
     minority_label = min(counts, key=counts.get)

@@ -342,7 +342,6 @@ def k_core(
     n_edges = und.count()  # cheap: post-checkpoint partition counts
 
     if n_edges <= local_threshold_edges:
-        import pandas as pd  # noqa: F401  (applyInPandas contract)
         from pyspark.sql import types as T
 
         id_type = und.schema["u"].dataType

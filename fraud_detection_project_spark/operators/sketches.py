@@ -359,6 +359,24 @@ def misra_gries(
 # remultiplied so dense integer keys don't map monotonically.
 _BLOOM_HASHES = ((1000003, 7), (1012003, 11), (1030003, 13))
 _BLOOM_P = 999983
+
+_INTEGRAL_KEY_TYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
+
+
+def sketch_key_expr(df, col: str):
+    """Long-valued key expression shared by the SQL-replicable affine
+    hash families (bloom positions, AMS signs): integral keys keep the
+    bit-exact ``cast('long')`` path the audit oracles replicate;
+    everything else pre-hashes through ``pmod(xxhash64(col), 999983)``
+    so the downstream modular arithmetic never sees NULL (a raw
+    ``cast('long')`` of a string is NULL — ADVICE r6/r7 hazard class)
+    or a negative operand."""
+    from pyspark.sql import functions as F
+
+    dt = df.schema[col].dataType.simpleString()
+    if dt in _INTEGRAL_KEY_TYPES:
+        return F.col(col).cast("long")
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(_BLOOM_P))
 _BLOOM_REMUL = 40503
 
 
@@ -406,15 +424,7 @@ def bloom_semi_join(
     bit-exact affine path the audit oracle replicates."""
     from pyspark.sql import functions as F
 
-    integral = {"tinyint", "smallint", "int", "bigint"}
-
-    def _key_expr(df, col):
-        dt = df.schema[col].dataType.simpleString()
-        if dt in integral:
-            return F.col(col).cast("long")
-        # xxhash64 → long; fold into [0, P) so the affine family's
-        # modular arithmetic never sees a negative operand
-        return F.pmod(F.xxhash64(F.col(col)), F.lit(_BLOOM_P))
+    _key_expr = sketch_key_expr
 
     bkeys = build.select(_key_expr(build, build_col).alias("__k")).distinct()
     mrow = bkeys.agg(

@@ -235,26 +235,25 @@ def read_ams(spark, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, f"av={version}"))
 
 
-_INTEGRAL_TYPES = ("tinyint", "smallint", "int", "bigint")
-
-
 def _ams_batch_delta(batch: DataFrame, key: str, n_estimators: int) -> DataFrame:
     """Per-estimator signed-sum delta for one micro-batch.
 
     Sign-hash hygiene (ADVICE r7): ``cast('long')`` on a non-integral
     key yields NULL, the ``when`` condition is NULL, and every row
     would take ``otherwise(-1)`` — Z_j = −batch_count and the F₂
-    estimate silently becomes n². Non-integral keys therefore pre-hash
-    through ``pmod(xxhash64(key), 999983)`` (the bloom_semi_join
-    convention, operators/sketches.py), and the integral path runs
-    through ``pmod`` rather than ``%`` so a NEGATIVE key (Spark ``%``
-    keeps the dividend's sign) still spreads across both signs. For
-    non-negative integral keys pmod ≡ %, so the draw is bit-identical
-    to the batch twin's oracle (queries.ams_f2_sketch_audit)."""
-    if dict(batch.dtypes).get(key) in _INTEGRAL_TYPES:
-        base = F.col(key).cast("long")
-    else:
-        base = F.pmod(F.xxhash64(F.col(key).cast("string")), F.lit(999983))
+    estimate silently becomes n². Keys therefore enter through the
+    SHARED ``sketch_key_expr`` helper (operators/sketches.py — the
+    same pre-hash bloom_semi_join uses, so AMS and bloom draw
+    identically for the same key): non-integral keys pre-hash via
+    ``pmod(xxhash64(key), 999983)``. The affine stage then runs
+    through ``pmod`` rather than ``%`` so a NEGATIVE integral key
+    (Spark ``%`` keeps the dividend's sign) still spreads across both
+    signs. For non-negative integral keys pmod ≡ %, so the draw is
+    bit-identical to the batch twin's oracle
+    (queries.ams_f2_sketch_audit)."""
+    from ..operators.sketches import sketch_key_expr
+
+    base = sketch_key_expr(batch, key)
     sign = F.when(
         F.pmod(
             F.pmod(base * (1000003 + 2 * F.col("j")) + 7, F.lit(999983))
@@ -320,9 +319,13 @@ def streaming_ams_f2(
     path: str,
     checkpoint: str,
     n_estimators: int = 8,
+    available_now: bool = False,
 ):
     """Maintain the AMS F₂ sketch over a stream; serve with
-    :func:`ams_f2_estimate` at any time."""
+    :func:`ams_f2_estimate` at any time. ``available_now=True`` runs
+    with ``Trigger.AvailableNow`` — drains everything currently in the
+    source (still honoring ``maxFilesPerTrigger`` batching) and stops
+    by itself, so a bounded caller can just ``awaitTermination()``."""
     spark = stream.sparkSession
 
     def _merge(batch: DataFrame, epoch: int) -> None:
@@ -331,9 +334,11 @@ def streaming_ams_f2(
             n_estimators=n_estimators, epoch=epoch,
         )
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

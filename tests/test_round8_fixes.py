@@ -175,6 +175,18 @@ class TestLazyDimInference:
         assert _jobs(spark) == before, "operator build triggered a Spark job"
         assert out.columns == ["id_a", "id_b", "cosine_sim"]
 
+    def test_smote_all_null_features_raise_cleanly(self, spark):
+        """F.size(NULL array) is -1 under non-ANSI semantics — the
+        inference agg must null-guard with when(), else an all-null
+        feature column silently becomes dim=-1 and explodes deep
+        inside the projection kernel instead of the intended error."""
+        from fraud_detection_project_spark.ml.imbalance import smote
+
+        rows = [(i, int(i < 4), None) for i in range(16)]
+        df = spark.createDataFrame(rows, "id long, y int, f array<double>")
+        with pytest.raises(ValueError, match="no non-null vectors"):
+            smote(df, "y", "f", "id", k=2)
+
     def test_smote_dim_inference_adds_no_job(self, spark):
         from fraud_detection_project_spark.ml.imbalance import smote
 
