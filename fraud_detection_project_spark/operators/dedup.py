@@ -440,11 +440,13 @@ def connected_components(
     # star rounds pay ~1s of driver-synchronized fixed cost each; when
     # the DEDUPLICATED edge list fits one task's Arrow budget (default
     # 32M rows ≈ 512 MB), finish locally — min-label propagation with
-    # pointer-jumping path compression, fully vectorized numpy, exact
-    # (node ids sort ascending, so the converged min label IS the
-    # component's smallest id — identical semantics to the star
-    # fixpoint). Above the threshold the O(log n)-round distributed
-    # path runs unchanged; a pytest pins both paths equal.
+    # pointer-jumping path compression, fully vectorized numpy, exact.
+    # Ids compact via pd.factorize in FIRST-SEEN order (hash, not
+    # sort), so the converged label is only a component representative
+    # index; the final scatter-min over original ids (see `minid`
+    # below) restores min-node-id-per-component — identical semantics
+    # to the star fixpoint. Above the threshold the O(log n)-round
+    # distributed path runs unchanged; a pytest pins both paths equal.
     if e.count() <= local_threshold_edges:
 
         def _local_cc(batches):

@@ -100,6 +100,16 @@ def hyperplane_bucket(
                 planes = np.random.RandomState(seed).normal(
                     size=(bits, m.shape[1])
                 )
+            if m.shape[1] != planes.shape[1]:
+                # Ragged corpora must fail loudly on BOTH dim paths
+                # (ADVICE r8): with lazy dim, different workers would
+                # otherwise derive different plane matrices from their
+                # first batch and emit incomparable buckets silently.
+                raise ValueError(
+                    f"hyperplane_bucket: vector width {m.shape[1]} != "
+                    f"plane width {planes.shape[1]} — ragged embedding "
+                    "column (inconsistent vector lengths across rows)"
+                )
             b = ((m @ planes.T > 0) * weights).sum(axis=1).astype(np.int64)
             for j, i in enumerate(valid):
                 res[i] = int(b[j])

@@ -87,6 +87,96 @@ class TestAggBounds:
         assert pa._agg_bounds(op)
 
 
+class TestImmediateDefinitions:
+    """ADVICE r8: the generic fullname-token test must see only the
+    key's own name and its IMMEDIATE defining expression — neighbouring
+    bindings in the same Project list must not leak in."""
+
+    def test_neighbour_binding_does_not_rescue_entity_key(self):
+        # a column literally named `label` sits just before the
+        # entity key's binding in the same Project list
+        plan = (
+            "Project [x#2 AS label#3, user_id#1L AS ukey#7L]\n"
+            "HashAggregate(keys=[ukey#7L], functions=[count(1)])"
+        )
+        defn = pa._immediate_definitions(plan, "ukey#7L")
+        assert "label" not in defn
+        assert "user_id" in defn
+        op = "HashAggregate(keys=[ukey#7L], functions=[count(1)])"
+        assert not pa._agg_bounds(op, plan)
+
+    def test_own_definition_with_generic_token_still_bounds(self):
+        # the key IS a renamed column literally named `group`
+        plan = (
+            "Project [group#2 AS g2#7]\n"
+            "HashAggregate(keys=[g2#7], functions=[count(1)])"
+        )
+        assert "group" in pa._immediate_definitions(plan, "g2#7")
+        op = "HashAggregate(keys=[g2#7], functions=[count(1)])"
+        assert pa._agg_bounds(op, plan)
+
+    def test_mode_aggregate_call_does_not_rescue(self):
+        # mode(entity) is the MODE AGGREGATE over an entity column,
+        # not a column named `mode` — must stay unbounded
+        plan = (
+            "HashAggregate(keys=[k#9L], functions=[])\n"
+            "Project [mode(user_id#1L) AS k#9L]"
+        )
+        op = "HashAggregate(keys=[k#9L], functions=[])"
+        assert not pa._agg_bounds(op, plan)
+
+    def test_unmatched_open_bracket_trims(self):
+        # binding inside a bracketed list: the '[' just before the
+        # expression must end the backward scan
+        plan = "Project [user_id#1L AS ukey#7L]"
+        assert pa._immediate_definitions(plan, "ukey#7L").strip() == "user_id#1L"
+
+    def test_nested_call_kept_whole(self):
+        plan = "Project [floor((v#1 / 10.0)) AS b#5]"
+        d = pa._immediate_definitions(plan, "b#5")
+        assert "floor" in d and "v#1" in d
+
+    def test_non_attribute_key_returns_empty(self):
+        assert pa._immediate_definitions("Project [x#1]", "CASE WHEN") == ""
+
+
+class TestBroadcastSubtreeScans:
+    """VERDICT r8 item 2: detector for an explicit broadcast of a frame
+    derived from a named table (the gdpr victim-set hazard class)."""
+
+    FORCED = """AdaptiveSparkPlan isFinalPlan=false
++- HashAggregate(keys=[], functions=[count(1)])
+   +- BroadcastHashJoin [k#3L], [user_id#1L], LeftOuter, BuildRight, false
+      :- FileScan parquet [c_custkey#3L] ... customer.parquet
+      +- BroadcastExchange HashedRelationBroadcastMode
+         +- HashAggregate(keys=[user_id#1L], functions=[])
+            +- FileScan parquet [user_id#1L] ... events.parquet"""
+
+    CLEAN = """AdaptiveSparkPlan isFinalPlan=false
++- HashAggregate(keys=[], functions=[count(1)])
+   +- SortMergeJoin [k#3L], [user_id#1L], LeftOuter
+      :- FileScan parquet [c_custkey#3L] ... customer.parquet
+      +- HashAggregate(keys=[user_id#1L], functions=[])
+         +- FileScan parquet [user_id#1L] ... events.parquet"""
+
+    DIM_BROADCAST = """AdaptiveSparkPlan isFinalPlan=false
++- BroadcastHashJoin [l_orderkey#2L], [o_orderkey#4L], Inner, BuildRight
+   :- FileScan parquet [l_orderkey#2L] ... lineitem.parquet
+   +- BroadcastExchange HashedRelationBroadcastMode
+      +- FileScan parquet [o_orderkey#4L] ... orders.parquet"""
+
+    def test_forced_broadcast_of_events_frame_detected(self):
+        assert pa._broadcast_subtree_scans(self.FORCED, "events")
+
+    def test_shuffle_join_clean(self):
+        assert not pa._broadcast_subtree_scans(self.CLEAN, "events")
+
+    def test_other_table_broadcast_ignored(self):
+        # an orders dim broadcast must not trip the events check
+        assert not pa._broadcast_subtree_scans(self.DIM_BROADCAST, "events")
+        assert pa._broadcast_subtree_scans(self.DIM_BROADCAST, "orders")
+
+
 class TestWindowPartitionDetection:
     def test_unpartitioned_ordered_window_detected(self):
         op = "Window [row_number() windowspecdefinition(x#1 ASC NULLS FIRST, ...) AS rn#9], [x#1 ASC NULLS FIRST]"

@@ -1,0 +1,108 @@
+"""Round-9 fix pins.
+
+- hyperplane_bucket ragged-width guard (ADVICE r8): a worker that
+  lazily derived its plane matrix from one batch must FAIL LOUDLY when
+  a later batch carries a different vector width, instead of silently
+  emitting buckets from a mismatched matrix.
+- gdpr_erasure_cascade no-forced-broadcast (VERDICT r8 item 2): the
+  static plan must not broadcast the data-proportional victim set.
+- ams_f2_stream_equivalence build cache (ADVICE r8): rebuilding the
+  query in the same session must NOT re-run the structured-streaming
+  job.
+- the two round-9 invariant-twin registrations smoke-run at sf0.001
+  with their invariants actually holding.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "tools"))
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestHyperplaneRaggedGuard:
+    def test_cross_batch_width_change_raises(self, spark):
+        from fraud_detection_project_spark.operators.similarity import (
+            hyperplane_bucket,
+        )
+
+        old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        try:
+            rows = [(i, [1.0] * 4) for i in range(2)] + [
+                (i, [1.0] * 6) for i in range(2, 4)
+            ]
+            df = spark.createDataFrame(rows, "id long, v array<double>").coalesce(1)
+            with pytest.raises(Exception, match="ragged|vector width|homogeneous"):
+                df.select(hyperplane_bucket("v", None, bits=8).alias("b")).collect()
+        finally:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    def test_explicit_dim_mismatch_raises(self, spark):
+        from fraud_detection_project_spark.operators.similarity import (
+            hyperplane_bucket,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [1.0] * 6) for i in range(4)], "id long, v array<double>"
+        )
+        with pytest.raises(Exception, match="ragged|vector width|shapes"):
+            df.select(hyperplane_bucket("v", 4, bits=8).alias("b")).collect()
+
+
+class TestGdprNoForcedBroadcast:
+    def test_victims_not_broadcast_in_static_plan(self, spark):
+        """With auto-broadcast disabled, only a HINT can produce a
+        broadcast — so any events-derived BroadcastExchange in this
+        plan is the forced-broadcast regression. (Stats-driven
+        broadcasts at tiny SF are fine and vanish under the conf.)"""
+        import plan_audit as pa
+        from fraud_detection_project_spark.queries import QUERIES
+
+        df = QUERIES["gdpr_erasure_cascade"](spark, SF)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = pa.plan_of(df)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        assert not pa._broadcast_subtree_scans(plan, "events"), plan[:600]
+
+
+class TestAmsEquivalenceCache:
+    def test_rebuild_hits_cache(self, spark):
+        """Second build in the same session returns the cached frame —
+        no second stream run (the first build pays it once)."""
+        from fraud_detection_project_spark.queries import QUERIES
+
+        a = QUERIES["ams_f2_stream_equivalence"](spark, SF)
+        b = QUERIES["ams_f2_stream_equivalence"](spark, SF)
+        assert a is b
+        rows = {r["j"]: r["z"] for r in b.collect()}
+        assert len(rows) == 8
+
+
+class TestRound9Registrations:
+    def test_undersample_tolerance_audit(self, spark):
+        from fraud_detection_project_spark.queries import QUERIES
+
+        rows = QUERIES["undersample_tolerance_audit"](spark, SF).collect()
+        assert [r["label"] for r in rows] == [0, 1]
+        assert all(r["within_band"] for r in rows)
+        assert all(r["n_target"] <= r["n_class"] for r in rows)
+
+    def test_kmeans_invariant_audit(self, spark):
+        from fraud_detection_project_spark.queries import QUERIES
+
+        rows = QUERIES["kmeans_invariant_audit"](spark, SF).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_points"] > 0
+        assert r["k_bounded"] and r["assigned_nearest"] and r["inertia_improves"]

@@ -115,6 +115,42 @@ def _key_definition(plan: str, key: str) -> str:
     return " ".join(ctx)
 
 
+def _immediate_definitions(plan: str, key: str) -> str:
+    """The IMMEDIATE defining expression of each ``<expr> AS name#id``
+    binding of ``key`` — the 200-char context trimmed back to the last
+    top-level comma / unmatched opening bracket, so neighbouring list
+    items (a previous ``x AS label#3`` binding, an adjacent aggregate)
+    do not leak into the expression text. Used by the MOST generic
+    fullname-token check (ADVICE r8: matching those tokens against the
+    whole context window let an entity key pass as bounded whenever a
+    column literally named ``label``/``mode(...)`` sat nearby)."""
+    key = key.strip()
+    if not _re.match(r"^.*#\d+L?$", key):
+        return ""
+    out = []
+    for mm in _re.finditer(r" AS " + _re.escape(key) + r"[,\]\)]", plan):
+        ctx = plan[max(0, mm.start() - 200):mm.start()]
+        # walk backwards: a ',' at depth 0 or an unmatched '('/'[' ends
+        # the immediate expression (depth counts from the right, so
+        # closing brackets increment and opening ones decrement)
+        depth = 0
+        start = 0
+        for i in range(len(ctx) - 1, -1, -1):
+            ch = ctx[i]
+            if ch in ")]":
+                depth += 1
+            elif ch in "([":
+                if depth == 0:
+                    start = i + 1
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                start = i + 1
+                break
+        out.append(ctx[start:])
+    return " ".join(out)
+
+
 def _agg_group_keys(op: str) -> list[str] | None:
     """The top-level comma-split contents of ``keys=[...]`` in an
     aggregate operator line, or None when no keys= group is present."""
@@ -153,8 +189,18 @@ def _agg_bounds(op: str, plan: str = "") -> bool:
         words = set(_re.findall(r"[a-zA-Z]+", text.lower()))
         if words & _BOUNDED_KEY_TOKENS:
             continue
-        # generic words bound only as the WHOLE identifier (ADVICE r7)
-        idents = set(_re.findall(r"[a-zA-Z_][a-zA-Z0-9_]*", text.lower()))
+        # generic words bound only as the WHOLE identifier (ADVICE r7),
+        # and only in the key name / its IMMEDIATE defining expression —
+        # not the whole context window, where a neighbouring binding
+        # literally named `label` would leak in (ADVICE r8). Function
+        # CALLS are excluded too: `mode(user_id)` is the mode aggregate
+        # over an entity, not a column named `mode`.
+        narrow = k + " " + _immediate_definitions(plan, k)
+        idents = set(
+            _re.findall(
+                r"\b([a-zA-Z_][a-zA-Z0-9_]*)\b(?!\s*\()", narrow.lower()
+            )
+        )
         if idents & _BOUNDED_FULLNAME_TOKENS:
             continue
         low = text.lower()
@@ -207,6 +253,25 @@ def _is_unpartitioned(window_op: str) -> bool:
     if len(groups) == 2:
         g = groups[1]
         return " ASC" in g or " DESC" in g or "NULLS" in g
+    return False
+
+
+def _broadcast_subtree_scans(plan: str, table: str) -> bool:
+    """True when any BroadcastExchange node's subtree contains a file
+    scan of ``table`` — the signature of an EXPLICIT (hint-forced or
+    statically mis-costed) broadcast of a frame derived from that
+    table. Stats-driven AQE broadcasts never appear in the static
+    plan, so this flags only the plan the author asked for."""
+    lines = plan.splitlines()
+    nodes = [_node(ln) for ln in lines]
+    for i, (depth, op) in enumerate(nodes):
+        if not op.startswith("BroadcastExchange"):
+            continue
+        for d2, op2 in nodes[i + 1:]:
+            if d2 <= depth and op2.strip():
+                break  # left the exchange's subtree
+            if op2.startswith("FileScan") and table in op2:
+                return True
     return False
 
 
@@ -602,10 +667,30 @@ def audit(spark, sf_dir: str) -> list[str]:
     # VERDICT r7 item 4: the banding advisor's 12-row (b, r) grid must
     # ride an EXPLICIT broadcast onto the pair spectrum — a conf change
     # (AQE off / threshold 0) must not be able to turn grid × spectrum
-    # into a shuffle.
+    # into a shuffle. Match the crossJoin's OWN node (ADVICE r8): a
+    # BroadcastNestedLoopJoin is the broadcast cross join itself, and a
+    # regressed grid broadcast planes as CartesianProduct — so any
+    # other broadcast elsewhere in the plan can no longer mask it.
     p = plan_of(QUERIES["minhash_banding_advisor"](spark, sf_dir))
-    check("minhash_banding_advisor: grid rides broadcast",
-          "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p[:400])
+    check("minhash_banding_advisor: grid rides its own broadcast cross join",
+          "BroadcastNestedLoopJoin" in p and "CartesianProduct" not in p,
+          p[:400])
+
+    # VERDICT r8 item 2: gdpr_erasure_cascade's victim set is
+    # data-proportional (~5% of distinct event users) and must not be
+    # FORCE-broadcast. Discriminator: plan with auto-broadcast OFF — a
+    # broadcast HINT survives any threshold (and would fail this), a
+    # stats-measured small-side broadcast (fine, and what AQE does at
+    # runtime) disappears. Conf is set AFTER building: physical
+    # planning reads it lazily at explain time.
+    df = QUERIES["gdpr_erasure_cascade"](spark, sf_dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(df)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    check("gdpr_erasure_cascade: victim set not force-broadcast",
+          not _broadcast_subtree_scans(p, "events"), p[:400])
 
     # Detector self-test: a deliberately planted Window.orderBy over the
     # raw events scan MUST be flagged (guards the detector itself against
