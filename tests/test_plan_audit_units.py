@@ -139,6 +139,35 @@ class TestImmediateDefinitions:
     def test_non_attribute_key_returns_empty(self):
         assert pa._immediate_definitions("Project [x#1]", "CASE WHEN") == ""
 
+    def test_neighbour_to_date_does_not_rescue_entity_key(self):
+        # round-9 hardening: the domain-reducing-fn rule is also scoped
+        # to the immediate definition — a calendar truncation bound to
+        # a NEIGHBOURING column must not bound an entity key
+        plan = (
+            "Project [to_date(ts#2) AS d#3, user_id#1L AS ukey#7L]\n"
+            "HashAggregate(keys=[ukey#7L], functions=[count(1)])"
+        )
+        op = "HashAggregate(keys=[ukey#7L], functions=[count(1)])"
+        assert not pa._agg_bounds(op, plan)
+
+    def test_neighbour_literal_case_does_not_rescue_entity_key(self):
+        plan = (
+            "Project [CASE WHEN (v#2 > 5.0) THEN 1 ELSE 0 END AS flag#3, "
+            "user_id#1L AS ukey#7L]\n"
+            "HashAggregate(keys=[ukey#7L], functions=[count(1)])"
+        )
+        op = "HashAggregate(keys=[ukey#7L], functions=[count(1)])"
+        assert not pa._agg_bounds(op, plan)
+
+    def test_neighbour_bounded_word_does_not_rescue_entity_key(self):
+        # even the broad word-token rule is definition-scoped now
+        plan = (
+            "Project [event_type#2, user_id#1L AS ukey#7L]\n"
+            "HashAggregate(keys=[ukey#7L], functions=[count(1)])"
+        )
+        op = "HashAggregate(keys=[ukey#7L], functions=[count(1)])"
+        assert not pa._agg_bounds(op, plan)
+
 
 class TestBroadcastSubtreeScans:
     """VERDICT r8 item 2: detector for an explicit broadcast of a frame

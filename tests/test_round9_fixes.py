@@ -98,11 +98,41 @@ class TestRound9Registrations:
         assert all(r["within_band"] for r in rows)
         assert all(r["n_target"] <= r["n_class"] for r in rows)
 
-    def test_kmeans_invariant_audit(self, spark):
+    def test_simhash_exact_dup_recall(self, spark):
         from fraud_detection_project_spark.queries import QUERIES
 
-        rows = QUERIES["kmeans_invariant_audit"](spark, SF).collect()
+        rows = QUERIES["simhash_exact_dup_recall"](spark, SF).collect()
         assert len(rows) == 1
         r = rows[0]
-        assert r["n_points"] > 0
-        assert r["k_bounded"] and r["assigned_nearest"] and r["inertia_improves"]
+        assert r["n_docs"] > 0
+        assert r["exact_dups_all_reported"] and r["pairs_within_budget"]
+
+    def test_simhash_recall_catches_planted_duplicate(self, spark):
+        """The FN law has teeth: plant an exact duplicate pair in a tiny
+        corpus and confirm the recall check machinery reports it found
+        (n_exact_dup_pairs ≥ 1, all reported)."""
+        from fraud_detection_project_spark.functions.text import normalized_text
+        from fraud_detection_project_spark.operators.dedup import (
+            simhash_near_dup_pairs,
+        )
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "The quick  brown FOX jumps over the lazy dog!"),  # dup of 1
+            (3, "a completely different document about spark engines"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        keyed = df.select(
+            F.col("doc_id").alias("id"),
+            F.xxhash64(normalized_text(F.col("text"))).alias("tkey"),
+        )
+        x, y = keyed.alias("x"), keyed.alias("y")
+        dup_pairs = x.join(
+            y,
+            (F.col("x.tkey") == F.col("y.tkey")) & (F.col("x.id") < F.col("y.id")),
+        ).select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        assert dup_pairs.collect() == [(1, 2)]
+        sim = simhash_near_dup_pairs(df, max_hamming=3)
+        missing = dup_pairs.join(sim.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        assert missing.count() == 0

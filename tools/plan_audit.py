@@ -96,34 +96,19 @@ _LITERAL_CASE = _re.compile(
 )
 
 
-def _key_definition(plan: str, key: str) -> str:
-    """Defining-expression CONTEXT of ``name#id`` — physical plans bind
-    aliases in Project/Aggregate lines as ``<expr> AS name#id``; group
-    keys synthesized from expressions print as ``_groupingexpression#N``
-    whose definition carries the real semantics. Expression boundaries
-    in plan text are not cleanly parseable (nested commas/parens), so
-    this returns the 200 characters PRECEDING each binding — enough
-    context for the token / function-name checks, at worst
-    over-permissive for neighbouring expressions (raw entity keys, the
-    protected shape, have no AS binding and are unaffected)."""
-    key = key.strip()
-    if not _re.match(r"^.*#\d+L?$", key):
-        return ""
-    ctx = []
-    for mm in _re.finditer(r" AS " + _re.escape(key) + r"[,\]\)]", plan):
-        ctx.append(plan[max(0, mm.start() - 200):mm.start()])
-    return " ".join(ctx)
-
-
 def _immediate_definitions(plan: str, key: str) -> str:
     """The IMMEDIATE defining expression of each ``<expr> AS name#id``
-    binding of ``key`` — the 200-char context trimmed back to the last
-    top-level comma / unmatched opening bracket, so neighbouring list
-    items (a previous ``x AS label#3`` binding, an adjacent aggregate)
-    do not leak into the expression text. Used by the MOST generic
-    fullname-token check (ADVICE r8: matching those tokens against the
-    whole context window let an entity key pass as bounded whenever a
-    column literally named ``label``/``mode(...)`` sat nearby)."""
+    binding of ``key`` — physical plans bind aliases in Project/
+    Aggregate lines as ``<expr> AS name#id``; group keys synthesized
+    from expressions print as ``_groupingexpression#N`` whose
+    definition carries the real semantics. The 200-char context before
+    each binding is trimmed back to the last top-level comma /
+    unmatched opening bracket, so neighbouring list items (a previous
+    ``x AS label#3`` binding, an adjacent ``to_date`` projection) do
+    not leak into the expression text — ADVICE r8: matching boundedness
+    rules against the whole context window was a fail-open for every
+    definition-based rule whenever a bounded-looking neighbour sat
+    within 200 chars of an entity key's binding."""
     key = key.strip()
     if not _re.match(r"^.*#\d+L?$", key):
         return ""
@@ -178,24 +163,24 @@ def _agg_group_keys(op: str) -> list[str] | None:
 def _agg_bounds(op: str, plan: str = "") -> bool:
     """True when an aggregate line's group keys are all domain-bounded
     (or it is a keyless global aggregate — at most 1 row). A key is
-    bounded when its name OR its defining expression (resolved through
-    the plan's ``AS name#id`` bindings) carries a bounded-domain token,
-    a domain-reducing function, or a literal-branch CASE."""
+    bounded when its name OR its IMMEDIATE defining expression
+    (resolved through the plan's ``AS name#id`` bindings, trimmed to
+    the expression itself — ADVICE r8: the raw 200-char context window
+    let a NEIGHBOURING binding's tokens rescue an entity key, a
+    fail-open for every definition-based rule, not just the generic
+    fullname tokens) carries a bounded-domain token, a domain-reducing
+    function, or a literal-branch CASE."""
     keys = _agg_group_keys(op)
     if keys is None or not keys:
         return True  # keyless: global aggregate, ≤ 1 row
     for k in keys:
-        text = k + " " + _key_definition(plan, k)
-        words = set(_re.findall(r"[a-zA-Z]+", text.lower()))
+        narrow = k + " " + _immediate_definitions(plan, k)
+        words = set(_re.findall(r"[a-zA-Z]+", narrow.lower()))
         if words & _BOUNDED_KEY_TOKENS:
             continue
-        # generic words bound only as the WHOLE identifier (ADVICE r7),
-        # and only in the key name / its IMMEDIATE defining expression —
-        # not the whole context window, where a neighbouring binding
-        # literally named `label` would leak in (ADVICE r8). Function
-        # CALLS are excluded too: `mode(user_id)` is the mode aggregate
-        # over an entity, not a column named `mode`.
-        narrow = k + " " + _immediate_definitions(plan, k)
+        # the MOST generic words bound only as the WHOLE identifier
+        # (ADVICE r7), excluding function CALLS: `mode(user_id)` is
+        # the mode aggregate over an entity, not a column named `mode`
         idents = set(
             _re.findall(
                 r"\b([a-zA-Z_][a-zA-Z0-9_]*)\b(?!\s*\()", narrow.lower()
@@ -203,10 +188,10 @@ def _agg_bounds(op: str, plan: str = "") -> bool:
         )
         if idents & _BOUNDED_FULLNAME_TOKENS:
             continue
-        low = text.lower()
+        low = narrow.lower()
         if any(fn in low for fn in _DOMAIN_REDUCING_FNS):
             continue
-        if _LITERAL_CASE.search(text):
+        if _LITERAL_CASE.search(narrow):
             continue
         return False
     return True
