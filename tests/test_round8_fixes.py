@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 
 
 def _jobs(spark) -> int:
-    return len(spark.sparkContext.statusTracker().getJobIdsForGroup(None))
+    # MAX job id, not len(): job ids are sequential, so deltas of the
+    # max count launched jobs exactly — while len() silently DROPS when
+    # the UI evicts old jobs past spark.ui.retainedJobs, which made this
+    # helper go backwards (delta -94) deep into a full-suite session.
+    ids = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    return max(ids, default=-1)
 
 
 class TestAmsSignHash:
