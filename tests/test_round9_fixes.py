@@ -68,11 +68,15 @@ class TestGdprNoForcedBroadcast:
         from fraud_detection_project_spark.queries import QUERIES
 
         df = QUERIES["gdpr_erasure_cascade"](spark, SF)
+        # save/restore the SESSION's value — unset() reverts to Spark's
+        # built-in 10 MB, not the session builder's configured
+        # threshold, leaking a changed conf to every later test
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             plan = pa.plan_of(df)
         finally:
-            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         assert not pa._broadcast_subtree_scans(plan, "events"), plan[:600]
 
 
@@ -98,6 +102,19 @@ class TestRound9Registrations:
         assert all(r["within_band"] for r in rows)
         assert all(r["n_target"] <= r["n_class"] for r in rows)
 
+    def test_undersample_audit_rebuild_hits_cache(self, spark):
+        """The operator's build-time class-count collect must run once
+        per (session, sf_dir) — plan-only rebuilds return the cached
+        frame and launch zero jobs."""
+        from fraud_detection_project_spark.queries import QUERIES
+
+        a = QUERIES["undersample_tolerance_audit"](spark, SF)
+        before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+        b = QUERIES["undersample_tolerance_audit"](spark, SF)
+        after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+        assert a is b
+        assert max(after, default=-1) == max(before, default=-1)
+
     def test_simhash_exact_dup_recall(self, spark):
         from fraud_detection_project_spark.queries import QUERIES
 
@@ -111,7 +128,7 @@ class TestRound9Registrations:
         """The FN law has teeth: plant an exact duplicate pair in a tiny
         corpus and confirm the recall check machinery reports it found
         (n_exact_dup_pairs ≥ 1, all reported)."""
-        from fraud_detection_project_spark.functions.text import normalized_text
+        from fraud_detection_project_spark.functions.text import doc_fingerprint
         from fraud_detection_project_spark.operators.dedup import (
             simhash_near_dup_pairs,
         )
@@ -125,7 +142,7 @@ class TestRound9Registrations:
         df = spark.createDataFrame(rows, "doc_id long, text string")
         keyed = df.select(
             F.col("doc_id").alias("id"),
-            F.xxhash64(normalized_text(F.col("text"))).alias("tkey"),
+            doc_fingerprint(F.col("text")).alias("tkey"),
         )
         x, y = keyed.alias("x"), keyed.alias("y")
         dup_pairs = x.join(

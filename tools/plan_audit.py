@@ -669,11 +669,15 @@ def audit(spark, sf_dir: str) -> list[str]:
     # runtime) disappears. Conf is set AFTER building: physical
     # planning reads it lazily at explain time.
     df = QUERIES["gdpr_erasure_cascade"](spark, sf_dir)
+    # restore the SESSION's configured threshold, not Spark's built-in
+    # default — unset() would leave every later check planning under
+    # 10 MB instead of the session builder's value
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         p = plan_of(df)
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
     check("gdpr_erasure_cascade: victim set not force-broadcast",
           not _broadcast_subtree_scans(p, "events"), p[:400])
 
