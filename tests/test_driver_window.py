@@ -48,6 +48,7 @@ def test_no_window_slot_wasted_on_verified_query():
         "CORRECTNESS_r06.json",
         "CORRECTNESS_r07.json",
         "CORRECTNESS_r08.json",
+        "CORRECTNESS_r09.json",
     ):
         p = os.path.join(REPO, art)
         if os.path.exists(p):
