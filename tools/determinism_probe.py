@@ -73,9 +73,18 @@ def main() -> None:
         else:
             failures.append(name)
             a, b = fps[0], next(f for f in fps[1:] if f != fps[0])
-            diff = next(
-                (x, y) for x, y in zip(a[1], b[1]) if x != y
-            ) if len(a[1]) == len(b[1]) else ("row-count", f"{len(a[1])} vs {len(b[1])}")
+            # fingerprints can also differ ONLY in the column-name tuple
+            # (rows equal and equal-length) — next() needs a default or
+            # the probe dies mid-report with StopIteration (ADVICE r9)
+            if a[0] != b[0]:
+                diff = ("cols", f"{a[0]} vs {b[0]}")
+            elif len(a[1]) != len(b[1]):
+                diff = ("row-count", f"{len(a[1])} vs {len(b[1])}")
+            else:
+                diff = next(
+                    ((x, y) for x, y in zip(a[1], b[1]) if x != y),
+                    ("fingerprint", "tuples differ outside rows/cols"),
+                )
             print(f"UNSTABLE  {name}: {diff}")
     spark.stop()
     if failures:

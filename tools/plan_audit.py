@@ -108,18 +108,27 @@ def _immediate_definitions(plan: str, key: str) -> str:
     not leak into the expression text — ADVICE r8: matching boundedness
     rules against the whole context window was a fail-open for every
     definition-based rule whenever a bounded-looking neighbour sat
-    within 200 chars of an entity key's binding."""
+    within 200 chars of an entity key's binding. When the backward scan
+    exhausts a TRUNCATED window without finding a boundary (defining
+    expression longer than the window, or the window cut mid-bracket),
+    the definition is UNKNOWN and contributes nothing — returning the
+    raw window there was the residual fail-open (ADVICE r9): a
+    neighbouring binding's bounded tokens could still rescue an entity
+    key through the untrimmed text."""
     key = key.strip()
     if not _re.match(r"^.*#\d+L?$", key):
         return ""
     out = []
+    _WIN = 500
     for mm in _re.finditer(r" AS " + _re.escape(key) + r"[,\]\)]", plan):
-        ctx = plan[max(0, mm.start() - 200):mm.start()]
+        ctx = plan[max(0, mm.start() - _WIN):mm.start()]
+        truncated = mm.start() > _WIN
         # walk backwards: a ',' at depth 0 or an unmatched '('/'[' ends
         # the immediate expression (depth counts from the right, so
         # closing brackets increment and opening ones decrement)
         depth = 0
         start = 0
+        found = False
         for i in range(len(ctx) - 1, -1, -1):
             ch = ctx[i]
             if ch in ")]":
@@ -127,11 +136,15 @@ def _immediate_definitions(plan: str, key: str) -> str:
             elif ch in "([":
                 if depth == 0:
                     start = i + 1
+                    found = True
                     break
                 depth -= 1
             elif ch == "," and depth == 0:
                 start = i + 1
+                found = True
                 break
+        if truncated and not found:
+            continue  # definition unknown — fail closed
         out.append(ctx[start:])
     return " ".join(out)
 
@@ -174,7 +187,20 @@ def _agg_bounds(op: str, plan: str = "") -> bool:
     if keys is None or not keys:
         return True  # keyless: global aggregate, ≤ 1 row
     for k in keys:
-        narrow = k + " " + _immediate_definitions(plan, k)
+        defs = _immediate_definitions(plan, k)
+        if not defs and " AS " in k:
+            # Catalyst inlines collapsed-Project definitions into the
+            # keys= list itself: `<expr> AS name#id`
+            defs = k.rsplit(" AS ", 1)[0]
+        # a defining expression with NO attribute references (no
+        # `name#id`) and no function calls is a pure literal — the
+        # codomain is the set of constants written in the query (e.g.
+        # the source-label lits of a union'd panel). The `(` guard
+        # keeps zero-arg row-cardinality generators
+        # (monotonically_increasing_id(), rand(), uuid()) unbounded.
+        if defs and not _re.search(r"#\d", defs) and "(" not in defs:
+            continue
+        narrow = k + " " + defs
         words = set(_re.findall(r"[a-zA-Z]+", narrow.lower()))
         if words & _BOUNDED_KEY_TOKENS:
             continue
@@ -241,12 +267,26 @@ def _is_unpartitioned(window_op: str) -> bool:
     return False
 
 
+def _scan_table(op: str) -> str:
+    """Table name of a FileScan line, resolved from its parquet location
+    token (``.../<table>.parquet``) — matching the whole line by bare
+    substring would false-flag any column/alias that happens to contain
+    a table name (ADVICE r9)."""
+    m = _re.search(r"([A-Za-z_][A-Za-z0-9_]*)\.parquet", op)
+    return m.group(1) if m else ""
+
+
 def _broadcast_subtree_scans(plan: str, table: str) -> bool:
     """True when any BroadcastExchange node's subtree contains a file
     scan of ``table`` — the signature of an EXPLICIT (hint-forced or
     statically mis-costed) broadcast of a frame derived from that
     table. Stats-driven AQE broadcasts never appear in the static
-    plan, so this flags only the plan the author asked for."""
+    plan, so this flags only the plan the author asked for. The table
+    is matched against the scan's parquet LOCATION token, not the whole
+    line (ADVICE r9). A ReusedExchange referencing a broadcast is
+    covered transitively: plan text always prints the referenced
+    exchange's subtree in full at its first occurrence, which this
+    walk visits."""
     lines = plan.splitlines()
     nodes = [_node(ln) for ln in lines]
     for i, (depth, op) in enumerate(nodes):
@@ -255,9 +295,85 @@ def _broadcast_subtree_scans(plan: str, table: str) -> bool:
         for d2, op2 in nodes[i + 1:]:
             if d2 <= depth and op2.strip():
                 break  # left the exchange's subtree
-            if op2.startswith("FileScan") and table in op2:
+            if op2.startswith("FileScan") and _scan_table(op2) == table:
                 return True
     return False
+
+
+# ---------------------------------------------------------------------------
+# Forced-broadcast census (VERDICT r9 item 4).
+#
+# Three rounds of per-query whack-a-mole (decontam r7, gdpr r8,
+# rich-club + survivorship r9) retired individual data-proportional
+# forced broadcasts; this is the standing gate for the whole class.
+# Every query is re-planned under autoBroadcastJoinThreshold=-1 — a
+# broadcast HINT survives any threshold, a stats-measured small-side
+# broadcast vanishes — and every surviving BroadcastExchange's build
+# subtree is classified by its growth law:
+#   bounded  — no file scan (literal grid / range / local relation),
+#              or a dim-table scan (region/nation/customer/supplier/
+#              part: the engine's documented dim-broadcast convention),
+#              or a FACT scan with a limit / keyless global aggregate /
+#              bounded-domain-key aggregate on the path up to the
+#              exchange (1-row stats, enum/calendar spectra);
+#   FACT-derived (FAIL) — a fact-table scan (events/lineitem/orders/
+#              documents/embeddings) reaching the exchange with no such
+#              bounding operator: the build side grows with the data
+#              and the forced broadcast OOMs the driver at 100 TB.
+# Residual blind spot, documented: a hint over a materialized
+# checkpoint (Scan ExistingRDD) carries no table name — such frames
+# print no FileScan and classify bounded.
+# ---------------------------------------------------------------------------
+
+_FACT_TABLES = frozenset(
+    {"events", "lineitem", "orders", "documents", "embeddings"}
+)
+
+
+def _bounds_broadcast_path(op: str, plan: str) -> bool:
+    """True when ``op`` structurally bounds the rows flowing through it
+    toward a BroadcastExchange (limit/top-k, or an aggregate whose
+    group keys are domain-bounded — keyless global aggs trivially)."""
+    if any(
+        op.startswith(b)
+        for b in ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit",
+                  "LocalLimit")
+    ):
+        return True
+    if any(op.startswith(a) for a in _AGG_OPS):
+        return _agg_bounds(op, plan)
+    return False
+
+
+def fact_forced_broadcasts(plan: str) -> list[str]:
+    """Fact-derived forced-broadcast offences in a physical plan that
+    was built under ``autoBroadcastJoinThreshold=-1`` (so every
+    BroadcastExchange present is author-forced, not stats-measured).
+    Returns one ``"<table> via <exchange line>"`` entry per fact scan
+    that reaches a BroadcastExchange with no bounding operator on its
+    ancestor path inside the exchange's subtree."""
+    lines = plan.splitlines()
+    nodes = [_node(ln) for ln in lines]
+    offenders: list[str] = []
+    for i, (depth, op) in enumerate(nodes):
+        if not op.startswith("BroadcastExchange"):
+            continue
+        # ancestor chain WITHIN the exchange's subtree, maintained from
+        # the printed tree depths
+        stack: list[tuple[int, str]] = []
+        for d2, op2 in nodes[i + 1:]:
+            if d2 <= depth and op2.strip():
+                break  # left the exchange's subtree
+            while stack and stack[-1][0] >= d2:
+                stack.pop()
+            if op2.startswith("FileScan"):
+                tbl = _scan_table(op2)
+                if tbl in _FACT_TABLES and not any(
+                    _bounds_broadcast_path(a, plan) for _, a in stack
+                ):
+                    offenders.append(f"{tbl} via {op.strip()[:90]}")
+            stack.append((d2, op2))
+    return offenders
 
 
 def unbounded_global_windows(plan: str) -> list[str]:
@@ -626,10 +742,13 @@ def audit(spark, sf_dir: str) -> list[str]:
     # plan construction; the lint still sees their final-plan shape.
     # ------------------------------------------------------------------
     cartesian_offenders, python_offenders, plan_errors = [], [], []
-    window_offenders = []
+    window_offenders, forced_offenders = [], []
+    thresh_key = "spark.sql.autoBroadcastJoinThreshold"
+    session_thresh = spark.conf.get(thresh_key)
     for qname in sorted(QUERIES):
         try:
-            qp = plan_of(QUERIES[qname](spark, sf_dir))
+            df = QUERIES[qname](spark, sf_dir)
+            qp = plan_of(df)
         except Exception as exc:  # noqa: BLE001
             plan_errors.append(f"{qname}: {exc}")
             continue
@@ -640,12 +759,29 @@ def audit(spark, sf_dir: str) -> list[str]:
         bad_windows = unbounded_global_windows(qp)
         if bad_windows:
             window_offenders.append(f"{qname}: {bad_windows[0]}")
+        # forced-broadcast census (VERDICT r9 item 4): re-plan the SAME
+        # logical plan under threshold=-1 — select("*") yields a fresh
+        # QueryExecution without re-running build-time jobs; planning
+        # reads the conf lazily at explain time
+        spark.conf.set(thresh_key, "-1")
+        try:
+            qp2 = plan_of(df.select("*"))
+        except Exception as exc:  # noqa: BLE001
+            plan_errors.append(f"{qname} (threshold=-1): {exc}")
+            continue
+        finally:
+            spark.conf.set(thresh_key, session_thresh)
+        for off in fact_forced_broadcasts(qp2):
+            forced_offenders.append(f"{qname}: {off}")
     check("ALL queries: no non-broadcast cartesian product",
           not cartesian_offenders, str(cartesian_offenders))
     check("ALL queries: no row-wise Python UDF (BatchEvalPython)",
           not python_offenders, str(python_offenders))
     check("ALL queries: no unpartitioned Window over an unbounded frame",
           not window_offenders, str(window_offenders[:5]))
+    check("ALL queries: no fact-derived forced broadcast "
+          "(census under threshold=-1)",
+          not forced_offenders, str(forced_offenders))
     check("ALL queries: plans build cleanly", not plan_errors,
           str(plan_errors[:3]))
 
@@ -680,6 +816,62 @@ def audit(spark, sf_dir: str) -> list[str]:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
     check("gdpr_erasure_cascade: victim set not force-broadcast",
           not _broadcast_subtree_scans(p, "events"), p[:400])
+
+    # Census self-tests (VERDICT r9 item 4): the fact-derived
+    # forced-broadcast detector must flag a PLANTED hint over an
+    # unbounded fact projection and stay quiet on the engine's
+    # sanctioned broadcast shapes (dim tables, 1-row global aggregates,
+    # enum-key aggregates). All probes plan under threshold=-1, the
+    # regime the census runs in.
+    ev_path = os.path.join(sf_dir, "events.parquet")
+    ev = spark.read.parquet(ev_path)
+    nt = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    probes = {
+        # distinct event users under a hint — the gdpr/survivorship class
+        "planted fact-derived hint IS flagged": (
+            ev.join(F.broadcast(ev.select("user_id").distinct()),
+                    "user_id"),
+            True,
+        ),
+        "F.broadcast(nation) dim hint is NOT flagged": (
+            ev.join(F.broadcast(nt),
+                    ev["user_id"] % 25 == nt["n_nationkey"]),
+            False,
+        ),
+        "1-row global-agg hint is NOT flagged": (
+            ev.crossJoin(F.broadcast(ev.agg(F.max("value").alias("m")))),
+            False,
+        ),
+        # a literal source label is a constant-codomain key (benford's
+        # union'd panel shape) — must NOT flag
+        "literal-label fact aggregate hint is NOT flagged": (
+            ev.join(
+                F.broadcast(
+                    ev.select(F.lit("events_value").alias("src"), "value")
+                    .groupBy("src")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                ),
+                F.lit(True),
+                "left",
+            ),
+            False,
+        ),
+        "enum-key fact aggregate hint is NOT flagged": (
+            ev.join(
+                F.broadcast(ev.groupBy("event_type").count()),
+                "event_type",
+            ),
+            False,
+        ),
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for label, (probe_df, want) in probes.items():
+            got = bool(fact_forced_broadcasts(plan_of(probe_df)))
+            check(f"census self-test: {label}", got == want,
+                  plan_of(probe_df)[:400])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
 
     # Detector self-test: a deliberately planted Window.orderBy over the
     # raw events scan MUST be flagged (guards the detector itself against
