@@ -632,11 +632,14 @@ def ngram_contamination(
     shingle with the same normalization as the near-dup stack
     (:func:`word_shingles`; short docs fall back to their whole text);
     shingles fold to ``xxhash64`` BEFORE the join so the probe side's
-    distinct (hash, probe_id) set — benchmark-sized — BROADCASTS, and
-    the corpus side is never shuffled at all: one narrow
-    shingle→hash→broadcast-join→per-doc agg pass over the corpus. A
-    64-bit hash false-collision is ~2⁻⁶⁴ per candidate pair (accepted,
-    as in exact_dedup).
+    distinct (hash, probe_id) set is benchmark-sized. The join is
+    HINT-FREE (round-10 census): AQE broadcasts the probe side while
+    its MEASURED size is small — the benchmark-≪-corpus contract, under
+    which the corpus is never shuffled — and degrades to a shuffle join
+    on the 8-byte hash key if a caller feeds a corpus-sized probe set,
+    instead of OOMing the driver on a forced broadcast. A 64-bit hash
+    false-collision is ~2⁻⁶⁴ per candidate pair (accepted, as in
+    exact_dedup).
     """
     def shingled(df: DataFrame, out_id: str) -> DataFrame:
         return df.select(
@@ -651,7 +654,7 @@ def ngram_contamination(
     # ~2⁻⁶⁴ in-doc hash-collision case — no dedup pass needed
     probe_sh = shingled(probes, "__probe_id")
     corpus_sh = shingled(spread_input(corpus), id_col)
-    hits = corpus_sh.join(F.broadcast(probe_sh), "__h")
+    hits = corpus_sh.join(probe_sh, "__h")
     return hits.groupBy(id_col).agg(
         F.count_distinct("__h").alias("n_hit_ngrams"),
         F.count_distinct("__probe_id").alias("n_probe_docs"),

@@ -37,7 +37,7 @@ def count_min_table(
 ) -> DataFrame:
     """Build the count-min counter table ``(d, bucket, cnt)``.
 
-    Row r increments counter ``(d, xxhash64(key, seed+d) mod width)``
+    Row r increments counter ``(depth row d, xxhash64(key, seed+d) mod width)``
     for every d in [0, depth). Estimates read ``min_d cnt`` — each row
     of counters is an independent hash, so the minimum tightens the
     collision inflation. One grouped aggregation; the post-partial-agg
@@ -47,7 +47,7 @@ def count_min_table(
     coords = F.array(
         *[
             F.struct(
-                F.lit(d).alias("d"),
+                F.lit(d).alias("depth"),
                 F.pmod(F.xxhash64(k, F.lit(seed + d)), F.lit(width)).alias(
                     "bucket"
                 ),
@@ -57,7 +57,10 @@ def count_min_table(
     )
     return (
         df.select(F.explode(coords).alias("r"))
-        .groupBy(F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket"))
+        .groupBy(
+            F.col("r.depth").alias("depth"),
+            F.col("r.bucket").alias("bucket"),
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -85,7 +88,7 @@ def count_min_estimate(
     coords = F.array(
         *[
             F.struct(
-                F.lit(d).alias("d"),
+                F.lit(d).alias("depth"),
                 F.pmod(F.xxhash64(k, F.lit(seed + d)), F.lit(width)).alias(
                     "bucket"
                 ),
@@ -94,10 +97,10 @@ def count_min_estimate(
         ]
     )
     probed = keys.select(key, F.explode(coords).alias("r")).select(
-        key, F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket")
+        key, F.col("r.depth").alias("depth"), F.col("r.bucket").alias("bucket")
     )
     return (
-        probed.join(F.broadcast(tbl), ["d", "bucket"])
+        probed.join(F.broadcast(tbl), ["depth", "bucket"])
         .groupBy(key)
         .agg(F.min("cnt").alias("cms_est"))
     )
@@ -155,18 +158,18 @@ def count_min_inner_product(
 
     Returns one row ``(join_size_est)``. Each sketch build is bounded by
     depth*width rows post-partial-agg; the meeting join is sketch ⋈
-    sketch on (d, bucket).
+    sketch on (depth, bucket).
     """
     ta = count_min_table(df_a, key_a, depth=depth, width=width, seed=seed)
     tb = count_min_table(df_b, key_b, depth=depth, width=width, seed=seed)
     prod = (
         ta.join(
             tb.select(
-                "d", "bucket", F.col("cnt").alias("cnt_b")
+                "depth", "bucket", F.col("cnt").alias("cnt_b")
             ),
-            ["d", "bucket"],
+            ["depth", "bucket"],
         )
-        .groupBy("d")
+        .groupBy("depth")
         .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("ip"))
     )
     # a depth-row whose buckets never intersect has inner product 0 —

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..operators.sketches import count_min_table
 
-_SCHEMA = "d INT, bucket BIGINT, cnt BIGINT"
+_SCHEMA = "depth INT, bucket BIGINT, cnt BIGINT"
 
 
 def read_sketch(spark, path: str) -> DataFrame:
@@ -89,9 +89,9 @@ def merge_sketch_batch(
     merged = (
         read_sketch(spark, path)
         .unionByName(delta.select(
-            F.col("d").cast("int"), F.col("bucket"), F.col("cnt")
+            F.col("depth").cast("int"), F.col("bucket"), F.col("cnt")
         ))
-        .groupBy("d", "bucket")
+        .groupBy("depth", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
     version = state["version"] + 1

@@ -193,6 +193,83 @@ class TestFactForcedBroadcasts:
         assert len(pa.fact_forced_broadcasts(plan)) == 1
 
 
+class TestKeyBoundedAggOutputRules:
+    def test_functional_dependence_via_bounded_agg_output(self):
+        # theil shape: ng is a count OUTPUT of an event_type-keyed agg,
+        # so a later groupBy(event_type, ng) frame is |event_type| rows
+        plan = _plan(
+            "HashAggregate(keys=[event_type#86, ng#92L],"
+            " functions=[sum(x#1)], output=[event_type#86, tw#99])",
+            "HashAggregate(keys=[event_type#69], functions=[count(1)],"
+            " output=[event_type#69, ng#92L])",
+        )
+        op = ("HashAggregate(keys=[event_type#86, ng#92L],"
+              " functions=[sum(x#1)], output=[event_type#86, tw#99])")
+        assert pa._agg_bounds(op, plan)
+
+    def test_positional_output_rename_resolves(self):
+        # bradley shape: wb#241 is output[1] of an agg whose key[1] is
+        # p_brand (bounded), so wins keyed on wb's downstream rename
+        # resolves through two hops
+        plan = _plan(
+            "HashAggregate(keys=[a#267], functions=[sum(w#2L)],"
+            " output=[a#267, wins#3L])",
+            "HashAggregate(keys=[wb#241, lb#243], functions=[count(1)],"
+            " output=[a#267, w#2L])",
+            "HashAggregate(keys=[l_orderkey#205L, p_brand#218],"
+            " functions=[sum(p#9)], output=[okey#224L, wb#241, ra#242])",
+            "Project [p_brand#210 AS lb#243]",
+        )
+        op = ("HashAggregate(keys=[a#267], functions=[sum(w#2L)],"
+              " output=[a#267, wins#3L])")
+        assert pa._agg_bounds(op, plan)
+
+    def test_entity_agg_output_does_not_bound(self):
+        # a column of a user_id-keyed agg's output is |users|-valued
+        plan = _plan(
+            "HashAggregate(keys=[c0#631L], functions=[count(1)],"
+            " output=[c0#631L, n0#600L])",
+            "HashAggregate(keys=[user_id#623L], functions=[min(x#3L)],"
+            " output=[c0#631L])",
+        )
+        op = ("HashAggregate(keys=[c0#631L], functions=[count(1)],"
+              " output=[c0#631L, n0#600L])")
+        assert not pa._agg_bounds(op, plan)
+
+    def test_pmod_definition_bounds(self):
+        plan = ("Project [cast(pmod(xxhash64(event_id#1L, 42), 32) as int)"
+                " AS __salt#2]")
+        assert pa._key_bounded("__salt#2", plan)
+
+    def test_window_group_limit_bounds_on_bounded_partition(self):
+        plan = _plan(
+            "BroadcastExchange HashedRelationBroadcastMode",
+            "+- WindowGroupLimit [label#916], [h#918L ASC NULLS FIRST],"
+            " row_number(), 1, Final",
+            "   +- " + SCAN_EVENTS.replace("events", "embeddings"),
+        )
+        assert pa.fact_forced_broadcasts(plan) == []
+
+    def test_window_group_limit_entity_partition_does_not_bound(self):
+        plan = _plan(
+            "BroadcastExchange HashedRelationBroadcastMode",
+            "+- WindowGroupLimit [user_id#3L], [h#918L ASC NULLS FIRST],"
+            " row_number(), 1, Final",
+            "   +- " + SCAN_EVENTS,
+        )
+        assert len(pa.fact_forced_broadcasts(plan)) == 1
+
+    def test_split_top_nested(self):
+        assert pa._split_top("a#1, f(b#2, c#3), d#4") == [
+            "a#1", "f(b#2, c#3)", "d#4"
+        ]
+
+    def test_bracket_list(self):
+        op = "HashAggregate(keys=[a#1], functions=[], output=[a#1, b#2L])"
+        assert pa._bracket_list(op, "output=") == ["a#1", "b#2L"]
+        assert pa._bracket_list(op, "missing=") is None
+
+
 class TestImmediateDefinitionsFailClosed:
     def test_overlong_definition_contributes_nothing(self):
         # the defining expression exceeds the 500-char window and the

@@ -765,11 +765,11 @@ class TestStreamingCountMin:
         _drain_stream(q)
 
         got = {
-            (r["d"], r["bucket"]): r["cnt"]
+            (r["depth"], r["bucket"]): r["cnt"]
             for r in read_sketch(spark, path).collect()
         }
         want = {
-            (r["d"], r["bucket"]): r["cnt"]
+            (r["depth"], r["bucket"]): r["cnt"]
             for r in count_min_table(
                 spark.read.parquet(events_src), "user_id", width=256
             ).collect()
@@ -793,11 +793,11 @@ class TestStreamingCountMin:
         merge_sketch_batch(spark, b1, "k", path, width=64)
         merge_sketch_batch(spark, b2, "k", path, width=64)
         got = {
-            (r["d"], r["bucket"]): r["cnt"]
+            (r["depth"], r["bucket"]): r["cnt"]
             for r in read_sketch(spark, path).collect()
         }
         want = {
-            (r["d"], r["bucket"]): r["cnt"]
+            (r["depth"], r["bucket"]): r["cnt"]
             for r in count_min_table(b1.union(b2), "k", width=64).collect()
         }
         assert got == want
@@ -820,13 +820,13 @@ class TestStreamingCountMin:
         merge_sketch_batch(spark, b1, "k", path, width=64, epoch=0)
         merge_sketch_batch(spark, b2, "k", path, width=64, epoch=1)
         before = {
-            (r["d"], r["bucket"]): r["cnt"]
+            (r["depth"], r["bucket"]): r["cnt"]
             for r in read_sketch(spark, path).collect()
         }
         merge_sketch_batch(spark, b2, "k", path, width=64, epoch=1)  # replay
         merge_sketch_batch(spark, b1, "k", path, width=64, epoch=0)  # older
         after = {
-            (r["d"], r["bucket"]): r["cnt"]
+            (r["depth"], r["bucket"]): r["cnt"]
             for r in read_sketch(spark, path).collect()
         }
         assert after == before
