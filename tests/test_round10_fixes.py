@@ -340,6 +340,57 @@ class TestCacheEviction:
         assert len(cache) == 2
 
 
+SF = "/root/testdata/sf0.001"
+
+
+class TestRound10RecallTwins:
+    """The two round-10 registrations (VERDICT r9 item 6): hash-green
+    invariant twins for the last rows-only near-dup/ANN families."""
+
+    def test_ann_exact_dup_recall(self, spark):
+        from fraud_detection_project_spark.queries import QUERIES
+
+        rows = QUERIES["ann_exact_dup_recall"](spark, SF).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # vec_id 0 itself + the 3 planted duplicates
+        assert r["n_exact_matches"] >= 4
+        assert r["n_exact_in_topk"] == min(r["n_exact_matches"], 10)
+        assert r["exact_all_cosine_one"]
+
+    def test_embedding_dup_pair_recall(self, spark):
+        from fraud_detection_project_spark.queries import QUERIES
+
+        rows = QUERIES["embedding_dup_pair_recall"](spark, SF).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_exact_dup_pairs"] >= 1
+        assert r["all_dups_paired"] and r["all_pairs_above_threshold"]
+
+    def test_lsh_recall_law_catches_planted_duplicate(self, spark):
+        """The FN law has teeth standalone: an index vector IDENTICAL
+        to the query must head the LSH top-k at cosine 1.0 on a tiny
+        synthetic index (bucket is a pure function of the vector)."""
+        from pyspark.sql import functions as F
+
+        from fraud_detection_project_spark.operators.similarity import (
+            ann_topk_lsh,
+        )
+
+        dim = 8
+        query = [1.0] + [0.0] * (dim - 1)
+        rows = [(0, query)] + [
+            (i, [0.0] * (i % dim) + [1.0] + [0.0] * (dim - 1 - i % dim))
+            for i in range(1, 30)
+        ] + [(99, list(query))]  # planted exact duplicate
+        idx = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+        top = ann_topk_lsh(idx, query, k=5, bits=8, probe_hamming=2)
+        got = {r["vec_id"]: r["cosine_sim"] for r in top.collect()}
+        assert 99 in got and round(got[99], 6) == 1.0
+
+
 class TestSimhashOracleNormalizationOrder:
     def test_oracle_mirrors_lower_then_strip(self):
         # ADVICE r9: the oracle must apply lower() BEFORE the
