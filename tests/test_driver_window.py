@@ -5,6 +5,7 @@ that window to cover every query that has never received a driver row,
 and fail fast on typos in the priority lists.
 """
 
+import glob
 import json
 import os
 import sys
@@ -39,22 +40,15 @@ def test_no_window_slot_wasted_on_verified_query():
     # A rows-only row from before a query's oracle upgrade does NOT
     # cover it — the upgraded hash oracle still needs its first run.
     covered = set()
-    for art in (
-        "CORRECTNESS_r01.json",
-        "CORRECTNESS_r02.json",
-        "CORRECTNESS_r03.json",
-        "CORRECTNESS_r04.json",
-        "CORRECTNESS_r05.json",
-        "CORRECTNESS_r06.json",
-        "CORRECTNESS_r07.json",
-        "CORRECTNESS_r08.json",
-        "CORRECTNESS_r09.json",
-    ):
-        p = os.path.join(REPO, art)
-        if os.path.exists(p):
-            for name, row in json.load(open(p)).items():
-                if row.get("hash_match") or name not in q.ORACLE_SQL:
-                    covered.add(name)
+    # every driver artifact, discovered by glob — a hard-coded list
+    # went stale every round (the new CORRECTNESS_r{N}.json landed
+    # after the builder's session; VERDICT items r8/r9 both flagged it)
+    arts = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    assert arts, "no driver CORRECTNESS artifacts found"
+    for p in arts:
+        for name, row in json.load(open(p)).items():
+            if row.get("hash_match") or name not in q.ORACLE_SQL:
+                covered.add(name)
     window = _window_names()
     rowless_total = [n for n in q.QUERIES if n not in covered]
     rowless_outside = [
@@ -72,7 +66,10 @@ def test_no_window_slot_wasted_on_verified_query():
     for n in window:
         if n not in q.DRIVER_CANARIES:
             assert n not in covered, (
-                f"already-verified {n} occupies a non-canary window slot"
+                f"already-verified {n} occupies a non-canary window slot "
+                "— a new CORRECTNESS_r*.json has landed; rotate "
+                "DRIVER_PRIORITY onto the oldest rowless queue names "
+                "(this red test IS the rotation reminder)"
             )
 
 
