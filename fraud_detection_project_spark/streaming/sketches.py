@@ -40,13 +40,26 @@ _SCHEMA = "depth INT, bucket BIGINT, cnt BIGINT"
 
 
 def read_sketch(spark, path: str) -> DataFrame:
-    """Current sketch state (empty frame before the first batch)."""
+    """Current sketch state (empty frame before the first batch).
+
+    Schema tolerance (ADVICE r10): sketch state persisted before the
+    round-10 ``d`` -> ``depth`` column rename stores the OLD column
+    name — read_sketch returns the parquet's stored schema, so without
+    a rename-on-read every pre-upgrade sketch directory would make
+    ``merge_sketch_batch``'s ``unionByName("depth", ...)`` raise and
+    the state would be unreadable after upgrade. Old layouts are
+    therefore normalized here, once, at the read boundary; newly
+    committed manifests also record ``schema`` so future migrations
+    can key off an explicit version instead of column sniffing."""
     manifest = os.path.join(path, "MANIFEST.json")
     if not os.path.exists(manifest):
         return spark.createDataFrame([], _SCHEMA)
     with open(manifest) as f:
         version = json.load(f)["version"]
-    return spark.read.parquet(os.path.join(path, f"v={version}"))
+    df = spark.read.parquet(os.path.join(path, f"v={version}"))
+    if "d" in df.columns and "depth" not in df.columns:
+        df = df.withColumnRenamed("d", "depth")
+    return df
 
 
 def _manifest_state(manifest: str) -> dict:
@@ -58,10 +71,21 @@ def _manifest_state(manifest: str) -> dict:
     return m
 
 
+# Persisted-state schema version: 1 = pre-round-10 layout (count-min
+# column named ``d``), 2 = current (``depth``). Recorded in every new
+# manifest commit; absent (pre-versioning) manifests are treated as
+# whatever layout their parquet actually stores (read_sketch sniffs).
+_STATE_SCHEMA_VERSION = 2
+
+
 def _commit_manifest(manifest: str, version: int, epoch: int | None) -> None:
     tmp = manifest + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"version": version, "epoch": epoch}, f)
+        json.dump(
+            {"version": version, "epoch": epoch,
+             "schema": _STATE_SCHEMA_VERSION},
+            f,
+        )
     os.replace(tmp, manifest)
 
 
