@@ -228,8 +228,16 @@ def smote(
     for b, cnt in bucket_counts:
         offsets[b] = acc
         acc += cnt
-    offset_df = df.sparkSession.createDataFrame(
-        [(b, off) for b, off in offsets.items()], "__bucket long, __off long"
+    from ..lineage import register_bounded
+
+    offset_df = register_bounded(
+        df.sparkSession.createDataFrame(
+            [(b, off) for b, off in offsets.items()],
+            "__bucket long, __off long",
+        ),
+        "per-bucket offsets: same cardinality (⌈n_min/4096⌉) as the "
+        "driver collect that produced them — the broadcast adds no "
+        "scale exposure beyond the documented offset design",
     )
     rn = F.row_number().over(Window.partitionBy("__bucket").orderBy("__id")) - 1
     tagged = (

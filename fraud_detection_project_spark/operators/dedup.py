@@ -357,7 +357,15 @@ def ngram_jaccard_pairs(
         .filter(F.col("df_") > max_shingle_df)
         .select("shingle")
     )
-    pruned = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    # stop-shingle guard joins HINT-FREE (census, round 11): |hot| =
+    # shingles with df > max_shingle_df is bounded only by
+    # total_shingles/max_shingle_df — LINEAR in the corpus under the
+    # absolute threshold, so a forced broadcast OOMs the driver at the
+    # 100 TB design point. AQE broadcasts it at runtime while the
+    # measured set is small and degrades to a shuffle anti-join beyond
+    # threshold (the same retirement r10 applied to the decontam probe
+    # shingles and DSIR vocab stats).
+    pruned = exploded.join(hot, "shingle", "left_anti")
 
     a, b = pruned.alias("a"), pruned.alias("b")
     common = (
@@ -733,7 +741,15 @@ def ngram_containment_pairs(
         .filter(F.col("df_") > max_shingle_df)
         .select("shingle")
     )
-    pruned = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    # stop-shingle guard joins HINT-FREE (census, round 11): |hot| =
+    # shingles with df > max_shingle_df is bounded only by
+    # total_shingles/max_shingle_df — LINEAR in the corpus under the
+    # absolute threshold, so a forced broadcast OOMs the driver at the
+    # 100 TB design point. AQE broadcasts it at runtime while the
+    # measured set is small and degrades to a shuffle anti-join beyond
+    # threshold (the same retirement r10 applied to the decontam probe
+    # shingles and DSIR vocab stats).
+    pruned = exploded.join(hot, "shingle", "left_anti")
     a, b = pruned.alias("a"), pruned.alias("b")
     common = (
         a.join(

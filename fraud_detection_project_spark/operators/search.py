@@ -73,10 +73,26 @@ def bm25_search(
     # |matching docs| × |terms| rows — checkpoint kills lineage so the
     # df() rollup and score join don't re-tokenize the corpus
     tf = tf.localCheckpoint(eager=True)
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df_ is ≤ |query terms| rows (tf is literal-IN-pruned to the
+    # query's term bag upstream), so broadcasting it is the right plan
+    # at any scale — bounded_checkpoint materializes the tiny frame and
+    # registers the boundedness claim for the census (round 11: the
+    # census fails closed on unregistered checkpoint broadcasts, and
+    # the groupBy('term') key alone cannot prove the literal pruning
+    # once the checkpoint truncates lineage)
+    from ..lineage import bounded_checkpoint
+
+    # the frame carries the distinctive name ``qdf`` (not the generic
+    # ``df`` tfidf's UNBOUNDED vocabulary frame uses) so the lineage
+    # registry's name-signature cannot collide across the two
+    df_ = bounded_checkpoint(
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("qdf")),
+        "≤ |query terms| rows: tf is literal-IN-pruned to the query's "
+        "term bag before the checkpoint",
+    )
 
     idf = F.log(
-        F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        F.lit(1.0) + (F.col("n") - F.col("qdf") + 0.5) / (F.col("qdf") + 0.5)
     )
     score = idf * (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf")
@@ -130,8 +146,14 @@ def tfidf_weights(
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
     idf = F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    # df_ joins HINT-FREE (census, round 11): unlike bm25's query-term
+    # df, this is the FULL vocabulary's document frequencies — |vocab|
+    # grows with the corpus (Heaps), so a forced broadcast OOMs the
+    # driver at 100 TB. AQE broadcasts while measured-small; at scale
+    # the term join correctly shuffles (same retirement class as r10's
+    # DSIR vocab stats).
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
@@ -272,8 +294,12 @@ def pmi_term_pairs(
         )
         .localCheckpoint(eager=False)
     )
+    # term_df joins HINT-FREE (census, round 11): the df-band keeps up
+    # to Σdf/min_df ≈ N/min_df terms — linear in the corpus under the
+    # absolute min_df floor, so a forced broadcast is a 100 TB driver
+    # OOM. AQE broadcasts while measured-small, shuffles beyond.
     kept = toked.join(
-        F.broadcast(term_df.select("term", "df")), "term"
+        term_df.select("term", "df"), "term"
     ).select("doc", "term", "df")
     a = kept.select(
         "doc", F.col("term").alias("term_a"), F.col("df").alias("df_a")

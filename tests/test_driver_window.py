@@ -3,12 +3,33 @@
 The driver checks the first 50 entries of ``queries()``; these tests pin
 that window to cover every query that has never received a driver row,
 and fail fast on typos in the priority lists.
+
+Post-queue policy (VERDICT r10 item 5): once every registered query has
+a driver row (projected round 13), the rotation program ends and all 50
+slots become REGRESSION CANARIES. The selection rule, written now so
+the tripwire's successor is designed rather than improvised:
+
+1. plan-change lane — queries whose physical plan changed since their
+   last driver row go first (the builder lists them in DRIVER_PRIORITY,
+   same mechanism as today's rotation);
+2. stale-first fill — the remaining slots take the queries whose most
+   recent driver row is OLDEST (smallest artifact round number), ties
+   broken by registration order. Every query therefore re-confirms on a
+   ~(494/50)-round cycle, and a regression can hide from the driver for
+   at most that cycle.
+
+``expected_post_queue_window`` is the pure selection function;
+``test_post_queue_window_policy`` self-checks it every round and starts
+ENFORCING it (red test naming the exact 50 names to paste into
+DRIVER_PRIORITY) the first round the rowless queue is empty.
 """
 
 import glob
 import json
 import os
 import sys
+
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -20,6 +41,37 @@ WINDOW = 50
 
 def _window_names():
     return list(q.driver_ordered(dict(q.QUERIES)))[:WINDOW]
+
+
+def _coverage_rounds() -> dict[str, int]:
+    """name -> highest CORRECTNESS round in which the query earned its
+    strongest-available credit (hash-green, or any row for by-design
+    rows-only queries)."""
+    last_seen: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(p).split("_r")[1].split(".")[0])
+        for name, row in json.load(open(p)).items():
+            if row.get("hash_match") or name not in q.ORACLE_SQL:
+                last_seen[name] = max(last_seen.get(name, 0), rnd)
+    return last_seen
+
+
+def expected_post_queue_window(
+    last_seen: dict[str, int],
+    names: list[str],
+    plan_changed: list[str],
+    k: int = WINDOW,
+) -> list[str]:
+    """The post-queue canary window: plan-change lane first, then
+    stale-first (oldest driver row, registration order on ties)."""
+    pri = [n for n in plan_changed if n in names]
+    taken = set(pri)
+    pos = {n: i for i, n in enumerate(names)}
+    rest = sorted(
+        (n for n in names if n not in taken),
+        key=lambda n: (last_seen.get(n, -1), pos[n]),
+    )
+    return (pri + rest)[:k]
 
 
 def test_priority_names_exist():
@@ -62,15 +114,47 @@ def test_no_window_slot_wasted_on_verified_query():
         f"window wastes slots: {rowless_outside} wait outside while "
         f"only {max_overflow} overflow is arithmetically necessary"
     )
-    # and every non-canary slot inside the window is a rowless query
-    for n in window:
-        if n not in q.DRIVER_CANARIES:
-            assert n not in covered, (
-                f"already-verified {n} occupies a non-canary window slot "
-                "— a new CORRECTNESS_r*.json has landed; rotate "
-                "DRIVER_PRIORITY onto the oldest rowless queue names "
-                "(this red test IS the rotation reminder)"
-            )
+    # and every non-canary slot inside the window is a rowless query —
+    # vacuous once the queue is empty (post-queue, EVERY slot is a
+    # regression canary; test_post_queue_window_policy takes over)
+    if rowless_total:
+        for n in window:
+            if n not in q.DRIVER_CANARIES:
+                assert n not in covered, (
+                    f"already-verified {n} occupies a non-canary window "
+                    "slot — a new CORRECTNESS_r*.json has landed; rotate "
+                    "DRIVER_PRIORITY onto the oldest rowless queue names "
+                    "(this red test IS the rotation reminder)"
+                )
+
+
+def test_post_queue_window_policy():
+    """Self-check of the post-queue selection function every round;
+    ENFORCED (window must equal the policy's pick) from the first round
+    the rowless queue is empty."""
+    # pure-function self-test on synthetic data: plan-change lane wins,
+    # then stale-first with registration-order ties
+    names = ["a", "b", "c", "d", "e"]
+    last = {"a": 3, "b": 1, "c": 1, "d": 2}  # e: never (treated oldest)
+    got = expected_post_queue_window(last, names, ["d"], k=4)
+    assert got == ["d", "e", "b", "c"]
+
+    last_seen = _coverage_rounds()
+    rowless = [n for n in q.QUERIES if n not in last_seen]
+    if rowless:
+        pytest.skip(
+            f"rotation program still draining ({len(rowless)} rowless) "
+            "— policy activates at queue == 0"
+        )
+    expected = expected_post_queue_window(
+        last_seen, list(q.QUERIES),
+        q.DRIVER_PRIORITY + q.DRIVER_CANARIES,
+    )
+    window = _window_names()
+    assert set(window) == set(expected), (
+        "post-queue canary rotation due — set DRIVER_PRIORITY to the "
+        f"plan-changed names + this stale-first fill: {expected}"
+    )
 
 
 def test_oracle_ordering_is_subset_of_query_ordering():

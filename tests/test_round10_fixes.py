@@ -295,19 +295,16 @@ class TestImmediateDefinitionsFailClosed:
 class TestDeterminismProbeDiff:
     def test_cols_only_mismatch_does_not_raise(self):
         # ADVICE r9: rows equal + equal-length but column names differ
-        # -> the old bare next() raised StopIteration
+        # -> the old bare next() raised StopIteration. ADVICE r10: the
+        # fixed logic now lives in the pure fingerprint_diff(), so this
+        # test EXECUTES the fixed code path instead of restating the
+        # tuple invariant around it.
+        from determinism_probe import fingerprint_diff
+
         a = (("x",), (("1",),))
         b = (("y",), (("1",),))
-        # replicate the probe's diff logic on the fixed code path
-        import importlib
-
-        dp = importlib.import_module("determinism_probe")
-        # the logic lives inline in main(); pin the invariant the fix
-        # guarantees instead: fingerprints with equal rows but
-        # different cols ARE different (so UNSTABLE triggers) and the
-        # structured compare used first is the col tuple
-        assert a != b and a[0] != b[0] and a[1] == b[1]
-        assert callable(dp.main)
+        kind, detail = fingerprint_diff(a, b)
+        assert kind == "cols" and "x" in detail and "y" in detail
 
     def test_fingerprint_shape(self):
         # (cols, rows) tuple contract the diff printer relies on

@@ -196,7 +196,7 @@ def _negatives_all(spark, sf_dir: str):
     )
 
 
-def run(spark, sf_dir: str) -> dict[str, float]:
+def run(spark, sf_dir: str, repeats: int = 2) -> dict[str, float]:
     from fraud_detection_project_spark.queries import QUERIES
 
     workloads = {
@@ -242,9 +242,17 @@ def run(spark, sf_dir: str) -> dict[str, float]:
     consume(QUERIES["cleaning_chain"](spark, sf_dir))  # warm listing/JIT
     out = {}
     for name, build_q in workloads.items():
-        t0 = time.perf_counter()
-        consume(build_q())
-        out[name] = round(time.perf_counter() - t0, 3)
+        # warm best-of-N (VERDICT r10 item 2): a single shot publishes
+        # cold-I/O outliers into the BENCH artifact (r10's q12_cc read
+        # 15.84s cold vs 6.3s warm — exponent 0.87 vs 0.62 on identical
+        # code), so each workload runs `repeats` times and reports the
+        # min — the engine's plan cost, not the page cache's mood.
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            consume(build_q())
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
         print(f"{sf_dir.split('/')[-1]} {name}: {out[name]}s", flush=True)
     return out
 
@@ -263,7 +271,7 @@ def main() -> None:
     spark.stop()
 
     lines = [
-        "# SCALING — measured 10x decade (sf0.1 → ~sf1)",
+        "# SCALING — measured 10x decade (sf0.1 → ~sf1), warm best-of-2",
         "",
         "~sf1 = sf0.1 facts replicated 10x with shifted keys (events,",
         "lineitem, orders, embeddings; documents additionally get",
@@ -299,6 +307,7 @@ def main() -> None:
         "exponents": {
             k: round(math.log10(t_10x[k] / t_1x[k]), 2) for k in t_1x if t_1x[k]
         },
+        "repeats": 2,
         "measured": time.strftime("%Y-%m-%d"),
     }
     # bench.py attaches this to its one-line output so the driver's

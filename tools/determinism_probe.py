@@ -44,6 +44,24 @@ def frame_fingerprint(df) -> tuple:
     return (tuple(cols), tuple(rows))
 
 
+def fingerprint_diff(a: tuple, b: tuple) -> tuple:
+    """First observable difference between two frame fingerprints, as a
+    (kind, detail) tuple. Pure function so the StopIteration class of
+    bug is unit-testable (ADVICE r9 fixed the bare ``next()``; ADVICE
+    r10: the fix lived inline in main() where no test executed it).
+    Kinds: ``cols`` (column-name tuples differ — rows may be equal),
+    ``row-count``, a (row_a, row_b) pair for the first differing row,
+    or ``fingerprint`` when equal-shaped tuples differ elsewhere."""
+    if a[0] != b[0]:
+        return ("cols", f"{a[0]} vs {b[0]}")
+    if len(a[1]) != len(b[1]):
+        return ("row-count", f"{len(a[1])} vs {len(b[1])}")
+    return next(
+        ((x, y) for x, y in zip(a[1], b[1]) if x != y),
+        ("fingerprint", "tuples differ outside rows/cols"),
+    )
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from fraud_detection_project_spark.session import get_spark
@@ -73,19 +91,7 @@ def main() -> None:
         else:
             failures.append(name)
             a, b = fps[0], next(f for f in fps[1:] if f != fps[0])
-            # fingerprints can also differ ONLY in the column-name tuple
-            # (rows equal and equal-length) — next() needs a default or
-            # the probe dies mid-report with StopIteration (ADVICE r9)
-            if a[0] != b[0]:
-                diff = ("cols", f"{a[0]} vs {b[0]}")
-            elif len(a[1]) != len(b[1]):
-                diff = ("row-count", f"{len(a[1])} vs {len(b[1])}")
-            else:
-                diff = next(
-                    ((x, y) for x, y in zip(a[1], b[1]) if x != y),
-                    ("fingerprint", "tuples differ outside rows/cols"),
-                )
-            print(f"UNSTABLE  {name}: {diff}")
+            print(f"UNSTABLE  {name}: {fingerprint_diff(a, b)}")
     spark.stop()
     if failures:
         print(f"\n{len(failures)} unstable: {failures}")

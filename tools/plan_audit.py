@@ -61,13 +61,14 @@ _BOUNDED_KEY_TOKENS = frozenset({
     "mktsegment", "container", "true", "false",
     # calendar-granularity raw columns (dates, not entities)
     "orderdate", "shipdate",
-    # round-10 census additions — all structurally small by
-    # construction: half (first/second-half split labels), dim
-    # (embedding-dimension posexplode indexes, bounded by vector
-    # width), nationkey (25-value TPC-H dim FK), mask (bit-flag enum
-    # over a fixed channel set), salt (small-modulus shuffle salts),
-    # depth (fixed-depth sketch row index)
-    "half", "dim", "nationkey", "mask", "salt", "depth",
+    # round-10 census additions — structurally small by construction:
+    # nationkey (25-value TPC-H dim FK), depth (fixed-depth sketch row
+    # index). The MORE generic round-10 words (half/dim/mask/salt)
+    # moved to the full-identifier list below (ADVICE r10): as word
+    # tokens they matched anywhere in an identifier, so entity-ish
+    # compounds like half_life / dim_value / event_mask_raw would have
+    # classified bounded — a fail-open inside the census itself.
+    "nationkey", "depth",
 })
 
 # The MOST generic domain words match only as the FULL identifier, not
@@ -82,6 +83,14 @@ _BOUNDED_FULLNAME_TOKENS = frozenset({
     # round-10 census additions, full-identifier-only: the 25/5-value
     # TPC-H dim names (single identifiers — underscore is a word char)
     "n_name", "r_name",
+    # demoted from word-token matching (ADVICE r10): bounded only when
+    # the key IS the bare identifier — half (first/second-half split
+    # labels), dim (posexplode dimension indexes, bounded by vector
+    # width), mask (bit-flag enum over a fixed channel set), salt /
+    # __salt (small-modulus shuffle salts; engine-internal columns use
+    # the dunder form, and pmod() already bounds them via the
+    # domain-reducing-function rule when the definition is visible)
+    "half", "dim", "mask", "salt", "__salt",
 })
 
 # Domain-REDUCING functions: a group key computed through one of these
@@ -413,6 +422,19 @@ _FACT_TABLES = frozenset(
 )
 
 
+def _is_bounded_ckpt(line: str) -> bool:
+    """Consult the creation-site lineage registry for a checkpoint scan
+    line (import deferred so the pure-text unit tests need no engine
+    package on the path)."""
+    try:
+        from fraud_detection_project_spark.lineage import (
+            is_bounded_ckpt_scan,
+        )
+    except ImportError:  # pure-text analysis contexts
+        return False
+    return is_bounded_ckpt_scan(line)
+
+
 def _bounds_broadcast_path(op: str, plan: str) -> bool:
     """True when ``op`` structurally bounds the rows flowing through it
     toward a BroadcastExchange (limit/top-k, an aggregate whose group
@@ -456,6 +478,16 @@ SANCTIONED_FORCED_BROADCASTS: dict[str, str] = {
         "1/37 query-set brute-force retrieval eval; scale path = ANN",
 }
 
+# Checkpointed frames (``Scan ExistingRDD`` — no table name, growth
+# law invisible to the plan) fail CLOSED under a forced exchange
+# (VERDICT r10 item 3). The escape hatch is NOT a name-keyed list here
+# but the creation-site lineage registry
+# (fraud_detection_project_spark/lineage.py:bounded_checkpoint): the
+# boundedness claim lives next to the construction that justifies it,
+# keyed by the materialized scan's exact attribute signature, so the
+# census verifies the hint sits over a frame the author explicitly
+# asserted (with a written reason) to be bounded by construction.
+
 
 def fact_forced_broadcasts(plan: str) -> list[str]:
     """Fact-derived forced-broadcast offences in a physical plan that
@@ -463,7 +495,24 @@ def fact_forced_broadcasts(plan: str) -> list[str]:
     BroadcastExchange present is author-forced, not stats-measured).
     Returns one ``"<table> via <exchange line>"`` entry per fact scan
     that reaches a BroadcastExchange with no bounding operator on its
-    ancestor path inside the exchange's subtree."""
+    ancestor path inside the exchange's subtree.
+
+    A scan below a NESTED BroadcastExchange belongs to that inner
+    exchange's own walk — reporting it against every enclosing
+    exchange produced duplicate offender entries for the same scan
+    (ADVICE r10), so the walk attributes each scan to its NEAREST
+    enclosing exchange only.
+
+    Checkpoint posture (VERDICT r10 item 3): a ``Scan ExistingRDD``
+    (localCheckpoint / checkpoint materialization) carries no table
+    name, so its growth law is UNKNOWN from the plan alone. The census
+    previously classified such frames bounded — the one hole a
+    data-proportional checkpoint+hint could slip through. It now FAILS
+    CLOSED: an ExistingRDD scan reaching a forced exchange with no
+    bounding operator on the path is reported as table
+    ``checkpoint``; genuinely bounded checkpoint broadcasts either
+    carry a bounding aggregate above the checkpoint (the common shape)
+    or get a documented ``SANCTIONED_CHECKPOINT_BROADCASTS`` entry."""
     lines = plan.splitlines()
     nodes = [_node(ln) for ln in lines]
     offenders: list[str] = []
@@ -478,12 +527,21 @@ def fact_forced_broadcasts(plan: str) -> list[str]:
                 break  # left the exchange's subtree
             while stack and stack[-1][0] >= d2:
                 stack.pop()
+            nested = any(
+                a.startswith("BroadcastExchange") for _, a in stack
+            )
+            tbl = ""
             if op2.startswith("FileScan"):
-                tbl = _scan_table(op2)
-                if tbl in _FACT_TABLES and not any(
-                    _bounds_broadcast_path(a, plan) for _, a in stack
-                ):
-                    offenders.append(f"{tbl} via {op.strip()[:90]}")
+                t = _scan_table(op2)
+                if t in _FACT_TABLES:
+                    tbl = t
+            elif op2.startswith("Scan ExistingRDD"):
+                if not _is_bounded_ckpt(op2):
+                    tbl = "checkpoint"
+            if tbl and not nested and not any(
+                _bounds_broadcast_path(a, plan) for _, a in stack
+            ):
+                offenders.append(f"{tbl} via {op.strip()[:90]}")
             stack.append((d2, op2))
     return offenders
 
@@ -887,6 +945,10 @@ def audit(spark, sf_dir: str) -> list[str]:
             spark.conf.set(thresh_key, session_thresh)
         hits = fact_forced_broadcasts(qp2)
         if qname in SANCTIONED_FORCED_BROADCASTS:
+            # the sanctioned anchors broadcast a deterministic fact
+            # SAMPLE; some checkpoint it, so the same sanctioned
+            # broadcast can surface as either hit class — exempt both,
+            # but the entry must still produce at least one hit
             if not hits:
                 forced_offenders.append(
                     f"{qname}: STALE sanction entry — no census hit; "
@@ -982,6 +1044,30 @@ def audit(spark, sf_dir: str) -> list[str]:
             ev.join(
                 F.broadcast(ev.groupBy("event_type").count()),
                 "event_type",
+            ),
+            False,
+        ),
+        # VERDICT r10 item 3: a hint over a materialized checkpoint
+        # used to classify bounded (Scan ExistingRDD carries no table
+        # name). The census now fails closed on it...
+        "planted checkpoint-frame hint IS flagged": (
+            ev.join(
+                F.broadcast(
+                    ev.select("user_id").distinct().localCheckpoint()
+                ),
+                "user_id",
+            ),
+            True,
+        ),
+        # ...while a checkpoint whose path to the exchange passes a
+        # bounding operator (keyless global agg here) stays sanctioned
+        # by structure, not by name.
+        "bounded-agg-above-checkpoint hint is NOT flagged": (
+            ev.crossJoin(
+                F.broadcast(
+                    ev.select("user_id").localCheckpoint()
+                    .agg(F.max("user_id").alias("m"))
+                )
             ),
             False,
         ),
