@@ -97,6 +97,24 @@ def consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _clear_persisted(spark) -> None:
+    """Drop every persisted RDD + cached plan between workloads.
+
+    The iterative workloads (CC, PageRank, k-core, the checkpointed
+    text relations) localCheckpoint per round and nothing unpersists
+    those blocks when the workload's frames go out of scope — across a
+    23-workload × 2-scale sweep they pile up in the block manager, and
+    late workloads pay eviction/GC pressure for their neighbours'
+    leftovers (measured round 11: q12_cc at ~sf1 reads 6.7-7.0s
+    best-of-3 in a fresh session but 14-16s late in the sweep, on an
+    otherwise idle host — which is sweep-order bias, not the
+    workload's plan cost). Clearing between workloads restores
+    isolation without a JVM restart, keeping JIT/page-cache warmth."""
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(False)
+    spark.catalog.clearCache()
+
+
 def _cc_alone(spark, sf_dir: str):
     """Connected components in isolation (no shingle pipeline in front):
     bipartite order↔part edges from lineitem — the pure iterative-merge
@@ -196,7 +214,7 @@ def _negatives_all(spark, sf_dir: str):
     )
 
 
-def run(spark, sf_dir: str, repeats: int = 2) -> dict[str, float]:
+def run(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
     from fraud_detection_project_spark.queries import QUERIES
 
     workloads = {
@@ -254,6 +272,7 @@ def run(spark, sf_dir: str, repeats: int = 2) -> dict[str, float]:
             best = min(best, time.perf_counter() - t0)
         out[name] = round(best, 3)
         print(f"{sf_dir.split('/')[-1]} {name}: {out[name]}s", flush=True)
+        _clear_persisted(spark)
     return out
 
 
@@ -271,7 +290,8 @@ def main() -> None:
     spark.stop()
 
     lines = [
-        "# SCALING — measured 10x decade (sf0.1 → ~sf1), warm best-of-2",
+        "# SCALING — measured 10x decade (sf0.1 → ~sf1), warm best-of-3,",
+        "persisted state cleared between workloads",
         "",
         "~sf1 = sf0.1 facts replicated 10x with shifted keys (events,",
         "lineitem, orders, embeddings; documents additionally get",
@@ -307,7 +327,7 @@ def main() -> None:
         "exponents": {
             k: round(math.log10(t_10x[k] / t_1x[k]), 2) for k in t_1x if t_1x[k]
         },
-        "repeats": 2,
+        "repeats": 3,
         "measured": time.strftime("%Y-%m-%d"),
     }
     # bench.py attaches this to its one-line output so the driver's
