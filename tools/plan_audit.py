@@ -512,7 +512,9 @@ def fact_forced_broadcasts(plan: str) -> list[str]:
     bounding operator on the path is reported as table
     ``checkpoint``; genuinely bounded checkpoint broadcasts either
     carry a bounding aggregate above the checkpoint (the common shape)
-    or get a documented ``SANCTIONED_CHECKPOINT_BROADCASTS`` entry."""
+    or are registered at their creation site via
+    ``fraud_detection_project_spark.lineage.bounded_checkpoint`` /
+    ``register_bounded`` with a written growth-law reason."""
     lines = plan.splitlines()
     nodes = [_node(ln) for ln in lines]
     offenders: list[str] = []
