@@ -280,3 +280,51 @@ class TestFingerprintDiffPure:
 
         a = (("x",), (("1",),))
         assert fingerprint_diff(a, a)[0] == "fingerprint"
+
+
+class TestDecadeMergePure:
+    """tools/bench_scale.merge_payload: per-cell min across same-code
+    harness invocations (round-11 follow-through on the VERDICT r10
+    item-2 harness fix — one full-table pass still re-rolls co-tenant
+    noise into ~40 cells; min across runs refines monotonically)."""
+
+    @staticmethod
+    def _payload(a, b):
+        return {"sf0.1": {"q": a}, "sf1": {"q": b},
+                "repeats": 3, "measured": "2026-08-16"}
+
+    def test_same_fingerprint_takes_per_cell_min(self):
+        from bench_scale import merge_payload
+
+        old = merge_payload(None, self._payload(2.0, 8.0), "abc")
+        new = merge_payload(old, self._payload(1.0, 9.0), "abc")
+        assert new["sf0.1"]["q"] == 1.0  # new run's cell wins
+        assert new["sf1"]["q"] == 8.0    # old run's cell wins
+        assert new["runs"] == 2
+
+    def test_fingerprint_mismatch_discards_old(self):
+        from bench_scale import merge_payload
+
+        old = merge_payload(None, self._payload(0.1, 0.1), "abc")
+        new = merge_payload(old, self._payload(2.0, 4.0), "OTHER")
+        assert new["sf0.1"]["q"] == 2.0 and new["sf1"]["q"] == 4.0
+        assert new["runs"] == 1 and new["fingerprint"] == "OTHER"
+
+    def test_exponents_recomputed_from_merged_cells(self):
+        import math
+
+        from bench_scale import merge_payload
+
+        old = merge_payload(None, self._payload(2.0, 8.0), "abc")
+        new = merge_payload(old, self._payload(1.0, 9.0), "abc")
+        assert new["exponents"]["q"] == round(math.log10(8.0 / 1.0), 2)
+
+    def test_workload_added_after_old_run_survives(self):
+        from bench_scale import merge_payload
+
+        old = merge_payload(None, self._payload(2.0, 8.0), "abc")
+        fresh = self._payload(3.0, 9.0)
+        fresh["sf0.1"]["q_new"] = 1.5
+        fresh["sf1"]["q_new"] = 4.5
+        new = merge_payload(old, fresh, "abc")
+        assert new["sf0.1"]["q_new"] == 1.5 and new["sf1"]["q_new"] == 4.5

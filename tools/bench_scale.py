@@ -276,6 +276,60 @@ def run(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
     return out
 
 
+def _code_fingerprint() -> str:
+    """Current git HEAD — the merge guard. Per-cell-min merging across
+    harness invocations is only sound when every run measured the SAME
+    code; a HEAD mismatch (or a dirty tree marker) forces fresh."""
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "-C", ROOT, "rev-parse", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "-C", ROOT, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return head + ("+dirty" if dirty else "")
+    except Exception:
+        return "unknown"
+
+
+def merge_payload(old: dict | None, new: dict, fingerprint: str) -> dict:
+    """Per-cell MIN of two same-code measurement payloads.
+
+    Within one invocation each workload already reports warm best-of-3
+    — min as the machine-limited-time estimator. A single full-table
+    pass still exposes ~40 cells to this co-tenant host's load spikes,
+    and every full run observed in round 11 had a different handful of
+    contaminated cells (q2 in run 1, q13-q16's sf0.1 in run 2, q3/q7's
+    sf1 in run 3). Min ACROSS invocations is the same estimator with
+    more repeats (best-of-3·N), so repeated runs monotonically refine
+    the published table instead of re-rolling the noise. Guard: only
+    payloads carrying the identical code fingerprint merge — .scale_data
+    is gitignored (per-container), so stale-code carryover would need a
+    same-session code change, which flips the fingerprint."""
+    if not old or old.get("fingerprint") != fingerprint:
+        merged = dict(new)
+        merged["runs"] = 1
+    else:
+        merged = dict(new)
+        for scale in ("sf0.1", "sf1"):
+            merged[scale] = {
+                k: min(v, old.get(scale, {}).get(k, v))
+                for k, v in new[scale].items()
+            }
+        merged["runs"] = old.get("runs", 1) + 1
+    merged["fingerprint"] = fingerprint
+    merged["exponents"] = {
+        k: round(math.log10(merged["sf1"][k] / merged["sf0.1"][k]), 2)
+        for k in merged["sf0.1"]
+        if merged["sf0.1"][k]
+    }
+    return merged
+
+
 def main() -> None:
     from fraud_detection_project_spark.session import get_spark
 
@@ -289,8 +343,27 @@ def main() -> None:
     t_10x = run(spark, DST)
     spark.stop()
 
+    payload = {
+        "sf0.1": t_1x,
+        "sf1": t_10x,
+        "repeats": 3,
+        "measured": time.strftime("%Y-%m-%d"),
+    }
+    fingerprint = _code_fingerprint()
+    json_path = os.path.join(ROOT, ".scale_data", "scaling.json")
+    old_payload = None
+    if "--fresh" not in sys.argv and os.path.exists(json_path):
+        try:
+            with open(json_path) as f:
+                old_payload = json.load(f)
+        except (OSError, ValueError):
+            old_payload = None
+    payload = merge_payload(old_payload, payload, fingerprint)
+    t_1x, t_10x = payload["sf0.1"], payload["sf1"]
+
     lines = [
-        "# SCALING — measured 10x decade (sf0.1 → ~sf1), warm best-of-3,",
+        "# SCALING — measured 10x decade (sf0.1 → ~sf1), warm best-of-3",
+        f"per workload, per-cell min over {payload['runs']} same-code run(s),",
         "persisted state cleared between workloads",
         "",
         "~sf1 = sf0.1 facts replicated 10x with shifted keys (events,",
@@ -321,18 +394,9 @@ def main() -> None:
             appendix = old[idx:]
     with open(scaling_path, "w") as f:
         f.write("\n".join(lines) + "\n" + appendix)
-    payload = {
-        "sf0.1": t_1x,
-        "sf1": t_10x,
-        "exponents": {
-            k: round(math.log10(t_10x[k] / t_1x[k]), 2) for k in t_1x if t_1x[k]
-        },
-        "repeats": 3,
-        "measured": time.strftime("%Y-%m-%d"),
-    }
     # bench.py attaches this to its one-line output so the driver's
     # BENCH_r{N}.json carries the measured decade
-    with open(os.path.join(ROOT, ".scale_data", "scaling.json"), "w") as f:
+    with open(json_path, "w") as f:
         json.dump(payload, f)
     print(json.dumps(payload))
 
