@@ -328,3 +328,29 @@ class TestDecadeMergePure:
         fresh["sf1"]["q_new"] = 4.5
         new = merge_payload(old, fresh, "abc")
         assert new["sf0.1"]["q_new"] == 1.5 and new["sf1"]["q_new"] == 4.5
+
+    def test_unknown_fingerprint_never_merges(self):
+        from bench_scale import merge_payload
+
+        old = merge_payload(None, self._payload(0.1, 0.1), "unknown")
+        new = merge_payload(old, self._payload(2.0, 4.0), "unknown")
+        assert new["sf0.1"]["q"] == 2.0 and new["runs"] == 1
+
+    def test_fingerprint_scoped_to_measured_paths(self):
+        """Doc-only commits must not flip the merge guard: the
+        fingerprint hashes the engine tree + harness blob, not HEAD."""
+        import subprocess
+
+        from bench_scale import _MEASURED_PATHS, _code_fingerprint
+
+        fp = _code_fingerprint()
+        if fp == "unknown":  # not a git checkout (CI tarball etc.)
+            return
+        parts = fp.replace("+dirty", "").split("+")
+        assert len(parts) == len(_MEASURED_PATHS)
+        expect = subprocess.run(
+            ["git", "-C", REPO, "rev-parse"]
+            + [f"HEAD:{p}" for p in _MEASURED_PATHS],
+            capture_output=True, text=True,
+        ).stdout.split()
+        assert parts == expect

@@ -276,22 +276,33 @@ def run(spark, sf_dir: str, repeats: int = 3) -> dict[str, float]:
     return out
 
 
+_MEASURED_PATHS = ["fraud_detection_project_spark", "tools/bench_scale.py"]
+
+
 def _code_fingerprint() -> str:
-    """Current git HEAD — the merge guard. Per-cell-min merging across
-    harness invocations is only sound when every run measured the SAME
-    code; a HEAD mismatch (or a dirty tree marker) forces fresh."""
+    """Merge guard: per-cell-min merging across harness invocations is
+    only sound when every run measured the SAME code. The fingerprint
+    is the git tree/blob hash of the MEASURED paths (engine package +
+    this harness), not HEAD — a doc/log-only commit between runs must
+    not discard a session's merged floors, while any engine or harness
+    edit flips the hash and forces fresh. A dirty state in those paths
+    also forces fresh (uncommitted code is unidentifiable)."""
     import subprocess
 
     try:
-        head = subprocess.run(
-            ["git", "-C", ROOT, "rev-parse", "HEAD"],
+        hashes = subprocess.run(
+            ["git", "-C", ROOT, "rev-parse"]
+            + [f"HEAD:{p}" for p in _MEASURED_PATHS],
             capture_output=True, text=True, timeout=10,
-        ).stdout.strip()
+        ).stdout.split()
         dirty = subprocess.run(
-            ["git", "-C", ROOT, "status", "--porcelain"],
+            ["git", "-C", ROOT, "status", "--porcelain", "--"]
+            + _MEASURED_PATHS,
             capture_output=True, text=True, timeout=10,
         ).stdout.strip()
-        return head + ("+dirty" if dirty else "")
+        if len(hashes) != len(_MEASURED_PATHS):
+            return "unknown"
+        return "+".join(hashes) + ("+dirty" if dirty else "")
     except Exception:
         return "unknown"
 
@@ -310,7 +321,11 @@ def merge_payload(old: dict | None, new: dict, fingerprint: str) -> dict:
     payloads carrying the identical code fingerprint merge — .scale_data
     is gitignored (per-container), so stale-code carryover would need a
     same-session code change, which flips the fingerprint."""
-    if not old or old.get("fingerprint") != fingerprint:
+    if (
+        not old
+        or fingerprint == "unknown"  # unidentifiable code never merges
+        or old.get("fingerprint") != fingerprint
+    ):
         merged = dict(new)
         merged["runs"] = 1
     else:
