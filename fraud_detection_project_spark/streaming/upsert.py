@@ -147,6 +147,40 @@ def read_snapshot(
     return spark.read.parquet(os.path.join(root, v))
 
 
+def plan_batch_merge(
+    base: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+    broadcast_threshold_rows: int = 2_000_000,
+) -> DataFrame:
+    """The merged snapshot for one micro-batch, with the join shape
+    picked from the MEASURED batch size.
+
+    ``merge_apply``'s broadcast path (base payload never shuffles) is
+    only safe while the changeset actually fits executor memory. A
+    steady-state CDC trigger satisfies that by construction, but
+    ``availableNow=True`` drains the WHOLE backlog as micro-batches
+    whose size the trigger does not bound — after an outage or on first
+    catch-up, one batch can be months of history, and an unconditional
+    ``F.broadcast`` there is the same data-proportional forced
+    broadcast the plan-audit census retires from batch queries (it
+    cannot see this path: ``foreachBatch`` plans are never registered).
+    So the sink counts the batch (cheap: the micro-batch is already
+    materialized by the stream runner) and uses the broadcast split
+    shape only under ``broadcast_threshold_rows`` (default 2M rows ≈
+    low hundreds of MB packed — inside executor broadcast budgets);
+    above it, the full-outer sort-merge shape shuffles the base once
+    instead of OOMing the driver."""
+    small = batch.count() <= broadcast_threshold_rows
+    return merge_apply(
+        base, batch, keys=keys, seq_col=seq_col, op_col=op_col,
+        delete_op=delete_op, broadcast_changes=small,
+    )
+
+
 def apply_cdc_stream(
     spark: SparkSession,
     changes_stream: DataFrame,
@@ -158,6 +192,7 @@ def apply_cdc_stream(
     checkpoint: str | None = None,
     available_now: bool = True,
     keep_versions: int = 2,
+    broadcast_threshold_rows: int = 2_000_000,
 ):
     """Run the change stream into the versioned snapshot at
     ``snapshot_path`` (a root seeded by :func:`init_snapshot`).
@@ -166,6 +201,8 @@ def apply_cdc_stream(
     there and stops — the batch-parity test mode; ``False`` runs
     continuously. ``keep_versions`` controls how much history survives
     GC (min 2: current + previous for in-flight readers).
+    ``broadcast_threshold_rows`` bounds the batch size that may take
+    the broadcast merge shape — see :func:`plan_batch_merge`.
     """
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
@@ -176,9 +213,10 @@ def apply_cdc_stream(
                 "seed with init_snapshot()"
             )
         base = spark.read.parquet(os.path.join(snapshot_path, cur))
-        merged = merge_apply(
+        merged = plan_batch_merge(
             base, batch, keys=keys, seq_col=seq_col, op_col=op_col,
-            delete_op=delete_op, broadcast_changes=True,
+            delete_op=delete_op,
+            broadcast_threshold_rows=broadcast_threshold_rows,
         )
         nxt = f"{_VERSION_PREFIX}{int(cur[len(_VERSION_PREFIX):]) + 1:0{_VERSION_DIGITS}d}"
         # overwrite handles a replayed batch whose version dir half-exists

@@ -354,3 +354,67 @@ class TestDecadeMergePure:
             capture_output=True, text=True,
         ).stdout.split()
         assert parts == expect
+
+
+class TestCdcBatchBroadcastGate:
+    """streaming/upsert.plan_batch_merge: the CDC sink's merge shape is
+    picked from the MEASURED batch size — an availableNow catch-up
+    batch (unbounded by the trigger) must not force-broadcast months of
+    backlog (the census's offence class, in a foreachBatch plan the
+    census cannot see)."""
+
+    @staticmethod
+    def _frames(spark):
+        base = spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1)], "k INT, v STRING, seq INT"
+        )
+        changes = spark.createDataFrame(
+            [(2, "B", 2, "U"), (3, "c", 2, "U")],
+            "k INT, v STRING, seq INT, op STRING",
+        )
+        return base, changes
+
+    def test_small_batch_takes_broadcast_shape(self, spark):
+        from fraud_detection_project_spark.streaming.upsert import (
+            plan_batch_merge,
+        )
+
+        base, changes = self._frames(spark)
+        merged = plan_batch_merge(
+            base, changes, keys=["k"], seq_col="seq",
+            broadcast_threshold_rows=1_000,
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+
+    def test_backlog_batch_falls_back_to_smj(self, spark):
+        from fraud_detection_project_spark.streaming.upsert import (
+            plan_batch_merge,
+        )
+
+        base, changes = self._frames(spark)
+        merged = plan_batch_merge(
+            base, changes, keys=["k"], seq_col="seq",
+            broadcast_threshold_rows=1,  # batch of 2 counts as backlog
+        )
+        plan = merged._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        assert "SortMergeJoin FullOuter" in plan or "FullOuter" in plan
+
+    def test_both_shapes_produce_identical_snapshots(self, spark):
+        from fraud_detection_project_spark.streaming.upsert import (
+            plan_batch_merge,
+        )
+
+        base, changes = self._frames(spark)
+        small = plan_batch_merge(
+            base, changes, keys=["k"], seq_col="seq",
+            broadcast_threshold_rows=1_000,
+        )
+        big = plan_batch_merge(
+            base, changes, keys=["k"], seq_col="seq",
+            broadcast_threshold_rows=1,
+        )
+        assert sorted(map(tuple, small.collect())) == sorted(
+            map(tuple, big.collect())
+        )
