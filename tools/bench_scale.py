@@ -354,6 +354,11 @@ def main() -> None:
     if not os.path.isdir(DST):
         build(spark)
 
+    # fingerprint BEFORE measuring, not at write time: a commit landing
+    # during the ~10-minute sweep must not stamp measurements of the
+    # OLD code with the NEW tree hash (or spuriously discard the merged
+    # floors, as a mid-run commit would at write-time capture)
+    fingerprint = _code_fingerprint()
     t_1x = run(spark, SRC)
     t_10x = run(spark, DST)
     spark.stop()
@@ -364,7 +369,6 @@ def main() -> None:
         "repeats": 3,
         "measured": time.strftime("%Y-%m-%d"),
     }
-    fingerprint = _code_fingerprint()
     json_path = os.path.join(ROOT, ".scale_data", "scaling.json")
     old_payload = None
     if "--fresh" not in sys.argv and os.path.exists(json_path):
