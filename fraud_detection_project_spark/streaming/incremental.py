@@ -10,6 +10,15 @@ as streaming/sketches.py and streaming/upsert.py: each micro-batch
 writes a fresh version directory and flips MANIFEST.json last, so
 readers never observe a torn table.
 
+Failure semantics (round-11 audit): ``foreachBatch`` re-delivers a
+batch after a crash between the manifest flip and the stream's
+checkpoint commit — for an ADDITIVE merge a replay double-counts, so
+the manifest records the last applied epoch and a replayed epoch is a
+no-op (the same guard streaming/sketches.py carries). Old version
+directories are garbage-collected past ``keep_versions`` — without GC
+a long-running stream's disk grows with stream LENGTH, defeating the
+"state bounded by group cardinality" contract.
+
 Stream ≡ batch exactness is the pytest oracle
 (tests/test_streaming.py::TestStreamingAggMaintenance): any micro-
 batch slicing of the input produces byte-identical state to one batch
@@ -20,10 +29,20 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame
 
 from ..operators.incremental import aggregate_delta, merge_aggregate_state
+
+
+def _manifest_state(manifest: str) -> dict:
+    if not os.path.exists(manifest):
+        return {"version": -1, "epoch": -1}
+    with open(manifest) as f:
+        m = json.load(f)
+    m.setdefault("epoch", -1)  # pre-epoch manifests
+    return m
 
 
 def read_state(spark, path: str, schema: str) -> DataFrame:
@@ -37,17 +56,57 @@ def read_state(spark, path: str, schema: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, f"v={version}"))
 
 
-def _commit(df: DataFrame, path: str) -> None:
+def _gc(path: str, keep_versions: int) -> None:
+    """Drop version dirs older than the newest ``keep_versions`` (the
+    committed version is always in the kept suffix: versions are
+    monotonic)."""
+    versions = sorted(
+        (d for d in os.listdir(path)
+         if d.startswith("v=") and d[2:].isdigit()
+         and os.path.isdir(os.path.join(path, d))),
+        key=lambda d: int(d[2:]),
+    )
+    for d in versions[: max(0, len(versions) - keep_versions)]:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
+def _commit(
+    df: DataFrame, path: str, epoch: int | None = None,
+    keep_versions: int = 2,
+) -> None:
     manifest = os.path.join(path, "MANIFEST.json")
-    version = 0
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            version = json.load(f)["version"] + 1
+    version = _manifest_state(manifest)["version"] + 1
     df.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
     tmp = manifest + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"version": version}, f)
+        json.dump({"version": version, "epoch": epoch}, f)
     os.replace(tmp, manifest)
+    _gc(path, max(2, keep_versions))
+
+
+def merge_aggregate_batch(
+    spark,
+    batch: DataFrame,
+    keys: list[str],
+    specs: dict[str, tuple[str, str]],
+    path: str,
+    state_schema: str,
+    epoch: int | None = None,
+    keep_versions: int = 2,
+) -> None:
+    """state' = state ⊕ agg(batch), committed atomically. When
+    ``epoch`` is given (the foreachBatch epoch id), an epoch at or
+    below the manifest's recorded epoch is a NO-OP — at-least-once
+    replays after a crash between the manifest flip and the stream's
+    checkpoint commit must not double-count an additive merge."""
+    state = _manifest_state(os.path.join(path, "MANIFEST.json"))
+    if epoch is not None and state["epoch"] is not None and epoch <= state["epoch"]:
+        return
+    prev = read_state(spark, path, state_schema)
+    _commit(
+        merge_aggregate_state(prev, batch, keys, specs),
+        path, epoch=epoch, keep_versions=keep_versions,
+    )
 
 
 def streaming_aggregate(
@@ -57,6 +116,7 @@ def streaming_aggregate(
     path: str,
     checkpoint: str,
     state_schema: str,
+    keep_versions: int = 2,
 ):
     """Maintain ``groupBy(keys).agg(specs)`` over a stream; returns the
     StreamingQuery. ``specs``: out_col -> (in_col, fn) with fn in
@@ -66,9 +126,11 @@ def streaming_aggregate(
     needed to type the empty frame before the first commit."""
     spark = stream.sparkSession
 
-    def _merge(batch: DataFrame, _epoch: int) -> None:
-        state = read_state(spark, path, state_schema)
-        _commit(merge_aggregate_state(state, batch, keys, specs), path)
+    def _merge(batch: DataFrame, epoch: int) -> None:
+        merge_aggregate_batch(
+            spark, batch, keys, specs, path, state_schema,
+            epoch=epoch, keep_versions=keep_versions,
+        )
 
     return (
         stream.writeStream.foreachBatch(_merge)

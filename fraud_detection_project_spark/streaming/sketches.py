@@ -89,6 +89,24 @@ def _commit_manifest(manifest: str, version: int, epoch: int | None) -> None:
     os.replace(tmp, manifest)
 
 
+def _gc_versions(path: str, prefix: str, keep_versions: int = 2) -> None:
+    """Drop state version dirs (``{prefix}{n}``) older than the newest
+    ``keep_versions`` (round-11 audit: without GC a long-running
+    stream's version history grows with stream LENGTH — the sketch
+    itself is bounded, its directory was not). The committed version is
+    always in the kept suffix: versions are monotonic."""
+    import shutil
+
+    versions = sorted(
+        (d for d in os.listdir(path)
+         if d.startswith(prefix) and d[len(prefix):].isdigit()
+         and os.path.isdir(os.path.join(path, d))),
+        key=lambda d: int(d[len(prefix):]),
+    )
+    for d in versions[: max(0, len(versions) - max(2, keep_versions))]:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+
+
 def merge_sketch_batch(
     spark,
     batch: DataFrame,
@@ -121,6 +139,7 @@ def merge_sketch_batch(
     version = state["version"] + 1
     merged.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
     _commit_manifest(manifest, version, epoch)
+    _gc_versions(path, "v=")
 
 
 def streaming_count_min(
@@ -207,6 +226,7 @@ def merge_histogram_batch(
     version = state["version"] + 1
     merged.write.mode("overwrite").parquet(os.path.join(path, f"hv={version}"))
     _commit_manifest(manifest, version, epoch)
+    _gc_versions(path, "hv=")
 
 
 def streaming_histogram(
@@ -322,6 +342,7 @@ def merge_ams_batch(
     version = state["version"] + 1
     merged.write.mode("overwrite").parquet(os.path.join(path, f"av={version}"))
     _commit_manifest(manifest, version, epoch)
+    _gc_versions(path, "av=")
 
 
 def ams_f2_estimate(spark, path: str) -> DataFrame:
