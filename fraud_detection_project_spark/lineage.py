@@ -11,12 +11,16 @@ The census now FAILS CLOSED on checkpoint scans under a forced
 exchange. This module is the explicit, creation-time escape hatch:
 engine code that checkpoints a frame whose row count is bounded BY
 CONSTRUCTION (an enum-keyed aggregate, a literal-pruned term set, a
-≤|brands|² duel frame) tags it with :func:`bounded_checkpoint`, which
-records the materialized scan's exact output signature (attribute
-names + expr-ids — session-unique, so no cross-frame collisions) plus
-a human-readable reason. ``tools/plan_audit.py`` consults the registry
-when it walks a BroadcastExchange subtree: a registered scan is
-bounded, an unregistered one is an offence.
+≤|brands|² duel frame) tags it with :func:`bounded_checkpoint` (or
+builds it literal via :func:`bounded_literal`), which salts the
+materialized frame with a session-unique NONCE column and records the
+scan's attribute-name signature (nonce included) plus a human-readable
+reason. ``tools/plan_audit.py`` consults the registry when it walks a
+BroadcastExchange subtree: a registered scan is bounded, an
+unregistered one is an offence — and because the nonce name only ever
+enters a plan through these helpers, an unregistered scan cannot pass
+by colliding with a registered frame's user-visible column names
+(VERDICT r11 item 4).
 
 The tag is an ASSERTION the author makes; the census verifies the hint
 sits over a tagged frame, and the reason string is the audit trail. A
@@ -27,9 +31,11 @@ point: the claim lives next to the construction that justifies it.
 
 from __future__ import annotations
 
+import itertools
 import re
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # materialized-scan signature -> reason the frame is bounded
 _BOUNDED_CKPT_SIGS: dict[str, str] = {}
@@ -39,6 +45,21 @@ _SCAN_RE = re.compile(r"Scan ExistingRDD[^\[]*\[([^\]]*)\]")
 
 _ID_RE = re.compile(r"#\d+L?")
 
+# Registration-nonce column (VERDICT r11 item 4): a session-unique
+# column BAKED INTO the materialized frame itself. The nonce name only
+# ever enters a plan through this module's registration helpers, so a
+# scan signature containing it proves the frame passed through a
+# registration call — an UNREGISTERED checkpoint whose user-visible
+# column names collide with a registered frame's can no longer satisfy
+# the census (it lacks the nonce attribute, which LogicalRDD's fixed
+# output prints in every consuming plan even though the helpers drop
+# the column from the frame they return).
+_NONCE_SEQ = itertools.count()
+
+
+def _nonce_name() -> str:
+    return f"__bnd{next(_NONCE_SEQ)}__"
+
 
 def _normalize_sig(bracket: str) -> str:
     """Attribute-NAME signature of a scan bracket: expr-ids stripped.
@@ -46,12 +67,11 @@ def _normalize_sig(bracket: str) -> str:
     Catalyst REWRITES expr-ids when the same frame is referenced more
     than once in a plan (attribute dedup on self-joins), so an id-exact
     signature fails to match the second and later uses of a registered
-    frame. Name-keying matches every use; the trade-off, documented: an
-    UNREGISTERED ExistingRDD scan whose column names coincide exactly
-    with a registered frame's would also pass. Call sites therefore
-    give engine-internal bounded frames distinctive column names (e.g.
-    bm25's query-term frame carries ``qdf``, not the generic ``df``
-    that the UNBOUNDED tfidf vocabulary frame also uses)."""
+    frame. Name-keying alone would let an UNREGISTERED scan with
+    colliding column names pass — which is why every registration
+    helper salts the frame with a :func:`_nonce_name` column before
+    materializing it: the signature is names INCLUDING the nonce, and
+    only frames built by this module carry one."""
     return _ID_RE.sub("", bracket).replace(" ", "")
 
 
@@ -78,34 +98,53 @@ def bounded_checkpoint(
     """
     if not reason or not reason.strip():
         raise ValueError("bounded_checkpoint requires a non-empty reason")
-    out = df.localCheckpoint(eager=eager)
+    nonce = _nonce_name()
+    out = df.withColumn(nonce, F.lit(1)).localCheckpoint(eager=eager)
     sig = _scan_signature(out)
     if sig:
         _BOUNDED_CKPT_SIGS[sig] = reason
-    return out
+    # the nonce stays in the materialized schema (so every consuming
+    # plan's scan line prints it) but not in the frame handed back
+    return out.drop(nonce)
 
 
-def register_bounded(df: DataFrame, reason: str) -> DataFrame:
-    """Register an ALREADY-materialized bounded frame without
-    checkpointing it — the ``spark.createDataFrame(literal_rows)``
-    case: PySpark parallelizes Python lists through an RDD, so literal
-    grids (threshold sweeps, banding configs, predicate lists) print as
-    ``Scan ExistingRDD`` exactly like a checkpoint and would otherwise
-    fail the census's fail-closed checkpoint rule despite being bounded
-    by their own source text. Returns ``df`` unchanged."""
+def bounded_literal(spark, data, schema, reason: str) -> DataFrame:
+    """Create a LITERAL DataFrame — bounded by its own source text —
+    with a nonce-salted census signature.
+
+    PySpark's ``createDataFrame`` parallelizes Python lists through an
+    RDD, so literal grids (threshold sweeps, banding configs, predicate
+    lists) print as ``Scan ExistingRDD`` exactly like a checkpoint and
+    would otherwise fail the census's fail-closed checkpoint rule
+    despite being bounded by construction. Building the frame HERE lets
+    the nonce column ride inside the literal rows themselves (a
+    post-hoc ``withColumn`` on an existing frame cannot reach the scan
+    node, which is why the registration-by-name ``register_bounded``
+    predecessor had the collision hole VERDICT r11 item 4 closed).
+
+    ``data``: list of row tuples; ``schema``: DDL string or list of
+    column names (same forms ``createDataFrame`` takes)."""
     if not reason or not reason.strip():
-        raise ValueError("register_bounded requires a non-empty reason")
+        raise ValueError("bounded_literal requires a non-empty reason")
+    nonce = _nonce_name()
+    if isinstance(schema, str):
+        full_schema = f"{schema}, {nonce} INT"
+    else:
+        full_schema = list(schema) + [nonce]
+    rows = [tuple(r) + (1,) for r in data]
+    df = spark.createDataFrame(rows, full_schema)
     sig = _scan_signature(df)
     if sig:
         _BOUNDED_CKPT_SIGS[sig] = reason
-    return df
+    return df.drop(nonce)
 
 
 def is_bounded_ckpt_scan(plan_line: str) -> bool:
     """True when a physical-plan ``Scan ExistingRDD`` line belongs to a
     frame registered via :func:`bounded_checkpoint` /
-    :func:`register_bounded` in this session (name-signature match —
-    see :func:`_normalize_sig` for the rewrite rationale)."""
+    :func:`bounded_literal` in this session (nonce-salted
+    name-signature match — see :func:`_normalize_sig` and
+    :func:`_nonce_name` for the rewrite and collision rationale)."""
     m = _SCAN_RE.search(plan_line)
     return bool(m) and _normalize_sig(m.group(1)) in _BOUNDED_CKPT_SIGS
 

@@ -228,13 +228,12 @@ def smote(
     for b, cnt in bucket_counts:
         offsets[b] = acc
         acc += cnt
-    from ..lineage import register_bounded
+    from ..lineage import bounded_literal
 
-    offset_df = register_bounded(
-        df.sparkSession.createDataFrame(
-            [(b, off) for b, off in offsets.items()],
-            "__bucket long, __off long",
-        ),
+    offset_df = bounded_literal(
+        df.sparkSession,
+        [(b, off) for b, off in offsets.items()],
+        "__bucket long, __off long",
         "per-bucket offsets: same cardinality (⌈n_min/4096⌉) as the "
         "driver collect that produced them — the broadcast adds no "
         "scale exposure beyond the documented offset design",

@@ -139,14 +139,30 @@ def rouge_n(
     p = pairs.select(cand_col, ref_col).distinct().localCheckpoint(
         eager=False
     )
+    # Overlap-join shape (VERDICT r11 item 5 — the suite's largest
+    # decade exponent lived here): pair keys are attached to ONE gram
+    # frame only. The old plan built a second pair-expanded frame
+    # (rgrams = p ⋈ counts on ref) and joined the two on
+    # (cand, ref, gram), so the big shuffle carried the corpus' grams
+    # pair-expanded TWICE plus paid an extra join stage to build
+    # rgrams. Joining the pair-tagged cand grams straight against the
+    # compact per-doc counts on (ref, gram) is result-identical —
+    # counts is unique per (doc, gram), so the ref-side lookup yields
+    # exactly rgrams' rows — while the ref side of the shuffle now
+    # carries each doc's grams ONCE regardless of how many pairs share
+    # the doc, and one whole shuffle stage disappears.
     cgrams = p.join(
         counts.withColumnRenamed(id_col, cand_col), cand_col
     ).select(cand_col, ref_col, "gram", F.col("c").alias("c_cand"))
-    rgrams = p.join(
-        counts.withColumnRenamed(id_col, ref_col), ref_col
-    ).select(cand_col, ref_col, "gram", F.col("c").alias("c_ref"))
     overlap = (
-        cgrams.join(rgrams, [cand_col, ref_col, "gram"])
+        cgrams.join(
+            counts.select(
+                F.col(id_col).alias(ref_col),
+                "gram",
+                F.col("c").alias("c_ref"),
+            ),
+            [ref_col, "gram"],
+        )
         .groupBy(cand_col, ref_col)
         .agg(F.sum(F.least("c_cand", "c_ref")).alias("overlap"))
     )

@@ -13,8 +13,10 @@ readers never observe a torn table.
 Failure semantics (round-11 audit): ``foreachBatch`` re-delivers a
 batch after a crash between the manifest flip and the stream's
 checkpoint commit — for an ADDITIVE merge a replay double-counts, so
-the manifest records the last applied epoch and a replayed epoch is a
-no-op (the same guard streaming/sketches.py carries). Old version
+the manifest records the last applied (stream identity, epoch) and a
+replayed epoch under the same identity is a no-op (the same guard
+streaming/sketches.py carries; identity-keyed because epoch ids are
+scoped to a checkpoint — ADVICE r11). Old version
 directories are garbage-collected past ``keep_versions`` — without GC
 a long-running stream's disk grows with stream LENGTH, defeating the
 "state bounded by group cardinality" contract.
@@ -38,11 +40,31 @@ from ..operators.incremental import aggregate_delta, merge_aggregate_state
 
 def _manifest_state(manifest: str) -> dict:
     if not os.path.exists(manifest):
-        return {"version": -1, "epoch": -1}
+        return {"version": -1, "epoch": -1, "stream_id": None}
     with open(manifest) as f:
         m = json.load(f)
     m.setdefault("epoch", -1)  # pre-epoch manifests
+    if m["epoch"] is None:
+        m["epoch"] = -1  # batch-mode commit (epoch=None) json-nulls
+    m.setdefault("stream_id", None)  # pre-identity manifests
     return m
+
+
+def _is_replay(state: dict, epoch: int | None, stream_id: str | None) -> bool:
+    """True iff this (stream_id, epoch) was already applied — the
+    epoch-scope-aware replay guard (ADVICE r11): epoch ids are scoped
+    to a streaming checkpoint, so a restart against a NEW checkpoint
+    resets them to 0 and an epoch-only guard would silently drop real
+    batches until the fresh ids caught up. Keying on (stream identity,
+    epoch) — the checkpoint location is the identity, exactly the
+    epoch counter's scope — makes replays no-ops without turning
+    restarts into data loss (the same shape as Delta's
+    txnAppId+txnVersion idempotent writes)."""
+    return (
+        epoch is not None
+        and epoch <= state["epoch"]
+        and state["stream_id"] == stream_id
+    )
 
 
 def read_state(spark, path: str, schema: str) -> DataFrame:
@@ -72,14 +94,16 @@ def _gc(path: str, keep_versions: int) -> None:
 
 def _commit(
     df: DataFrame, path: str, epoch: int | None = None,
-    keep_versions: int = 2,
+    keep_versions: int = 2, stream_id: str | None = None,
 ) -> None:
     manifest = os.path.join(path, "MANIFEST.json")
     version = _manifest_state(manifest)["version"] + 1
     df.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
     tmp = manifest + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"version": version, "epoch": epoch}, f)
+        json.dump(
+            {"version": version, "epoch": epoch, "stream_id": stream_id}, f
+        )
     os.replace(tmp, manifest)
     _gc(path, max(2, keep_versions))
 
@@ -93,19 +117,23 @@ def merge_aggregate_batch(
     state_schema: str,
     epoch: int | None = None,
     keep_versions: int = 2,
+    stream_id: str | None = None,
 ) -> None:
     """state' = state ⊕ agg(batch), committed atomically. When
     ``epoch`` is given (the foreachBatch epoch id), an epoch at or
-    below the manifest's recorded epoch is a NO-OP — at-least-once
-    replays after a crash between the manifest flip and the stream's
-    checkpoint commit must not double-count an additive merge."""
+    below the manifest's recorded epoch UNDER THE SAME ``stream_id``
+    is a NO-OP — at-least-once replays after a crash between the
+    manifest flip and the stream's checkpoint commit must not
+    double-count an additive merge, while a restart with a fresh
+    checkpoint (epochs reset to 0) must not be dropped
+    (see :func:`_is_replay`)."""
     state = _manifest_state(os.path.join(path, "MANIFEST.json"))
-    if epoch is not None and state["epoch"] is not None and epoch <= state["epoch"]:
+    if _is_replay(state, epoch, stream_id):
         return
     prev = read_state(spark, path, state_schema)
     _commit(
         merge_aggregate_state(prev, batch, keys, specs),
-        path, epoch=epoch, keep_versions=keep_versions,
+        path, epoch=epoch, keep_versions=keep_versions, stream_id=stream_id,
     )
 
 
@@ -127,9 +155,11 @@ def streaming_aggregate(
     spark = stream.sparkSession
 
     def _merge(batch: DataFrame, epoch: int) -> None:
+        # the checkpoint location IS the epoch counter's scope — use it
+        # as the replay-guard identity (ADVICE r11)
         merge_aggregate_batch(
             spark, batch, keys, specs, path, state_schema,
-            epoch=epoch, keep_versions=keep_versions,
+            epoch=epoch, keep_versions=keep_versions, stream_id=checkpoint,
         )
 
     return (

@@ -64,11 +64,38 @@ def read_sketch(spark, path: str) -> DataFrame:
 
 def _manifest_state(manifest: str) -> dict:
     if not os.path.exists(manifest):
-        return {"version": -1, "epoch": -1}
+        return {"version": -1, "epoch": -1, "stream_id": None}
     with open(manifest) as f:
         m = json.load(f)
     m.setdefault("epoch", -1)  # pre-epoch manifests
+    if m["epoch"] is None:
+        # a batch-mode commit (epoch=None) json-round-trips to null;
+        # normalize so the replay comparison below never TypeErrors on
+        # mixed batch/stream use of one sketch path (ADVICE r11)
+        m["epoch"] = -1
+    m.setdefault("stream_id", None)  # pre-identity manifests
     return m
+
+
+def _is_replay(state: dict, epoch: int | None, stream_id: str | None) -> bool:
+    """True iff this (stream_id, epoch) was already applied.
+
+    Epoch ids are scoped to a streaming CHECKPOINT: a restart against a
+    new checkpoint (or after checkpoint loss) resets them to 0, so an
+    epoch-only guard would silently DROP genuinely new batches until
+    the fresh ids caught up with the manifest's (ADVICE r11 — the same
+    reason Delta keys idempotent writes on txnAppId+txnVersion, not
+    version alone). The manifest therefore records the stream identity
+    (the checkpoint location — exactly the scope of the epoch counter)
+    and a replay is recognized only when BOTH match. A legacy manifest
+    without ``stream_id`` (None) never matches a real checkpoint id, so
+    the first post-upgrade batch always applies; the one-commit replay
+    window across that upgrade boundary is documented, not guarded."""
+    return (
+        epoch is not None
+        and epoch <= state["epoch"]
+        and state["stream_id"] == stream_id
+    )
 
 
 # Persisted-state schema version: 1 = pre-round-10 layout (count-min
@@ -78,11 +105,14 @@ def _manifest_state(manifest: str) -> dict:
 _STATE_SCHEMA_VERSION = 2
 
 
-def _commit_manifest(manifest: str, version: int, epoch: int | None) -> None:
+def _commit_manifest(
+    manifest: str, version: int, epoch: int | None,
+    stream_id: str | None = None,
+) -> None:
     tmp = manifest + ".tmp"
     with open(tmp, "w") as f:
         json.dump(
-            {"version": version, "epoch": epoch,
+            {"version": version, "epoch": epoch, "stream_id": stream_id,
              "schema": _STATE_SCHEMA_VERSION},
             f,
         )
@@ -116,16 +146,19 @@ def merge_sketch_batch(
     width: int = 1024,
     seed: int = 42,
     epoch: int | None = None,
+    stream_id: str | None = None,
 ) -> None:
     """state' = state ⊕ sketch(batch): cell-wise counter addition via a
     full-outer union-agg (both sides are sketch-sized). Atomic
     version-flip commit; when ``epoch`` is given (the foreachBatch
-    epoch id), a batch already recorded in the manifest is a NO-OP —
-    at-least-once replays after a crash between manifest flip and
-    checkpoint commit must not double-count."""
+    epoch id), a batch already recorded in the manifest UNDER THE SAME
+    ``stream_id`` is a NO-OP — at-least-once replays after a crash
+    between manifest flip and checkpoint commit must not double-count,
+    while a restart against a fresh checkpoint (epochs reset to 0)
+    must not be dropped (see :func:`_is_replay`)."""
     manifest = os.path.join(path, "MANIFEST.json")
     state = _manifest_state(manifest)
-    if epoch is not None and epoch <= state["epoch"]:
+    if _is_replay(state, epoch, stream_id):
         return
     delta = count_min_table(batch, key, depth=depth, width=width, seed=seed)
     merged = (
@@ -138,7 +171,7 @@ def merge_sketch_batch(
     )
     version = state["version"] + 1
     merged.write.mode("overwrite").parquet(os.path.join(path, f"v={version}"))
-    _commit_manifest(manifest, version, epoch)
+    _commit_manifest(manifest, version, epoch, stream_id)
     _gc_versions(path, "v=")
 
 
@@ -157,9 +190,12 @@ def streaming_count_min(
     spark = stream.sparkSession
 
     def _merge(batch: DataFrame, epoch: int) -> None:
+        # the checkpoint location IS the epoch counter's scope — use it
+        # as the replay-guard identity (ADVICE r11)
         merge_sketch_batch(
             spark, batch, key, path,
             depth=depth, width=width, seed=seed, epoch=epoch,
+            stream_id=checkpoint,
         )
 
     return (
@@ -192,6 +228,7 @@ def merge_histogram_batch(
     hi: float,
     n_bins: int = 256,
     epoch: int | None = None,
+    stream_id: str | None = None,
 ) -> None:
     """state' = state ⊕ histogram(batch): bin counts add — the same
     sum-mergeability contract as the count-min path above, so the
@@ -206,7 +243,7 @@ def merge_histogram_batch(
 
     manifest = os.path.join(path, "HIST_MANIFEST.json")
     state = _manifest_state(manifest)
-    if epoch is not None and epoch <= state["epoch"]:
+    if _is_replay(state, epoch, stream_id):
         return
     delta = histogram_sketch(batch, col, n_bins=n_bins, lo=lo, hi=hi)
     merged = (
@@ -225,7 +262,7 @@ def merge_histogram_batch(
     )
     version = state["version"] + 1
     merged.write.mode("overwrite").parquet(os.path.join(path, f"hv={version}"))
-    _commit_manifest(manifest, version, epoch)
+    _commit_manifest(manifest, version, epoch, stream_id)
     _gc_versions(path, "hv=")
 
 
@@ -244,7 +281,8 @@ def streaming_histogram(
 
     def _merge(batch: DataFrame, epoch: int) -> None:
         merge_histogram_batch(
-            spark, batch, col, path, lo=lo, hi=hi, n_bins=n_bins, epoch=epoch
+            spark, batch, col, path, lo=lo, hi=hi, n_bins=n_bins,
+            epoch=epoch, stream_id=checkpoint,
         )
 
     return (
@@ -324,13 +362,15 @@ def merge_ams_batch(
     path: str,
     n_estimators: int = 8,
     epoch: int | None = None,
+    stream_id: str | None = None,
 ) -> None:
     """state' = state + ams(batch): per-estimator signed sums add.
     Atomic version-flip commit; a replayed foreachBatch epoch
-    (``epoch <=`` the manifest's last applied) is a NO-OP."""
+    (``epoch <=`` the manifest's last applied, SAME ``stream_id``) is a
+    NO-OP (see :func:`_is_replay`)."""
     manifest = os.path.join(path, "AMS_MANIFEST.json")
     state = _manifest_state(manifest)
-    if epoch is not None and epoch <= state["epoch"]:
+    if _is_replay(state, epoch, stream_id):
         return
     delta = _ams_batch_delta(batch, key, n_estimators)
     merged = (
@@ -341,7 +381,7 @@ def merge_ams_batch(
     )
     version = state["version"] + 1
     merged.write.mode("overwrite").parquet(os.path.join(path, f"av={version}"))
-    _commit_manifest(manifest, version, epoch)
+    _commit_manifest(manifest, version, epoch, stream_id)
     _gc_versions(path, "av=")
 
 
@@ -376,7 +416,7 @@ def streaming_ams_f2(
     def _merge(batch: DataFrame, epoch: int) -> None:
         merge_ams_batch(
             spark, batch, key, path,
-            n_estimators=n_estimators, epoch=epoch,
+            n_estimators=n_estimators, epoch=epoch, stream_id=checkpoint,
         )
 
     writer = (

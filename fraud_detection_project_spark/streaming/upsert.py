@@ -168,13 +168,24 @@ def plan_batch_merge(
     ``F.broadcast`` there is the same data-proportional forced
     broadcast the plan-audit census retires from batch queries (it
     cannot see this path: ``foreachBatch`` plans are never registered).
-    So the sink counts the batch (cheap: the micro-batch is already
-    materialized by the stream runner) and uses the broadcast split
+    So the sink probes the batch size and uses the broadcast split
     shape only under ``broadcast_threshold_rows`` (default 2M rows ≈
     low hundreds of MB packed — inside executor broadcast budgets);
     above it, the full-outer sort-merge shape shuffles the base once
-    instead of OOMing the driver."""
-    small = batch.count() <= broadcast_threshold_rows
+    instead of OOMing the driver.
+
+    Probe cost (ADVICE r11): ``foreachBatch`` does NOT persist the
+    batch DataFrame, so a plain ``batch.count()`` would recompute the
+    whole micro-batch from source just to pick the join shape — the
+    source read twice, and on an ``availableNow`` backlog drain the
+    wasted pass is months of history. The decision is only
+    "≤ threshold or not", so the probe is
+    ``limit(threshold + 1).count()``: LocalLimit stops partitions
+    early once the limit is covered, bounding the probe at
+    threshold+1 rows regardless of backlog size (a small batch is
+    scanned twice, but it is small by definition)."""
+    probe = batch.limit(broadcast_threshold_rows + 1).count()
+    small = probe <= broadcast_threshold_rows
     return merge_apply(
         base, batch, keys=keys, seq_col=seq_col, op_col=op_col,
         delete_op=delete_op, broadcast_changes=small,

@@ -514,7 +514,9 @@ def fact_forced_broadcasts(plan: str) -> list[str]:
     carry a bounding aggregate above the checkpoint (the common shape)
     or are registered at their creation site via
     ``fraud_detection_project_spark.lineage.bounded_checkpoint`` /
-    ``register_bounded`` with a written growth-law reason."""
+    ``bounded_literal`` with a written growth-law reason (nonce-salted
+    signatures since round 12 — a colliding-name unregistered scan no
+    longer passes)."""
     lines = plan.splitlines()
     nodes = [_node(ln) for ln in lines]
     offenders: list[str] = []
