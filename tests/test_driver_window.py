@@ -164,6 +164,36 @@ def test_post_queue_window_policy():
     )
 
 
+def test_auto_fill_implements_post_queue_policy(monkeypatch):
+    """driver_ordered's stale-first auto-fill must BE the post-queue
+    policy — proven by simulation instead of waiting for the next
+    driver artifact: pretend every current window name just earned a
+    round-(last+1) row, recompute the window, and require set-equality
+    with expected_post_queue_window. This is the non-vacuous form of
+    test_post_queue_window_policy that runs every round regardless of
+    queue state, so implementation/policy drift cannot hide until an
+    artifact lands."""
+    last_seen = _coverage_rounds()
+    nxt = max(last_seen.values(), default=0) + 1
+    sim = dict(last_seen)
+    for n in _window_names():
+        sim[n] = nxt
+    monkeypatch.setattr(q, "_driver_coverage_rounds", lambda: sim)
+    window = list(q.driver_ordered(dict(q.QUERIES)))[:WINDOW]
+    expected = expected_post_queue_window(
+        sim, list(q.QUERIES), q.DRIVER_PRIORITY + q.DRIVER_CANARIES
+    )
+    assert set(window) == set(expected)
+
+
+def test_engine_coverage_matches_test_coverage_semantics():
+    """queries._driver_coverage_rounds and this module's
+    _coverage_rounds read the same artifacts with the same
+    strongest-credit rule — drift between them would make the
+    auto-fill disagree with the policy the tests enforce."""
+    assert q._driver_coverage_rounds() == _coverage_rounds()
+
+
 def test_oracle_ordering_is_subset_of_query_ordering():
     qs = list(q.driver_ordered(dict(q.QUERIES)))
     os_ = list(q.driver_ordered(dict(q.ORACLE_SQL)))
