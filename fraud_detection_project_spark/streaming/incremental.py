@@ -59,10 +59,19 @@ def _is_replay(state: dict, epoch: int | None, stream_id: str | None) -> bool:
     epoch) — the checkpoint location is the identity, exactly the
     epoch counter's scope — makes replays no-ops without turning
     restarts into data loss (the same shape as Delta's
-    txnAppId+txnVersion idempotent writes)."""
+    txnAppId+txnVersion idempotent writes).
+
+    Strict equality, not ``<=`` (VERDICT r12 item 1): within one
+    incarnation foreachBatch only ever re-delivers the LAST
+    uncommitted epoch, so ``epoch < last_applied`` under a MATCHING
+    identity can only mean checkpoint loss at the same path (deleted
+    checkpoint dir, kept state dir, restarted) — a new incarnation
+    whose reset-to-0 epochs must apply, not be dropped. Applying rolls
+    the manifest epoch to the new incarnation's counter, so its own
+    replays are still caught by equality."""
     return (
         epoch is not None
-        and epoch <= state["epoch"]
+        and epoch == state["epoch"]
         and state["stream_id"] == stream_id
     )
 

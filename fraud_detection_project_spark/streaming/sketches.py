@@ -81,19 +81,32 @@ def _is_replay(state: dict, epoch: int | None, stream_id: str | None) -> bool:
     """True iff this (stream_id, epoch) was already applied.
 
     Epoch ids are scoped to a streaming CHECKPOINT: a restart against a
-    new checkpoint (or after checkpoint loss) resets them to 0, so an
-    epoch-only guard would silently DROP genuinely new batches until
-    the fresh ids caught up with the manifest's (ADVICE r11 — the same
-    reason Delta keys idempotent writes on txnAppId+txnVersion, not
-    version alone). The manifest therefore records the stream identity
-    (the checkpoint location — exactly the scope of the epoch counter)
-    and a replay is recognized only when BOTH match. A legacy manifest
-    without ``stream_id`` (None) never matches a real checkpoint id, so
-    the first post-upgrade batch always applies; the one-commit replay
-    window across that upgrade boundary is documented, not guarded."""
+    new checkpoint resets them to 0, so an epoch-only guard would
+    silently DROP genuinely new batches until the fresh ids caught up
+    with the manifest's (ADVICE r11 — the same reason Delta keys
+    idempotent writes on txnAppId+txnVersion, not version alone). The
+    manifest therefore records the stream identity (the checkpoint
+    location — exactly the scope of the epoch counter) and a replay is
+    recognized only when the identity matches AND the epoch EQUALS the
+    last applied. Strict equality, not ``<=`` (VERDICT r12 item 1):
+    foreachBatch's at-least-once contract only ever re-delivers the
+    LAST uncommitted epoch, never an older one, so within one stream
+    incarnation the merge can never legitimately see ``epoch <
+    last_applied``. The one way that comparison arises is checkpoint
+    LOSS at the SAME path — the user deletes the checkpoint dir but
+    keeps the state dir and restarts; epochs reset to 0 while
+    ``stream_id`` still matches — and that is a NEW incarnation whose
+    batches must apply (the old ``<=`` guard silently dropped every
+    batch until the fresh ids caught up). The merge then rolls the
+    manifest epoch forward (backward, numerically) so the new
+    incarnation's own replays are still caught by equality. A legacy
+    manifest without ``stream_id`` (None) never matches a real
+    checkpoint id, so the first post-upgrade batch always applies; the
+    one-commit replay window across that upgrade boundary is
+    documented, not guarded."""
     return (
         epoch is not None
-        and epoch <= state["epoch"]
+        and epoch == state["epoch"]
         and state["stream_id"] == stream_id
     )
 

@@ -824,12 +824,23 @@ class TestStreamingCountMin:
             for r in read_sketch(spark, path).collect()
         }
         merge_sketch_batch(spark, b2, "k", path, width=64, epoch=1)  # replay
-        merge_sketch_batch(spark, b1, "k", path, width=64, epoch=0)  # older
         after = {
             (r["depth"], r["bucket"]): r["cnt"]
             for r in read_sketch(spark, path).collect()
         }
         assert after == before
+        # An epoch STRICTLY BELOW the last applied under the same
+        # identity is NOT a replay — foreachBatch never re-delivers an
+        # older epoch within one incarnation, so it can only be a
+        # checkpoint-loss restart at the same path and must apply
+        # (VERDICT r12 item 1; round-13 incarnation tests cover the
+        # full scenario).
+        merge_sketch_batch(spark, b1, "k", path, width=64, epoch=0)
+        reborn = {
+            (r["depth"], r["bucket"]): r["cnt"]
+            for r in read_sketch(spark, path).collect()
+        }
+        assert reborn != before  # b1 counted again under the new incarnation
 
         hb = spark.createDataFrame([(float(i % 10),) for i in range(50)],
                                    "v double")
