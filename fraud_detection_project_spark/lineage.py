@@ -123,9 +123,22 @@ def bounded_literal(spark, data, schema, reason: str) -> DataFrame:
     predecessor had the collision hole VERDICT r11 item 4 closed).
 
     ``data``: list of row tuples; ``schema``: DDL string or list of
-    column names (same forms ``createDataFrame`` takes)."""
+    column names (same forms ``createDataFrame`` takes). When ``data``
+    can be EMPTY — e.g. a computed grid like smote's offsets, not a
+    hard-coded literal — ``schema`` must be a DDL string: a names-only
+    list leaves column types to row-based inference, which PySpark
+    cannot do from zero rows (the failure would surface as an opaque
+    "can not infer schema from empty dataset"; rejected here with the
+    actual contract instead — ADVICE r12)."""
     if not reason or not reason.strip():
         raise ValueError("bounded_literal requires a non-empty reason")
+    if not data and not isinstance(schema, str):
+        raise ValueError(
+            "bounded_literal with an empty data list requires a DDL "
+            "string schema — column types cannot be inferred from zero "
+            "rows, so a names-only schema would fail inside "
+            "createDataFrame with an unhelpful inference error"
+        )
     nonce = _nonce_name()
     if isinstance(schema, str):
         full_schema = f"{schema}, {nonce} INT"

@@ -174,17 +174,25 @@ def plan_batch_merge(
     above it, the full-outer sort-merge shape shuffles the base once
     instead of OOMing the driver.
 
-    Probe cost (ADVICE r11): ``foreachBatch`` does NOT persist the
-    batch DataFrame, so a plain ``batch.count()`` would recompute the
-    whole micro-batch from source just to pick the join shape — the
-    source read twice, and on an ``availableNow`` backlog drain the
-    wasted pass is months of history. The decision is only
-    "≤ threshold or not", so the probe is
-    ``limit(threshold + 1).count()``: LocalLimit stops partitions
-    early once the limit is covered, bounding the probe at
-    threshold+1 rows regardless of backlog size (a small batch is
-    scanned twice, but it is small by definition)."""
-    probe = batch.limit(broadcast_threshold_rows + 1).count()
+    Probe cost (ADVICE r11 → ADVICE r12 → measured, round 13): the
+    probe went through three designs. A bounded
+    ``limit(threshold+1).count()`` looked cheaper than a full
+    ``count()`` (foreachBatch does not persist the batch, so any probe
+    recomputes it from source), but its physical plan is per-partition
+    LocalLimit + a single-partition shuffle for GlobalLimit — each
+    partition can emit up to threshold+1 ROWS, so the probe work is
+    O(partitions × threshold) in materialized rows (ADVICE r12). A
+    plain ``count()`` instead prunes to ZERO columns (parquet serves
+    it near-metadata-speed) and shuffles only one partial count per
+    partition. Measured on local[32], warm best-of-3 (round 13):
+    100k-row batch — count 0.19s vs limit-probe 0.22s; 2.1M-row
+    backlog — count 0.48s vs limit-probe 1.31s; end-to-end
+    (probe + one aggregate pass standing in for the merge) —
+    count 0.80s vs limit-probe 1.33s vs a persist()/unpersist()
+    bracket 1.98s (materializing the batch costs more than the
+    second zero-column scan it saves, at BOTH sizes). So: plain
+    ``count()``, no persist."""
+    probe = batch.count()
     small = probe <= broadcast_threshold_rows
     return merge_apply(
         base, batch, keys=keys, seq_col=seq_col, op_col=op_col,
