@@ -154,6 +154,17 @@ def main() -> None:
             out["scaling_exponents"] = exps
             if exps:
                 out["scaling_max_exponent"] = max(exps.values())
+            # the three-cell overhead-corrected fit (round 13): the max
+            # CORRECTED exponent is the headline growth-law number; the
+            # per-workload dict stays in scaling.json/SCALING.md (the
+            # raw per-workload exponents already fill the size budget)
+            corr = {
+                k: v
+                for k, v in decade.get("exponents_corrected", {}).items()
+                if v is not None
+            }
+            if corr:
+                out["scaling_max_exponent_corrected"] = max(corr.values())
             print(json.dumps({"scaling_decade": decade}), file=sys.stderr)
         except (OSError, ValueError):
             pass

@@ -228,6 +228,75 @@ class TestSamePathCheckpointLossRestart:
         assert got3["e"] == (1, 5) and got3["a"] == want["a"]
 
 
+class TestThreeCellFit:
+    """tools/bench_scale.three_cell_fit (VERDICT r12 item 3): the
+    two-point decade exponent over-penalizes workloads whose
+    small-scale cost is mostly fixed overhead; the three-cell
+    t(sf) = c + a·sf^e fit separates the scaling term from the
+    per-run constant, in closed form over decade-spaced cells."""
+
+    def test_recovers_pure_power_law(self):
+        import sys
+
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from bench_scale import three_cell_fit
+
+        def t(sf):
+            return 0.5 + 2.0 * sf ** 0.8
+
+        e, c = three_cell_fit({"q": t(0.01)}, {"q": t(0.1)}, {"q": t(1.0)})
+        assert e["q"] == 0.8 and c["q"] == 0.5
+
+    def test_fixed_overhead_does_not_inflate_exponent(self):
+        """The r12 whiplash mechanism: a linear workload (e=1) with a
+        1s fixed cost reads as raw exponent ~0.74 over sf0.1→sf1 —
+        the corrected fit recovers 1.0."""
+        import math
+        import sys
+
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from bench_scale import three_cell_fit
+
+        def t(sf):
+            return 1.0 + 5.0 * sf  # truly linear + 1s overhead
+
+        raw = math.log10(t(1.0) / t(0.1))
+        assert raw < 0.8  # the misleading two-point reading
+        e, c = three_cell_fit({"q": t(0.01)}, {"q": t(0.1)}, {"q": t(1.0)})
+        assert e["q"] == 1.0 and abs(c["q"] - 1.0) < 1e-6
+
+    def test_non_positive_step_reports_none(self):
+        import sys
+
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from bench_scale import three_cell_fit
+
+        e, c = three_cell_fit({"q": 2.0}, {"q": 1.5}, {"q": 3.0})
+        assert e["q"] is None and c["q"] is None
+        # missing small cell (legacy payload) also degrades gracefully
+        e2, c2 = three_cell_fit({}, {"q": 1.0}, {"q": 5.0} )
+        assert e2["q"] is None and c2["q"] is None
+
+    def test_merge_payload_carries_corrected_fields(self):
+        import sys
+
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from bench_scale import merge_payload
+
+        def payload(lo, mid, hi):
+            return {"sf0.01": {"q": lo}, "sf0.1": {"q": mid},
+                    "sf1": {"q": hi}, "repeats": 3, "measured": "x"}
+
+        old = merge_payload(None, payload(0.6, 1.1, 5.6), "abc")
+        assert old["exponents_corrected"]["q"] is not None
+        assert "fixed_cost" in old
+        # per-cell min applies to the sf0.01 cell too
+        new = merge_payload(old, payload(0.5, 1.2, 5.9), "abc")
+        assert new["sf0.01"]["q"] == 0.5
+        assert new["sf0.1"]["q"] == 1.1
+        assert new["sf1"]["q"] == 5.6
+
+
 class TestBoundedLiteralEmptyData:
     def test_empty_data_with_names_schema_raises_contract_error(self, spark):
         """ADVICE r12: an empty data list with a names-only schema used
