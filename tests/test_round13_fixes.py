@@ -277,6 +277,31 @@ class TestThreeCellFit:
         e2, c2 = three_cell_fit({}, {"q": 1.0}, {"q": 5.0} )
         assert e2["q"] is None and c2["q"] is None
 
+    def test_sub_resolution_steps_report_none(self):
+        """A flat workload whose decade steps sit inside the timing
+        noise band must not fabricate an exponent (a 3 ms step once
+        read as corr exp 1.31) — steps under 50 ms are unresolvable."""
+        import sys
+
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from bench_scale import three_cell_fit
+
+        e, c = three_cell_fit({"q": 0.495}, {"q": 0.498}, {"q": 0.559})
+        assert e["q"] is None and c["q"] is None
+
+    def test_degenerate_and_negative_exponents_have_no_fixed_cost(self):
+        import sys
+
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from bench_scale import three_cell_fit
+
+        # near-equal positive steps: e ~ 0, back-out divides by ~0
+        e, c = three_cell_fit({"q": 1.0}, {"q": 1.26}, {"q": 1.52})
+        assert e["q"] == 0.0 and c["q"] is None
+        # shrinking steps: e < 0, a < 0 — no meaningful constant
+        e2, c2 = three_cell_fit({"q": 1.0}, {"q": 1.3}, {"q": 1.4})
+        assert e2["q"] < 0 and c2["q"] is None
+
     def test_merge_payload_carries_corrected_fields(self):
         import sys
 

@@ -388,17 +388,25 @@ def three_cell_fit(
             fixed[k] = None
             continue
         d_small, d_big = mid - lo, hi - mid
-        if d_small <= 0 or d_big <= 0:
+        # resolution guard: the fit differences cells, so steps inside
+        # the timing noise band produce nonsense ratios (a 3 ms step on
+        # a flat 0.5 s workload once read as exponent 1.31). Steps
+        # under 50 ms — well inside this host's documented band even
+        # after per-cell-min merging — are unresolvable: the workload
+        # has no MEASURABLE growth over the decade, which the raw
+        # exponent (~0) already states.
+        if d_small < 0.05 or d_big < 0.05:
             exps[k] = None
             fixed[k] = None
             continue
         e = math.log10(d_big / d_small)
         denom = 1.0 - 10.0 ** (-e)
         exps[k] = round(e, 2)
-        # d_big == d_small makes the power model degenerate (equal
-        # positive decade steps have no sf^e representation) — keep the
-        # exponent (0.0) but skip the fixed-cost back-out
-        fixed[k] = round(hi - d_big / denom, 3) if abs(denom) > 1e-9 else None
+        # near-equal decade steps (e ≈ 0) make the power model
+        # degenerate (the back-out divides by ~0), and a NEGATIVE e
+        # has no meaningful constant either (a < 0 puts c above the
+        # total) — report the exponent alone in both cases
+        fixed[k] = round(hi - d_big / denom, 3) if denom > 0.2 else None
     return exps, fixed
 
 
