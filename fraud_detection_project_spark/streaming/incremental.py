@@ -154,13 +154,17 @@ def streaming_aggregate(
     checkpoint: str,
     state_schema: str,
     keep_versions: int = 2,
+    available_now: bool = False,
 ):
     """Maintain ``groupBy(keys).agg(specs)`` over a stream; returns the
     StreamingQuery. ``specs``: out_col -> (in_col, fn) with fn in
     sum/count/min/max (merge_aggregate_state's algebraic contract —
     avg rides as (sum, count); holistic aggregates need sketches).
     ``state_schema`` is the DDL of the state table (keys + out cols),
-    needed to type the empty frame before the first commit."""
+    needed to type the empty frame before the first commit.
+    ``available_now=True`` drains the current backlog and terminates by
+    itself (awaitTermination-able) — the batch-parity/catch-up mode,
+    same as the AMS sink's."""
     spark = stream.sparkSession
 
     def _merge(batch: DataFrame, epoch: int) -> None:
@@ -171,9 +175,11 @@ def streaming_aggregate(
             epoch=epoch, keep_versions=keep_versions, stream_id=checkpoint,
         )
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -196,10 +196,13 @@ def streaming_count_min(
     depth: int = 4,
     width: int = 1024,
     seed: int = 42,
+    available_now: bool = False,
 ):
     """Maintain the sketch over a stream; returns the StreamingQuery.
     ``read_sketch(spark, path)`` serves estimates at any time (probe
-    with operators/sketches.py machinery)."""
+    with operators/sketches.py machinery). ``available_now=True``
+    drains the current backlog and terminates by itself — the
+    batch-parity/catch-up mode, same as :func:`streaming_ams_f2`."""
     spark = stream.sparkSession
 
     def _merge(batch: DataFrame, epoch: int) -> None:
@@ -211,12 +214,14 @@ def streaming_count_min(
             stream_id=checkpoint,
         )
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 _HIST_SCHEMA = "bin INT, cnt BIGINT, lo DOUBLE, hi DOUBLE, n_bins INT"
@@ -287,9 +292,12 @@ def streaming_histogram(
     lo: float,
     hi: float,
     n_bins: int = 256,
+    available_now: bool = False,
 ):
     """Maintain a quantile-serving histogram sketch over a stream;
-    state is bounded by ``n_bins`` rows forever."""
+    state is bounded by ``n_bins`` rows forever. ``available_now=True``
+    drains the current backlog and terminates by itself — the
+    batch-parity/catch-up mode, same as :func:`streaming_ams_f2`."""
     spark = stream.sparkSession
 
     def _merge(batch: DataFrame, epoch: int) -> None:
@@ -298,12 +306,14 @@ def streaming_histogram(
             epoch=epoch, stream_id=checkpoint,
         )
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(_merge)
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 # ---------------------------------------------------------------------------

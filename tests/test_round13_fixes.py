@@ -208,9 +208,10 @@ class TestSamePathCheckpointLossRestart:
             n, s = want.get(g, (0, 0))
             want[g] = (n + 1, s + v)
         assert got == want
-        # streaming_aggregate is the wired form of the lambda above —
-        # exercise it once on the same state to confirm the identity it
-        # passes is the checkpoint path (a fresh-checkpoint restart).
+        # streaming_aggregate is the wired form of the merge above —
+        # exercise it once on the same state (fresh-checkpoint restart)
+        # through its availableNow drain mode (round-13 API parity with
+        # the AMS sink: drains the backlog and terminates by itself).
         src3 = str(tmp_path / "src3")
         spark.createDataFrame([("e", 5)], "g string, v long").write.mode(
             "overwrite"
@@ -218,14 +219,71 @@ class TestSamePathCheckpointLossRestart:
         stream3 = spark.readStream.schema("g string, v long").parquet(src3)
         q3 = streaming_aggregate(
             stream3, ["g"], specs, state, str(tmp_path / "ckpt3"), schema,
+            available_now=True,
         )
-        # availableNow is not wired into streaming_aggregate; stop after
-        # the first micro-batch lands.
-        q3.processAllAvailable()
-        q3.stop()
+        q3.awaitTermination()
         got3 = {r["g"]: (r["n"], r["s"])
                 for r in read_state(spark, state, schema).collect()}
         assert got3["e"] == (1, 5) and got3["a"] == want["a"]
+
+
+class TestAvailableNowDrainMode:
+    """Round-13 API parity: streaming_count_min / streaming_histogram /
+    streaming_aggregate accept available_now=True (drain the backlog,
+    terminate by themselves) — previously only the AMS and CDC sinks
+    had the batch-parity trigger, so callers had to hand-roll
+    writeStream plumbing (as the incarnation query's first draft did)."""
+
+    def test_count_min_and_histogram_drain(self, spark, tmp_path):
+        from fraud_detection_project_spark.operators.sketches import (
+            count_min_table,
+        )
+        from fraud_detection_project_spark.streaming.sketches import (
+            read_histogram, read_sketch, streaming_count_min,
+            streaming_histogram,
+        )
+
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [(i % 7, float(i % 10)) for i in range(60)], "k long, v double"
+        ).repartition(2).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema("k long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = streaming_count_min(
+            stream, "k", str(tmp_path / "cms"), str(tmp_path / "cms_ck"),
+            width=64, available_now=True,
+        )
+        q.awaitTermination()
+        got = {
+            (r["depth"], r["bucket"]): r["cnt"]
+            for r in read_sketch(spark, str(tmp_path / "cms")).collect()
+        }
+        batch = spark.read.parquet(src)
+        want = {
+            (r["depth"], r["bucket"]): r["cnt"]
+            for r in count_min_table(batch, "k", width=64).collect()
+        }
+        assert got == want  # stream ≡ batch cell-wise
+
+        stream2 = (
+            spark.readStream.schema("k long, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q2 = streaming_histogram(
+            stream2, "v", str(tmp_path / "h"), str(tmp_path / "h_ck"),
+            lo=0.0, hi=10.0, n_bins=16, available_now=True,
+        )
+        q2.awaitTermination()
+        counts = {
+            r["bin"]: r["cnt"]
+            for r in read_histogram(spark, str(tmp_path / "h")).collect()
+        }
+        assert sum(counts.values()) == 60
 
 
 class TestThreeCellFit:
