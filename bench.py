@@ -57,13 +57,19 @@ def ml_prep_pipeline(spark, sf_dir: str):
         (F.col("event_type") == "error").cast("int").alias("label"),
     )
     split = id_hash_split(ev, "event_id", 0.8)
-    # fit makes one pass per indexer + the scaler aggregate: persist so
-    # each pass doesn't re-run the 24h-window plan upstream
+    # Persist the SHARED split frame, projected to what fit/transform
+    # read (event_id only feeds the split hash — already applied), so
+    # BOTH branches reuse one scan→shuffle→window pass. Persisting only
+    # `train` (the pre-r13 shape) made the test branch re-run the whole
+    # upstream plan — the q5 plan showed a second Scan+Exchange+Window
+    # subtree feeding the union (guide §1.2 "remove unnecessary passes",
+    # §5 caching-when-reused; plans/r13/q5_ml_prep_{before,after}.txt).
     from pyspark import StorageLevel
 
-    train = split.filter(F.col("split") == "train").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    split = split.select(
+        "event_type", "value", "txn_24h", "hour", "label", "split"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    train = split.filter(F.col("split") == "train")
     test = split.filter(F.col("split") == "test")
 
     # DataFrame-native prep twin (ml/prep.py:NativeFeaturePrep) — same

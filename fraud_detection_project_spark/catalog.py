@@ -142,6 +142,20 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def _path_stamp(path: str) -> tuple[int, int]:
+    """(mtime_ns, size) of a data path — the freshness key for the
+    driver-side memos below. Spark parquet writes recreate the target
+    directory (or file), so any rewrite moves the stamp."""
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
+# footer-probe memo: (resolved path, stamp) → unit. The probe is a
+# ~3 ms driver-side pyarrow footer read repeated on EVERY events load;
+# the file's physical unit cannot change without the stamp changing.
+_TS_UNIT_MEMO: dict[tuple, str] = {}
+
+
 def _parquet_ts_unit(path: str, col: str = "ts") -> str:
     """Physical time unit of ``col`` from the parquet footer: 'ns', 'us',
     'ms', 's'. One driver-side footer read (bytes, not data) — the
@@ -150,15 +164,35 @@ def _parquet_ts_unit(path: str, col: str = "ts") -> str:
     import pyarrow.parquet as pq
     import pyarrow as pa
 
+    key = (os.path.realpath(path), _path_stamp(path))
+    hit = _TS_UNIT_MEMO.get(key)
+    if hit is not None:
+        return hit
     p = path
     if os.path.isdir(p):
         parts = [f for f in sorted(os.listdir(p)) if f.endswith(".parquet")]
         if parts:
             p = os.path.join(p, parts[0])
     t = pq.read_schema(p).field(col).type
-    if pa.types.is_timestamp(t):
-        return t.unit
-    return "ns"  # legacy INT64 TIMESTAMP(NANOS) surfaces as int64
+    unit = t.unit if pa.types.is_timestamp(t) else "ns"
+    # legacy INT64 TIMESTAMP(NANOS) surfaces as int64 → 'ns'
+    _TS_UNIT_MEMO[key] = unit
+    return unit
+
+
+# per-session plan memo for load_table: SparkSession → {(path, stamp):
+# DataFrame}. Building the events frame costs ~0.5-1 s of pure
+# driver-side work per call (file-listing/InMemoryFileIndex in
+# spark.read.parquet ≈ 200 ms + four analysis round-trips for the
+# withColumn chain ≈ 250 ms, measured on local[32]) and the bench/verify
+# harnesses rebuild every query from scratch — dozens of identical
+# loads per run, all inside the timed region (guide §5 driver work,
+# §7.3 planning overhead). A DataFrame is an immutable lazy plan, so
+# returning the same object is semantically identical: every action
+# still scans parquet; nothing is materialized by the memo. Keyed on
+# the session object (weak — a stopped session's plans die with it)
+# and the path stamp (a rewrite invalidates).
+_TABLE_MEMO = None  # lazily a weakref.WeakKeyDictionary
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -170,9 +204,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       - ``ts_ns``  the nanosecond epoch LongType (exact arithmetic for
                    range windows — integer ``div``, no double rounding),
     regardless of whether the file stores ns or µs on disk.
+
+    Repeated loads of an unchanged path on the same session return the
+    SAME lazy DataFrame (see ``_TABLE_MEMO`` above) — plan reuse, not
+    data caching.
     """
+    global _TABLE_MEMO
     ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
+    if _TABLE_MEMO is None:
+        import weakref
+
+        _TABLE_MEMO = weakref.WeakKeyDictionary()
+    try:
+        memo = _TABLE_MEMO.setdefault(spark, {})
+        key = (os.path.realpath(path), _path_stamp(path))
+    except (TypeError, OSError):
+        memo, key = None, None  # non-weakref-able stub / vanished path
+    if memo is not None:
+        hit = memo.get(key)
+        if hit is not None:
+            return hit
     df = spark.read.schema(SCHEMAS[name]).parquet(path)
     if name == "events":
         unit = _parquet_ts_unit(path)
@@ -189,6 +241,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
             .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
         )
+    if memo is not None:
+        memo[key] = df
     return df
 
 

@@ -40,17 +40,40 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
-def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
+# Sessions already configured by ensure_runtime_confs. Every query build
+# calls it, and each of the 8 conf.set calls is a py4j round trip
+# (~25 ms total per call measured on local[32]) — pure driver-side
+# overhead inside the timed region of every bench/verify run
+# (optimization guide §5: the driver should do almost no work per
+# query). The set holds weak refs so a stopped session never pins.
+_ENSURED: "weakref.WeakSet[SparkSession]" = None  # type: ignore[assignment]
+
+
+def ensure_runtime_confs(spark: SparkSession, force: bool = False) -> SparkSession:
     """Apply engine-required runtime confs to an existing session.
 
     Idempotent; used by every entry point so the engine works on a
-    SparkSession it did not build.
+    SparkSession it did not build. Applied once per session object and
+    memoized — nothing in the engine mutates RUNTIME_CONFS keys after
+    start-up; pass ``force=True`` after deliberately changing one of
+    them out-of-band.
     """
+    global _ENSURED
+    if _ENSURED is None:
+        import weakref
+
+        _ENSURED = weakref.WeakSet()
+    if not force and spark in _ENSURED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not runtime-settable on this build — keep going
+    try:
+        _ENSURED.add(spark)
+    except TypeError:
+        pass  # non-weakref-able session stub (tests) — just re-apply next time
     return spark
 
 
