@@ -110,6 +110,25 @@ def main() -> None:
     # is shared, as it is across all workloads)
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
+
+    def clear_persisted() -> None:
+        # Measurement-honesty guard (round 13): q5 persists its shared
+        # split frame INSIDE the timed pipeline; because every repeat
+        # builds a canonically identical plan, Spark's CacheManager
+        # would substitute repeat 1's cached blocks into repeats 2-3
+        # ("Asked to cache already cached data", observed), so best-of-3
+        # would time cached reads instead of the declared
+        # compute-from-parquet. Dropping persisted RDDs + cached plans
+        # BETWEEN repeats (outside the timed window) makes every repeat
+        # pay the full scan→shuffle→window compute, cache fill included
+        # — the same isolation tools/bench_scale.py applies between
+        # workloads.
+        for jrdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            jrdd.unpersist(False)
+        spark.catalog.clearCache()
+
     for name, build in workloads.items():
         best = float("inf")
         for i in range(3):
@@ -119,6 +138,7 @@ def main() -> None:
             if i == 0:
                 first_run[name] = round(dt, 3)
             best = min(best, dt)
+            clear_persisted()
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)

@@ -332,14 +332,31 @@ def k_core(
     node at 100 TB makes a wide row; cap or pre-filter such nodes
     upstream (same call as co_occurrence_edges documents).
     """
-    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    und = (
-        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Canonicalize BEFORE the dedup shuffle (guide §2.3 "shuffle fewer
+    # bytes"): the old shape unioned both orientations first and ran
+    # `distinct` on 2E rows; orienting each edge (least, greatest) makes
+    # the two directions map-side-collapsible, so the dedup exchange and
+    # the checkpoint materialize E rows, not 2E, and the symmetric
+    # closure is re-derived by a free narrow union afterwards. Null /
+    # self-loop semantics are unchanged: least/greatest of a
+    # null-endpoint edge yields u == v (filtered), exactly as `u != v`
+    # dropped those rows before. Same canonical-first shape as
+    # dedup.connected_components.
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_edges = und.count()  # cheap: post-checkpoint partition counts
+    # cheap: post-checkpoint partition counts; × 2 = the directed count
+    # the threshold and nparts sizing are defined over
+    n_edges = 2 * canon.count()
+    und = canon.union(
+        canon.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
 
     if n_edges <= local_threshold_edges:
         from pyspark.sql import types as T

@@ -146,10 +146,36 @@ def merge_apply(
             F.col("_op").isNull() | (F.col("_op") != F.lit(delete_op))
         ).drop("_op")
 
-    b, c = base.alias("b"), latest.alias("c")
     if not broadcast_changes:
-        # one full-outer SMJ handles update/delete/insert together
-        return apply_side(b.join(c, on=keys, how="full_outer"))
+        # one full-outer SMJ handles update/delete/insert together —
+        # `latest` has a single consumer here, no materialization needed
+        return apply_side(
+            base.alias("b").join(latest.alias("c"), on=keys, how="full_outer")
+        )
+
+    # The broadcast path consumes `latest` TWICE (the broadcast build
+    # side AND the insert anti-join below); un-materialized, the whole
+    # changeset compaction (scan + two SortAggregates — max_by over a
+    # struct cannot hash-aggregate) executed once per consumer. The
+    # measured q10 plan showed both subtrees in full. Checkpoint so the
+    # compaction runs once and both consumers read the materialized rows
+    # (guide §1.2 "don't compute things you throw away"; same pattern as
+    # the bm25/rouge compacted relations). Lazy: the first action pays
+    # the materialization inside its own timed window. Registered,
+    # because the checkpoint truncates the lineage the census used to
+    # read the bounding aggregate from: the boundedness claim is the
+    # SAME author assertion the F.broadcast hint below already makes.
+    from ..lineage import bounded_checkpoint
+
+    latest = bounded_checkpoint(
+        latest,
+        "broadcast_changes=True caller contract (see docstring): the "
+        "per-key-compacted changeset fits in memory — the identical "
+        "assertion the F.broadcast hint on this frame makes; hint and "
+        "materialization are created at the same site",
+        eager=False,
+    )
+    b, c = base.alias("b"), latest.alias("c")
 
     # broadcast path: full outer cannot build the broadcast side, so
     # split into (1) broadcast left-outer — base payload never shuffles
