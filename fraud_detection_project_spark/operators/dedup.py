@@ -339,6 +339,15 @@ def ngram_jaccard_pairs(
     a shingle shared by d docs contributes d² pair candidates) →
     self-join on shingle → count common shingles per pair → Jaccard =
     common / (|A| + |B| − common).
+
+    Shingles fold to ``xxhash64`` BEFORE the inverted index
+    materializes (round 13, guide §2.3 "narrower types"): downstream
+    only ever compares shingles for EQUALITY, so the checkpoint, the
+    df aggregate, the anti-join and both self-join shuffles carry
+    8-byte longs instead of ~24-byte 3-word strings — measured −29%
+    on the whole pair stage at sf0.1 (4.69 → 3.31 s interleaved
+    best-of-3). A 2⁻⁶⁴ per-pair collision is accepted, exactly as in
+    exact_dedup / ngram_contamination / the hashed ROUGE grams.
     """
     sh = spread_input(df).select(
         F.col(id_col).alias("id"),
@@ -347,9 +356,11 @@ def ngram_jaccard_pairs(
     # materialize the inverted index once: it feeds the hot-shingle scan
     # and BOTH sides of the self-join — without this the shingle kernel
     # and explode run three times (measured 11s -> 4s at sf0.1)
-    exploded = sh.select(
-        "id", "n_sh", F.explode("shingles").alias("shingle")
-    ).localCheckpoint(eager=True)
+    exploded = (
+        sh.select("id", "n_sh", F.explode("shingles").alias("__s"))
+        .select("id", "n_sh", F.xxhash64("__s").alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
 
     hot = (
         exploded.groupBy("shingle")
@@ -724,17 +735,22 @@ def ngram_containment_pairs(
     containment ≥ ``threshold``.
 
     Same inverted-index plan as :func:`ngram_jaccard_pairs` — distinct
-    shingles explode once, stop-shingle df guard bounds the self-join
-    fanout, pair counts aggregate on (id_a, id_b). Candidate space is
-    bounded by shared-shingle collisions, never the corpus product.
+    shingles explode once (folded to ``xxhash64`` longs before the
+    checkpoint, round 13: equality-only downstream, −29% measured on
+    the jaccard twin; 2⁻⁶⁴ collisions accepted as in exact_dedup),
+    stop-shingle df guard bounds the self-join fanout, pair counts
+    aggregate on (id_a, id_b). Candidate space is bounded by
+    shared-shingle collisions, never the corpus product.
     """
     sh = spread_input(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(text_col, shingle_n)).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles"))
-    exploded = sh.select(
-        "id", "n_sh", F.explode("shingles").alias("shingle")
-    ).localCheckpoint(eager=True)
+    exploded = (
+        sh.select("id", "n_sh", F.explode("shingles").alias("__s"))
+        .select("id", "n_sh", F.xxhash64("__s").alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
     hot = (
         exploded.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_"))

@@ -138,22 +138,43 @@ def co_occurrence_edges(
     src < dst for every pair of distinct items sharing a group (parts
     in the same order, entities in the same session).
 
-    Shape: distinct → self-equi-join on the group key → distinct. The
-    join is per-group, so work is Σ_g |g|² — bounded when group sizes
-    are (orders hold ≤ 7 lineitems; sessions are capped). A pathological
-    hot group would need the same salting treatment as any skewed
-    equi-join; groups that large usually warrant a cap/filter first,
-    which is the curation-layer call, not this operator's.
+    Shape (round 13): ONE ``groupBy(group)`` shuffle gathers each
+    group's distinct item set (``collect_set`` dedups in-agg with
+    map-side partials), pairs expand INSIDE the sorted array via
+    codegen-planned array functions, then one ``distinct`` dedups
+    pairs across groups — two exchanges total. The previous
+    distinct → self-equi-join → distinct form paid four (the
+    (group, item)-keyed distinct did not satisfy the join's
+    group-keyed clustering, so both join inputs re-shuffled).
+    Work is still Σ_g |g|² and the per-group array is |g| items —
+    bounded when group sizes are (orders hold ≤ 7 lineitems; sessions
+    are capped). A pathological hot group would make a wide row where
+    it previously made a quadratic join bucket; either way groups that
+    large warrant a cap/filter first, which is the curation-layer
+    call, not this operator's. Null semantics match the join form:
+    null groups never pair (the equi-join dropped them; here they are
+    filtered), null items are dropped by ``collect_set`` (the
+    ``l.item < r.item`` predicate was null-rejecting).
     """
-    d = df.select(group, item).distinct()
-    return (
-        d.alias("l")
-        .join(d.alias("r"), F.col(f"l.{group}") == F.col(f"r.{group}"))
-        .filter(F.col(f"l.{item}") < F.col(f"r.{item}"))
-        .select(
-            F.col(f"l.{item}").alias("src"),
-            F.col(f"r.{item}").alias("dst"),
+    d = (
+        df.filter(F.col(group).isNotNull())
+        .groupBy(group)
+        .agg(F.sort_array(F.collect_set(item)).alias("__items"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "__items",
+            lambda x, i: F.transform(
+                F.slice(
+                    "__items", i + F.lit(2), F.size("__items")
+                ),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
         )
+    )
+    return (
+        d.select(F.explode(pairs).alias("__e"))
+        .select("__e.src", "__e.dst")
         .distinct()
     )
 
@@ -254,7 +275,35 @@ def _peel_cores_numpy(us, vs):
     nodes = np.asarray(uniq)
     ui = codes[: len(us)]
     vi = codes[len(us):]
-    n = len(nodes)
+    return nodes, _peel_codes(ui, vi, len(nodes))
+
+
+def _peel_cores_canonical(cu, cv):
+    """:func:`_peel_cores_numpy` fed the CANONICAL (u < v, distinct)
+    edge array instead of the symmetric closure. The id compaction runs
+    over 2E endpoint values instead of 4E and the symmetric index
+    arrays are derived by concatenating the already-compacted codes —
+    half the fresh memory the task touches (round 13: the measured
+    in-worker cost of this kernel is dominated by first-touch page
+    faults on freshly allocated buffers, so bytes into the worker are
+    the lever, guide §4.1 "you control how many columns cross")."""
+    import numpy as np
+    import pandas as pd
+
+    codes, uniq = pd.factorize(np.concatenate([cu, cv]))
+    nodes = np.asarray(uniq)
+    ci = codes[: len(cu)]
+    cj = codes[len(cu):]
+    ui = np.concatenate([ci, cj])
+    vi = np.concatenate([cj, ci])
+    return nodes, _peel_codes(ui, vi, len(nodes))
+
+
+def _peel_codes(ui, vi, n):
+    """Bucket peeling over compacted 0..n-1 node codes (see
+    :func:`_peel_cores_numpy` for the algorithm contract)."""
+    import numpy as np
+
     deg0 = np.bincount(ui, minlength=n)
     order = np.argsort(ui, kind="stable")
     adj = vi[order]
@@ -279,7 +328,7 @@ def _peel_cores_numpy(us, vs):
                 nbrs = nbrs[alive[nbrs]]
                 np.subtract.at(deg, nbrs, 1)
             peel = np.flatnonzero(alive & (deg <= k))
-    return nodes, core
+    return core
 
 
 def k_core(
@@ -379,14 +428,17 @@ def k_core(
                 vp.append(pdf["v"].to_numpy())
             if not up:
                 return
-            nodes, core = _peel_cores_numpy(
+            nodes, core = _peel_cores_canonical(
                 np.concatenate(up), np.concatenate(vp)
             )
             yield pd.DataFrame({"id": nodes, "core": core.astype("int32")})
 
-        # coalesce(1) + mapInPandas: stream checkpointed partitions into
-        # the one task — no single-bucket shuffle of the edge list.
-        return und.coalesce(1).mapInPandas(_peel, out_schema)
+        # coalesce(1) + mapInPandas over the CANONICAL edges (round 13):
+        # streaming E checkpointed rows into the one task instead of the
+        # 2E-row symmetric closure halves the Arrow transfer and the
+        # fresh memory the peel task touches; the closure is derived
+        # in-kernel from the compacted codes (_peel_cores_canonical).
+        return canon.coalesce(1).mapInPandas(_peel, out_schema)
 
     # Iteration shuffles are sized by EXPLICIT repartition(nparts, key)
     # on the loop frames rather than by flipping the session-global
