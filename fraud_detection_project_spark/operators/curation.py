@@ -91,9 +91,23 @@ def remove_boilerplate_lines(
     size, same trade as exact_dedup_docs).
     """
     tagged = df.withColumn("__lines", lines)
-    exploded = tagged.select(
-        id_col, F.posexplode("__lines").alias("__pos", "__line")
-    ).withColumn("__h", F.xxhash64("__line"))
+    # materialize the narrow (id, pos, hash) index once (round 13,
+    # guide §1.2): it feeds BOTH the frequency pass and the removal
+    # semi-join — un-materialized, the chunk/tokenize kernel (split +
+    # slice + array_join over the whole corpus) executed in each
+    # consumer, three times per run counting the final `tagged` join
+    # branch. The checkpoint holds 20-byte rows (two longs + pos) per
+    # line, never line text, so it is corpus-linear and narrow — the
+    # same trade as the dedup inverted index. The final join branch
+    # still re-derives `__lines` from the source scan: checkpointing
+    # the text arrays themselves would materialize a full corpus copy.
+    exploded = (
+        tagged.select(
+            id_col, F.posexplode("__lines").alias("__pos", "__line")
+        )
+        .select(id_col, "__pos", F.xxhash64("__line").alias("__h"))
+        .localCheckpoint(eager=True)
+    )
     common = (
         exploded.groupBy("__h")
         .agg(F.count_distinct(id_col).alias("__nd"))

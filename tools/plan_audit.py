@@ -787,10 +787,17 @@ def audit(spark, sf_dir: str) -> list[str]:
 
     # boilerplate removal — corpus text never shuffles: every hash
     # exchange carries only (line-hash, doc_id) pairs or per-affected-doc
-    # position sets; the common-set and removals joins broadcast
+    # position sets; the common-set and removals joins broadcast.
+    # Round 13: the (doc_id, pos, xxhash64(line)) index materializes ONCE
+    # in a localCheckpoint (the hash literal moved into the checkpoint-
+    # producing job), so downstream the frequency pass must consume the
+    # NARROW hashed scan — `Scan ExistingRDD[doc_id…,__pos…,__h…]`, no
+    # text column — instead of re-deriving hashes from text.
     p = plan_of(QUERIES["boilerplate_removed_docs"](spark, sf_dir))
     check("boilerplate: frequency pass shuffles hashes, not text",
-          "xxhash64" in p and p.count("Exchange hashpartitioning(__h") == 2,
+          "Scan ExistingRDD[doc_id" in p
+          and ",__h" in p.split("Scan ExistingRDD[doc_id", 1)[1][:40]
+          and p.count("Exchange hashpartitioning(__h") == 2,
           p)
     check("boilerplate: common-set and removals join by broadcast",
           p.count("BroadcastHashJoin") == 2 and "SortMergeJoin" not in p, p)
