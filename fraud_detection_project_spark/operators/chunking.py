@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized_text, tokens
+from ..functions.text import alnum_tokens
 from .indexing import partitioned_prefix_sum
 
 
@@ -42,7 +42,7 @@ def chunk_documents(
     stride = chunk_size - overlap
     if stride <= 0:
         raise ValueError("overlap must be smaller than chunk_size")
-    toks = tokens(normalized_text(text_col))
+    toks = alnum_tokens(text_col)
     n = F.size(toks)
     # chunk starts: 0, stride, 2*stride, ... while start < n
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(

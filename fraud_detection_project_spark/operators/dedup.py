@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized_text, tokens
+from ..functions.text import alnum_tokens, normalized_text
 
 def spread_input(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Round-robin repartition when the input arrives under-partitioned
@@ -46,28 +46,31 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     Documents shorter than n words yield their whole text as the single
     shingle (so they can still exact-match).
 
-    Normalization stays JVM-side; the sliding join crosses to an
-    Arrow-batched kernel — the column form (transform(sequence) with a
-    slice+concat per position) is interpreted per shingle and measured
-    ~20× slower at corpus scale.
+    Tokenization stays JVM-side (``alnum_tokens``, one regex pass —
+    round 13: feeding the kernel the token ARRAY instead of the
+    normalized string drops the 10×-slower regexp_replace pass AND the
+    in-kernel re-split, see functions/text.py); the sliding join
+    crosses to an Arrow-batched kernel — the column form
+    (transform(sequence) with a slice+concat per position) is
+    interpreted per shingle and measured ~20× slower at corpus scale.
     """
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    def shingle(texts):
+    def shingle(tok_arrays):
         out = []
-        for t in texts:
-            if t is None:
+        for toks in tok_arrays:
+            if toks is None:
                 out.append(None)
                 continue
-            toks = t.split()
+            toks = list(toks)
             if len(toks) >= n:
                 out.append([" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)])
             else:
                 out.append([" ".join(toks)])
         return pd.Series(out, dtype=object)
 
-    return pandas_udf(shingle, returnType="array<string>")(normalized_text(col))
+    return pandas_udf(shingle, returnType="array<string>")(alnum_tokens(col))
 
 
 def exact_dedup(
@@ -266,7 +269,7 @@ def simhash(col: Column | str) -> Column:
     """64-bit SimHash of the token set: bit j of the output is 1 iff the
     ±1 vote (sign of bit j of xxhash64(token)) over tokens is positive.
     """
-    tok_hashes = F.transform(tokens(normalized_text(col)), lambda t: F.xxhash64(t))
+    tok_hashes = F.transform(alnum_tokens(col), lambda t: F.xxhash64(t))
     return _simhash_fold_udf()(tok_hashes)
 
 
@@ -324,6 +327,88 @@ def simhash_near_dup_pairs(
     )
 
 
+def _shingle_pair_common(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_shingle_df: int,
+) -> DataFrame:
+    """Shared inverted-index pair stage of :func:`ngram_jaccard_pairs` /
+    :func:`ngram_containment_pairs`: ``(id_a, id_b, n_a, n_b, common)``
+    with ``id_a < id_b`` — common distinct shingles per candidate pair,
+    hot shingles (document frequency > ``max_shingle_df``) dropped.
+
+    Shingles fold to ``xxhash64`` BEFORE the inverted index
+    materializes (round 13, guide §2.3 "narrower types"): downstream
+    only ever compares shingles for EQUALITY, so every stage carries
+    8-byte longs instead of ~24-byte 3-word strings — measured −29%
+    on the whole pair stage at sf0.1. A 2⁻⁶⁴ per-pair collision is
+    accepted, exactly as in exact_dedup / ngram_contamination / the
+    hashed ROUGE grams.
+
+    Pair-candidate shape (round 13, guide §2.4 "remove shuffles
+    outright"): ONE ``groupBy(shingle)`` gathers each shingle's
+    posting list as a sorted array of (id, n_sh) structs; groups
+    longer than ``max_shingle_df`` are dropped by a plain ``size``
+    filter (the stop-shingle guard, now free — the old plan paid a
+    separate df-count aggregate plus an anti-join for it); candidate
+    pairs expand INSIDE the array via codegen-planned array functions
+    (the ``co_occurrence_edges`` shape) and one final
+    ``groupBy(id_a, id_b)`` counts common shingles. Two exchanges
+    end-to-end where the old explode→df-agg→anti-join→self-join plan
+    paid four plus a join build. Per-group arrays are bounded at
+    ``max_shingle_df`` entries by the same guard that bounded the old
+    join's fanout (a capped group expands to ≤ C(max_df, 2) pairs
+    in-array — the identical candidate count the self-join produced
+    as rows). The strict ``id_a < id_b`` filter reproduces the old
+    join predicate exactly, including under duplicate input ids.
+    """
+    sh = spread_input(df).select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    # materialize the inverted index once: the shingle kernel must not
+    # re-run when a caller's plan references the returned frame more
+    # than once (measured 11s -> 4s at sf0.1)
+    exploded = (
+        sh.select("id", "n_sh", F.explode("shingles").alias("__s"))
+        .select("id", "n_sh", F.xxhash64("__s").alias("shingle"))
+        .localCheckpoint(eager=True)
+    )
+
+    # posting list per shingle; the length filter IS the stop-shingle
+    # skew guard (a shingle shared by d docs contributes d² candidate
+    # pairs). sort_array orders structs by (id, n_sh) — ascending id —
+    # so in-array expansion of index pairs i<j yields id_a <= id_b.
+    posting = (
+        exploded.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "n_sh"))).alias("__docs"))
+        .filter(F.size("__docs") <= max_shingle_df)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "__docs",
+            lambda x, i: F.transform(
+                F.slice("__docs", i + F.lit(2), F.size("__docs")),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    x["n_sh"].alias("n_a"),
+                    y["n_sh"].alias("n_b"),
+                ),
+            ),
+        )
+    )
+    return (
+        posting.select(F.explode(pair_arr).alias("__p"))
+        .select("__p.id_a", "__p.id_b", "__p.n_a", "__p.n_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -334,63 +419,13 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs above ``threshold``.
 
-    Inverted-index plan: explode distinct shingles → drop shingles with
-    document frequency > ``max_shingle_df`` (stop-shingle skew guard:
-    a shingle shared by d docs contributes d² pair candidates) →
-    self-join on shingle → count common shingles per pair → Jaccard =
-    common / (|A| + |B| − common).
-
-    Shingles fold to ``xxhash64`` BEFORE the inverted index
-    materializes (round 13, guide §2.3 "narrower types"): downstream
-    only ever compares shingles for EQUALITY, so the checkpoint, the
-    df aggregate, the anti-join and both self-join shuffles carry
-    8-byte longs instead of ~24-byte 3-word strings — measured −29%
-    on the whole pair stage at sf0.1 (4.69 → 3.31 s interleaved
-    best-of-3). A 2⁻⁶⁴ per-pair collision is accepted, exactly as in
-    exact_dedup / ngram_contamination / the hashed ROUGE grams.
+    Inverted-index plan (see :func:`_shingle_pair_common` for the
+    shared pair stage and its scale/skew contract): per-shingle
+    posting lists → in-array pair expansion → count common shingles
+    per pair → Jaccard = common / (|A| + |B| − common).
     """
-    sh = spread_input(df).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
-    # materialize the inverted index once: it feeds the hot-shingle scan
-    # and BOTH sides of the self-join — without this the shingle kernel
-    # and explode run three times (measured 11s -> 4s at sf0.1)
-    exploded = (
-        sh.select("id", "n_sh", F.explode("shingles").alias("__s"))
-        .select("id", "n_sh", F.xxhash64("__s").alias("shingle"))
-        .localCheckpoint(eager=True)
-    )
-
-    hot = (
-        exploded.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df_"))
-        .filter(F.col("df_") > max_shingle_df)
-        .select("shingle")
-    )
-    # stop-shingle guard joins HINT-FREE (census, round 11): |hot| =
-    # shingles with df > max_shingle_df is bounded only by
-    # total_shingles/max_shingle_df — LINEAR in the corpus under the
-    # absolute threshold, so a forced broadcast OOMs the driver at the
-    # 100 TB design point. AQE broadcasts it at runtime while the
-    # measured set is small and degrades to a shuffle anti-join beyond
-    # threshold (the same retirement r10 applied to the decontam probe
-    # shingles and DSIR vocab stats).
-    pruned = exploded.join(hot, "shingle", "left_anti")
-
-    a, b = pruned.alias("a"), pruned.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
+    common = _shingle_pair_common(
+        df, text_col, id_col, shingle_n, max_shingle_df
     )
     jac = F.col("common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("common")
@@ -734,52 +769,15 @@ def ngram_containment_pairs(
     containment distinction). Returns pairs whose MAX directional
     containment ≥ ``threshold``.
 
-    Same inverted-index plan as :func:`ngram_jaccard_pairs` — distinct
-    shingles explode once (folded to ``xxhash64`` longs before the
-    checkpoint, round 13: equality-only downstream, −29% measured on
-    the jaccard twin; 2⁻⁶⁴ collisions accepted as in exact_dedup),
-    stop-shingle df guard bounds the self-join fanout, pair counts
-    aggregate on (id_a, id_b). Candidate space is bounded by
-    shared-shingle collisions, never the corpus product.
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (shared
+    pair stage, :func:`_shingle_pair_common`): per-shingle posting
+    lists with the stop-shingle df guard as a plain length filter,
+    in-array pair expansion, pair counts aggregated on (id_a, id_b).
+    Candidate space is bounded by shared-shingle collisions, never
+    the corpus product.
     """
-    sh = spread_input(df).select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("shingles"),
-    ).withColumn("n_sh", F.size("shingles"))
-    exploded = (
-        sh.select("id", "n_sh", F.explode("shingles").alias("__s"))
-        .select("id", "n_sh", F.xxhash64("__s").alias("shingle"))
-        .localCheckpoint(eager=True)
-    )
-    hot = (
-        exploded.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df_"))
-        .filter(F.col("df_") > max_shingle_df)
-        .select("shingle")
-    )
-    # stop-shingle guard joins HINT-FREE (census, round 11): |hot| =
-    # shingles with df > max_shingle_df is bounded only by
-    # total_shingles/max_shingle_df — LINEAR in the corpus under the
-    # absolute threshold, so a forced broadcast OOMs the driver at the
-    # 100 TB design point. AQE broadcasts it at runtime while the
-    # measured set is small and degrades to a shuffle anti-join beyond
-    # threshold (the same retirement r10 applied to the decontam probe
-    # shingles and DSIR vocab stats).
-    pruned = exploded.join(hot, "shingle", "left_anti")
-    a, b = pruned.alias("a"), pruned.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
+    common = _shingle_pair_common(
+        df, text_col, id_col, shingle_n, max_shingle_df
     )
     cont_a = F.col("common") / F.col("n_a")
     cont_b = F.col("common") / F.col("n_b")

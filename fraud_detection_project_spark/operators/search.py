@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.text import normalized_text, tokens
+from ..functions.text import alnum_tokens
 
 
 def bm25_search(
@@ -51,7 +51,7 @@ def bm25_search(
     from .dedup import spread_input
 
     toked = spread_input(docs).select(
-        F.col(id_col), tokens(normalized_text(text_col)).alias("toks")
+        F.col(id_col), alnum_tokens(text_col).alias("toks")
     )
     # ONE tokenization pass (round 13, guide §1.2): the old shape
     # tokenized the corpus twice — a full pass for the one-row
@@ -146,7 +146,7 @@ def tfidf_weights(
     from .dedup import spread_input
 
     toked = spread_input(docs).select(
-        F.col(id_col), tokens(normalized_text(text_col)).alias("toks")
+        F.col(id_col), alnum_tokens(text_col).alias("toks")
     )
     n_docs = toked.agg(F.count(F.lit(1)).alias("n"))
 
@@ -201,7 +201,7 @@ def feature_hash_vectors(
     from .dedup import spread_input
 
     toked = spread_input(docs).select(
-        F.col(id_col), tokens(normalized_text(text_col)).alias("toks")
+        F.col(id_col), alnum_tokens(text_col).alias("toks")
     )
     return (
         toked.select(F.col(id_col), F.explode("toks").alias("term"))
@@ -239,7 +239,7 @@ def build_vocabulary(
     from .dedup import spread_input
 
     toked = spread_input(docs).select(
-        F.col(id_col), tokens(normalized_text(text_col)).alias("toks")
+        F.col(id_col), alnum_tokens(text_col).alias("toks")
     )
     n_docs = toked.agg(F.count(F.lit(1)).alias("n"))
     df_ = (
@@ -292,7 +292,7 @@ def pmi_term_pairs(
 
     toked = spread_input(docs).select(
         F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(tokens(normalized_text(text_col)))).alias(
+        F.explode(F.array_distinct(alnum_tokens(text_col))).alias(
             "term"
         ),
     )
@@ -367,7 +367,7 @@ def bigram_lm_topk(
     positional self-join. Two shuffles total: bigram count, context
     window sum over the counts frame (bounded by distinct bigrams).
     """
-    toked = docs.select(tokens(normalized_text(text_col)).alias("toks")).filter(
+    toked = docs.select(alnum_tokens(text_col).alias("toks")).filter(
         F.size("toks") >= 2
     )
     big = toked.select(
@@ -428,7 +428,7 @@ def lm_perplexity(
 
     def _valid_toked(frame: DataFrame, *extra):
         return frame.select(
-            *extra, tokens(normalized_text(text_col)).alias("toks")
+            *extra, alnum_tokens(text_col).alias("toks")
         ).filter(
             (F.size("toks") >= 2) & (F.element_at("toks", 1) != F.lit(""))
         )

@@ -59,10 +59,16 @@ def ngram_counts(
     EQUALITY downstream (the ROUGE overlap join); a 2⁻⁶⁴ per-pair
     collision is accepted, as in exact_dedup / ngram_contamination.
     """
-    toks = F.split(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), _TOKEN_CLEAN, " ")),
-        r"\s+",
+    # single-regex-pass tokenize (round 13, see functions/text.py
+    # alnum_tokens: 10× over the regexp_replace pipeline, provably
+    # token-identical). One convention difference vs alnum_tokens: the
+    # oracle expression split(trim(...), '\s+') yields [''] — not [] —
+    # for all-separator text, so restore that case explicitly (NULL
+    # text stays NULL: size(NULL)==NULL falls through to otherwise).
+    filt = F.array_remove(
+        F.split(F.lower(F.col(text_col)), _TOKEN_CLEAN), ""
     )
+    toks = F.when(F.size(filt) == 0, F.array(F.lit(""))).otherwise(filt)
     d = docs.select(F.col(id_col), toks.alias("toks")).filter(
         F.size("toks") >= n
     )

@@ -99,3 +99,125 @@ def test_bench_q5_single_events_scan_and_result(spark):
     n_total = ev.count()
     assert got["n"] <= n_total
     spark.catalog.clearCache()
+
+# ---------------------------------------------------------------------------
+# Tokenize: one-regex-pass alnum_tokens / rebuilt normalized_text must be
+# value-identical to the old two-pass regexp_replace pipeline on every edge
+# case (OPTIMIZATION_r13.md change 1).
+
+TOK_EDGE_CASES = [
+    None,
+    "",
+    "   ",
+    "!!!...###",
+    "Hello, World!",
+    " a b ",
+    "a",
+    "É çi İstanbul?  mixed-CASE_42 tail.",
+    "1,2,3&4",
+    "\tnl\nand\r\nmore\n",
+]
+
+
+def test_alnum_tokens_matches_two_pass_pipeline(spark):
+    from fraud_detection_project_spark.functions.text import (
+        alnum_tokens,
+        normalized_text,
+    )
+
+    df = spark.createDataFrame([(t,) for t in TOK_EDGE_CASES], "text string")
+    old_norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+    )
+    old_toks = F.when(
+        F.length(F.trim(old_norm)) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(old_norm), r"\s+"))
+    rows = df.select(
+        old_norm.alias("on"),
+        normalized_text("text").alias("nn"),
+        old_toks.alias("ot"),
+        alnum_tokens("text").alias("nt"),
+    ).collect()
+    for r in rows:
+        assert r["on"] == r["nn"], (r["on"], r["nn"])
+        assert r["ot"] == r["nt"], (r["ot"], r["nt"])
+
+
+def test_texteval_tokens_keep_oracle_empty_convention(spark):
+    """ngram_counts' single-pass tokenizer must keep the oracle's
+    split(trim(...), '\\s+') convention: all-separator text yields the
+    single empty-string token (NOT an empty array), null text yields no
+    gram rows."""
+    from fraud_detection_project_spark.operators.texteval import ngram_counts
+
+    docs = spark.createDataFrame(
+        [(1, "!!!"), (2, None), (3, "one two"), (4, "x")],
+        "doc_id long, text string",
+    )
+    uni = {
+        (r["doc_id"], r["gram"], r["c"])
+        for r in ngram_counts(docs, "doc_id", "text", 1).collect()
+    }
+    # doc 1: the [''] token IS a unigram; doc 2 contributes nothing
+    assert (1, "", 1) in uni
+    assert not any(d == 2 for d, _, _ in uni)
+    assert (3, "one", 1) in uni and (3, "two", 1) in uni and (4, "x", 1) in uni
+
+
+def test_shingle_pair_common_matches_self_join_shape(spark):
+    """The posting-list + in-array pair expansion must reproduce the old
+    df-agg + anti-join + self-join stage row-for-row, including the hot-
+    shingle drop at the max_shingle_df boundary and duplicate ids."""
+    from fraud_detection_project_spark.operators.dedup import (
+        _shingle_pair_common,
+        spread_input,
+        word_shingles,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over a lazy dog"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "completely different text with no overlap at all here"),
+        (5, "the quick brown cat naps under the lazy dog"),
+        (6, None),
+        (7, "short"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    max_df = 3  # 'the quick brown' appears in 4 docs -> dropped as hot
+
+    # old shape, inlined
+    sh = spread_input(docs).select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(word_shingles("text", 3)).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles"))
+    exploded = sh.select(
+        "id", "n_sh", F.explode("shingles").alias("__s")
+    ).select("id", "n_sh", F.xxhash64("__s").alias("shingle"))
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") > max_df)
+        .select("shingle")
+    )
+    pruned = exploded.join(hot, "shingle", "left_anti")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    old = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    new = _shingle_pair_common(docs, "text", "doc_id", 3, max_df)
+    cols = ["id_a", "id_b", "n_a", "n_b", "common"]
+    assert sorted(map(tuple, old.select(cols).collect())) == sorted(
+        map(tuple, new.select(cols).collect())
+    )
