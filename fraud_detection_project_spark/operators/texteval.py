@@ -63,12 +63,17 @@ def ngram_counts(
     # alnum_tokens: 10× over the regexp_replace pipeline, provably
     # token-identical). One convention difference vs alnum_tokens: the
     # oracle expression split(trim(...), '\s+') yields [''] — not [] —
-    # for all-separator text, so restore that case explicitly (NULL
-    # text stays NULL: size(NULL)==NULL falls through to otherwise).
-    filt = F.array_remove(
+    # for all-separator text. That case is observable ONLY at n == 1
+    # (for n ≥ 2 both [''] and [] fail the size >= n gate identically),
+    # so the when() branch is gated on n: a conditional referencing the
+    # token array twice defeats codegen subexpression elimination and
+    # measured ~2× on the n=2 gram pass at ~sf1 (11.3 s vs 5.6 s for
+    # the plain array; the old two-pass pipeline sat at 5.9-6.4 s).
+    toks = F.array_remove(
         F.split(F.lower(F.col(text_col)), _TOKEN_CLEAN), ""
     )
-    toks = F.when(F.size(filt) == 0, F.array(F.lit(""))).otherwise(filt)
+    if n == 1:
+        toks = F.when(F.size(toks) == 0, F.array(F.lit(""))).otherwise(toks)
     d = docs.select(F.col(id_col), toks.alias("toks")).filter(
         F.size("toks") >= n
     )
