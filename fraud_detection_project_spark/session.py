@@ -30,19 +30,24 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for every pandas_udf / applyInPandas / toPandas crossing.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Join strategy (round 13, guide §3.1/§9): let the planner pick
-    # shuffled-hash over sort-merge when its size conditions hold, and
-    # let AQE rewrite SMJ→SHJ at runtime when every post-shuffle
-    # partition is under the threshold. Strategy-only — results are
-    # identical (full 495-query oracle sweep green under this conf);
-    # measured −16% on the ROUGE overlap join at ~sf1 (floor 10.8→9.0 s,
-    # interleaved both orders). The threshold is a PER-PARTITION build
-    # memory bound, not a local[32] constant: 64 MB/partition is well
-    # inside any sane executor's per-task budget, AQE applies it only
-    # when the measured partition sizes qualify, and sort-merge remains
+    # Join strategy (round 14, guide §3.1; ADVICE r13): keep the
+    # planner's sort-merge preference and let ONLY the AQE runtime
+    # rewrite choose shuffled-hash, from MEASURED post-shuffle
+    # partition sizes under the threshold. Round 13 additionally set
+    # the static preferSortMergeJoin=false, which picks SHJ from
+    # ESTIMATED stats — SHJ's build side cannot spill, so a stats
+    # misestimate or a skewed build partition OOMs an executor where
+    # SMJ would have spilled. Re-measured this round after the q21
+    # kernel reshape: static SHJ vs SMJ+AQE are identical within noise
+    # (q21 min 4.21 vs 4.23 s, q7 4.33 vs 4.24 s at ~sf1, interleaved
+    # best-of-7), so the estimate-driven static flag buys nothing and
+    # is dropped. 64 MB/partition is a per-partition build bound well
+    # inside any sane executor's per-task budget; sort-merge remains
     # the automatic fallback above it (override via
-    # SPARK_GRAFT_SHJ_THRESHOLD, bytes; "0" disables the AQE rewrite).
-    "spark.sql.join.preferSortMergeJoin": "false",
+    # SPARK_GRAFT_SHJ_THRESHOLD, bytes; "0" disables the AQE rewrite —
+    # result-equivalence under both settings is pinned by
+    # tests/test_opt_r14.py).
+    "spark.sql.join.preferSortMergeJoin": "true",
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": os.environ.get(
         "SPARK_GRAFT_SHJ_THRESHOLD", str(64 * 1024 * 1024)
     ),

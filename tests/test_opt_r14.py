@@ -106,6 +106,29 @@ class TestHashedNgramKernel:
         assert got[3] == got[4]  # same (empty) gram key
         assert 5 not in got
 
+    def test_shj_threshold_off_is_result_identical(self, spark):
+        """VERDICT r13 item 8: the AQE SMJ→SHJ rewrite threshold is a
+        strategy-only conf — running a representative join query with
+        SPARK_GRAFT_SHJ_THRESHOLD=0 (rewrite disabled, pure sort-merge)
+        must produce identical results."""
+        from fraud_detection_project_spark.queries import QUERIES
+
+        conf = "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold"
+        old = spark.conf.get(conf)
+        sf = "/root/testdata/sf0.001"
+        try:
+            spark.conf.set(conf, str(64 * 1024 * 1024))
+            with_shj = sorted(
+                map(tuple, QUERIES["rouge2_adjacent_docs"](spark, sf).collect())
+            )
+            spark.conf.set(conf, "0")
+            smj_only = sorted(
+                map(tuple, QUERIES["rouge2_adjacent_docs"](spark, sf).collect())
+            )
+        finally:
+            spark.conf.set(conf, old)
+        assert with_shj == smj_only
+
     def test_hashed_flag_routes_to_kernel(self, spark):
         from fraud_detection_project_spark.operators.texteval import (
             ngram_counts,
