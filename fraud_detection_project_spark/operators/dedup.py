@@ -348,21 +348,33 @@ def _shingle_pair_common(
     hashed ROUGE grams.
 
     Pair-candidate shape (round 13, guide §2.4 "remove shuffles
-    outright"): ONE ``groupBy(shingle)`` gathers each shingle's
-    posting list as a sorted array of (id, n_sh) structs; groups
-    longer than ``max_shingle_df`` are dropped by a plain ``size``
-    filter (the stop-shingle guard, now free — the old plan paid a
-    separate df-count aggregate plus an anti-join for it); candidate
-    pairs expand INSIDE the array via codegen-planned array functions
-    (the ``co_occurrence_edges`` shape) and one final
-    ``groupBy(id_a, id_b)`` counts common shingles. Two exchanges
-    end-to-end where the old explode→df-agg→anti-join→self-join plan
-    paid four plus a join build. Per-group arrays are bounded at
-    ``max_shingle_df`` entries by the same guard that bounded the old
-    join's fanout (a capped group expands to ≤ C(max_df, 2) pairs
-    in-array — the identical candidate count the self-join produced
-    as rows). The strict ``id_a < id_b`` filter reproduces the old
-    join predicate exactly, including under duplicate input ids.
+    outright"; hot-shingle guard hardened round 14, ADVICE r13): ONE
+    ``groupBy(shingle)`` gathers each shingle's posting list as a
+    sorted array of (id, n_sh) structs; candidate pairs expand INSIDE
+    the array via codegen-planned array functions (the
+    ``co_occurrence_edges`` shape) and one final
+    ``groupBy(id_a, id_b)`` counts common shingles.
+
+    Stop-shingle guard: hot shingles (document frequency >
+    ``max_shingle_df``) are pruned BEFORE the posting-list
+    aggregation. The round-13 shape filtered ``size(__docs)`` AFTER
+    ``collect_list``, which meant a shingle present in millions of
+    docs still materialized its whole posting list in ONE aggregation
+    buffer — unbounded memory at the 100 TB design point. The guard
+    is now the constant-memory count-aggregate form: a
+    map-side-combined ``groupBy(shingle).count()`` (shuffles one
+    (shingle, partial-count) row per shingle per task, never a list)
+    names the tiny over-threshold set, and a ``left_anti`` join drops
+    those rows from the exploded index before any list is collected —
+    AQE broadcasts the hot set when it is small (the normal case) and
+    falls back to a spillable sort-merge anti-join when it is not.
+    Per-group arrays are therefore bounded at ``max_shingle_df``
+    entries BY CONSTRUCTION (a capped group expands to ≤ C(max_df, 2)
+    pairs in-array — the identical candidate count the old self-join
+    produced as rows). Kept-group posting lists and the dropped-group
+    set are exactly those of the post-aggregation filter, so results
+    are unchanged. The strict ``id_a < id_b`` filter reproduces the
+    old join predicate exactly, including under duplicate input ids.
     """
     sh = spread_input(df).select(
         F.col(id_col).alias("id"),
@@ -377,14 +389,24 @@ def _shingle_pair_common(
         .localCheckpoint(eager=True)
     )
 
-    # posting list per shingle; the length filter IS the stop-shingle
-    # skew guard (a shingle shared by d docs contributes d² candidate
-    # pairs). sort_array orders structs by (id, n_sh) — ascending id —
-    # so in-array expansion of index pairs i<j yields id_a <= id_b.
-    posting = (
+    # stop-shingle skew guard (a shingle shared by d docs contributes
+    # d² candidate pairs): prune hot shingles BEFORE collecting any
+    # posting list, so no aggregation buffer ever exceeds
+    # max_shingle_df entries (see docstring — ADVICE r13). The count
+    # aggregate is map-side combined; the hot set is tiny, so AQE
+    # turns the anti-join into a broadcast.
+    hot = (
         exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_shingle_df)
+        .select("shingle")
+    )
+    # sort_array orders structs by (id, n_sh) — ascending id — so
+    # in-array expansion of index pairs i<j yields id_a <= id_b.
+    posting = (
+        exploded.join(hot, "shingle", "left_anti")
+        .groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.struct("id", "n_sh"))).alias("__docs"))
-        .filter(F.size("__docs") <= max_shingle_df)
     )
     pair_arr = F.flatten(
         F.transform(
@@ -423,6 +445,17 @@ def ngram_jaccard_pairs(
     shared pair stage and its scale/skew contract): per-shingle
     posting lists → in-array pair expansion → count common shingles
     per pair → Jaccard = common / (|A| + |B| − common).
+
+    The returned frame is ``localCheckpoint(eager=False)``-materialized
+    on first action (ADVICE r13): checkpoint blocks are executor-local
+    and unreplicated, so on a real cluster an executor loss AFTER
+    materialization fails downstream actions of this frame (lineage is
+    truncated — no recompute) and blocks are retained until the frame
+    is garbage-collected. That trade is deliberate here: the pair
+    frame is small (threshold-filtered), graph consumers re-read it
+    several times, and re-deriving it re-runs the whole posting/expand
+    stage. Callers needing fault-tolerant recompute should re-derive
+    from the inputs rather than hold this frame across long jobs.
     """
     common = _shingle_pair_common(
         df, text_col, id_col, shingle_n, max_shingle_df
@@ -780,10 +813,12 @@ def ngram_containment_pairs(
 
     Same inverted-index plan as :func:`ngram_jaccard_pairs` (shared
     pair stage, :func:`_shingle_pair_common`): per-shingle posting
-    lists with the stop-shingle df guard as a plain length filter,
-    in-array pair expansion, pair counts aggregated on (id_a, id_b).
-    Candidate space is bounded by shared-shingle collisions, never
-    the corpus product.
+    lists behind the constant-memory stop-shingle pre-prune, in-array
+    pair expansion, pair counts aggregated on (id_a, id_b). Candidate
+    space is bounded by shared-shingle collisions, never the corpus
+    product. The returned frame is lazily ``localCheckpoint``-ed with
+    the same executor-loss/retention trade documented on
+    :func:`ngram_jaccard_pairs`.
     """
     common = _shingle_pair_common(
         df, text_col, id_col, shingle_n, max_shingle_df

@@ -106,6 +106,68 @@ class TestHashedNgramKernel:
         assert got[3] == got[4]  # same (empty) gram key
         assert 5 not in got
 
+    def test_hot_shingle_preprune_matches_postfilter(self, spark):
+        """ADVICE r13 (high): the stop-shingle guard moved BEFORE the
+        posting-list aggregation (count + anti-join, constant memory)
+        — pair results must be identical to the post-aggregation size
+        filter, including the boundary df == max_shingle_df (kept) and
+        df == max_shingle_df + 1 (dropped)."""
+        from fraud_detection_project_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        # "common base" is a 3-shingle run shared by all 4 docs →
+        # its shingles have df 4; unique tails differentiate docs
+        docs = spark.createDataFrame(
+            [
+                (1, "common base shingle run one two alpha beta gamma"),
+                (2, "common base shingle run one two alpha beta delta"),
+                (3, "common base shingle run three four epsilon"),
+                (4, "common base shingle run three four zeta"),
+            ],
+            ["doc_id", "text"],
+        )
+
+        def run(max_df):
+            return sorted(
+                (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                for r in ngram_jaccard_pairs(
+                    docs, threshold=0.05, max_shingle_df=max_df
+                ).collect()
+            )
+
+        # reference: brute-force jaccard with shingles of df <= max_df
+        import itertools
+
+        def brute(max_df):
+            toks = {
+                r["doc_id"]: r["text"].split() for r in docs.collect()
+            }
+            sh = {
+                d: {tuple(t[i : i + 3]) for i in range(len(t) - 2)}
+                for d, t in toks.items()
+            }
+            df_count = {}
+            for s in sh.values():
+                for g in s:
+                    df_count[g] = df_count.get(g, 0) + 1
+            kept = {
+                d: {g for g in s if df_count[g] <= max_df}
+                for d, s in sh.items()
+            }
+            out = []
+            for a, b in itertools.combinations(sorted(sh), 2):
+                common = len(kept[a] & kept[b])
+                if common == 0:
+                    continue
+                jac = common / (len(sh[a]) + len(sh[b]) - common)
+                if jac >= 0.05:
+                    out.append((a, b, round(jac, 9)))
+            return sorted(out)
+
+        for max_df in (1, 2, 3, 4, 1000):
+            assert run(max_df) == brute(max_df), f"max_df={max_df}"
+
     def test_shj_threshold_off_is_result_identical(self, spark):
         """VERDICT r13 item 8: the AQE SMJ→SHJ rewrite threshold is a
         strategy-only conf — running a representative join query with
