@@ -524,19 +524,30 @@ def connected_components(
         .select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
-        .distinct()
-        # materialize NOW: each round references e several times (union
-        # with its swap, join, convergence fingerprint) — without this
-        # an expensive upstream plan (e.g. the jaccard pair join) would
-        # re-execute per reference in round 1
+        # materialize NOW: the frame is referenced several times below
+        # (count, endgame stream / star rounds) — without this an
+        # expensive upstream plan (e.g. the jaccard pair join) would
+        # re-execute per reference. NO distinct here (round 14, guide
+        # §2.4): the canonicalized projection is NARROW, so this
+        # checkpoint costs zero shuffles, and the local endgame is
+        # duplicate-insensitive (np.minimum.at over repeated edges is
+        # idempotent; pd.factorize yields the same node set) — the
+        # dedup exchange was 2.7 s of q12's 5.15 s at ~sf1 for nothing.
+        # The distributed branch dedups below, where one exchange
+        # amortizes over O(log n) star rounds.
         .localCheckpoint(eager=True)
     )
 
     # Hybrid endgame (same contract as graph.k_core, round 6): the
     # star rounds pay ~1s of driver-synchronized fixed cost each; when
-    # the DEDUPLICATED edge list fits one task's Arrow budget (default
+    # the RAW canonical edge list fits one task's Arrow budget (default
     # 32M rows ≈ 512 MB), finish locally — min-label propagation with
     # pointer-jumping path compression, fully vectorized numpy, exact.
+    # Thresholding on the raw (pre-dedup) count is exactly the budget
+    # the stream pays — raw rows are what cross into the one task —
+    # and is conservative vs the old deduplicated count (a graph may
+    # now take the distributed path it would previously have run
+    # locally, never the reverse).
     # Ids compact via pd.factorize in FIRST-SEEN order (hash, not
     # sort), so the converged label is only a component representative
     # index; the final scatter-min over original ids (see `minid`
@@ -592,6 +603,12 @@ def connected_components(
         return e.coalesce(1).mapInPandas(
             _local_cc, "id long, cluster_id long"
         )
+
+    # distributed path: dedup ONCE before the star rounds — a symmetric
+    # or duplicated input would otherwise carry its redundancy into
+    # round 1's shuffles; this single exchange amortizes over the
+    # O(log n) rounds (the local path above needs no dedup at all).
+    e = e.distinct().localCheckpoint(eager=True)
 
     def large_star(E: DataFrame) -> DataFrame:
         # neighborhoods both directions; m(u) = min(N(u) ∪ {u});

@@ -168,6 +168,30 @@ class TestHashedNgramKernel:
         for max_df in (1, 2, 3, 4, 1000):
             assert run(max_df) == brute(max_df), f"max_df={max_df}"
 
+    def test_cc_duplicate_and_symmetric_edges_unchanged(self, spark):
+        """Round 14 removed the pre-endgame distinct: the local CC
+        kernel must be duplicate-insensitive — duplicated and
+        symmetric (both-orientation) inputs give identical clusters on
+        BOTH paths."""
+        from fraud_detection_project_spark.operators.dedup import (
+            connected_components,
+        )
+
+        clean = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)]
+        noisy = clean + [(b, a) for a, b in clean] + clean * 3
+        cdf = spark.createDataFrame(clean, ["src", "dst"])
+        ndf = spark.createDataFrame(noisy, ["src", "dst"])
+
+        def clusters(df, **kw):
+            return sorted(
+                (r["id"], r["cluster_id"])
+                for r in connected_components(df, **kw).collect()
+            )
+
+        ref = clusters(cdf)
+        assert clusters(ndf) == ref  # local endgame, raw edges
+        assert clusters(ndf, local_threshold_edges=0) == ref  # star rounds
+
     def test_shj_threshold_off_is_result_identical(self, spark):
         """VERDICT r13 item 8: the AQE SMJ→SHJ rewrite threshold is a
         strategy-only conf — running a representative join query with
