@@ -34,6 +34,7 @@ def count_min_table(
     depth: int = 4,
     width: int = 1024,
     seed: int = 42,
+    weight: str | Column | None = None,
 ) -> DataFrame:
     """Build the count-min counter table ``(d, bucket, cnt)``.
 
@@ -42,6 +43,16 @@ def count_min_table(
     of counters is an independent hash, so the minimum tightens the
     collision inflation. One grouped aggregation; the post-partial-agg
     shuffle is bounded by depth*width rows per task.
+
+    ``weight`` (round 14, guide §1.2 "don't compute things twice"):
+    build from PRE-AGGREGATED ``(key, weight)`` rows instead of raw
+    rows — each key adds ``weight`` to its buckets, so
+    ``count_min_table(exact_counts, k, weight="cnt")`` is value-
+    identical to ``count_min_table(raw, k)`` (same longs: summing a
+    key's total count into a bucket ≡ counting its rows one by one)
+    while exploding |keys|·depth coordinates instead of |rows|·depth.
+    Lets one scan serve both the exact counts and the sketch
+    (cms_heavy_hitters); equality is pinned by a pytest.
     """
     k = F.col(key) if isinstance(key, str) else key
     coords = F.array(
@@ -55,14 +66,17 @@ def count_min_table(
             for d in range(depth)
         ]
     )
-    return (
-        df.select(F.explode(coords).alias("r"))
-        .groupBy(
-            F.col("r.depth").alias("depth"),
-            F.col("r.bucket").alias("bucket"),
-        )
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    if weight is None:
+        agg = F.count(F.lit(1)).alias("cnt")
+        exploded = df.select(F.explode(coords).alias("r"))
+    else:
+        w = F.col(weight) if isinstance(weight, str) else weight
+        agg = F.sum("__w").alias("cnt")
+        exploded = df.select(F.explode(coords).alias("r"), w.alias("__w"))
+    return exploded.groupBy(
+        F.col("r.depth").alias("depth"),
+        F.col("r.bucket").alias("bucket"),
+    ).agg(agg)
 
 
 def count_min_estimate(

@@ -168,6 +168,42 @@ class TestHashedNgramKernel:
         for max_df in (1, 2, 3, 4, 1000):
             assert run(max_df) == brute(max_df), f"max_df={max_df}"
 
+    def test_weighted_cms_table_equals_raw_build(self, spark):
+        """Round 14: cms_heavy_hitters builds its sketch from the
+        pre-aggregated exact counts (one scan). The weighted build
+        must be VALUE-identical to the raw-row build, nulls included."""
+        from fraud_detection_project_spark.operators.sketches import (
+            count_min_table,
+        )
+
+        rows = [(k,) for k in [1, 1, 1, 2, 2, 3, None, None, 7, 7, 7, 7]]
+        raw = spark.createDataFrame(rows, "user_id bigint")
+        exact = raw.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+        a = sorted(
+            map(tuple, count_min_table(raw, "user_id", width=16).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                count_min_table(exact, "user_id", width=16, weight="c").collect(),
+            )
+        )
+        assert a == b
+
+    def test_cms_heavy_hitters_single_scan(self, spark):
+        """The q19 plan must read events.parquet exactly once: after
+        execution, AQE's FINAL plan shows one FileScan — the sketch
+        branch reuses the probe branch's user_id exchange."""
+        from fraud_detection_project_spark.queries import QUERIES
+
+        df = QUERIES["cms_heavy_hitters"](spark, "/root/testdata/sf0.001")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "isFinalPlan=true" in final
+        assert final.count("FileScan parquet") == 1, final
+        assert "ReusedExchange" in final, final
+
     def test_cc_duplicate_and_symmetric_edges_unchanged(self, spark):
         """Round 14 removed the pre-endgame distinct: the local CC
         kernel must be duplicate-insensitive — duplicated and
