@@ -45,17 +45,28 @@ def char_count(col: Column | str) -> Column:
 def bpe_ish_token_count(col: Column | str) -> Column:
     """Sub-word-ish token count: splits runs of letters, digits, and
     individual punctuation (a cheap, deterministic BPE stand-in).
+
+    ``regexp_count`` (round 14, guide §1.2 per-task work): counting
+    matches in one regex pass instead of materializing the match array
+    just to take its size. Values identical, including the legacy
+    ``size(NULL) = -1`` convention on NULL text (pinned by
+    ``coalesce``); equivalence pytest-pinned.
     """
     c = _c(col)
-    pieces = F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
-    return F.size(pieces).cast("long")
+    cnt = F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return F.coalesce(cnt, F.lit(-1)).cast("long")
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Fraction of characters that are neither alphanumeric nor whitespace."""
+    """Fraction of characters that are neither alphanumeric nor whitespace.
+
+    One ``regexp_count`` pass (round 14): the old form REWROTE the
+    string (``regexp_replace`` + length diff) just to count the
+    non-matching characters. Same values on every input, NULL included.
+    """
     c = _c(col)
     n = F.length(c)
-    punct = n - F.length(F.regexp_replace(c, r"[^A-Za-z0-9\s]", ""))
+    punct = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
     return F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 

@@ -168,6 +168,49 @@ class TestHashedNgramKernel:
         for max_df in (1, 2, 3, 4, 1000):
             assert run(max_df) == brute(max_df), f"max_df={max_df}"
 
+    def test_regexp_count_rewrites_preserve_null_conventions(self, spark):
+        """punct_ratio / bpe_ish_token_count moved to one-pass
+        regexp_count (round 14): values must match the old
+        replace/extract_all forms on every input, including the legacy
+        size(NULL) = -1 convention bpe_ish inherited."""
+        from fraud_detection_project_spark.functions.text import (
+            bpe_ish_token_count,
+            punct_ratio,
+        )
+
+        rows = [
+            (1, "Hello, WORLD!! 123"),
+            (2, ""),
+            (3, "!!!???"),
+            (4, None),
+            (5, "é ü ñ 漢字"),
+            (6, "a1b2c3"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        old_punct = F.when(
+            F.length("text") > 0,
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+            ).cast("double")
+            / F.length("text").cast("double"),
+        ).otherwise(F.lit(0.0))
+        old_bpe = F.size(
+            F.regexp_extract_all(
+                "text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)
+            )
+        ).cast("long")
+        got = df.select(
+            "id",
+            punct_ratio("text").alias("np"),
+            old_punct.alias("op"),
+            bpe_ish_token_count("text").alias("nb"),
+            old_bpe.alias("ob"),
+        ).collect()
+        for r in got:
+            assert r.np == r.op, f"punct row {r.id}: {r.np} != {r.op}"
+            assert r.nb == r.ob, f"bpe row {r.id}: {r.nb} != {r.ob}"
+
     def test_weighted_cms_table_equals_raw_build(self, spark):
         """Round 14: cms_heavy_hitters builds its sketch from the
         pre-aggregated exact counts (one scan). The weighted build
