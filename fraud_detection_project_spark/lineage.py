@@ -152,6 +152,35 @@ def bounded_literal(spark, data, schema, reason: str) -> DataFrame:
     return df.drop(nonce)
 
 
+def release_checkpoint(df: DataFrame) -> None:
+    """Best-effort unpersist of a SUPERSEDED ``localCheckpoint``-ed
+    frame's blocks (optimization guide §5).
+
+    The iterative graph operators (connected_components' star rounds,
+    k_core's H-index rounds, page_rank's power iterations) truncate
+    lineage with a NEW eager checkpoint every round; the previous
+    round's blocks stay in the block manager until the JVM's
+    ContextCleaner happens to collect the RDD reference. At the
+    synthesized ~sf10 decade that lag is fatal: generations of
+    multi-GB edge frames pile up in storage while the next round's
+    map-side aggregates fail their INITIAL BytesToBytesMap allocation
+    (``AGGREGATE_OUT_OF_MEMORY`` — an initial allocation has nothing
+    to spill). Callers release ONLY frames nothing references anymore:
+    the blocks are dropped and the lineage is already truncated, so
+    any later action on a released frame fails — never release a frame
+    that still feeds a live plan.
+
+    No-op (never raises) when the frame is not a materialized
+    checkpoint or the py4j internals shift under a future Spark.
+    """
+    try:
+        logical = df._jdf.queryExecution().analyzed()
+        if logical.getClass().getName().endswith("LogicalRDD"):
+            logical.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def is_bounded_ckpt_scan(plan_line: str) -> bool:
     """True when a physical-plan ``Scan ExistingRDD`` line belongs to a
     frame registered via :func:`bounded_checkpoint` /

@@ -23,10 +23,12 @@ whole-stage codegen). No Python in any hot path.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import alnum_tokens, normalized_text
+from ..lineage import release_checkpoint
 
 def spread_input(df: DataFrame, min_factor: int = 2) -> DataFrame:
     """Round-robin repartition when the input arrives under-partitioned
@@ -535,7 +537,18 @@ def connected_components(
         # dedup exchange was 2.7 s of q12's 5.15 s at ~sf1 for nothing.
         # The distributed branch dedups below, where one exchange
         # amortizes over O(log n) star rounds.
-        .localCheckpoint(eager=True)
+        #
+        # DISK_ONLY (round 14, guide §5): a memory-resident edge
+        # checkpoint starves the very aggregates that consume it — at
+        # ~sf10 (60M edges ≈ 4 GB deserialized) the 32 reader tasks
+        # hold read locks on the cached blocks, storage cannot evict a
+        # locked block, and the dedup's map-side hash aggregate dies
+        # on its INITIAL allocation (AGGREGATE_OUT_OF_MEMORY, nothing
+        # to spill yet). On disk the blocks cost no unified-pool
+        # memory and no locks; the OS page cache keeps local re-reads
+        # warm (q12 sf1 cell measured unchanged, see
+        # OPTIMIZATION_r14.md).
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
 
     # Hybrid endgame (same contract as graph.k_core, round 6): the
@@ -608,7 +621,15 @@ def connected_components(
     # or duplicated input would otherwise carry its redundancy into
     # round 1's shuffles; this single exchange amortizes over the
     # O(log n) rounds (the local path above needs no dedup at all).
-    e = e.distinct().localCheckpoint(eager=True)
+    # The raw checkpoint is superseded the moment the dedup'ed one
+    # materializes: release its blocks instead of waiting on the
+    # ContextCleaner (guide §5 — at scale, generations of multi-GB
+    # edge checkpoints otherwise accumulate across the star rounds).
+    raw = e
+    e = e.distinct().localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
+    release_checkpoint(raw)
 
     def large_star(E: DataFrame) -> DataFrame:
         # neighborhoods both directions; m(u) = min(N(u) ∪ {u});
@@ -649,7 +670,11 @@ def connected_components(
     prev = None
     converged = False
     for i in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        superseded = e
+        e = small_star(large_star(e)).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
+        release_checkpoint(superseded)
         if (i + 1) % max(1, check_every) == 0:
             cur = fingerprint(e)
             if cur == prev:

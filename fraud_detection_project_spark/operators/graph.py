@@ -12,8 +12,11 @@ O(1) across iterations. No adjacency matrices, no driver-side graph.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..lineage import release_checkpoint
 
 
 def pagerank(
@@ -51,8 +54,15 @@ def pagerank(
         )
         .distinct()
         # materialize: the edge list is re-read every iteration; an
-        # expensive upstream plan must not re-execute per iteration
-        .localCheckpoint(eager=True)
+        # expensive upstream plan must not re-execute per iteration.
+        # DISK_ONLY (round 14, guide §5): memory-resident edge blocks
+        # are read-locked by every consuming task, storage cannot
+        # evict a locked block, and above the local threshold the
+        # per-iteration aggregates starve (AGGREGATE_OUT_OF_MEMORY at
+        # ~sf10 — see connected_components for the measured failure);
+        # on disk the frame costs no unified-pool memory and the OS
+        # page cache keeps local re-reads warm.
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
 
     if e.count() <= local_threshold_edges:
@@ -96,12 +106,13 @@ def pagerank(
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     n = nodes.count()
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
 
     ranks = nodes.select("id", F.lit(1.0 / n).alias("rank"))
+    superseded = None
     for _ in range(n_iter):
         contrib = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -126,8 +137,15 @@ def pagerank(
                     * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / n)
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            # per-iteration lineage cut; the PREVIOUS iteration's rank
+            # checkpoint feeds nothing once this one materializes —
+            # release it instead of letting n_iter generations pile up
+            # in the block manager (guide §5)
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
+        if superseded is not None:
+            release_checkpoint(superseded)
+        superseded = ranks
     return ranks
 
 
@@ -398,7 +416,9 @@ def k_core(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # DISK_ONLY: same read-lock starvation argument as
+        # connected_components' canonical checkpoint (guide §5)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     # cheap: post-checkpoint partition counts; × 2 = the directed count
     # the threshold and nparts sizing are defined over
@@ -448,14 +468,19 @@ def k_core(
     # joins'/aggregates' clustered distribution, so no second exchange
     # is inserted; AQE may still coalesce or broadcast small sides.
     nparts = max(4, min(4096, -(-n_edges // 600_000)))
-    und = und.repartition(nparts, "u").localCheckpoint(eager=True)
+    und = und.repartition(nparts, "u").localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     # v-keyed copy, shuffled ONCE and reused by every round's two
     # v-joins (neighbor gather + frontier expansion)
-    undv = und.repartition(nparts, "v").localCheckpoint(eager=True)
+    undv = und.repartition(nparts, "v").localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     core = und.groupBy("u").agg(
         F.count(F.lit(1)).cast("int").alias("c")
     )
     frontier = None  # None = first round, recompute everyone
+    superseded = None  # previous round's merged checkpoint
     for _ in range(max_iter):
         if frontier is None:
             base = und
@@ -505,8 +530,15 @@ def k_core(
                     "chg"
                 ),
             )
-            .localCheckpoint(eager=True)
+            # per-round lineage cut; release the PREVIOUS round's
+            # merged checkpoint once this one materializes (guide §5 —
+            # max_iter generations of a nodes-sized frame otherwise
+            # accumulate in the block manager)
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
+        if superseded is not None:
+            release_checkpoint(superseded)
+        superseded = merged
         core = merged.select("u", "c")
         changed = merged.agg(F.sum(F.col("chg").cast("long"))).first()[0]
         frontier = merged.filter(F.col("chg")).select("u")
@@ -600,9 +632,16 @@ def bfs_min_hops(
         )
         if nxt.isEmpty():
             break
+        old_visited, old_frontier = visited, frontier
         visited = visited.unionByName(
             nxt.withColumn("hop", F.lit(h))
         ).localCheckpoint()
+        # the superseded visited/frontier checkpoints (including the
+        # hop-0 seed frontier at h == 1) feed nothing once the new
+        # visited materializes — release instead of letting max_hops
+        # generations accumulate (guide §5)
+        release_checkpoint(old_visited)
+        release_checkpoint(old_frontier)
         frontier = nxt
     return visited.select(node, F.col("hop").cast("long").alias("hop"))
 

@@ -305,3 +305,51 @@ class TestHashedNgramKernel:
         )._jdf.queryExecution().executedPlan().toString()
         assert "MapInArrow" in plan
         assert "Exchange" not in plan, "kernel path must be shuffle-free"
+
+
+class TestCheckpointRelease:
+    """Round-14 §5 fix: iterative graph loops checkpoint per round with
+    DISK_ONLY and explicitly release the superseded generation — at
+    ~sf10 the old MEMORY_AND_DISK blocks (read-locked by consumers,
+    unevictable) starved the next round's map-side aggregates
+    (AGGREGATE_OUT_OF_MEMORY on the initial BytesToBytesMap alloc)."""
+
+    def test_release_checkpoint_drops_blocks(self, spark):
+        from fraud_detection_project_spark.lineage import release_checkpoint
+
+        df = spark.range(100).localCheckpoint(eager=True)
+        jsc = spark.sparkContext._jsc
+        rid = df._jdf.queryExecution().analyzed().rdd().id()
+        assert rid in list(jsc.getPersistentRDDs().keys())
+        release_checkpoint(df)
+        assert rid not in list(jsc.getPersistentRDDs().keys())
+
+    def test_release_checkpoint_noop_on_plain_frame(self, spark):
+        from fraud_detection_project_spark.lineage import release_checkpoint
+
+        # not a checkpoint — must not raise, must not touch anything
+        release_checkpoint(spark.range(5).filter(F.col("id") > 1))
+
+    def test_cc_distributed_loop_releases_superseded_rounds(self, spark):
+        from fraud_detection_project_spark.operators.dedup import (
+            connected_components,
+        )
+
+        jsc = spark.sparkContext._jsc
+        before = set(jsc.getPersistentRDDs().keys())
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], ["src", "dst"]
+        )
+        out = connected_components(edges, local_threshold_edges=0)
+        got = {
+            (r["id"], r["cluster_id"]) for r in out.collect()
+        }
+        assert got == {
+            (1, 1), (2, 1), (3, 1),
+            (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20),
+        }
+        # only the FINAL round's checkpoint (referenced by `out`) may
+        # remain persisted; every superseded star round was released
+        leaked = set(jsc.getPersistentRDDs().keys()) - before
+        assert len(leaked) <= 1, f"superseded checkpoints leaked: {leaked}"

@@ -130,6 +130,17 @@ def _clear_persisted(spark) -> None:
     for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
         jrdd.unpersist(False)
     spark.catalog.clearCache()
+    # broadcast relations from a previous workload's joins are only
+    # collected when the JVM GCs their references (ContextCleaner) —
+    # at ~sf10 a neighbour's leftover broadcasts once tipped a later
+    # workload's own broadcast build over the driver heap
+    # (notEnoughMemoryToBuildAndBroadcastTableError in the sweep, the
+    # same query green in isolation). One explicit GC per workload
+    # boundary keeps the isolation honest.
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def _cc_alone(spark, sf_dir: str):
