@@ -517,8 +517,12 @@ def connected_components(
     neighborhood join aligns with the aggregate's partitioning — one
     repartition + one dedup shuffle per star instead of three full edge
     shuffles (VERDICT r3 item 5: the q12 exponent work). Input edges
-    are orientation-normalized (min, max) before the initial dedup so a
-    symmetric input (both directions present) halves before round 1.
+    are orientation-normalized (min, max); NEITHER path pre-dedups
+    (round 14): the local kernel is duplicate-insensitive and
+    large_star's terminal ``distinct`` makes round 1's output the same
+    set either way — a symmetric input just carries 2x rows through
+    round 1's repartition, which is cheaper and (unlike a distinct
+    fused onto the cached scan) cannot starve the memory pool at scale.
     """
     e = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
@@ -538,17 +542,17 @@ def connected_components(
         # The distributed branch dedups below, where one exchange
         # amortizes over O(log n) star rounds.
         #
-        # DISK_ONLY (round 14, guide §5): a memory-resident edge
-        # checkpoint starves the very aggregates that consume it — at
-        # ~sf10 (60M edges ≈ 4 GB deserialized) the 32 reader tasks
-        # hold read locks on the cached blocks, storage cannot evict a
-        # locked block, and the dedup's map-side hash aggregate dies
-        # on its INITIAL allocation (AGGREGATE_OUT_OF_MEMORY, nothing
-        # to spill yet). On disk the blocks cost no unified-pool
-        # memory and no locks; the OS page cache keeps local re-reads
-        # warm (q12 sf1 cell measured unchanged, see
-        # OPTIMIZATION_r14.md).
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        # Default MEMORY_AND_DISK deliberately (round 14, guide §5):
+        # the local endgame streams this frame into ONE task, and a
+        # DISK_ONLY level was measured to double q12's sf1 cell (the
+        # single task re-deserializes every row; 4.7 → 8.4+ s floors).
+        # The ~sf10 starvation this level once caused (map-side
+        # aggregates fused with the cache scan dying on their initial
+        # allocation while reader locks pinned the blocks) is fixed
+        # STRUCTURALLY instead: the distributed branch below no longer
+        # runs any aggregate over this cached frame — see the
+        # pre-distinct removal note.
+        .localCheckpoint(eager=True)
     )
 
     # Hybrid endgame (same contract as graph.k_core, round 6): the
@@ -617,19 +621,22 @@ def connected_components(
             _local_cc, "id long, cluster_id long"
         )
 
-    # distributed path: dedup ONCE before the star rounds — a symmetric
-    # or duplicated input would otherwise carry its redundancy into
-    # round 1's shuffles; this single exchange amortizes over the
-    # O(log n) rounds (the local path above needs no dedup at all).
-    # The raw checkpoint is superseded the moment the dedup'ed one
-    # materializes: release its blocks instead of waiting on the
-    # ContextCleaner (guide §5 — at scale, generations of multi-GB
-    # edge checkpoints otherwise accumulate across the star rounds).
-    raw = e
-    e = e.distinct().localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
-    )
-    release_checkpoint(raw)
+    # distributed path: NO pre-dedup (round 14, guide §5/§2.4). The
+    # old shape ran `e.distinct().localCheckpoint()` here, and at ~sf10
+    # (60M edges ≈ 4 GB deserialized) that was the engine's first
+    # measured scale fatality: the distinct's map-side hash aggregate
+    # is FUSED with the scan of the memory-cached checkpoint, the
+    # reader tasks' locks pin the blocks (storage cannot evict a
+    # locked block), and the aggregate dies on its INITIAL
+    # BytesToBytesMap allocation ("UNABLE_TO_ACQUIRE_MEMORY ... got
+    # 6429" — nothing to spill yet). The dedup is also REDUNDANT:
+    # large_star ends in `.distinct()`, so round 1's output is the
+    # same SET with or without it — a duplicated/symmetric input
+    # merely carries its extra rows through round 1's repartition
+    # (narrow scan + shuffle write, spillable, no aggregate over the
+    # cached blocks). Dropping it removes one exchange, one checkpoint
+    # generation, and the OOM class in one move; the dual-path
+    # duplicate/symmetric-input pytest pins result equality.
 
     def large_star(E: DataFrame) -> DataFrame:
         # neighborhoods both directions; m(u) = min(N(u) ∪ {u});

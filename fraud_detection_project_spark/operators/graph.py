@@ -55,14 +55,10 @@ def pagerank(
         .distinct()
         # materialize: the edge list is re-read every iteration; an
         # expensive upstream plan must not re-execute per iteration.
-        # DISK_ONLY (round 14, guide §5): memory-resident edge blocks
-        # are read-locked by every consuming task, storage cannot
-        # evict a locked block, and above the local threshold the
-        # per-iteration aggregates starve (AGGREGATE_OUT_OF_MEMORY at
-        # ~sf10 — see connected_components for the measured failure);
-        # on disk the frame costs no unified-pool memory and the OS
-        # page cache keeps local re-reads warm.
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        # Default MEMORY_AND_DISK: the local endgame streams this into
+        # one task at memory speed. The distributed branch below
+        # recopies it to DISK_ONLY before the iterations — see there.
+        .localCheckpoint(eager=True)
     )
 
     if e.count() <= local_threshold_edges:
@@ -102,6 +98,19 @@ def pagerank(
         # the one task — no single-bucket shuffle of the edge list.
         return e.coalesce(1).mapInPandas(_local_pr, "id long, rank double")
 
+    # Distributed branch (round 14, guide §5): the edge frame is above
+    # the local threshold, i.e. too big to sit deserialized in the
+    # unified pool while n_iter rounds of joins and aggregates run over
+    # it — reader locks pin cached blocks and a partial aggregate fused
+    # onto the cached scan can die on its initial allocation (the
+    # measured ~sf10 CC failure). Recopy it to DISK_ONLY with a NARROW
+    # pass (scan + write, no aggregate, nothing to starve) and release
+    # the memory-resident original; every per-iteration read below then
+    # deserializes from local disk in parallel, which the page cache
+    # keeps cheap.
+    raw = e
+    e = e.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    release_checkpoint(raw)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -416,9 +425,11 @@ def k_core(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        # DISK_ONLY: same read-lock starvation argument as
-        # connected_components' canonical checkpoint (guide §5)
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        # Default MEMORY_AND_DISK: the local peel streams this into one
+        # task at memory speed. The distributed branch recopies to
+        # DISK_ONLY (und/undv below) and releases this frame — the
+        # iterations never read it again.
+        .localCheckpoint(eager=True)
     )
     # cheap: post-checkpoint partition counts; × 2 = the directed count
     # the threshold and nparts sizing are defined over
@@ -468,6 +479,13 @@ def k_core(
     # joins'/aggregates' clustered distribution, so no second exchange
     # is inserted; AQE may still coalesce or broadcast small sides.
     nparts = max(4, min(4096, -(-n_edges // 600_000)))
+    # DISK_ONLY (round 14, guide §5): these two copies are above the
+    # local threshold by definition and are re-read every round — kept
+    # out of the unified pool so the rounds' joins/aggregates never
+    # compete with multi-GB cached blocks (reader locks pin cached
+    # memory; the measured ~sf10 CC failure). The narrow repartition
+    # pass that builds them reads `canon` without any fused aggregate,
+    # and `canon` is released right after — the loop never touches it.
     und = und.repartition(nparts, "u").localCheckpoint(
         eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
@@ -476,6 +494,7 @@ def k_core(
     undv = und.repartition(nparts, "v").localCheckpoint(
         eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
+    release_checkpoint(canon)
     core = und.groupBy("u").agg(
         F.count(F.lit(1)).cast("int").alias("c")
     )
